@@ -1,13 +1,47 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import graft.ops.Relational
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Relational.q01PricingSummary _),
+    "q02_filter_scan"     -> (Relational.q02FilterScan _),
+    "q03_join_revenue"    -> (Relational.q03JoinRevenue _),
+    "q04_broadcast_dim"   -> (Relational.q04BroadcastDim _),
+    "q05_anti_join"       -> (Relational.q05AntiJoin _),
+    "q06_semi_join"       -> (Relational.q06SemiJoin _),
+    "q07_distinct"        -> (Relational.q07Distinct _),
+    "q08_topk"            -> (Relational.q08TopK _),
+    "q09_last_wins"       -> (Relational.q09LastWins _),
+    "q10_upsert_merge"    -> (Relational.q10UpsertMerge _),
+    "q11_union"           -> (Relational.q11Union _),
+    "q12_rollup"          -> (Relational.q12Rollup _),
+    "q13_window_running"  -> (Relational.q13WindowRunning _),
+    "q14_time_bucket"     -> (Relational.q14TimeBucket _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> Relational.q01Sql,
+    "q02_filter_scan"     -> Relational.q02Sql,
+    "q03_join_revenue"    -> Relational.q03Sql,
+    "q04_broadcast_dim"   -> Relational.q04Sql,
+    "q05_anti_join"       -> Relational.q05Sql,
+    "q06_semi_join"       -> Relational.q06Sql,
+    "q07_distinct"        -> Relational.q07Sql,
+    "q08_topk"            -> Relational.q08Sql,
+    "q09_last_wins"       -> Relational.q09Sql,
+    "q10_upsert_merge"    -> Relational.q10Sql,
+    "q11_union"           -> Relational.q11Sql,
+    "q12_rollup"          -> Relational.q12Sql,
+    "q13_window_running"  -> Relational.q13Sql,
+    "q14_time_bucket"     -> Relational.q14Sql,
+  )
 }
