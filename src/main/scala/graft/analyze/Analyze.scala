@@ -1,0 +1,156 @@
+package graft.analyze
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{ColumnProfile, InferredType, TableOverride}
+
+/** Profiling + type inference + cast planning — the analyze stage of the
+  * engine (reference `analyze_file_structure` src/file-to-sql-loader.py:
+  * 696-846 and `_convert_values` :1108-1167).
+  *
+  * Design: ONE wide distributed aggregation computes every per-column fact
+  * the type lattice needs (the reference loops value-by-value in Python over
+  * a 1,000-row sample). Full-column analysis is deliberately used instead of
+  * the reference's sample: at 100 TB a sample-inferred INT column with a
+  * stray string at row 10^9 would poison the load; full-scan inference is
+  * one pass, partial-aggregated, and makes the inferred schema a guarantee
+  * rather than a guess (SURVEY §1.2 note). Sample values are still capped
+  * at 10 per column for the audit trail.
+  */
+object Analyze {
+
+  /** The 6 documented datetime patterns, in reference priority order
+    * (:788-795, :1152-1159). DD/MM/YYYY and dot separators are intentionally
+    * absent (TEST_RESULTS_SUMMARY.md:112-115). */
+  val DatetimePatterns: Seq[String] = Seq(
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd",
+    "MM/dd/yyyy HH:mm:ss",
+    "MM/dd/yyyy",
+    "dd-MM-yyyy HH:mm:ss",
+    "dd-MM-yyyy")
+
+  /** First-match multi-pattern parse (B2) as a coalesce chain of
+    * try_to_timestamp — codegen'd, null on no-match, never throws under
+    * ANSI mode (Spark 4 default). */
+  def parseDatetime(c: Column): Column =
+    coalesce(DatetimePatterns.map(p => try_to_timestamp(c, lit(p))): _*)
+
+  /** ISO-8601 'T' variant appears in the JSON fixtures
+    * (dates_json_format.json `created_at`); the reference's pandas read
+    * parses it natively. Included after the 6 core patterns. */
+  private val JsonIsoPattern = "yyyy-MM-dd'T'HH:mm:ss"
+
+  private def parseDatetimeAll(c: Column): Column =
+    coalesce((DatetimePatterns :+ JsonIsoPattern).map(p => try_to_timestamp(c, lit(p))): _*)
+
+  /** Value-is-absent predicate (reference treats None/''/'nan' as null,
+    * :754, :785, :1116). */
+  private def isAbsent(c: Column): Column =
+    c.isNull || trim(c) === "" || lower(trim(c)) === "nan"
+
+  /** One-pass whole-table profile: for each string column emit
+    * max length, null presence, forall-int / forall-decimal / forall-datetime
+    * (counting convention: #valid == #present), int32 fit, and count. */
+  def profile(df: DataFrame, sampleValues: Map[String, Seq[String]] = Map.empty)
+      : Seq[ColumnProfile] = {
+    val cols = df.schema.fields.map(_.name).toSeq
+    val aggs: Seq[Column] = cols.flatMap { name =>
+      val c = col(name)
+      val present = !isAbsent(c)
+      val trimmed = trim(c)
+      Seq(
+        max(when(c.isNotNull, length(c))).as(s"${name}__maxlen"),
+        sum(when(isAbsent(c), 1L).otherwise(0L)).as(s"${name}__nulls"),
+        sum(when(present, 1L).otherwise(0L)).as(s"${name}__present"),
+        sum(when(present && trimmed.try_cast("long").isNotNull, 1L).otherwise(0L))
+          .as(s"${name}__ints"),
+        sum(when(present && trimmed.try_cast("decimal(18,4)").isNotNull, 1L).otherwise(0L))
+          .as(s"${name}__decs"),
+        sum(when(present && parseDatetimeAll(trimmed).isNotNull, 1L).otherwise(0L))
+          .as(s"${name}__dts"),
+        sum(when(present && trimmed.try_cast("int").isNotNull, 1L).otherwise(0L))
+          .as(s"${name}__int32s"))
+    }
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+    def l(k: String): Long = Option(row.getAs[Any](k)).map(_.toString.toLong).getOrElse(0L)
+    cols.map { name =>
+      val present = l(s"${name}__present")
+      ColumnProfile(
+        name = name,
+        maxLength = l(s"${name}__maxlen"),
+        hasNulls = l(s"${name}__nulls") > 0,
+        allInteger = present > 0 && l(s"${name}__ints") == present,
+        allDecimal = present > 0 && l(s"${name}__decs") == present,
+        allDatetime = present > 0 && l(s"${name}__dts") == present,
+        intFitsInt32 = l(s"${name}__int32s") == l(s"${name}__ints"),
+        nonNullCount = present,
+        sampleValues = sampleValues.getOrElse(name, Nil))
+    }
+  }
+
+  /** 10 retained sample values per column (reference :732) — optional audit
+    * companion to `profile`; one small limit-collect. */
+  def sampleValues(df: DataFrame, n: Int = 10): Map[String, Seq[String]] = {
+    val rows = df.limit(n).collect()
+    df.schema.fields.map(_.name).map { name =>
+      name -> rows.map(r => Option(r.getAs[Any](name)).map(_.toString).getOrElse("")).toSeq
+    }.toMap
+  }
+
+  /** The 4-type lattice decision (reference :818-846): datetime > int >
+    * decimal > varchar(bucketed), with disputed-column length overrides and
+    * BIGINT widening (SURVEY §7.4 note 3). */
+  def inferType(p: ColumnProfile, overrides: TableOverride = TableOverride(None, Nil, Map.empty))
+      : InferredType =
+    overrides.disputedColumns.get(p.name) match {
+      case Some(len) => InferredType.VarcharType(len)
+      case None =>
+        if (p.allDatetime) InferredType.DateTimeType
+        else if (p.allInteger && p.intFitsInt32) InferredType.IntType
+        else if (p.allInteger) InferredType.BigIntType
+        else if (p.allDecimal) InferredType.DecimalT
+        else InferredType.VarcharType(InferredType.varcharBucket(p.maxLength))
+    }
+
+  def inferSchema(profiles: Seq[ColumnProfile], overrides: TableOverride,
+      notNullColumns: Seq[String]): Seq[(ColumnProfile, InferredType, Boolean)] =
+    profiles.map { p =>
+      val t = inferType(p, overrides)
+      val nullable = !notNullColumns.contains(p.name)
+      (p, t, nullable)
+    }
+
+  /** Typed cast projection (B1): string column → inferred Spark type.
+    * try_* forms ⇒ null on failure (can only happen for values the
+    * full-column inference excluded, i.e. absent values). */
+  def castColumn(c: Column, t: InferredType): Column = t match {
+    case InferredType.DateTimeType => parseDatetimeAll(trim(c))
+    case InferredType.IntType      => trim(c).try_cast("int")
+    case InferredType.BigIntType   => trim(c).try_cast("long")
+    case InferredType.DecimalT     => trim(c).try_cast("decimal(18,4)")
+    case InferredType.VarcharType(_) => c
+  }
+
+  /** Apply the full cast plan; absent values (''/'nan') become true nulls in
+    * every type including varchar (reference converts NaN→None, :1116). */
+  def castPlan(df: DataFrame, types: Seq[(String, InferredType)]): DataFrame = {
+    val cols = types.map { case (name, t) =>
+      val guarded = when(isAbsent(col(name)), lit(null)).otherwise(col(name))
+      castColumn(guarded, t).as(name)
+    }
+    df.select(cols: _*)
+  }
+
+  /** Row-validity predicate: NOT NULL columns must be present after casting
+    * (reference surfaces these as per-row insert errors, C3). */
+  def validityPredicate(types: Seq[(String, InferredType)], notNull: Seq[String]): Column =
+    notNull.foldLeft(lit(true)) { (acc, name) =>
+      types.find(_._1 == name) match {
+        case Some((_, t)) => acc && castColumn(
+          when(isAbsent(col(name)), lit(null)).otherwise(col(name)), t).isNotNull
+        case None => acc
+      }
+    }
+}

@@ -1,0 +1,54 @@
+package graft.analyze
+
+import graft.core.InferredType
+
+/** Table-name normalization + DDL rendering (SURVEY §2 B6 / I1).
+  *
+  * Name derivation (reference src/file-to-sql-loader.py:855-866):
+  * strip extension, strip a trailing `_\d{3,}` batch suffix, squash
+  * non-word chars to `_`, prefix `t_` if it starts with a digit.
+  *
+  * The DDL renderer produces SQL-Server-dialect (bracket-quoted) or
+  * SQLite/ANSI (bare) text for audit/compat parity (reference
+  * `generate_ddl` :868-893); the engine's actual tables are Spark catalog
+  * parquet tables created from the same column list.
+  */
+object Ddl {
+
+  sealed trait Dialect
+  case object SqlServer extends Dialect
+  case object Sqlite    extends Dialect
+
+  def tableName(filePath: String): String = {
+    val base = filePath.split('/').last
+    val stem = base.lastIndexOf('.') match {
+      case -1 => base
+      case i  => base.substring(0, i)
+    }
+    val noBatch = stem.replaceAll("_\\d{3,}$", "")
+    val words = noBatch.replaceAll("[^\\w]", "_")
+    if (words.headOption.exists(_.isDigit)) "t_" + words else words
+  }
+
+  def render(table: String, columns: Seq[(String, InferredType, Boolean)],
+      dialect: Dialect = SqlServer): String = {
+    def q(ident: String): String = dialect match {
+      case SqlServer => s"[$ident]"
+      case Sqlite    => ident
+    }
+    val colDefs = columns.map { case (name, t, nullable) =>
+      val nullClause = if (nullable) "NULL" else "NOT NULL"
+      s"    ${q(name)} ${t.sqlServerType} $nullClause"
+    }
+    s"CREATE TABLE ${q(table)} (\n${colDefs.mkString(",\n")}\n)"
+  }
+
+  /** The engine-side DDL: a Spark catalog parquet table. */
+  def sparkDdl(table: String, columns: Seq[(String, InferredType, Boolean)]): String = {
+    val colDefs = columns.map { case (name, t, nullable) =>
+      val nn = if (nullable) "" else " NOT NULL"
+      s"  `$name` ${t.sparkType.sql}$nn"
+    }
+    s"CREATE TABLE `$table` (\n${colDefs.mkString(",\n")}\n) USING parquet"
+  }
+}

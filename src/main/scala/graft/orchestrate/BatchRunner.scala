@@ -1,0 +1,110 @@
+package graft.orchestrate
+
+import org.apache.spark.sql.SparkSession
+import graft.core._
+import graft.ingest.Detect
+import graft.ledger.Ledger
+import graft.report.Report
+
+/** Directory batch with checkpoint/resume/retry (reference `main` directory
+  * arm src/file-to-sql-loader.py:1517-1659 + BatchJobManager :162-291).
+  *
+  * Each file is an independent commit scope; the ledger gives idempotent
+  * resume: a re-run of the same directory finds the InProgress/Failed batch
+  * (within the resume window), skips files whose job rows are Completed,
+  * and processes the remainder. */
+object BatchRunner {
+
+  final case class BatchOutcome(
+      batchJobId: String,
+      status: String,
+      totalFiles: Long,
+      processed: Long,
+      failed: Long,
+      jobs: Seq[ProcessFile.FileJob])
+
+  def run(spark: SparkSession, inputDir: String, config: EngineConfig): BatchOutcome = {
+    val allFiles = Detect.listFiles(spark, inputDir)
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+
+    // C5: resume or create (reference get_or_create_batch_job :170-229)
+    val resumed: Option[BatchStats] =
+      if (config.checkpointEnabled && config.resumeIncompleteBatches)
+        Ledger.findResumableBatch(spark, inputDir, config.maxResumeAgeHours)
+      else None
+
+    val (batchId, priorProcessed, priorFailed, isResumed) = resumed match {
+      case Some(b) =>
+        Ledger.writeBatchStats(spark, b.copy(IsResumed = true, BatchStatus = "InProgress",
+          OriginalBatchJobID = b.OriginalBatchJobID.orElse(Some(b.BatchJobID))))
+        (b.BatchJobID, b.FilesProcessed, b.FilesFailed, true)
+      case None =>
+        val id = java.util.UUID.randomUUID().toString
+        Ledger.writeBatchStats(spark, BatchStats(
+          BatchJobID = id, InputDirectory = inputDir, BatchStartTime = now,
+          BatchEndTime = None, BatchStatus = "InProgress",
+          TotalFiles = allFiles.size, FilesProcessed = 0, FilesFailed = 0,
+          IsResumed = false, OriginalBatchJobID = None))
+        (id, 0L, 0L, false)
+    }
+
+    // C4: pending = all − completed (anti-join; file set is driver-small —
+    // one path string per file — so the difference runs driver-side)
+    val done: Set[String] =
+      if (isResumed)
+        Ledger.completedFiles(spark, batchId).collect().map(_.getString(0)).toSet
+      else Set.empty
+    val pending = allFiles.filterNot(done.contains)
+
+    // J3: per-file retry loop
+    var processed = priorProcessed
+    var failed = priorFailed
+    val jobs = pending.map { f =>
+      var attempt = 0
+      var job: ProcessFile.FileJob = null
+      var lastErr: Option[Throwable] = None
+      while (attempt < math.max(1, config.maxRetries) && job == null) {
+        attempt += 1
+        try {
+          job = ProcessFile.run(spark, f, config, Some(batchId))
+        } catch {
+          case e: Exception => lastErr = Some(e)
+        }
+      }
+      if (job == null) {
+        // failed-stats stub (reference :1368-1384)
+        val r = LoadResult("Failed", -1, 0, 0, -1, lastErr.map(_.getMessage))
+        job = ProcessFile.FileJob("", f, "", r, "")
+        if (config.jobStatisticsEnabled) {
+          val ts = new java.sql.Timestamp(System.currentTimeMillis())
+          Ledger.writeJobStats(spark, JobStats(
+            java.util.UUID.randomUUID().toString, f, "", ts, ts, "Failed",
+            -1, 0, 0, -1, config.tableMode.name, config.transactionMode.name,
+            lastErr.map(_.getMessage), Some(batchId)))
+        }
+      }
+      if (job.result.status == "Failed") failed += 1 else processed += 1
+      job
+    }
+
+    // E3: roll-up + final status (reference :1601-1638)
+    val status =
+      if (failed > 0 && processed == 0) "Failed"
+      else if (failed > 0) "CompletedWithErrors"
+      else "Completed"
+    Ledger.writeBatchStats(spark, BatchStats(
+      BatchJobID = batchId, InputDirectory = inputDir,
+      BatchStartTime = resumed.map(_.BatchStartTime).getOrElse(now),
+      BatchEndTime = Some(new java.sql.Timestamp(System.currentTimeMillis())),
+      BatchStatus = status, TotalFiles = allFiles.size + done.size,
+      FilesProcessed = processed, FilesFailed = failed,
+      IsResumed = isResumed,
+      OriginalBatchJobID = resumed.flatMap(_.OriginalBatchJobID)))
+
+    val outcome = BatchOutcome(batchId, status, allFiles.size + done.size,
+      processed, failed, jobs)
+    if (config.emailEnabled)
+      Report.writeBatchReport(spark, outcome, config)
+    outcome
+  }
+}

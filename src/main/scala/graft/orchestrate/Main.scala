@@ -1,0 +1,68 @@
+package graft.orchestrate
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import graft.core.EngineConfig
+import graft.report.Report
+
+/** CLI (reference `main()` src/file-to-sql-loader.py:1503-1515 + shell
+  * wrapper arg surface): `graft.orchestrate.Main <input_path> [--config f]`.
+  * A file argument runs the single-file job; a directory runs the
+  * checkpointed batch. Exit code 1 on failure (reference :1686-1687). */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val (inputPath, configPath) = parseArgs(args)
+    val config = configPath.map(EngineConfig.load).getOrElse(EngineConfig.default)
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-etl")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.warehouse.dir", config.warehouseDir)
+      .config("spark.ui.enabled", "false")
+      // persistent metastore: catalog tables (incl. the ledger) survive
+      // across CLI invocations — the analog of the reference's RDBMS-backed
+      // system tables
+      .enableHiveSupport()
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    try {
+      val path = Paths.get(inputPath)
+      val ok =
+        if (Files.isDirectory(path)) {
+          val outcome = BatchRunner.run(spark, inputPath, config)
+          println(s"[graft] batch ${outcome.batchJobId}: ${outcome.status} " +
+            s"(${outcome.processed}/${outcome.totalFiles} processed, ${outcome.failed} failed)")
+          outcome.status != "Failed"
+        } else {
+          val job = ProcessFile.run(spark, inputPath, config)
+          if (config.emailEnabled) Report.writeJobReport(spark, job, config)
+          println(s"[graft] job ${job.jobRunId}: ${job.result.status} " +
+            s"(read=${job.result.rowsRead} ins=${job.result.rowsInserted} " +
+            s"upd=${job.result.rowsUpdated} err=${job.result.rowsErrored})")
+          job.result.status != "Failed"
+        }
+      if (!ok) sys.exit(1)
+    } finally spark.stop()
+  }
+
+  private def parseArgs(args: Array[String]): (String, Option[String]) = {
+    var input: Option[String] = None
+    var config: Option[String] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--config" if i + 1 < args.length => config = Some(args(i + 1)); i += 2
+        case a if !a.startsWith("--") => input = Some(a); i += 1
+        case a => throw new IllegalArgumentException(s"unknown argument: $a")
+      }
+    }
+    (input.getOrElse(throw new IllegalArgumentException(
+      "usage: Main <input_path> [--config file.yaml]")), config)
+  }
+}

@@ -1,0 +1,141 @@
+package graft.orchestrate
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.ingest.{Detect, Reader}
+import graft.analyze.{Analyze, Ddl}
+import graft.load.Loader
+import graft.ledger.Ledger
+
+/** The single-file job (reference `process_file`
+  * src/file-to-sql-loader.py:1386-1500): detect → read → profile → infer →
+  * table-mode handling → load → stats → lifecycle move. Every data-touching
+  * step is a distributed DataFrame op; only sniffing, DDL and ledger writes
+  * run on the driver. */
+object ProcessFile {
+
+  final case class FileJob(
+      jobRunId: String,
+      sourceFile: String,
+      targetTable: String,
+      result: LoadResult,
+      ddl: String)
+
+  def run(spark: SparkSession, filePath: String, config: EngineConfig,
+      batchJobId: Option[String] = None): FileJob = {
+    val jobRunId = java.util.UUID.randomUUID().toString
+    val start = new java.sql.Timestamp(System.currentTimeMillis())
+    val fmt = Detect.detect(spark, filePath)
+    val raw = Reader.read(spark, filePath, fmt)
+
+    val stem = Ddl.tableName(filePath)
+    val overrides = config.overridesFor(stem)
+    val table = overrides.overrideTableName.getOrElse(stem)
+
+    // A6: empty input — upsert ⇒ success no-op, others ⇒ fail (:1420-1432)
+    if (raw.isEmpty || raw.columns.isEmpty) {
+      val (status, err) =
+        if (config.tableMode == TableMode.Upsert) ("Completed", None)
+        else ("Failed", Some("empty input file"))
+      val result = LoadResult(status, 0, 0, 0, 0, err)
+      finish(spark, filePath, jobRunId, table, start, result, config, batchJobId, None)
+      return FileJob(jobRunId, filePath, table, result, "")
+    }
+
+    val samples = Analyze.sampleValues(raw)
+    val profiles = Analyze.profile(raw, samples)
+    val notNull = config.notNullColumns.getOrElse(table, Nil)
+    val inferred = Analyze.inferSchema(profiles, overrides, notNull)
+    val types = inferred.map { case (p, t, _) => (p.name, t) }
+    val ddl = Ddl.render(table, inferred.map { case (p, t, n) => (p.name, t, n) })
+
+    val result =
+      try {
+        Loader.prepareTable(spark, table, config.tableMode)
+        val indexed = Reader.withRowIndex(raw)
+        val casted = Analyze.castPlan(indexed,
+          types :+ ("_row_idx" -> InferredType.BigIntType))
+        val (good, bad) = Loader.split(casted, notNull)
+        val strict = config.transactionMode == TransactionMode.Strict
+        config.tableMode match {
+          case TableMode.Upsert =>
+            Loader.loadUpsert(spark, good, bad, table,
+              pk = config.primaryKeyFor(table), ordinalCol = "_row_idx",
+              strict = strict, maxRowErrors = config.maxRowErrors)
+          case m =>
+            val goodOut = good.drop("_row_idx")
+            if (strict) Loader.loadStrict(spark, goodOut, bad, table, m)
+            else Loader.loadTolerant(spark, goodOut, bad, table, m, config.maxRowErrors)
+        }
+      } catch {
+        case e: Exception =>
+          LoadResult("Failed", -1, 0, 0, -1, Some(e.getMessage))
+      }
+
+    val badForLog =
+      if (result.rowsErrored > 0) {
+        val indexed = Reader.withRowIndex(raw)
+        val casted = Analyze.castPlan(indexed, types :+ ("_row_idx" -> InferredType.BigIntType))
+        Some(Loader.split(casted, notNull)._2)
+      } else None
+
+    finish(spark, filePath, jobRunId, table, start, result, config, batchJobId, badForLog)
+    FileJob(jobRunId, filePath, table, result, ddl)
+  }
+
+  private def finish(spark: SparkSession, filePath: String, jobRunId: String,
+      table: String, start: java.sql.Timestamp, result: LoadResult,
+      config: EngineConfig, batchJobId: Option[String],
+      badRows: Option[DataFrame]): Unit = {
+    val end = new java.sql.Timestamp(System.currentTimeMillis())
+
+    if (config.jobStatisticsEnabled)
+      Ledger.writeJobStats(spark, JobStats(
+        JobRunID = jobRunId, SourceFile = filePath, TargetTable = table,
+        JobStartTime = start, JobEndTime = end, JobStatus = result.status,
+        RowsRead = result.rowsRead, RowsInserted = result.rowsInserted,
+        RowsUpdated = result.rowsUpdated, RowsErrored = result.rowsErrored,
+        TableMode = config.tableMode.name, TransactionMode = config.transactionMode.name,
+        ErrorMessage = result.errorMessage, BatchJobID = batchJobId))
+
+    if (config.errorLoggingEnabled) badRows.foreach { bad =>
+      val errs = bad.select(
+        lit(jobRunId).as("JobRunID"),
+        lit(filePath).as("SourceFile"),
+        col("_row_idx").as("RowNumber"),
+        lit("").as("ColumnName"),
+        lit("constraint_violation").as("ErrorType"),
+        lit("NOT NULL constraint violated").as("ErrorMessage"),
+        to_json(struct(bad.columns.filterNot(_ == "_row_idx").map(col).toSeq: _*))
+          .as("RawValue"),
+        current_timestamp().as("ErrorTime"))
+      Ledger.writeErrors(spark, errs)
+      // row-level quarantine dump (reference logs/<stem>_<jobrun>.txt :1049-1058)
+      moveTargetDir(spark, filePath, "logs").foreach { logs =>
+        bad.write.mode("overwrite").json(s"$logs/${Ddl.tableName(filePath)}_$jobRunId")
+      }
+    }
+
+    // I10: file lifecycle — success ⇒ processed/, failure ⇒ error/
+    val destDir = if (result.status == "Failed") "error" else "processed"
+    moveFile(spark, filePath, destDir)
+  }
+
+  private def moveTargetDir(spark: SparkSession, filePath: String, sub: String)
+      : Option[String] = {
+    val p = new Path(filePath)
+    Option(p.getParent).map(parent => new Path(parent, sub).toString)
+  }
+
+  private def moveFile(spark: SparkSession, filePath: String, sub: String): Unit = {
+    val p = new Path(filePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(p.getParent).foreach { parent =>
+      val dir = new Path(parent, sub)
+      if (!fs.exists(dir)) fs.mkdirs(dir)
+      fs.rename(p, new Path(dir, p.getName))
+    }
+  }
+}

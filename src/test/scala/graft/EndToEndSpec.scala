@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.core._
+import graft.orchestrate.{BatchRunner, ProcessFile}
+import graft.ledger.Ledger
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end contracts over real fixture files — the reference's dominant
+  * test style (SURVEY §5.1): run the real pipeline, select the table back,
+  * assert exact rows + ledger stats. */
+class EndToEndSpec extends GraftSuite {
+
+  private def cfg = EngineConfig.default
+
+  test("minimum slice: dates_iso CSV → drop_recreate → typed table + stats row") {
+    val dir = tempDir("e2e_iso")
+    val f = writeFile(dir, "dates_iso_format.csv", datesIsoCsv)
+    val job = ProcessFile.run(spark, f, cfg)
+    assert(job.result.status == "Completed")
+    assert(job.targetTable == "dates_iso_format")
+    assert(job.result.rowsRead == 10 && job.result.rowsInserted == 10)
+
+    val t = spark.table("dates_iso_format")
+    assert(t.count() == 10)
+    // intended semantics: date columns are TimestampType, not NVARCHAR
+    assert(t.schema("birth_date").dataType == TimestampType)
+    assert(t.schema("created_date").dataType == TimestampType)
+    assert(t.schema("last_login").dataType == TimestampType)
+    assert(t.schema("id").dataType == IntegerType)
+    assert(t.schema("name").dataType == StringType)
+    val mx = t.agg(max("birth_date")).head().getTimestamp(0)
+    assert(mx.toString.startsWith("1995-02-28"))
+    // DDL parity output
+    assert(job.ddl.contains("[birth_date] DATETIME2"))
+    assert(job.ddl.contains("[id] INT"))
+
+    // file moved to processed/
+    assert(!Files.exists(Paths.get(f)))
+    assert(Files.exists(dir.resolve("processed/dates_iso_format.csv")))
+
+    // stats row in ledger
+    val stats = Ledger.jobStats(spark).filter(col("SourceFile") === f).head()
+    assert(stats.getAs[String]("JobStatus") == "Completed")
+    assert(stats.getAs[Long]("RowsRead") == 10)
+  }
+
+  test("PSV ingest: pipe-delimited, unsupported date format stays string") {
+    val dir = tempDir("e2e_psv")
+    val f = writeFile(dir, "dates_psv_format.psv", datesPsv)
+    val job = ProcessFile.run(spark, f, cfg)
+    assert(job.result.status == "Completed")
+    val t = spark.table("dates_psv_format")
+    assert(t.schema("account_created").dataType == TimestampType)
+    assert(t.schema("expiry_date").dataType == StringType) // dd/MM/yyyy unsupported
+    assert(t.count() == 3)
+  }
+
+  test("JSON ingest: array-of-records with ISO-T timestamps") {
+    val dir = tempDir("e2e_json")
+    val f = writeFile(dir, "dates_json_format.json", datesJson)
+    val job = ProcessFile.run(spark, f, cfg)
+    assert(job.result.status == "Completed")
+    val t = spark.table("dates_json_format")
+    assert(t.count() == 3)
+    assert(t.schema("id").dataType == IntegerType)
+    assert(t.schema("birth_date").dataType == TimestampType)
+    assert(t.schema("created_at").dataType == TimestampType)
+  }
+
+  test("upsert end-to-end: update + insert + last-wins duplicate handling") {
+    val dir = tempDir("e2e_ups")
+    val c = cfg.copy(tableMode = TableMode.Upsert,
+      transactionMode = TransactionMode.Tolerant,
+      tables = Map("employees" -> TableOverride(Some("employees"), Seq("id"), Map.empty)))
+
+    val f1 = writeFile(dir, "employees.csv", upsertInitialCsv)
+    val j1 = ProcessFile.run(spark, f1, c)
+    assert(j1.result.status == "Completed")
+    assert(spark.table("employees").count() == 3)
+
+    val f2 = writeFile(dir, "employees.csv", upsertUpdateCsv)
+    val j2 = ProcessFile.run(spark, f2, c)
+    assert(j2.result.status == "Completed")
+    val t = spark.table("employees").orderBy("id")
+    val rows = t.collect()
+    assert(rows.length == 4)
+    // id=2 updated
+    assert(rows(1).getAs[String]("name") == "Bobby")
+    // id=4 inserted with the LAST duplicate winning
+    assert(rows(3).getAs[String]("name") == "Dave II")
+    assert(j2.result.rowsUpdated == 2 && j2.result.rowsInserted == 1)
+    // id=1 untouched
+    assert(rows(0).getAs[String]("name") == "Alice")
+  }
+
+  test("empty file: upsert mode no-op success, other modes fail") {
+    val dir = tempDir("e2e_empty")
+    val f1 = writeFile(dir, "empty1.csv", "")
+    val j1 = ProcessFile.run(spark, f1,
+      cfg.copy(tableMode = TableMode.Upsert))
+    assert(j1.result.status == "Completed" && j1.result.rowsRead == 0)
+    assert(Files.exists(dir.resolve("processed/empty1.csv")))
+
+    val f2 = writeFile(dir, "empty2.csv", "")
+    val j2 = ProcessFile.run(spark, f2, cfg)
+    assert(j2.result.status == "Failed")
+    assert(Files.exists(dir.resolve("error/empty2.csv")))
+  }
+
+  test("tolerant NOT NULL budget: bad rows quarantined, good rows loaded") {
+    val dir = tempDir("e2e_tol")
+    val csv =
+      """id,name
+        |1,a
+        |,b
+        |3,c
+        |""".stripMargin
+    val f = writeFile(dir, "tol_table.csv", csv)
+    val c = cfg.copy(transactionMode = TransactionMode.Tolerant,
+      notNullColumns = Map("tol_table" -> Seq("id")))
+    val job = ProcessFile.run(spark, f, c)
+    assert(job.result.status == "CompletedWithErrors")
+    assert(job.result.rowsInserted == 2 && job.result.rowsErrored == 1)
+    assert(spark.table("tol_table").count() == 2)
+    // error ledger row recorded
+    val errs = spark.table(Ledger.JobErrorTable)
+      .filter(col("JobRunID") === job.jobRunId)
+    assert(errs.count() == 1)
+  }
+
+  test("batch directory run with checkpoint resume skipping completed files") {
+    val dir = tempDir("e2e_batch")
+    writeFile(dir, "batch_t1.csv", "name,age,city\nx,1,NY\ny,2,LA\nz,3,SF\n")
+    writeFile(dir, "batch_t2.csv", "product,price,category\np1,10,A\np2,20,B\np3,30,C\n")
+    val outcome = BatchRunner.run(spark, dir.toString, cfg)
+    assert(outcome.status == "Completed")
+    assert(outcome.processed == 2 && outcome.failed == 0)
+    assert(spark.table("batch_t1").count() == 3)
+    assert(spark.table("batch_t2").count() == 3)
+
+    // both files moved; a rerun finds nothing pending and stays Completed
+    val outcome2 = BatchRunner.run(spark, dir.toString, cfg)
+    assert(outcome2.totalFiles == 0 || outcome2.processed + outcome2.failed == outcome2.totalFiles)
+
+    // batch ledger reflects the roll-up
+    val b = Ledger.currentBatches(spark)
+      .filter(col("BatchJobID") === outcome.batchJobId).head()
+    assert(b.getAs[String]("BatchStatus") == "Completed")
+    assert(b.getAs[Long]("FilesProcessed") == 2)
+  }
+}

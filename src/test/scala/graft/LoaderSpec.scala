@@ -1,0 +1,126 @@
+package graft
+
+import graft.core._
+import graft.load.{Loader, Upsert}
+import graft.ingest.Reader
+import org.apache.spark.sql.functions._
+
+class UpsertSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("merge: matched rows update, unmatched insert, untouched keep") {
+    val target = Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "name", "v")
+    val source = Seq((2, "b2", 21.0), (3, "c", 30.0)).toDF("id", "name", "v")
+    val out = Upsert.merge(target, source, Seq("id"))
+      .orderBy("id").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(out(0).getString(1) == "a" && out(0).getString(3) == "kept")
+    assert(out(1).getString(1) == "b2" && out(1).getString(3) == "updated")
+    assert(out(2).getString(1) == "c" && out(2).getString(3) == "inserted")
+  }
+
+  test("last-wins dedup keeps the highest ordinal per key") {
+    val src = Seq((1, "first", 0L), (1, "last", 1L), (2, "only", 2L))
+      .toDF("id", "name", "_row_idx")
+    val out = Upsert.dedupLastWins(src, Seq("id"), "_row_idx")
+      .orderBy("id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("last", "only"))
+  }
+
+  test("upsert is idempotent: applying the same source twice = once") {
+    val t1 = s"ups_idem_${System.nanoTime()}"
+    val init = Seq((1, "a"), (2, "b")).toDF("id", "name")
+    init.write.format("parquet").saveAsTable(t1)
+    val src = Seq((2, "b2"), (3, "c")).toDF("id", "name")
+      .withColumn("_row_idx", monotonically_increasing_id())
+    val bad = src.limit(0)
+    val r1 = Loader.loadUpsert(spark, src, bad, t1, Seq("id"), "_row_idx", strict = true, 100)
+    val after1 = spark.table(t1).orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    val r2 = Loader.loadUpsert(spark, src, bad, t1, Seq("id"), "_row_idx", strict = true, 100)
+    val after2 = spark.table(t1).orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(after1 == Seq((1, "a"), (2, "b2"), (3, "c")))
+    assert(after1 == after2)
+    assert(r1.rowsInserted == 1 && r1.rowsUpdated == 1)
+    assert(r2.rowsInserted == 0 && r2.rowsUpdated == 2)
+  }
+}
+
+class LoaderSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("strict mode rejects the whole file on any invalid row") {
+    val df = Seq(("1", "x"), (null, "y")).toDF("id", "name")
+    val (good, bad) = Loader.split(df, Seq("id"))
+    val r = Loader.loadStrict(spark, good, bad, s"strict_${System.nanoTime()}", TableMode.DropRecreate)
+    assert(r.status == "Failed")
+  }
+
+  test("tolerant mode loads valid rows when bad count is within budget") {
+    val t = s"tol_${System.nanoTime()}"
+    val df = Seq(("1", "x"), (null, "y"), ("3", "z")).toDF("id", "name")
+    val (good, bad) = Loader.split(df, Seq("id"))
+    val r = Loader.loadTolerant(spark, good, bad, t, TableMode.DropRecreate, maxRowErrors = 1)
+    assert(r.status == "CompletedWithErrors")
+    assert(r.rowsInserted == 2 && r.rowsErrored == 1)
+    assert(spark.table(t).count() == 2)
+  }
+
+  test("tolerant mode rejects when bad count exceeds budget") {
+    val df = Seq(("1", "x"), (null, "y"), (null, "z")).toDF("id", "name")
+    val (good, bad) = Loader.split(df, Seq("id"))
+    val r = Loader.loadTolerant(spark, good, bad, s"tolrej_${System.nanoTime()}",
+      TableMode.DropRecreate, maxRowErrors = 1)
+    assert(r.status == "Failed")
+  }
+
+  test("fail mode errors when the table exists") {
+    val t = s"failmode_${System.nanoTime()}"
+    Seq((1, "a")).toDF("id", "v").write.format("parquet").saveAsTable(t)
+    intercept[IllegalStateException] {
+      Loader.prepareTable(spark, t, TableMode.Fail)
+    }
+  }
+}
+
+class ConfigSpec extends GraftSuite {
+  test("YAML config parses the reference's key surface") {
+    val yaml =
+      """loader:
+        |  table_mode: upsert
+        |  transaction_mode: tolerant
+        |  max-row-errors: 10
+        |  max_retries: 3
+        |ddl:
+        |  not_null_columns:
+        |    customers: [id, email]
+        |batch_processing:
+        |  enable_checkpointing: true
+        |  max_resume_age_hours: 12
+        |tables:
+        |  legacy:
+        |    override_table_name: legacy_data
+        |    primary_key_columns: [code, region]
+        |    disputed_columns:
+        |      notes:
+        |        max_length: 500
+        |upsert:
+        |  primary_key_columns: [id]
+        |""".stripMargin
+    val c = EngineConfig.fromYaml(yaml)
+    assert(c.tableMode == TableMode.Upsert)
+    assert(c.transactionMode == TransactionMode.Tolerant)
+    assert(c.maxRowErrors == 10 && c.maxRetries == 3)
+    assert(c.notNullColumns("customers") == Seq("id", "email"))
+    assert(c.maxResumeAgeHours == 12)
+    val o = c.overridesFor("legacy")
+    assert(o.overrideTableName.contains("legacy_data"))
+    assert(o.primaryKeyColumns == Seq("code", "region"))
+    assert(o.disputedColumns("notes") == 500)
+    assert(c.primaryKeyFor("other") == Seq("id"))
+  }
+  test("empty YAML yields defaults") {
+    val c = EngineConfig.fromYaml("")
+    assert(c.tableMode == TableMode.DropRecreate)
+    assert(c.maxRowErrors == 100)
+  }
+}
