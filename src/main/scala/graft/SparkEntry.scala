@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.ops.Relational
+import graft.ops.{Relational, ScaleOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -24,6 +24,18 @@ object SparkEntry {
     "q12_rollup"          -> (Relational.q12Rollup _),
     "q13_window_running"  -> (Relational.q13WindowRunning _),
     "q14_time_bucket"     -> (Relational.q14TimeBucket _),
+    "q15_dedup_exact"     -> (ScaleOps.q15DedupExact _),
+    "q16_token_count"     -> (ScaleOps.q16TokenCount _),
+    "q17_quality_score"   -> (ScaleOps.q17Quality _),
+    "q18_lang_id"         -> (ScaleOps.q18LangId _),
+    "q19_ngram_jaccard"   -> (ScaleOps.q19NgramJaccard _),
+    "q20_ann_cosine"      -> (ScaleOps.q20AnnBruteForce _),
+    "q21_minhash_lsh"     -> (ScaleOps.q21MinhashLsh _),
+    "q22_simhash"         -> (ScaleOps.q22Simhash _),
+    "q23_fingerprint"     -> (ScaleOps.q23Fingerprint _),
+    "q24_ann_lsh"         -> (ScaleOps.q24AnnLsh _),
+    "q25_embedding_dup"   -> (ScaleOps.q25EmbeddingDup _),
+    "q26_multimodal"      -> (ScaleOps.q26Multimodal _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +55,14 @@ object SparkEntry {
     "q12_rollup"          -> Relational.q12Sql,
     "q13_window_running"  -> Relational.q13Sql,
     "q14_time_bucket"     -> Relational.q14Sql,
+    "q15_dedup_exact"     -> ScaleOps.q15Sql,
+    "q16_token_count"     -> ScaleOps.q16Sql,
+    "q17_quality_score"   -> ScaleOps.q17Sql,
+    "q18_lang_id"         -> ScaleOps.q18Sql,
+    "q19_ngram_jaccard"   -> ScaleOps.q19Sql,
+    "q20_ann_cosine"      -> ScaleOps.q20Sql,
+    // q21-q26 are hash-signature / stub-codec ops: not SQL-expressible in
+    // the oracle — driver records rows-only checks; ground truth lives in
+    // the ScalaTest suites (recall vs exact Jaccard / brute-force ANN).
   )
 }

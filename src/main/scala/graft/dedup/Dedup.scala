@@ -1,0 +1,176 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Deduplication operators for the training-data pipeline layer.
+  *
+  * Scale design: every variant is expressed as exploded key/candidate joins
+  * (shuffle on compact keys — hashes, band ids — never on document text),
+  * partial-aggregated groupBys, and no driver-side loops. Candidate
+  * generation (LSH bands / simhash bands) bounds the quadratic pair space
+  * to hash-bucket collisions, which is what makes near-dup feasible at
+  * 100 TB.
+  */
+object Dedup {
+
+  // --- exact -------------------------------------------------------------
+
+  /** Exact dedup by content hash: one row per distinct md5(text), keeper =
+    * min(id). Hash-groupBy ⇒ one shuffle on the 128-bit hash, not the text. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_md5"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = exactGroups(df, idCol, textCol).select(col("keeper_id").as(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  // --- word-shingle utilities -------------------------------------------
+
+  /** k-word shingles as an array column (sliding window over tokens). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** (id, shingle) exploded and distinct — the join key table for
+    * Jaccard/MinHash. Shingles are hashed to 64-bit before the shuffle so
+    * the exchange carries longs, not strings. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+        explode(array_distinct(shingles(col(textCol), k))).as("sh"))
+      .select(col("doc"), xxhash64(col("sh")).as("sh"))
+
+  // --- exact n-gram Jaccard ---------------------------------------------
+
+  /** All pairs with Jaccard(shingle sets) ≥ threshold. Pair space is bounded
+    * by shared-shingle collisions (equi-join on the shingle hash), so cost
+    * is Σ_shingle df(shingle)² — fine for natural text; a stopword-like
+    * super-frequent shingle would need a df cap (documented knob). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
+      threshold: Double): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, k)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+  }
+
+  // --- MinHash + LSH -----------------------------------------------------
+
+  /** MinHash signature: for seed s, min over shingle hashes of
+    * xxhash64(s, shingle). One explode + one groupBy with `numHashes` min
+    * aggregates — a single shuffle. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int,
+      numHashes: Int): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, k)
+    val mins = (0 until numHashes).map(s => min(xxhash64(lit(s), col("sh"))).as(s"h$s"))
+    sh.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+      .select(col("doc"), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rows` hashes;
+    * docs sharing any band hash become candidate pairs; candidates are
+    * scored by full-signature agreement (unbiased Jaccard estimate). */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(df, idCol, textCol, k, numHashes).cache()
+    val banded = sig.select(col("doc"), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val a = banded.as("a"); val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand.withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, lit(1)).otherwise(lit(0))), v => v === 1))
+          .cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  // --- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash over tokens: bit i of the fingerprint is the sign of
+    * Σ_tokens (bit i of xxhash64(token) ? +1 : −1). Computed bit-parallel
+    * per document via one explode + 64 conditional sums in a single
+    * groupBy. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"),
+      explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    tok.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc"),
+        (0 until 64).map(i => when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** Near-dup candidates: hamming(simhash) ≤ maxDist via the band trick —
+    * split the 64-bit hash into `maxDist+1` bands; any pair within distance
+    * must agree on ≥1 band (pigeonhole). Exact hamming verify after the
+    * band join. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val nBands = maxDist + 1
+    val width = 64 / nBands
+    val sh = simhash(df, idCol, textCol).cache()
+    val banded = sh.select(col("doc"), col("simhash"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftrightunsigned(col("simhash"), b * width)
+          .bitwiseAND(lit(if (width == 64) -1L else (1L << width) - 1))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.band_bits") === col("b.band_bits") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  // --- embedding near-dup ------------------------------------------------
+
+  /** Near-duplicates by embedding cosine ≥ threshold. Candidates from
+    * random-hyperplane LSH buckets (deterministic planes), verified with
+    * exact cosine — collision probability rises with cosine, so high-sim
+    * pairs are retained with high recall while the pair space stays
+    * bucket-bounded. */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nBits: Int = 12): DataFrame = {
+    import graft.functions.VectorFunctions
+    val b = df.select(col(idCol).as("doc"), col(vecCol).as("v"))
+      .withColumn("bucket", VectorFunctions.rpBucket(col("v"), nBits))
+    val l = b.as("a"); val r = b.as("b")
+    l.join(r, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+      .withColumn("cos", VectorFunctions.cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("cos"))
+  }
+}

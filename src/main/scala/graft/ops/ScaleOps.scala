@@ -1,0 +1,208 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sim.Ann
+import graft.text.TextAnalysis
+import graft.multimodal.Multimodal
+import Relational.t
+
+/** Training-data-pipeline operators over the `documents` and `embeddings`
+  * tables: dedup family, ANN similarity search, text analysis, multimodal
+  * plumbing. Oracle SQL is provided wherever DuckDB can mirror the exact
+  * arithmetic; hash-based ops (xxhash64 signatures) get rows-only checks
+  * plus ScalaTest ground-truth suites. */
+object ScaleOps {
+
+  // --- exact dedup (hash-groupBy) ---------------------------------------
+
+  def q15DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("keeper_id"))
+
+  val q15Sql: String =
+    """SELECT md5(text) AS content_md5, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin
+
+  // --- token counting ----------------------------------------------------
+
+  def q16TokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.approxBpeCount(col("text")).cast("long").as("n_bpe_units"))
+      .orderBy(col("doc_id"))
+
+  val q16Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(t) AS BIGINT) AS n_tokens,
+      |  CAST(list_sum(list_transform(t, s -> greatest(1, CAST(ceil(length(s) / 6.0) AS BIGINT)))) AS BIGINT) AS n_bpe_units
+      |FROM toks ORDER BY doc_id""".stripMargin
+
+  // --- quality scoring ---------------------------------------------------
+
+  def q17Quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"),
+      TextAnalysis.stopRatio(col("text")).as("stop_ratio"),
+      TextAnalysis.avgWordLen(col("text")).as("avg_word_len"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  val q17Sql: String = {
+    val en = TextAnalysis.Stopwords("en").map(w => s"'$w'").mkString(", ")
+    raw"""WITH base AS (
+      |  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), m AS (
+      |  SELECT doc_id,
+      |    CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+      |    CAST(len(list_filter(t, s -> s IN ($en))) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS stop_ratio,
+      |    CAST(length(text) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS avg_word_len
+      |  FROM base
+      |)
+      |SELECT doc_id, alpha_ratio, stop_ratio, avg_word_len,
+      |  0.4 * alpha_ratio + 0.3 * least(stop_ratio * 4.0, 1.0) + 0.3 * least(avg_word_len / 8.0, 1.0) AS quality
+      |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // --- language ID -------------------------------------------------------
+
+  def q18LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang_pred"))
+
+  val q18Sql: String = {
+    def inList(l: String) = TextAnalysis.Stopwords(l).map(w => s"'$w'").mkString(", ")
+    raw"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), hits AS (
+      |  SELECT doc_id,
+      |    len(list_filter(t, s -> s IN (${inList("en")}))) AS en,
+      |    len(list_filter(t, s -> s IN (${inList("es")}))) AS es,
+      |    len(list_filter(t, s -> s IN (${inList("de")}))) AS de,
+      |    len(list_filter(t, s -> s IN (${inList("fr")}))) AS fr
+      |  FROM toks
+      |), pred AS (
+      |  SELECT doc_id,
+      |    CASE WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+      |         WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+      |         WHEN es >= de AND es >= fr THEN 'es'
+      |         WHEN de >= fr THEN 'de'
+      |         ELSE 'fr' END AS lang_pred
+      |  FROM hits
+      |)
+      |SELECT lang_pred, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM pred GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+  }
+
+  // --- exact n-gram Jaccard near-dup pairs ------------------------------
+
+  def q19NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val q19Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(
+      |      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |           ELSE list_transform(generate_series(0, len(t) - 3),
+      |                               i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+      |      END) AS sh
+      |    FROM toks)
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |  CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- ANN: exact cosine top-k ------------------------------------------
+
+  /** Top-5 neighbors for the first 20 vectors. Bit-exact vs the oracle:
+    * both sides widen float→double per element and accumulate in array
+    * order (see VectorFunctions / DuckDB list_inner_product on DOUBLE[]). */
+  def q20AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q20Sql: String =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |    list_inner_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+      |      (sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+      |       sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) AS cos
+      |  FROM embeddings c, q WHERE q.vec_id <> c.vec_id
+      |), ranked AS (
+      |  SELECT query_id, corpus_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, rank, corpus_id, cos FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  // --- hash-signature ops (rows-only oracle; ground truth in ScalaTest) --
+
+  def q21MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  def q22Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  def q23Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+      TextAnalysis.bagHash(col("text")).as("bag_hash"))
+      .orderBy(col("doc_id"))
+
+  def q24AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 5, nBits = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def q25EmbeddingDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    // union a shifted copy so exact-duplicate vectors exist at every SF —
+    // the operator must find each twin at cosine 1
+    val shifted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"), col("label"))
+    Dedup.embeddingDupPairs(emb.unionByName(shifted), "vec_id", "embedding",
+      threshold = 0.999, nBits = 12)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(
+      t(s, dir, "documents"), "doc_id", "text", "image", "fake")
+    Multimodal.decodeFeatures(media, 8, 8)
+      .select(col("media_id"), col("n_bytes"),
+        element_at(col("feat"), 1).as("f0"), size(col("feat")).as("n_feat"))
+      .orderBy(col("media_id"))
+  }
+}

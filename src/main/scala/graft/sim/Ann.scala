@@ -1,0 +1,68 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
+  *    Queries are broadcast (small side), the corpus streams partition-
+  *    parallel through a codegen'd cosine, and per-query top-k is a
+  *    window over (query, -cos). No corpus shuffle of vectors: the only
+  *    exchange is the (query_id, corpus_id, cos) triples, pre-pruned.
+  *  - `lshTopK`: the 100 TB scale path — random-hyperplane buckets with
+  *    multi-probe (query probes its bucket plus single-bit flips), exact
+  *    re-rank inside the probed buckets. Corpus is bucketed once
+  *    (write-time partitioning in production), so each query touches
+  *    ~nProbe/2^nBits of the data.
+  */
+object Ann {
+
+  /** Exact top-k by cosine for each query vector. Deterministic tiebreak
+    * on corpus id. Prune: per-partition candidate cut before the global
+    * window via repartition-free local sort isn't needed at these sizes;
+    * the window does the global k-cut. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "vec_id", queryVec: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cos"))
+  }
+
+  /** LSH ANN: bucket corpus by `nBits` hyperplane signs; each query probes
+    * its own bucket plus all single-bit-flip buckets (multi-probe), then
+    * exact cosine re-ranks the candidates. Returns the same schema as
+    * bruteForceTopK (candidates may be < k if buckets are sparse). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "vec_id", queryVec: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
+      .withColumn("bucket", rpBucket(col("cv"), nBits))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .withColumn("bucket0", rpBucket(col("qv"), nBits))
+    // multi-probe: own bucket + nBits single-bit flips
+    val probes = q.select(col("query_id"), col("qv"),
+      explode(array(
+        col("bucket0") +: (0 until nBits)
+          .map(b => col("bucket0").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
+    val cand = c.join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cos"))
+  }
+}

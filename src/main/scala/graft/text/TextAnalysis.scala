@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline layer: token
+  * counting, language ID (stopword heuristic), quality scoring, document
+  * fingerprinting. All pure column expressions (codegen'd, no UDFs), so
+  * they ride whole-stage codegen over a 100 TB documents table. */
+object TextAnalysis {
+
+  /** Whitespace tokenization over the trimmed, lowercased text. */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count approximation: whitespace tokens plus an extra
+    * unit per 6 chars of long words (a cheap stand-in for byte-pair merges;
+    * deterministic and shuffle-free). */
+  def approxBpeCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + greatest(lit(1L), ceil(length(t) / lit(6.0)).cast("long")))
+
+  // --- language ID -------------------------------------------------------
+
+  /** Tiny per-language stopword lists (public common-words lists). The
+    * classifier is argmax of stopword hits with a fixed preference order on
+    * ties — deterministic, SQL-mirrorable. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "un", "une", "du", "que"))
+
+  def stopwordHits(text: Column, lang: String): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords(lang): _*)))
+
+  /** Predicted language: argmax over stopword hits, ties resolved by the
+    * fixed order en > es > de > fr; no hits at all ⇒ 'und' (undetermined). */
+  def langId(text: Column): Column = {
+    val en = stopwordHits(text, "en")
+    val es = stopwordHits(text, "es")
+    val de = stopwordHits(text, "de")
+    val fr = stopwordHits(text, "fr")
+    when(en === 0 && es === 0 && de === 0 && fr === 0, lit("und"))
+      .when(en >= es && en >= de && en >= fr, lit("en"))
+      .when(es >= de && es >= fr, lit("es"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  // --- quality scoring ---------------------------------------------------
+
+  /** Component signals (all double, deterministic arithmetic order):
+    * alphaRatio = alphabetic+space chars / chars;
+    * stopRatio  = english stopword hits / tokens;
+    * avgWordLen = chars / tokens. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[^a-z ]", "")).cast("double") /
+      length(text).cast("double")
+
+  def stopRatio(text: Column): Column =
+    stopwordHits(text, "en").cast("double") / tokenCount(text).cast("double")
+
+  def avgWordLen(text: Column): Column =
+    length(text).cast("double") / tokenCount(text).cast("double")
+
+  /** Composite quality score in [0,1]: weighted mix of alpha ratio, English
+    * stopword density (capped), and a word-length sweet-spot term. The
+    * exact weights are engine policy (the capability is the scoring
+    * pipeline, not the constants). */
+  def qualityScore(text: Column): Column =
+    lit(0.4) * alphaRatio(text) +
+      lit(0.3) * least(stopRatio(text) * 4.0, lit(1.0)) +
+      lit(0.3) * least(avgWordLen(text) / 8.0, lit(1.0))
+
+  // --- fingerprinting ----------------------------------------------------
+
+  /** Order-sensitive rolling document fingerprint: left fold of
+    * acc' = rotl(acc, 5) XOR xxhash64(token). Pure bit ops — no overflow
+    * under ANSI mode — and position-sensitive (permuted docs differ),
+    * unlike a bag hash. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(xxhash64(t)))
+
+  /** Order-insensitive content hash (bag-of-tokens): sum of token hashes
+    * folded into [0, 2^31) so a billion-token document cannot overflow
+    * Long. Near-dup candidate key where token order noise is irrelevant. */
+  def bagHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + pmod(xxhash64(t), lit(2147483647L)))
+
+  /** Full per-document text profile used by pipeline consumers. */
+  def profile(df: DataFrame, textCol: String): DataFrame =
+    df.select(
+      col("*"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      approxBpeCount(col(textCol)).as("n_bpe_units"),
+      langId(col(textCol)).as("lang_pred"),
+      qualityScore(col(textCol)).as("quality"),
+      fingerprint(col(textCol)).as("fingerprint"))
+}

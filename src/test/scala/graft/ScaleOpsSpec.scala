@@ -1,0 +1,178 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.sim.Ann
+import graft.text.TextAnalysis
+import graft.functions.VectorFunctions
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends GraftSuite {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different words about spark catalyst optimizer plans and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),   // exact dup of 1
+    (5L, "another unrelated document mentioning parquet columnar storage formats")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one row per distinct text, keeper = min id") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(out.count() == 4)
+    assert(!out.filter($"doc_id" === 4).isEmpty == false) // id 4 deduped away
+    assert(out.filter($"doc_id" === 1).count() == 1)
+  }
+
+  test("exact jaccard finds the near-dup pair and not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((1L, 2L)) || keys.contains((1L, 4L)))
+    assert(keys.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(!keys.exists { case (a, b) => Set(a, b).contains(3L) && Set(a, b).contains(5L) })
+  }
+
+  test("minhash LSH recall: every exact-jaccard>=0.8 pair is recovered") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 32, 8, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(mh), s"missed: ${exact -- mh}")
+  }
+
+  test("simhash: exact dup pair at hamming 0; near-dup within distance") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 4L)) == 0)
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("fingerprint is order-sensitive, bagHash is order-insensitive") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fp = df.select(TextAnalysis.fingerprint($"text")).collect().map(_.getLong(0))
+    val bh = df.select(TextAnalysis.bagHash($"text")).collect().map(_.getLong(0))
+    assert(fp(0) != fp(1))
+    assert(bh(0) == bh(1))
+  }
+}
+
+class AnnSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val dim = 16
+  /** deterministic synthetic vectors: cluster c center + small offset */
+  private def vec(seed: Int, offset: Float): Seq[Float] =
+    (0 until dim).map(d => math.sin(seed * 31 + d).toFloat + (if (d == 0) offset else 0f))
+
+  val corpus = (0 until 40).map { i =>
+    (i.toLong, vec(i % 8, (i / 8) * 0.01f)) // 8 clusters of 5 near-identical vectors
+  }.toDF("vec_id", "embedding")
+
+  test("brute-force top-k: nearest neighbors are the same-cluster vectors") {
+    val q = corpus.filter($"vec_id" < 8)
+    val top = Ann.bruteForceTopK(corpus, q, k = 4).collect()
+    assert(top.length == 8 * 4)
+    top.foreach { r =>
+      val query = r.getLong(0); val neighbor = r.getLong(2)
+      assert(neighbor % 8 == query % 8,
+        s"query $query got cross-cluster neighbor $neighbor")
+      assert(r.getDouble(3) > 0.99)
+    }
+  }
+
+  test("cosine matches a driver-side float64 in-order computation") {
+    val rows = corpus.limit(2).collect()
+    val a = rows(0).getSeq[Float](1); val b = rows(1).getSeq[Float](1)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    a.zip(b).foreach { case (x, y) =>
+      dot += x.toDouble * y.toDouble; na += x.toDouble * x.toDouble; nb += y.toDouble * y.toDouble
+    }
+    val expected = dot / (math.sqrt(na) * math.sqrt(nb))
+    val got = corpus.limit(2).agg(collect_list($"embedding")).as[Seq[Seq[Float]]]
+      .head() // just to materialize order
+    val cosDf = corpus.as("x").filter($"vec_id" === 0)
+      .crossJoin(corpus.as("y").filter(col("y.vec_id") === 1))
+      .select(VectorFunctions.cosine(col("x.embedding"), col("y.embedding"))).head().getDouble(0)
+    assert(cosDf == expected, s"$cosDf != $expected")
+  }
+
+  test("LSH top-k recall vs brute force on clustered data") {
+    val q = corpus.filter($"vec_id" < 8)
+    val exact = Ann.bruteForceTopK(corpus, q, 3).select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(corpus, q, 3, nBits = 6).select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+}
+
+class MultimodalSpec extends GraftSuite {
+  import spark.implicits._
+
+  val media = Multimodal.asMediaTable(
+    Seq((1L, "payload-one"), (2L, "payload-two-longer")).toDF("id", "data"),
+    "id", "data", "image", "fake")
+
+  test("media schema: binary payload + typed metadata struct") {
+    assert(media.schema("content").dataType.typeName == "binary")
+    val meta = media.select("meta.media_type", "meta.format").head()
+    assert(meta.getString(0) == "image" && meta.getString(1) == "fake")
+  }
+
+  test("decodeFeatures: deterministic stub features, batch shape preserved") {
+    val f1 = Multimodal.decodeFeatures(media, 4, 4).orderBy("media_id").collect()
+    val f2 = Multimodal.decodeFeatures(media, 4, 4).orderBy("media_id").collect()
+    assert(f1.length == 2)
+    assert(f1(0).getLong(1) == "payload-one".getBytes.length.toLong)
+    assert(f1(0).getSeq[Float](2).length == 16)
+    // deterministic across runs
+    assert(f1(0).getSeq[Float](2) == f2(0).getSeq[Float](2))
+    // different payloads -> different features
+    assert(f1(0).getSeq[Float](2) != f1(1).getSeq[Float](2))
+  }
+
+  test("sampleFrames emits one row per sampled frame for video rows") {
+    val vids = Seq((7L, "video-bytes-here")).toDF("id", "data")
+    val media = Multimodal.asMediaTable(vids, "id", "data", "video", "mp4")
+      .withColumn("meta", struct(
+        col("meta.media_type"), col("meta.format"), col("meta.width"),
+        col("meta.height"), lit(3500L).as("duration_ms")))
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
+    assert(frames.count() == 4) // frames at 0,1000,2000,3000 ms
+    assert(frames.schema("frame_feat").dataType.typeName == "array")
+  }
+}
+
+class TextAnalysisSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      ("the cat and the dog of the house", "en"),
+      ("el perro y la casa de que en los", "es"),
+      ("der hund und die katze ist von den", "de"),
+      ("le chien et la maison les des est", "fr"),
+      ("zzz qqq www", "und")).toDF("text", "expected")
+    val out = df.select(TextAnalysis.langId($"text").as("got"), $"expected").collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"got ${r.getString(0)} expected ${r.getString(1)}"))
+  }
+
+  test("quality score is in [0,1] for normal text") {
+    val df = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val q = df.select(TextAnalysis.qualityScore($"text")).head().getDouble(0)
+    assert(q >= 0.0 && q <= 1.0)
+  }
+
+  test("token count handles multi-space and case") {
+    val df = Seq("  Hello   World  FOO ").toDF("text")
+    assert(df.select(TextAnalysis.tokenCount($"text")).head().getInt(0) == 3)
+  }
+}
