@@ -30,20 +30,24 @@ object Dedup {
 
   // --- word-shingle utilities -------------------------------------------
 
-  /** k-word shingles as an array column (sliding window over tokens). */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
+  /** k-word shingles over an already-materialized token array column.
+    * For size<k the single shingle degenerates to the whole text
+    * (sequence(0, max(size-k, 0)) with slice covers both cases).
+    *
+    * PERF NOTE: callers must pass a *materialized* token column (project
+    * `tokens(text)` first). Nesting the split inside this expression makes
+    * the interpreted higher-order functions re-evaluate the tokenizer per
+    * element — measured 6-16x slower at sf0.1. */
+  def shinglesOf(toks: Column, k: Int): Column =
+    array_distinct(transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
 
-  /** (id, shingle) exploded and distinct — the join key table for
+  /** (id, shingle-hash) exploded and distinct — the join key table for
     * Jaccard/MinHash. Shingles are hashed to 64-bit before the shuffle so
     * the exchange carries longs, not strings. */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol).as("doc"),
-        explode(array_distinct(shingles(col(textCol), k))).as("sh"))
+    df.select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("t"))
+      .select(col("doc"), explode(shinglesOf(col("t"), k)).as("sh"))
       .select(col("doc"), xxhash64(col("sh")).as("sh"))
 
   // --- exact n-gram Jaccard ---------------------------------------------
@@ -54,7 +58,9 @@ object Dedup {
     * super-frequent shingle would need a df cap (documented knob). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, k)
+    // the shingle table feeds three plan branches (both join sides + the
+    // size agg) — materialize it once
+    val sh = shingleTable(df, idCol, textCol, k).cache()
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
@@ -91,17 +97,22 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, k, numHashes).cache()
-    val banded = sig.select(col("doc"), col("sig"),
+    // band rows are (doc, band, band_hash) ONLY — the 32-long signature
+    // array does not ride the band shuffle; it re-attaches after the pair
+    // space has collapsed to deduped candidates.
+    val banded = sig.select(col("doc"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val a = banded.as("a"); val b = banded.as("b")
-    val cand = a.join(b,
+    val candIds = a.join(b,
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
+    val cand = candIds
+      .join(sig.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
     cand.withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, lit(1)).otherwise(lit(0))), v => v === 1))
@@ -147,9 +158,8 @@ object Dedup {
     a.join(b,
         col("a.band") === col("b.band") && col("a.band_bits") === col("b.band_bits") &&
           col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(first(col("a.simhash")).as("sh_a"), first(col("b.simhash")).as("sh_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming")
@@ -164,12 +174,14 @@ object Dedup {
     * bucket-bounded. */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nBits: Int = 12): DataFrame = {
-    import graft.functions.VectorFunctions
+    import graft.functions.VectorFunctions._
     val b = df.select(col(idCol).as("doc"), col(vecCol).as("v"))
-      .withColumn("bucket", VectorFunctions.rpBucket(col("v"), nBits))
+      .withColumn("bucket", rpBucket(col("v"), nBits))
+      .withColumn("nrm", sqrt(normSq(col("v"))))
     val l = b.as("a"); val r = b.as("b")
     l.join(r, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
-      .withColumn("cos", VectorFunctions.cosine(col("a.v"), col("b.v")))
+      .withColumn("cos",
+        dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("cos"))
   }

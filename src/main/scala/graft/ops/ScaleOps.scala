@@ -28,10 +28,12 @@ object ScaleOps {
   // --- token counting ----------------------------------------------------
 
   def q16TokenCount(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-      TextAnalysis.approxBpeCount(col("text")).cast("long").as("n_bpe_units"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCountOf(col("tk")).cast("long").as("n_tokens"),
+        TextAnalysis.approxBpeCountOf(col("tk")).cast("long").as("n_bpe_units"))
       .orderBy(col("doc_id"))
 
   val q16Sql: String =
@@ -46,12 +48,14 @@ object ScaleOps {
   // --- quality scoring ---------------------------------------------------
 
   def q17Quality(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"),
-      TextAnalysis.stopRatio(col("text")).as("stop_ratio"),
-      TextAnalysis.avgWordLen(col("text")).as("avg_word_len"),
-      TextAnalysis.qualityScore(col("text")).as("quality"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"),
+        TextAnalysis.stopRatioOf(col("text"), col("tk")).as("stop_ratio"),
+        TextAnalysis.avgWordLenOf(col("text"), col("tk")).as("avg_word_len"),
+        TextAnalysis.qualityScoreOf(col("text"), col("tk")).as("quality"))
       .orderBy(col("doc_id"))
 
   val q17Sql: String = {
@@ -74,7 +78,8 @@ object ScaleOps {
 
   def q18LangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), TextAnalysis.langIdOf(col("tk")).as("lang_pred"))
       .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("lang_pred"))
@@ -174,10 +179,12 @@ object ScaleOps {
       .orderBy(col("doc_a"), col("doc_b"))
 
   def q23Fingerprint(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      TextAnalysis.fingerprint(col("text")).as("fingerprint"),
-      TextAnalysis.bagHash(col("text")).as("bag_hash"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        TextAnalysis.fingerprintOf(col("tk")).as("fingerprint"),
+        TextAnalysis.bagHashOf(col("tk")).as("bag_hash"))
       .orderBy(col("doc_id"))
 
   def q24AnnLsh(s: SparkSession, dir: String): DataFrame = {

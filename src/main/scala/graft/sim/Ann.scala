@@ -28,11 +28,15 @@ object Ann {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "vec_id", queryVec: String = "embedding"): DataFrame = {
+    // norms are folded ONCE per vector (not once per pair): ‖c‖ rides the
+    // corpus scan, ‖q‖ rides the broadcast side.
     val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
+      .withColumn("cnorm", sqrt(normSq(col("cv"))))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .withColumn("qnorm", sqrt(normSq(col("qv"))))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cos", cosine(col("cv"), col("qv")))
+      .withColumn("cos", dot(col("cv"), col("qv")) / (col("cnorm") * col("qnorm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -49,16 +53,18 @@ object Ann {
       queryId: String = "vec_id", queryVec: String = "embedding"): DataFrame = {
     val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
       .withColumn("bucket", rpBucket(col("cv"), nBits))
+      .withColumn("cnorm", sqrt(normSq(col("cv"))))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
       .withColumn("bucket0", rpBucket(col("qv"), nBits))
+      .withColumn("qnorm", sqrt(normSq(col("qv"))))
     // multi-probe: own bucket + nBits single-bit flips
-    val probes = q.select(col("query_id"), col("qv"),
+    val probes = q.select(col("query_id"), col("qv"), col("qnorm"),
       explode(array(
         col("bucket0") +: (0 until nBits)
           .map(b => col("bucket0").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
     val cand = c.join(broadcast(probes), Seq("bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cos", cosine(col("cv"), col("qv")))
+      .withColumn("cos", dot(col("cv"), col("qv")) / (col("cnorm") * col("qnorm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id"))
     cand.withColumn("rank", row_number().over(w))
