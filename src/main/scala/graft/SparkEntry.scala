@@ -36,6 +36,7 @@ object SparkEntry {
     "q24_ann_lsh"         -> (ScaleOps.q24AnnLsh _),
     "q25_embedding_dup"   -> (ScaleOps.q25EmbeddingDup _),
     "q26_multimodal"      -> (ScaleOps.q26Multimodal _),
+    "q27_sessionize"      -> (ScaleOps.q27Sessionize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -61,6 +62,7 @@ object SparkEntry {
     "q18_lang_id"         -> ScaleOps.q18Sql,
     "q19_ngram_jaccard"   -> ScaleOps.q19Sql,
     "q20_ann_cosine"      -> ScaleOps.q20Sql,
+    "q27_sessionize"      -> ScaleOps.q27Sql,
     // q21-q26 are hash-signature / stub-codec ops: not SQL-expressible in
     // the oracle — driver records rows-only checks; ground truth lives in
     // the ScalaTest suites (recall vs exact Jaccard / brute-force ANN).

@@ -204,6 +204,32 @@ object ScaleOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Gap-based sessionization (batch form of the streaming operator in
+    * graft.streaming): 30-minute inactivity gap over the events table. */
+  def q27Sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.sessionizeBatch(
+      Relational.events(s, dir), "user_id", "ts", gapMs = 30 * 60 * 1000L)
+      .orderBy(col("user_id"), col("session_seq"))
+
+  val q27Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), seq AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM seq GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
   def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(
       t(s, dir, "documents"), "doc_id", "text", "image", "fake")

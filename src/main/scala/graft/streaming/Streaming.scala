@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming front-end.
+  *
+  * The reference is strictly batch (SURVEY §2 K); its closest concept is
+  * checkpoint/resume. The engine keeps the file pipeline pure, so the same
+  * transforms run under `readStream`: a landing directory becomes a
+  * continuous ingest (micro-batched, checkpointed, exactly-once into the
+  * parquet sink) — the streaming analog of the reference's
+  * directory-batch-with-resume loop. Windowed aggregation and custom
+  * session state come from watermarks + flatMapGroupsWithState. */
+object Streaming {
+
+  /** Continuous file ingest: every file that lands in `inputDir` is parsed
+    * with the (pre-inferred) schema and appended to `outPath` exactly once.
+    * Schema comes from a batch profiling pass over seed files — streaming
+    * sources require a static schema, so inference runs once up front
+    * (analyze.Analyze) and the stream applies it. */
+  def fileIngest(spark: SparkSession, inputDir: String, schema: StructType,
+      format: String, sep: String, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val df = format match {
+      case "json" => reader.json(inputDir)
+      case _      => reader.option("header", "true").option("sep", sep).csv(inputDir)
+    }
+    df.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .start()
+  }
+
+  /** Tumbling/sliding event-time window counts with a watermark bounding
+    * state (late rows beyond the watermark are dropped — bounded state at
+    * 100 TB/day event volume). */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowDur: String, slideDur: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur, slideDur), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol), col("n"), col("sum_value"))
+
+  // --- custom state: sessionization ------------------------------------
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
+    * when a later event for the key falls outside `gapMs`, or — with
+    * `idleTimeout = true` — when the processing-time timeout fires for an
+    * idle key. State per user is O(1). Tests run with `idleTimeout = false`
+    * because armed timeouts keep a drain-style trigger (AvailableNow /
+    * processAllAvailable) from ever terminating. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      idleTimeout: Boolean = true): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (idleTimeout) state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch reference implementation of gap sessionization (same semantics,
+    * pure SQL window functions) — used to cross-check the stateful stream
+    * and as the backfill path: new-session flag = gap > threshold, session
+    * id = running sum of flags. */
+  def sessionizeBatch(events: DataFrame, userCol: String, tsCol: String,
+      gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val flagged = events
+      .withColumn("__prev", lag(col(tsCol), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+          (unix_millis(col(tsCol)) - unix_millis(col("__prev"))) > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("__new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col(userCol), col("session_seq"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+}
