@@ -42,8 +42,15 @@ object Analyze {
     * parses it natively. Included after the 6 core patterns. */
   private val JsonIsoPattern = "yyyy-MM-dd'T'HH:mm:ss"
 
-  private def parseDatetimeAll(c: Column): Column =
+  /** Reference-equivalent coalesce chain (kept for the equivalence spec;
+    * the engine hot path uses the custom expression below). */
+  def parseDatetimeCoalesce(c: Column): Column =
     coalesce((DatetimePatterns :+ JsonIsoPattern).map(p => try_to_timestamp(c, lit(p))): _*)
+
+  /** Hot path: single-pass custom Catalyst expression (structural dispatch
+    * + early exit + codegen) — same first-match semantics as the chain. */
+  private def parseDatetimeAll(c: Column): Column =
+    graft.functions.MultiFormatTimestamp.multi_format_timestamp(c)
 
   /** Value-is-absent predicate (reference treats None/''/'nan' as null,
     * :754, :785, :1116). */

@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.core.InferredType
+import graft.analyze.{Analyze, Ddl}
+import graft.core.ColumnProfile
+
+/** Property tests (SURVEY §5.2): the type-inference lattice and naming
+  * rules as laws, not examples. Pure-function properties run driverless;
+  * Spark-backed laws (upsert idempotence, last-wins determinism) live in
+  * LoaderSpec/UpsertSpec with fixed fixtures. */
+class PropertySpec extends AnyFunSuite {
+
+  /** Minimal deterministic property driver over ScalaCheck Gens (the
+    * scalatest-scalacheck bridge isn't in the offline cache). */
+  private def forAll[A](g: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
+    val seed0 = org.scalacheck.rng.Seed(42L)
+    var seed = seed0
+    var i = 0
+    while (i < n) {
+      g.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(g1, g2))(t => f(t._1, t._2))
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  test("varcharBucket is monotone and always covers the observed length") {
+    forAll(Gen.choose(0L, 100000L), Gen.choose(0L, 100000L)) { (a: Long, b: Long) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      assert(InferredType.varcharBucket(lo) <= InferredType.varcharBucket(hi))
+      assert(InferredType.varcharBucket(hi) >= hi || hi <= 50)
+    }
+  }
+
+  test("varcharBucket emits only the documented buckets below 500") {
+    forAll(Gen.choose(0L, 500L)) { (n: Long) =>
+      assert(Set(50, 100, 255, 500).contains(InferredType.varcharBucket(n)))
+    }
+  }
+
+  test("table name derivation is idempotent and always a valid identifier") {
+    val fileGen = for {
+      stem <- Gen.nonEmptyListOf(Gen.frequency(
+        8 -> Gen.alphaNumChar, 2 -> Gen.oneOf('-', ' ', '.', '_'))).map(_.mkString)
+      ext <- Gen.oneOf(".csv", ".psv", ".json", "")
+    } yield stem + ext
+    forAll(fileGen) { (f: String) =>
+      val name = Ddl.tableName(s"/data/$f")
+      whenever(name.nonEmpty) {
+        // valid: starts with letter/underscore (or t_ prefix applied), word chars only
+        assert(name.matches("[A-Za-z_]\\w*"), s"'$f' -> '$name'")
+        // idempotent through a second derivation
+        assert(Ddl.tableName(s"/data/$name.csv") == name.replaceAll("_\\d{3,}$", ""))
+      }
+    }
+  }
+
+  private def profileFor(values: Seq[String]): ColumnProfile = {
+    // driver-side mirror of the distributed profile semantics for law
+    // checking (absent = null/''/nan)
+    val present = values.filterNot(v => v == null || v.trim.isEmpty || v.trim.toLowerCase == "nan")
+    def parses(f: String => Boolean)(v: String) = f(v.trim)
+    def isLong(v: String) = v.trim.nonEmpty && scala.util.Try(v.trim.toLong).isSuccess
+    def isInt(v: String) = scala.util.Try(v.trim.toInt).isSuccess
+    def isDec(v: String) = scala.util.Try(BigDecimal(v.trim)).isSuccess &&
+      BigDecimal(v.trim).scale <= 4 || scala.util.Try(BigDecimal(v.trim)).isSuccess
+    ColumnProfile(
+      name = "c",
+      maxLength = if (values.isEmpty) 0 else values.filter(_ != null).map(_.length.toLong).maxOption.getOrElse(0L),
+      hasNulls = present.size < values.size,
+      allInteger = present.nonEmpty && present.forall(isLong),
+      allDecimal = present.nonEmpty && present.forall(isDec),
+      allDatetime = false,
+      intFitsInt32 = present.forall(isInt),
+      nonNullCount = present.size,
+      sampleValues = Nil)
+  }
+
+  test("lattice: all-integer columns never infer as varchar; ints within Int range infer INT") {
+    val intGen = Gen.nonEmptyListOf(Gen.choose(Int.MinValue.toLong, Int.MaxValue.toLong).map(_.toString))
+    forAll(intGen) { (vals: List[String]) =>
+      val t = Analyze.inferType(profileFor(vals))
+      assert(t == InferredType.IntType)
+    }
+  }
+
+  test("lattice: any value beyond Int range widens to BIGINT, never truncates") {
+    val mixGen = for {
+      small <- Gen.listOf(Gen.choose(-1000L, 1000L).map(_.toString))
+      big <- Gen.choose(Int.MaxValue.toLong + 1, Long.MaxValue).map(_.toString)
+    } yield scala.util.Random.shuffle(big :: small)
+    forAll(mixGen) { (vals: List[String]) =>
+      assert(Analyze.inferType(profileFor(vals)) == InferredType.BigIntType)
+    }
+  }
+
+  test("lattice: a single non-parsable value forces varchar with a covering bucket") {
+    val gen = for {
+      nums <- Gen.listOf(Gen.choose(0, 9999).map(_.toString))
+      junk <- Gen.oneOf("abc", "12x", "--", "1.2.3")
+    } yield (scala.util.Random.shuffle(junk :: nums), junk)
+    forAll(gen) { case (vals: List[String], _) =>
+      Analyze.inferType(profileFor(vals)) match {
+        case InferredType.VarcharType(n) =>
+          assert(n >= math.min(vals.map(_.length).max, 50))
+        case other => fail(s"expected varchar, got $other for $vals")
+      }
+    }
+  }
+}

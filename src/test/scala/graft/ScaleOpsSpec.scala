@@ -176,3 +176,47 @@ class TextAnalysisSpec extends GraftSuite {
     assert(df.select(TextAnalysis.tokenCount($"text")).head().getInt(0) == 3)
   }
 }
+
+class MultiFormatTimestampSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.functions.MultiFormatTimestamp.multi_format_timestamp
+
+  val inputs: Seq[String] = Seq(
+    "2024-01-15 10:30:00", "2024-01-15", "03/15/2024", "03/15/2024 02:30:15",
+    "15-03-2024", "15-03-2024 14:30:15", "2024-01-15T10:30:00",
+    "2024-02-29", "2023-02-29", "2024-13-15", "2024-02-30", "15/03/2023",
+    "15.01.2024", "garbage", "", "2024-1-5", "2024-01-15 10:30",
+    "2024-01-15 10:30:00.123", "0001-01-01", "9999-12-31 23:59:59",
+    "31/12/2025", "12/31/2025")
+
+  test("custom expression matches the try_to_timestamp coalesce chain exactly") {
+    val df = inputs.toDF("s")
+    val both = df.select(
+      multi_format_timestamp($"s").as("custom"),
+      graft.analyze.Analyze.parseDatetimeCoalesce($"s").as("chain"))
+    val rows = both.collect()
+    rows.zip(inputs).foreach { case (r, in) =>
+      assert(r.get(0) == r.get(1), s"mismatch for '$in': custom=${r.get(0)} chain=${r.get(1)}")
+    }
+  }
+
+  test("expression participates in whole-stage codegen") {
+    // literals constant-fold to a LocalTableScan; go through a file scan
+    val dir = tempDir("mft_codegen")
+    inputs.toDF("s").write.mode("overwrite").parquet(dir.toString)
+    val df = spark.read.parquet(dir.toString)
+      .select(multi_format_timestamp($"s").as("t"))
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [multi_format_timestamp"), plan)
+    assert(df.count() == inputs.length)
+  }
+
+  test("SQL registration works") {
+    graft.functions.MultiFormatTimestamp.register(spark)
+    inputs.toDF("s").createOrReplaceTempView("mft_in")
+    val n = spark.sql(
+      "SELECT count(multi_format_timestamp(s)) FROM mft_in").head().getLong(0)
+    assert(n == 11) // the 11 parseable inputs above
+  }
+}
