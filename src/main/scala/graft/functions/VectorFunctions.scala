@@ -10,15 +10,16 @@ import org.apache.spark.sql.functions._
   * float64 in array order). */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ — each float widened to double BEFORE the multiply. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  private def br = org.apache.spark.sql.GraftSqlBridge
 
-  /** Σ aᵢ² */
+  /** Σ aᵢ·bᵢ — each float widened to double BEFORE the multiply; in-order
+    * accumulation (custom codegen expression; see VectorExpressions). */
+  def dot(a: Column, b: Column): Column =
+    br.column(DotProduct(br.expression(a), br.expression(b)))
+
+  /** Σ aᵢ² (custom codegen expression). */
   def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    br.column(NormSq(br.expression(a)))
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
@@ -34,15 +35,9 @@ object VectorFunctions {
     when(pmod(xxhash64(lit(p), d), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
 
   /** `nBits`-bit signed-random-projection (SimHash for vectors) bucket id of
-    * an embedding: bit p = sign(Σ_d v[d]·h(p,d)). Used by the LSH ANN path. */
-  def rpBucket(vec: Column, nBits: Int): Column = {
-    val bits = (0 until nBits).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v.cast("double") * hyperplaneSign(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    * an embedding: bit p = sign(Σ_d v[d]·h(p,d)). Custom codegen expression
+    * with memoized hyperplane signs (identical bucket ids to the
+    * declarative pmod(xxhash64(p,d),2) formulation). */
+  def rpBucket(vec: Column, nBits: Int): Column =
+    br.column(RpBucket(br.expression(vec), nBits))
 }
