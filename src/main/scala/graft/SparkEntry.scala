@@ -37,6 +37,8 @@ object SparkEntry {
     "q25_embedding_dup"   -> (ScaleOps.q25EmbeddingDup _),
     "q26_multimodal"      -> (ScaleOps.q26Multimodal _),
     "q27_sessionize"      -> (ScaleOps.q27Sessionize _),
+    "q28_salted_agg"      -> (graft.ops.Scale.q28SaltedAgg _),
+    "q29_salted_join"     -> (graft.ops.Scale.q29SaltedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -63,6 +65,8 @@ object SparkEntry {
     "q19_ngram_jaccard"   -> ScaleOps.q19Sql,
     "q20_ann_cosine"      -> ScaleOps.q20Sql,
     "q27_sessionize"      -> ScaleOps.q27Sql,
+    "q28_salted_agg"      -> graft.ops.Scale.q28Sql,
+    "q29_salted_join"     -> graft.ops.Scale.q29Sql,
     // q21-q26 are hash-signature / stub-codec ops: not SQL-expressible in
     // the oracle — driver records rows-only checks; ground truth lives in
     // the ScalaTest suites (recall vs exact Jaccard / brute-force ANN).
