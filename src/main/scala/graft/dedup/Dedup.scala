@@ -46,7 +46,8 @@ object Dedup {
     * Jaccard/MinHash. Shingles are hashed to 64-bit before the shuffle so
     * the exchange carries longs, not strings. */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("t"))
+    graft.ops.Relational.fanOut(df.select(col(idCol).as("doc"), col(textCol).as("__text")))
+      .select(col("doc"), TextAnalysis.tokens(col("__text")).as("t"))
       .select(col("doc"), explode(shinglesOf(col("t"), k)).as("sh"))
       .select(col("doc"), xxhash64(col("sh")).as("sh"))
 
@@ -79,14 +80,15 @@ object Dedup {
   // --- MinHash + LSH -----------------------------------------------------
 
   /** MinHash signature: for seed s, min over shingle hashes of
-    * xxhash64(s, shingle). One explode + one groupBy with `numHashes` min
-    * aggregates — a single shuffle. */
+    * xxhash64(s, shingle). Computed per-document in ONE tight loop
+    * (functions.MinHashSig custom expression) — a pure map over the scan,
+    * NO shuffle; the only exchange in the LSH pipeline is the band join. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int,
       numHashes: Int): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, k)
-    val mins = (0 until numHashes).map(s => min(xxhash64(lit(s), col("sh"))).as(s"h$s"))
-    sh.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
-      .select(col("doc"), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
+    import org.apache.spark.sql.GraftSqlBridge._
+    graft.ops.Relational.fanOut(df.select(col(idCol).as("doc"), col(textCol).as("__text")))
+      .select(col("doc"), column(graft.functions.MinHashSig(
+        expression(TextAnalysis.tokens(col("__text"))), k, numHashes)).as("sig"))
   }
 
   /** LSH banding: split the signature into `bands` bands of `rows` hashes;
@@ -124,20 +126,15 @@ object Dedup {
   // --- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash over tokens: bit i of the fingerprint is the sign of
-    * Σ_tokens (bit i of xxhash64(token) ? +1 : −1). Computed bit-parallel
-    * per document via one explode + 64 conditional sums in a single
-    * groupBy. */
+    * Σ_tokens (bit i of xxhash64(token) ? +1 : −1). Computed per document
+    * in one tight loop (functions.SimHash64 custom expression) — a pure
+    * map over the scan, NO shuffle. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("doc"),
-      explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    tok.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc"),
-        (0 until 64).map(i => when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
+    import org.apache.spark.sql.GraftSqlBridge._
+    graft.ops.Relational.fanOut(
+      df.select(col(idCol).as("doc"), col(textCol).as("__text")))
+      .select(col("doc"), column(graft.functions.SimHash64(
+        expression(TextAnalysis.tokens(col("__text"))))).as("simhash"))
   }
 
   /** Near-dup candidates: hamming(simhash) ≤ maxDist via the band trick —
@@ -175,7 +172,7 @@ object Dedup {
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nBits: Int = 12): DataFrame = {
     import graft.functions.VectorFunctions._
-    val b = df.select(col(idCol).as("doc"), col(vecCol).as("v"))
+    val b = graft.ops.Relational.fanOut(df.select(col(idCol).as("doc"), col(vecCol).as("v")))
       .withColumn("bucket", rpBucket(col("v"), nBits))
       .withColumn("nrm", sqrt(normSq(col("v"))))
     val l = b.as("a"); val r = b.as("b")

@@ -27,13 +27,24 @@ object Relational {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Guarded scan-parallelism fix: the bench inputs are single-row-group
+    * parquet files, so the scan (and every narrow op above the first
+    * shuffle) would run as ONE task. When the scan has fewer splits than
+    * the cluster parallelism, repartition early — shuffling the (tiny)
+    * input bytes to parallelize the expensive per-row work. On real
+    * many-file/many-row-group inputs the guard makes this a no-op. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
     * Spark's vectorized reader rejects; read nanos as long and truncate to
     * micros with integer arithmetic (ns ≈ 1.7e18 overflows double's exact
     * range, so no FP division). DuckDB truncates ns→us identically. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
+    fanOut(t(spark, dir, "events"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -55,7 +66,7 @@ object Relational {
   // reference profiling/row-count aggregates src/file-to-sql-loader.py:696-747).
   // Scan reads only 7 of 11 lineitem columns; filter pushed to parquet.
   def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
+    val li = fanOut(t(s, dir, "lineitem"))
     // exact decimal products (no double rounding mid-expression): price fits
     // DECIMAL(12,4), disc/tax DECIMAL(6,4) ⇒ products stay within 38 digits.
     val discPrice = money(col("l_extendedprice")) * (lit(1) - frac(col("l_discount")))
@@ -95,7 +106,7 @@ object Relational {
   // A/C. Scan + filter with pushdown + projection pruning (SURVEY §2 A1-A3,
   // C1-C3; reference validation filters src/file-to-sql-loader.py:1070-1086).
   def q02FilterScan(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "lineitem")
+    fanOut(t(s, dir, "lineitem"))
       .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
               col("l_shipdate") <  to_timestamp(lit("1996-01-01")) &&
               col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
@@ -116,7 +127,7 @@ object Relational {
   // D. Multi-way equi-join + agg (SURVEY §2 D1 join semantics). Dimension
   // chain customer→nation→region is broadcast; only orders×lineitem shuffles.
   def q03JoinRevenue(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    val li = fanOut(t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"))
     val o  = t(s, dir, "orders").select("o_orderkey", "o_custkey")
     val c  = t(s, dir, "customer").select("c_custkey", "c_nationkey")
     val n  = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
@@ -147,7 +158,7 @@ object Relational {
   // D. Broadcast dim join (SURVEY §2 D1): part is small ⇒ broadcast, the
   // lineitem side never shuffles for the join.
   def q04BroadcastDim(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem").select("l_partkey", "l_extendedprice", "l_quantity")
+    val li = fanOut(t(s, dir, "lineitem").select("l_partkey", "l_extendedprice", "l_quantity"))
     val p  = t(s, dir, "part").select("p_partkey", "p_brand")
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
@@ -324,7 +335,7 @@ object Relational {
   // E. Rollup (multi-level aggregate; generalizes the reference's batch
   // roll-up E3, src/file-to-sql-loader.py:1601-1638).
   def q12Rollup(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    fanOut(t(s, dir, "lineitem"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)

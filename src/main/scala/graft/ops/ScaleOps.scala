@@ -18,7 +18,7 @@ object ScaleOps {
   // --- exact dedup (hash-groupBy) ---------------------------------------
 
   def q15DedupExact(s: SparkSession, dir: String): DataFrame =
-    Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.exactGroups(Relational.fanOut(t(s, dir, "documents")), "doc_id", "text")
       .orderBy(col("keeper_id"))
 
   val q15Sql: String =
@@ -28,7 +28,7 @@ object ScaleOps {
   // --- token counting ----------------------------------------------------
 
   def q16TokenCount(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    Relational.fanOut(t(s, dir, "documents"))
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
       .select(
         col("doc_id"),
@@ -48,7 +48,7 @@ object ScaleOps {
   // --- quality scoring ---------------------------------------------------
 
   def q17Quality(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    Relational.fanOut(t(s, dir, "documents"))
       .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("tk"))
       .select(
         col("doc_id"),
@@ -77,7 +77,7 @@ object ScaleOps {
   // --- language ID -------------------------------------------------------
 
   def q18LangId(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    Relational.fanOut(t(s, dir, "documents"))
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
       .select(col("doc_id"), TextAnalysis.langIdOf(col("tk")).as("lang_pred"))
       .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"),
@@ -179,7 +179,7 @@ object ScaleOps {
       .orderBy(col("doc_a"), col("doc_b"))
 
   def q23Fingerprint(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    Relational.fanOut(t(s, dir, "documents"))
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
       .select(
         col("doc_id"),
@@ -232,7 +232,7 @@ object ScaleOps {
 
   def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(
-      t(s, dir, "documents"), "doc_id", "text", "image", "fake")
+      Relational.fanOut(t(s, dir, "documents")), "doc_id", "text", "image", "fake")
     Multimodal.decodeFeatures(media, 8, 8)
       .select(col("media_id"), col("n_bytes"),
         element_at(col("feat"), 1).as("f0"), size(col("feat")).as("n_feat"))

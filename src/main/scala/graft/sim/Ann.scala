@@ -30,7 +30,8 @@ object Ann {
       queryId: String = "vec_id", queryVec: String = "embedding"): DataFrame = {
     // norms are folded ONCE per vector (not once per pair): ‖c‖ rides the
     // corpus scan, ‖q‖ rides the broadcast side.
-    val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
+    val c = graft.ops.Relational.fanOut(
+      corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv")))
       .withColumn("cnorm", sqrt(normSq(col("cv"))))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
       .withColumn("qnorm", sqrt(normSq(col("qv"))))
@@ -51,7 +52,8 @@ object Ann {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "vec_id", queryVec: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
+    val c = graft.ops.Relational.fanOut(
+      corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv")))
       .withColumn("bucket", rpBucket(col("cv"), nBits))
       .withColumn("cnorm", sqrt(normSq(col("cv"))))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
