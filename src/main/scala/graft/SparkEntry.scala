@@ -39,6 +39,11 @@ object SparkEntry {
     "q27_sessionize"      -> (ScaleOps.q27Sessionize _),
     "q28_salted_agg"      -> (graft.ops.Scale.q28SaltedAgg _),
     "q29_salted_join"     -> (graft.ops.Scale.q29SaltedJoin _),
+    "q30_asof_join"       -> (graft.ops.Relational2.q30AsofJoin _),
+    "q31_exists_agg"      -> (graft.ops.Relational2.q31ExistsAgg _),
+    "q32_pivot"           -> (graft.ops.Relational2.q32Pivot _),
+    "q33_cube"            -> (graft.ops.Relational2.q33Cube _),
+    "q34_percentile"      -> (graft.ops.Relational2.q34Percentile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -67,6 +72,11 @@ object SparkEntry {
     "q27_sessionize"      -> ScaleOps.q27Sql,
     "q28_salted_agg"      -> graft.ops.Scale.q28Sql,
     "q29_salted_join"     -> graft.ops.Scale.q29Sql,
+    "q30_asof_join"       -> graft.ops.Relational2.q30Sql,
+    "q31_exists_agg"      -> graft.ops.Relational2.q31Sql,
+    "q32_pivot"           -> graft.ops.Relational2.q32Sql,
+    "q33_cube"            -> graft.ops.Relational2.q33Sql,
+    "q34_percentile"      -> graft.ops.Relational2.q34Sql,
     // q21-q26 are hash-signature / stub-codec ops: not SQL-expressible in
     // the oracle — driver records rows-only checks; ground truth lives in
     // the ScalaTest suites (recall vs exact Jaccard / brute-force ANN).
