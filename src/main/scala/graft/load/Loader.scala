@@ -1,6 +1,6 @@
 package graft.load
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
 
@@ -42,36 +42,42 @@ object Loader {
   }
 
   /** Strict insert (I6): any invalid row ⇒ whole file rejected. The
-    * existence probe is a limit-1 job, not a full count. */
+    * existence probe is a limit-1 job, not a full count; the inserted-row
+    * count is observed DURING the write job (no second scan). */
   def loadStrict(spark: SparkSession, good: DataFrame, bad: DataFrame, table: String,
       mode: TableMode): LoadResult = {
     if (!bad.isEmpty)
       return LoadResult("Failed", -1, 0, 0, -1,
         Some("validation failed in strict mode: at least one invalid row"))
-    good.write.mode(saveModeFor(mode)).format("parquet").saveAsTable(table)
-    val rows = good.count()
+    val obs = Observation()
+    good.observe(obs, count(lit(1)).as("n"))
+      .write.mode(saveModeFor(mode)).format("parquet").saveAsTable(table)
+    val rows = obs.get("n").asInstanceOf[Long]
     LoadResult("Completed", rows, rows, 0, 0)
   }
 
   /** Tolerant insert (I7): load valid rows, reject only when the invalid
-    * count blows the budget. */
+    * count blows the budget. The bad side is counted up front (it gates
+    * the write); the good side is observed during the write. */
   def loadTolerant(spark: SparkSession, good: DataFrame, bad: DataFrame, table: String,
       mode: TableMode, maxRowErrors: Int): LoadResult = {
     val nBad = bad.count()
     if (nBad > maxRowErrors)
       return LoadResult("Failed", -1, 0, 0, nBad,
         Some(s"row errors $nBad exceed budget $maxRowErrors"))
-    good.write.mode(saveModeFor(mode)).format("parquet").saveAsTable(table)
-    val nGood = good.count()
+    val obs = Observation()
+    good.observe(obs, count(lit(1)).as("n"))
+      .write.mode(saveModeFor(mode)).format("parquet").saveAsTable(table)
+    val nGood = obs.get("n").asInstanceOf[Long]
     val status = if (nBad > 0) "CompletedWithErrors" else "Completed"
     LoadResult(status, nGood + nBad, nGood, 0, nBad)
   }
 
   /** Upsert (I8/I9): dedup-last-wins → full-outer merge → write-temp → swap.
-    * Insert/update counts come from key-only semi/anti joins (column-pruned
-    * to the pk ⇒ cheap), not from a second full write. The temp-table +
-    * rename swap stands in for an atomic catalog commit (MERGE INTO on a
-    * lakehouse table format at production scale — SURVEY §7.4 note 4). */
+    * Insert/update counts are observed during the single merge write.
+    * The temp-table + rename swap stands in for an atomic catalog commit
+    * (MERGE INTO on a lakehouse table format at production scale —
+    * SURVEY §7.4 note 4). */
   def loadUpsert(spark: SparkSession, source: DataFrame, badRows: DataFrame, table: String,
       pk: Seq[String], ordinalCol: String, strict: Boolean, maxRowErrors: Int): LoadResult = {
     val nBad = badRows.count()
@@ -87,20 +93,26 @@ object Loader {
 
     if (!spark.catalog.tableExists(table)) {
       // no target yet: the merge degenerates to insert-all
-      deduped.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
-      val n = spark.table(table).count()
+      val obs = Observation()
+      deduped.observe(obs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+      val n = obs.get("n").asInstanceOf[Long]
       return LoadResult(status, n + nBad, n, 0, nBad)
     }
 
+    // insert/update counts are observed DURING the single merge write —
+    // no extra key-join count jobs, no second scan of target or source
     val target = spark.table(table)
-    val srcKeys = deduped.select(pk.map(col): _*)
-    val tgtKeys = target.select(pk.map(col): _*)
-    val updated  = tgtKeys.join(srcKeys, pk, "left_semi").count()
-    val inserted = srcKeys.join(tgtKeys, pk, "left_anti").count()
-
     val next = s"${table}__upsert_next"
-    Upsert.merge(target, deduped, pk).drop("__merge_action")
+    val obs = Observation()
+    Upsert.merge(target, deduped, pk)
+      .observe(obs,
+        sum(when(col("__merge_action") === "inserted", 1L).otherwise(0L)).as("ins"),
+        sum(when(col("__merge_action") === "updated", 1L).otherwise(0L)).as("upd"))
+      .drop("__merge_action")
       .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(next)
+    val inserted = Option(obs.get("ins")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val updated = Option(obs.get("upd")).map(_.asInstanceOf[Long]).getOrElse(0L)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     spark.sql(s"ALTER TABLE `$next` RENAME TO `$table`")
     LoadResult(status, inserted + updated + nBad, inserted, updated, nBad)
