@@ -56,17 +56,22 @@ object BatchRunner {
       else Set.empty
     val pending = allFiles.filterNot(done.contains)
 
-    // J3: per-file retry loop
+    // J3: per-file retry loop — retries BOTH thrown errors and Failed
+    // results; the file is only quarantined to error/ on the final attempt
     var processed = priorProcessed
     var failed = priorFailed
+    val maxAttempts = math.max(1, config.maxRetries)
     val jobs = pending.map { f =>
       var attempt = 0
       var job: ProcessFile.FileJob = null
       var lastErr: Option[Throwable] = None
-      while (attempt < math.max(1, config.maxRetries) && job == null) {
+      while (attempt < maxAttempts &&
+          (job == null || job.result.status == "Failed")) {
         attempt += 1
+        val isFinal = attempt == maxAttempts
         try {
-          job = ProcessFile.run(spark, f, config, Some(batchId))
+          job = ProcessFile.run(spark, f, config, Some(batchId),
+            moveOnFailure = isFinal)
         } catch {
           case e: Exception => lastErr = Some(e)
         }

@@ -33,6 +33,11 @@ object Main {
 
     try {
       val path = Paths.get(inputPath)
+      if (!Files.exists(path)) {
+        System.err.println(s"[graft] error: input path does not exist: $inputPath")
+        spark.stop()
+        sys.exit(1)
+      }
       val ok =
         if (Files.isDirectory(path)) {
           val outcome = BatchRunner.run(spark, inputPath, config)

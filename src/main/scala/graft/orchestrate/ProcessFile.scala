@@ -23,8 +23,11 @@ object ProcessFile {
       result: LoadResult,
       ddl: String)
 
+  /** @param moveOnFailure quarantine the file to error/ on failure; the
+    *        batch runner passes false for non-final retry attempts so the
+    *        source file is still in place for the next attempt. */
   def run(spark: SparkSession, filePath: String, config: EngineConfig,
-      batchJobId: Option[String] = None): FileJob = {
+      batchJobId: Option[String] = None, moveOnFailure: Boolean = true): FileJob = {
     val jobRunId = java.util.UUID.randomUUID().toString
     val start = new java.sql.Timestamp(System.currentTimeMillis())
     val fmt = Detect.detect(spark, filePath)
@@ -40,7 +43,8 @@ object ProcessFile {
         if (config.tableMode == TableMode.Upsert) ("Completed", None)
         else ("Failed", Some("empty input file"))
       val result = LoadResult(status, 0, 0, 0, 0, err)
-      finish(spark, filePath, jobRunId, table, start, result, config, batchJobId, None)
+      finish(spark, filePath, jobRunId, table, start, result, config, batchJobId, None,
+        moveOnFailure)
       return FileJob(jobRunId, filePath, table, result, "")
     }
 
@@ -81,14 +85,15 @@ object ProcessFile {
         Some(Loader.split(casted, notNull)._2)
       } else None
 
-    finish(spark, filePath, jobRunId, table, start, result, config, batchJobId, badForLog)
+    finish(spark, filePath, jobRunId, table, start, result, config, batchJobId, badForLog,
+      moveOnFailure)
     FileJob(jobRunId, filePath, table, result, ddl)
   }
 
   private def finish(spark: SparkSession, filePath: String, jobRunId: String,
       table: String, start: java.sql.Timestamp, result: LoadResult,
       config: EngineConfig, batchJobId: Option[String],
-      badRows: Option[DataFrame]): Unit = {
+      badRows: Option[DataFrame], moveOnFailure: Boolean = true): Unit = {
     val end = new java.sql.Timestamp(System.currentTimeMillis())
 
     if (config.jobStatisticsEnabled)
@@ -119,8 +124,9 @@ object ProcessFile {
     }
 
     // I10: file lifecycle — success ⇒ processed/, failure ⇒ error/
-    val destDir = if (result.status == "Failed") "error" else "processed"
-    moveFile(spark, filePath, destDir)
+    // (skipped for non-final retry attempts)
+    if (result.status != "Failed") moveFile(spark, filePath, "processed")
+    else if (moveOnFailure) moveFile(spark, filePath, "error")
   }
 
   private def moveTargetDir(spark: SparkSession, filePath: String, sub: String)

@@ -151,3 +151,27 @@ class EndToEndSpec extends GraftSuite {
     assert(b.getAs[Long]("FilesProcessed") == 2)
   }
 }
+
+/** J3 retry contract: failures retry up to maxRetries; the file is only
+  * quarantined on the final attempt. */
+class RetrySpec extends GraftSuite {
+  test("batch retry: deterministic failure retried, quarantined only at the end") {
+    val dir = tempDir("retry")
+    // empty file in non-upsert mode fails deterministically
+    writeFile(dir, "retry_bad.csv", "")
+    writeFile(dir, "retry_good.csv", "id,v\n1,a\n2,b\n")
+    val cfg = graft.core.EngineConfig.default.copy(maxRetries = 3)
+    val outcome = graft.orchestrate.BatchRunner.run(spark, dir.toString, cfg)
+    assert(outcome.status == "CompletedWithErrors")
+    assert(outcome.processed == 1 && outcome.failed == 1)
+    // the bad file sits in error/ exactly once (not moved on attempts 1-2)
+    assert(java.nio.file.Files.exists(dir.resolve("error/retry_bad.csv")))
+    assert(java.nio.file.Files.exists(dir.resolve("processed/retry_good.csv")))
+    // ledger carries one stats row per attempt for the failing file
+    val attempts = graft.ledger.Ledger.jobStats(spark)
+      .filter(org.apache.spark.sql.functions.col("SourceFile")
+        .endsWith("retry_bad.csv"))
+      .count()
+    assert(attempts == 3, s"expected 3 attempt rows, got $attempts")
+  }
+}
