@@ -44,6 +44,7 @@ object SparkEntry {
     "q32_pivot"           -> (graft.ops.Relational2.q32Pivot _),
     "q33_cube"            -> (graft.ops.Relational2.q33Cube _),
     "q34_percentile"      -> (graft.ops.Relational2.q34Percentile _),
+    "q35_ann_ivf"         -> (ScaleOps.q35AnnIvf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

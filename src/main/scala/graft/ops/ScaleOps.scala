@@ -230,6 +230,15 @@ object ScaleOps {
       |FROM seq GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** IVF ANN: coarse-quantizer inverted lists + nProbe search (the second
+    * scale path next to LSH; recall vs brute force asserted in AnnSpec). */
+  def q35AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = graft.sim.Ivf.build(emb, k = 16, iters = 3)
+    graft.sim.Ivf.search(idx, emb.filter(col("vec_id") < 20), topK = 5, nProbe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(
       Relational.fanOut(t(s, dir, "documents")), "doc_id", "text", "image", "fake")

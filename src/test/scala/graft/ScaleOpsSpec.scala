@@ -220,3 +220,30 @@ class MultiFormatTimestampSpec extends GraftSuite {
     assert(n == 11) // the 11 parseable inputs above
   }
 }
+
+class IvfSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val dim = 16
+  private def vec(seed: Int, offset: Float): Seq[Float] =
+    (0 until dim).map(d => math.sin(seed * 31 + d).toFloat + (if (d == 0) offset else 0f))
+  val corpus = (0 until 80).map(i => (i.toLong, vec(i % 8, (i / 8) * 0.01f)))
+    .toDF("vec_id", "embedding")
+
+  test("IVF recall vs brute force on clustered vectors") {
+    val idx = graft.sim.Ivf.build(corpus, k = 8, iters = 4)
+    val q = corpus.filter($"vec_id" < 8)
+    val exact = graft.sim.Ann.bruteForceTopK(corpus, q, 3)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.sim.Ivf.search(idx, q, 3, nProbe = 2)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("IVF build is deterministic") {
+    val c1 = graft.sim.Ivf.train(corpus, "vec_id", "embedding", 4, 3)
+    val c2 = graft.sim.Ivf.train(corpus, "vec_id", "embedding", 4, 3)
+    assert(c1.map(_._2.toSeq).toSeq == c2.map(_._2.toSeq).toSeq)
+  }
+}
