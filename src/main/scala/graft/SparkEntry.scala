@@ -78,8 +78,9 @@ object SparkEntry {
     "q32_pivot"           -> graft.ops.Relational2.q32Sql,
     "q33_cube"            -> graft.ops.Relational2.q33Sql,
     "q34_percentile"      -> graft.ops.Relational2.q34Sql,
-    // q21-q26 are hash-signature / stub-codec ops: not SQL-expressible in
-    // the oracle — driver records rows-only checks; ground truth lives in
-    // the ScalaTest suites (recall vs exact Jaccard / brute-force ANN).
+    // q21-q26 and q35 are hash-signature / stub-codec / IVF ops: not
+    // SQL-expressible in the oracle — driver records rows-only checks;
+    // ground truth lives in the ScalaTest suites (recall vs exact Jaccard /
+    // brute-force ANN).
   )
 }

@@ -231,10 +231,12 @@ object ScaleOps {
       |ORDER BY user_id, session_seq""".stripMargin
 
   /** IVF ANN: coarse-quantizer inverted lists + nProbe search (the second
-    * scale path next to LSH; recall vs brute force asserted in AnnSpec). */
+    * scale path next to LSH; recall vs brute force asserted in IvfSpec).
+    * Built uncached: the one-shot driver run consumes the result once and
+    * must not leak a corpus-sized cache into the shared session. */
   def q35AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val idx = graft.sim.Ivf.build(emb, k = 16, iters = 3)
+    val idx = graft.sim.Ivf.build(emb, k = 16, iters = 3, cache = false)
     graft.sim.Ivf.search(idx, emb.filter(col("vec_id") < 20), topK = 5, nProbe = 4)
       .orderBy(col("query_id"), col("rank"))
   }

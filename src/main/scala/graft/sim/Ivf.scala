@@ -1,8 +1,12 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType}
 import graft.functions.VectorFunctions._
 
 /** IVF (inverted-file) ANN index — the second scale path next to LSH.
@@ -10,23 +14,28 @@ import graft.functions.VectorFunctions._
   * Build: a deterministic coarse quantizer (k-means over a fixed-size
   * sample, seeded by the lowest-id vectors, fixed iteration count and
   * deterministic tie-breaks) assigns every corpus vector to its nearest
-  * centroid — ONE pass over the corpus per refinement plus one for the
-  * final assignment; centroids are driver-small and ride as broadcast
-  * literals. At production scale the assignment becomes the write-time
+  * centroid in ONE NARROW MAP (custom expression carrying the centroid
+  * matrix — no crossJoin, no shuffle, every row kept even under duplicate
+  * ids). At production scale the assignment becomes the write-time
   * partition key (each centroid = one inverted list / partition), so a
   * query touches only `nProbe` partitions of the corpus.
   *
-  * Search: each query scores the centroids driver-free (small cross join),
-  * keeps its `nProbe` nearest lists, and exact-cosine re-ranks only the
-  * vectors in those lists.
+  * Search: each query scores the driver-small centroid set (tiny
+  * crossJoin), keeps its `nProbe` nearest lists, and exact-cosine re-ranks
+  * only the vectors in those lists (norms folded once per vector, not per
+  * pair).
   */
 object Ivf {
 
-  final case class IvfIndex(centroids: Array[(Int, Array[Float])], assigned: DataFrame)
+  final case class IvfIndex(centroids: Array[(Int, Array[Float])], assigned: DataFrame) {
+    /** Release the cached inverted lists (no-op if built with cache=false). */
+    def close(): Unit = assigned.unpersist()
+  }
 
   private def toArr(s: Seq[Float]): Array[Float] = s.toArray
 
-  private def cosArr(a: Array[Float], b: Array[Float]): Double = {
+  /** cosine over driver-side arrays; tolerates ragged lengths (min-dim). */
+  private[sim] def cosArr(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -48,11 +57,14 @@ object Ivf {
       .limit(sampleN)
       .collect()
       .map(r => toArr(r.getSeq[Float](1)))
+    require(sample.nonEmpty, s"IVF train: corpus is empty ($idCol/$vecCol)")
     var centroids: Array[Array[Float]] = sample.take(k)
     var it = 0
     while (it < iters) {
-      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
-      val counts = new Array[Long](k)
+      // per-centroid sums sized to THAT centroid's dims; accumulation is
+      // min-dim guarded so ragged vectors degrade instead of crashing
+      val sums = centroids.map(c => new Array[Double](c.length))
+      val counts = new Array[Long](centroids.length)
       sample.foreach { v =>
         var best = 0; var bestCos = -2.0
         var c = 0
@@ -63,7 +75,8 @@ object Ivf {
         }
         counts(best) += 1
         var d = 0
-        while (d < v.length) { sums(best)(d) += v(d); d += 1 }
+        val lim = math.min(v.length, sums(best).length)
+        while (d < lim) { sums(best)(d) += v(d); d += 1 }
       }
       centroids = centroids.zipWithIndex.map { case (old, c) =>
         if (counts(c) == 0) old
@@ -74,28 +87,25 @@ object Ivf {
     centroids.zipWithIndex.map { case (v, i) => (i, v) }
   }
 
-  /** Assign every corpus vector to its nearest centroid (one narrow pass;
-    * the centroid set travels as a broadcast literal array). */
+  /** Assign every corpus vector to its nearest centroid: one narrow map
+    * with the centroid matrix inside the expression — no join, no shuffle,
+    * no row loss on duplicate ids. */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[(Int, Array[Float])]): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cdf = broadcast(centroids.toSeq.map { case (i, v) => (i, v.toSeq) }
-      .toDF("centroid_id", "cvec"))
-    val scored = graft.ops.Relational.fanOut(
+    import org.apache.spark.sql.GraftSqlBridge
+    val nc: Column = GraftSqlBridge.column(
+      NearestCentroid(GraftSqlBridge.expression(col("cv")), centroids.map(_._2)))
+    graft.ops.Relational.fanOut(
         corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")))
-      .crossJoin(cdf)
-      .withColumn("ccos", cosine(col("cv"), col("cvec")))
-    val w = Window.partitionBy(col("corpus_id"))
-      .orderBy(col("ccos").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("corpus_id"), col("cv"), col("centroid_id"))
+      .withColumn("centroid_id", nc)
+      .withColumn("cnorm", sqrt(normSq(col("cv"))))
   }
 
   def build(corpus: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
-      k: Int = 16, iters: Int = 5): IvfIndex = {
+      k: Int = 16, iters: Int = 5, cache: Boolean = true): IvfIndex = {
     val cents = train(corpus, idCol, vecCol, k, iters)
-    IvfIndex(cents, assign(corpus, idCol, vecCol, cents).cache())
+    val assigned = assign(corpus, idCol, vecCol, cents)
+    IvfIndex(cents, if (cache) assigned.cache() else assigned)
   }
 
   /** Top-k search probing the `nProbe` nearest inverted lists per query. */
@@ -106,21 +116,58 @@ object Ivf {
     val cdf = broadcast(index.centroids.toSeq.map { case (i, v) => (i, v.toSeq) }
       .toDF("centroid_id", "cvec"))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .withColumn("qnorm", sqrt(normSq(col("qv"))))
+    // query×centroid scoring is tiny (|q| × k rows) — a window top-n here
+    // costs nothing; the corpus never joins the centroid table
     val probes = {
       val scored = q.crossJoin(cdf)
         .withColumn("ccos", cosine(col("qv"), col("cvec")))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("ccos").desc, col("centroid_id"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= nProbe)
-        .select(col("query_id"), col("qv"), col("centroid_id"))
+        .select(col("query_id"), col("qv"), col("qnorm"), col("centroid_id"))
     }
     val cand = index.assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cos", cosine(col("cv"), col("qv")))
+      .withColumn("cos", dot(col("cv"), col("qv")) / (col("cnorm") * col("qnorm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cos"))
   }
+}
+
+/** argmax-cosine centroid id for a vector, centroid matrix embedded in the
+  * expression (broadcast with the task closure). Deterministic tie-break:
+  * first (lowest-id) centroid wins, matching Ivf.train's driver loop. */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+  @transient private lazy val cents = centroids
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData].toFloatArray()
+    var best = 0; var bestCos = -2.0
+    var c = 0
+    while (c < cents.length) {
+      val cs = Ivf.cosArr(v, cents(c))
+      if (cs > bestCos) { bestCos = cs; best = c }
+      c += 1
+    }
+    best
+  }
+  // kernel calls a driver-constructed object; interpreted eval via
+  // CodegenFallback-style reference object keeps it simple and correct
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this,
+      classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = (Integer) $ref.nullSafeEval($c);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
 }
