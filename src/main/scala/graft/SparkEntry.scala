@@ -45,6 +45,7 @@ object SparkEntry {
     "q33_cube"            -> (graft.ops.Relational2.q33Cube _),
     "q34_percentile"      -> (graft.ops.Relational2.q34Percentile _),
     "q35_ann_ivf"         -> (ScaleOps.q35AnnIvf _),
+    "q36_curation"        -> (ScaleOps.q36Curation _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -78,6 +79,7 @@ object SparkEntry {
     "q32_pivot"           -> graft.ops.Relational2.q32Sql,
     "q33_cube"            -> graft.ops.Relational2.q33Sql,
     "q34_percentile"      -> graft.ops.Relational2.q34Sql,
+    "q36_curation"        -> ScaleOps.q36Sql,
     // q21-q26 and q35 are hash-signature / stub-codec / IVF ops: not
     // SQL-expressible in the oracle — driver records rows-only checks;
     // ground truth lives in the ScalaTest suites (recall vs exact Jaccard /

@@ -167,6 +167,48 @@ object ScaleOps {
       |SELECT query_id, rank, corpus_id, cos FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+
+  // --- full curation pipeline (dedup → quality → language → tokens) -----
+
+  /** The composed training-data curation pipeline as one plan, reported
+    * per predicted language (graft.pipeline.Curation). */
+  def q36Curation(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation.report(
+      graft.pipeline.Curation.curate(t(s, dir, "documents"), "doc_id", "text"))
+
+  val q36Sql: String =
+    raw"""WITH keepers AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+      |), dd AS (
+      |  SELECT d.doc_id, d.text FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+      |), toks AS (
+      |  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM dd
+      |), m AS (
+      |  SELECT doc_id,
+      |    CAST(len(t) AS BIGINT) AS n_tokens,
+      |    0.4 * (CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))
+      |      + 0.3 * least((CAST(len(list_filter(t, s -> s IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'it', 'that', 'for'))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 4.0, 1.0)
+      |      + 0.3 * least((CAST(length(text) AS DOUBLE) / CAST(len(t) AS DOUBLE)) / 8.0, 1.0) AS quality,
+      |    CASE WHEN len(list_filter(t, s -> s IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'it', 'that', 'for'))) = 0
+      |              AND len(list_filter(t, s -> s IN ('el', 'la', 'de', 'que', 'y', 'en', 'los', 'del', 'se', 'las'))) = 0
+      |              AND len(list_filter(t, s -> s IN ('der', 'die', 'das', 'und', 'ist', 'von', 'mit', 'den', 'nicht', 'ein'))) = 0
+      |              AND len(list_filter(t, s -> s IN ('le', 'la', 'les', 'et', 'des', 'est', 'un', 'une', 'du', 'que'))) = 0 THEN 'und'
+      |         WHEN len(list_filter(t, s -> s IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'it', 'that', 'for'))) >= len(list_filter(t, s -> s IN ('el', 'la', 'de', 'que', 'y', 'en', 'los', 'del', 'se', 'las')))
+      |              AND len(list_filter(t, s -> s IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'it', 'that', 'for'))) >= len(list_filter(t, s -> s IN ('der', 'die', 'das', 'und', 'ist', 'von', 'mit', 'den', 'nicht', 'ein')))
+      |              AND len(list_filter(t, s -> s IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'it', 'that', 'for'))) >= len(list_filter(t, s -> s IN ('le', 'la', 'les', 'et', 'des', 'est', 'un', 'une', 'du', 'que'))) THEN 'en'
+      |         WHEN len(list_filter(t, s -> s IN ('el', 'la', 'de', 'que', 'y', 'en', 'los', 'del', 'se', 'las'))) >= len(list_filter(t, s -> s IN ('der', 'die', 'das', 'und', 'ist', 'von', 'mit', 'den', 'nicht', 'ein')))
+      |              AND len(list_filter(t, s -> s IN ('el', 'la', 'de', 'que', 'y', 'en', 'los', 'del', 'se', 'las'))) >= len(list_filter(t, s -> s IN ('le', 'la', 'les', 'et', 'des', 'est', 'un', 'une', 'du', 'que'))) THEN 'es'
+      |         WHEN len(list_filter(t, s -> s IN ('der', 'die', 'das', 'und', 'ist', 'von', 'mit', 'den', 'nicht', 'ein'))) >= len(list_filter(t, s -> s IN ('le', 'la', 'les', 'et', 'des', 'est', 'un', 'une', 'du', 'que'))) THEN 'de'
+      |         ELSE 'fr' END AS lang_pred
+      |  FROM toks
+      |)
+      |SELECT lang_pred, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  MIN(quality) AS min_quality, MAX(quality) AS max_quality
+      |FROM m
+      |WHERE quality >= 0.5 AND n_tokens >= 10 AND n_tokens <= 100000
+      |  AND lang_pred IN ('en', 'es', 'de', 'fr')
+      |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+
   // --- hash-signature ops (rows-only oracle; ground truth in ScalaTest) --
 
   def q21MinhashLsh(s: SparkSession, dir: String): DataFrame =

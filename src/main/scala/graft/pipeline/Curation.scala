@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** The end-to-end training-data curation pipeline: exact dedup → quality
+  * scoring → language gate → token accounting, composed as ONE Catalyst
+  * plan (the consumer-facing face of the scale layer — what a 100 TB
+  * pretraining-data run would execute per snapshot).
+  *
+  * Every stage is a column expression or hash-groupBy from the operator
+  * library, so the whole pipeline is two shuffles end-to-end: the dedup
+  * hash-groupBy and the final stats aggregation (when requested). */
+object Curation {
+
+  final case class Params(
+      minQuality: Double = 0.5,
+      minTokens: Long = 10,
+      maxTokens: Long = 100000,
+      keepLangs: Seq[String] = Seq("en", "es", "de", "fr"))
+
+  /** Curated corpus: one row per surviving document with its metrics. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      params: Params = Params()): DataFrame = {
+    val deduped = Dedup.exactDedup(docs, idCol, textCol)
+    val profiled = graft.ops.Relational.fanOut(deduped)
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .select(
+        col(idCol), col(textCol),
+        TextAnalysis.tokenCountOf(col("__toks")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScoreOf(col(textCol), col("__toks")).as("quality"),
+        TextAnalysis.langIdOf(col("__toks")).as("lang_pred"))
+    profiled
+      .filter(col("quality") >= params.minQuality)
+      .filter(col("n_tokens") >= params.minTokens && col("n_tokens") <= params.maxTokens)
+      .filter(col("lang_pred").isin(params.keepLangs: _*))
+  }
+
+  /** Aggregate curation report per predicted language. */
+  def report(curated: DataFrame): DataFrame =
+    curated.groupBy(col("lang_pred"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+      .orderBy(col("lang_pred"))
+}

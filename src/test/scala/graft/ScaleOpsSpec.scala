@@ -247,3 +247,24 @@ class IvfSpec extends GraftSuite {
     assert(c1.map(_._2.toSeq).toSeq == c2.map(_._2.toSeq).toSeq)
   }
 }
+
+class CurationSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("curation pipeline: dedups, gates on quality/tokens/lang, reports") {
+    val docs = Seq(
+      (1L, "the cat and the dog of the house sit in the sun for a while today"),
+      (2L, "the cat and the dog of the house sit in the sun for a while today"), // exact dup
+      (3L, "short text"),                                                        // < minTokens
+      (4L, "zzz qqq www rrr ttt yyy uuu iii ooo ppp aaa sss"),                   // lang und
+      (5L, "the quick brown fox jumps over the lazy dog and runs to the river")
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Curation.curate(docs, "doc_id", "text",
+      graft.pipeline.Curation.Params(minQuality = 0.3, minTokens = 10))
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 5L), s"got $ids")
+    val rep = graft.pipeline.Curation.report(out).collect()
+    assert(rep.length == 1 && rep.head.getString(0) == "en")
+    assert(rep.head.getAs[Long]("n_docs") == 2)
+  }
+}
