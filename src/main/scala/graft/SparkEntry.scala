@@ -46,6 +46,7 @@ object SparkEntry {
     "q34_percentile"      -> (graft.ops.Relational2.q34Percentile _),
     "q35_ann_ivf"         -> (ScaleOps.q35AnnIvf _),
     "q36_curation"        -> (ScaleOps.q36Curation _),
+    "q37_approx_sketches" -> (ScaleOps.q37ApproxSketches _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -283,6 +283,19 @@ object ScaleOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Approximate sketches at scale: HLL++ distinct counts and quantile
+    * sketches over the fact table (rows-only; accuracy vs exact asserted
+    * in SketchSpec). The constant relative error makes these the 100 TB
+    * substitutes for exact COUNT(DISTINCT)/percentile. */
+  def q37ApproxSketches(s: SparkSession, dir: String): DataFrame =
+    Relational.fanOut(t(s, dir, "lineitem"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"))
+      .orderBy(col("l_returnflag"))
+
   def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(
       Relational.fanOut(t(s, dir, "documents")), "doc_id", "text", "image", "fake")

@@ -268,3 +268,30 @@ class CurationSpec extends GraftSuite {
     assert(rep.head.getAs[Long]("n_docs") == 2)
   }
 }
+
+class SketchSpec extends GraftSuite {
+  test("HLL++ distinct and approx percentile land within tolerance of exact") {
+    val dir = "/root/testdata/sf0.01"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val exact = li.agg(
+      org.apache.spark.sql.functions.countDistinct(col("l_orderkey")),
+      org.apache.spark.sql.functions.expr("percentile(l_extendedprice, 0.5)")).head()
+    val approx = li.agg(
+      approx_count_distinct(col("l_orderkey"), rsd = 0.01),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))).head()
+    val dErr = math.abs(approx.getLong(0) - exact.getLong(0)).toDouble / exact.getLong(0)
+    assert(dErr < 0.05, s"distinct err $dErr")
+    val pErr = math.abs(approx.getDouble(1) - exact.getDouble(1)) / exact.getDouble(1)
+    assert(pErr < 0.01, s"percentile err $pErr")
+  }
+
+  test("GraftExtensions registers the custom SQL functions") {
+    // the shared test session already exists, so install via registerAll
+    // (builder.withExtensions covers fresh sessions — same function list)
+    graft.functions.GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT multi_format_timestamp('2024-01-15 10:30:00') AS ts, vec_dot(array(1.0F,2.0F), array(3.0F,4.0F)) AS d").head()
+    assert(r.getTimestamp(0).toString.startsWith("2024-01-15 10:30:00"))
+    assert(r.getDouble(1) == 11.0)
+  }
+}
