@@ -103,38 +103,44 @@ object TransactionMode {
   }
 }
 
-/** One EtlJobStatistics row (reference :511-525, assembly :1474-1498). */
+/** One EtlJobStatistics row — column names match the reference DDL
+  * (:511-525, FIXTURES.md §3) exactly; TableMode/TransactionMode are
+  * engine-side extras. */
 final case class JobStats(
     JobRunID: String,
-    SourceFile: String,
-    TargetTable: String,
     JobStartTime: java.sql.Timestamp,
     JobEndTime: java.sql.Timestamp,
+    JobDurationSeconds: Long,
     JobStatus: String,            // Completed | CompletedWithErrors | Failed
+    SourceFile: String,
+    TargetTable: String,
     RowsRead: Long,
     RowsInserted: Long,
     RowsUpdated: Long,
-    RowsErrored: Long,
-    TableMode: String,
-    TransactionMode: String,
+    RowsFailed: Long,
     ErrorMessage: Option[String],
-    BatchJobID: Option[String])
+    BatchJobID: Option[String],
+    TableMode: String,
+    TransactionMode: String)
 
-/** One EtlJobError row (reference :548-557, sink :605-622). */
+/** One EtlJobError row — reference columns (:548-557, FIXTURES.md §3)
+  * plus SourceFile/RowNumber/RawValue engine extras for row-level audit. */
 final case class JobError(
+    ErrorID: String,
     JobRunID: String,
-    SourceFile: String,
-    RowNumber: Long,
+    TableName: String,
     ColumnName: String,
     ErrorType: String,
     ErrorMessage: String,
-    RawValue: String,
-    ErrorTime: java.sql.Timestamp)
+    ErrorTimestamp: java.sql.Timestamp,
+    SourceFile: String,
+    RowNumber: Long,
+    RawValue: String)
 
 /** One EtlBatchJobStatistics row (reference :574-588 + resume cols :258-284). */
 final case class BatchStats(
     BatchJobID: String,
-    InputDirectory: String,
+    DirectoryPath: String,
     BatchStartTime: java.sql.Timestamp,
     BatchEndTime: Option[java.sql.Timestamp],
     BatchStatus: String,          // InProgress | Completed | CompletedWithErrors | Failed

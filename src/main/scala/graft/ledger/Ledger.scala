@@ -96,7 +96,7 @@ object Ledger {
     val cutoff = new java.sql.Timestamp(
       System.currentTimeMillis() - maxAgeHours.toLong * 3600 * 1000)
     currentBatches(spark)
-      .filter(col("InputDirectory") === inputDir &&
+      .filter(col("DirectoryPath") === inputDir &&
         col("BatchStatus").isin("InProgress", "Failed") &&
         col("BatchStartTime") > lit(cutoff) &&
         col("TotalFiles") - col("FilesProcessed") - col("FilesFailed") > 0)

@@ -41,7 +41,7 @@ object BatchRunner {
       case None =>
         val id = java.util.UUID.randomUUID().toString
         Ledger.writeBatchStats(spark, BatchStats(
-          BatchJobID = id, InputDirectory = inputDir, BatchStartTime = now,
+          BatchJobID = id, DirectoryPath = inputDir, BatchStartTime = now,
           BatchEndTime = None, BatchStatus = "InProgress",
           TotalFiles = allFiles.size, FilesProcessed = 0, FilesFailed = 0,
           IsResumed = false, OriginalBatchJobID = None))
@@ -83,9 +83,13 @@ object BatchRunner {
         if (config.jobStatisticsEnabled) {
           val ts = new java.sql.Timestamp(System.currentTimeMillis())
           Ledger.writeJobStats(spark, JobStats(
-            java.util.UUID.randomUUID().toString, f, "", ts, ts, "Failed",
-            -1, 0, 0, -1, config.tableMode.name, config.transactionMode.name,
-            lastErr.map(_.getMessage), Some(batchId)))
+            JobRunID = java.util.UUID.randomUUID().toString,
+            JobStartTime = ts, JobEndTime = ts, JobDurationSeconds = 0,
+            JobStatus = "Failed", SourceFile = f, TargetTable = "",
+            RowsRead = -1, RowsInserted = 0, RowsUpdated = 0, RowsFailed = -1,
+            ErrorMessage = lastErr.map(_.getMessage), BatchJobID = Some(batchId),
+            TableMode = config.tableMode.name,
+            TransactionMode = config.transactionMode.name))
         }
       }
       if (job.result.status == "Failed") failed += 1 else processed += 1
@@ -98,7 +102,7 @@ object BatchRunner {
       else if (failed > 0) "CompletedWithErrors"
       else "Completed"
     Ledger.writeBatchStats(spark, BatchStats(
-      BatchJobID = batchId, InputDirectory = inputDir,
+      BatchJobID = batchId, DirectoryPath = inputDir,
       BatchStartTime = resumed.map(_.BatchStartTime).getOrElse(now),
       BatchEndTime = Some(new java.sql.Timestamp(System.currentTimeMillis())),
       BatchStatus = status, TotalFiles = allFiles.size + done.size,

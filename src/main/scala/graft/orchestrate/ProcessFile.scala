@@ -98,24 +98,27 @@ object ProcessFile {
 
     if (config.jobStatisticsEnabled)
       Ledger.writeJobStats(spark, JobStats(
-        JobRunID = jobRunId, SourceFile = filePath, TargetTable = table,
-        JobStartTime = start, JobEndTime = end, JobStatus = result.status,
+        JobRunID = jobRunId, JobStartTime = start, JobEndTime = end,
+        JobDurationSeconds = (end.getTime - start.getTime) / 1000,
+        JobStatus = result.status, SourceFile = filePath, TargetTable = table,
         RowsRead = result.rowsRead, RowsInserted = result.rowsInserted,
-        RowsUpdated = result.rowsUpdated, RowsErrored = result.rowsErrored,
-        TableMode = config.tableMode.name, TransactionMode = config.transactionMode.name,
-        ErrorMessage = result.errorMessage, BatchJobID = batchJobId))
+        RowsUpdated = result.rowsUpdated, RowsFailed = result.rowsErrored,
+        ErrorMessage = result.errorMessage, BatchJobID = batchJobId,
+        TableMode = config.tableMode.name, TransactionMode = config.transactionMode.name))
 
     if (config.errorLoggingEnabled) badRows.foreach { bad =>
       val errs = bad.select(
+        expr("uuid()").as("ErrorID"),
         lit(jobRunId).as("JobRunID"),
-        lit(filePath).as("SourceFile"),
-        col("_row_idx").as("RowNumber"),
+        lit(table).as("TableName"),
         lit("").as("ColumnName"),
         lit("constraint_violation").as("ErrorType"),
         lit("NOT NULL constraint violated").as("ErrorMessage"),
+        current_timestamp().as("ErrorTimestamp"),
+        lit(filePath).as("SourceFile"),
+        col("_row_idx").as("RowNumber"),
         to_json(struct(bad.columns.filterNot(_ == "_row_idx").map(col).toSeq: _*))
-          .as("RawValue"),
-        current_timestamp().as("ErrorTime"))
+          .as("RawValue"))
       Ledger.writeErrors(spark, errs)
       // row-level quarantine dump (reference logs/<stem>_<jobrun>.txt :1049-1058)
       moveTargetDir(spark, filePath, "logs").foreach { logs =>
