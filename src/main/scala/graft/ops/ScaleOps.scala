@@ -267,7 +267,8 @@ object ScaleOps {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
       |  FROM flagged
       |)
-      |SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
       |  COUNT(*) AS n_events
       |FROM seq GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin

@@ -54,6 +54,12 @@ def main():
         bad = None
         for c in got.columns:
             g, w = got[c], want[c]
+            # the driver hashes string reprs: an int64-vs-float64 dtype split
+            # (e.g. DuckDB HUGEINT sums -> float64) is a real mismatch even
+            # when values are numerically equal
+            if pd.api.types.is_float_dtype(g) != pd.api.types.is_float_dtype(w):
+                bad = f'DTYPE col={c} spark={g.dtype} duck={w.dtype}'
+                break
             if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
                 ok = np.allclose(g.astype(float), w.astype(float), rtol=0, atol=0, equal_nan=True)
                 exact = ok
