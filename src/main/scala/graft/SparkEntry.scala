@@ -47,6 +47,15 @@ object SparkEntry {
     "q35_ann_ivf"         -> (ScaleOps.q35AnnIvf _),
     "q36_curation"        -> (ScaleOps.q36Curation _),
     "q37_approx_sketches" -> (ScaleOps.q37ApproxSketches _),
+    "q38_range_join"      -> (graft.ops.Relational3.q38RangeJoin _),
+    "q39_setops"          -> (graft.ops.Relational3.q39SetOps _),
+    "q40_grouping_sets"   -> (graft.ops.Relational3.q40GroupingSets _),
+    "q41_string_funcs"    -> (graft.ops.Relational3.q41StringFuncs _),
+    "q42_wordcount"       -> (graft.ops.Relational3.q42WordCount _),
+    "q43_above_avg"       -> (graft.ops.Relational3.q43AboveAvg _),
+    "q44_window_nav"      -> (graft.ops.Relational3.q44WindowNav _),
+    "q45_interval_join"   -> (graft.ops.Relational3.q45IntervalJoin _),
+    "q46_json"            -> (graft.ops.Relational3.q46Json _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -81,6 +90,15 @@ object SparkEntry {
     "q33_cube"            -> graft.ops.Relational2.q33Sql,
     "q34_percentile"      -> graft.ops.Relational2.q34Sql,
     "q36_curation"        -> ScaleOps.q36Sql,
+    "q38_range_join"      -> graft.ops.Relational3.q38Sql,
+    "q39_setops"          -> graft.ops.Relational3.q39Sql,
+    "q40_grouping_sets"   -> graft.ops.Relational3.q40Sql,
+    "q41_string_funcs"    -> graft.ops.Relational3.q41Sql,
+    "q42_wordcount"       -> graft.ops.Relational3.q42Sql,
+    "q43_above_avg"       -> graft.ops.Relational3.q43Sql,
+    "q44_window_nav"      -> graft.ops.Relational3.q44Sql,
+    "q45_interval_join"   -> graft.ops.Relational3.q45Sql,
+    "q46_json"            -> graft.ops.Relational3.q46Sql,
     // q21-q26 and q35 are hash-signature / stub-codec / IVF ops: not
     // SQL-expressible in the oracle — driver records rows-only checks;
     // ground truth lives in the ScalaTest suites (recall vs exact Jaccard /

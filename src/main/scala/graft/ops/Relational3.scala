@@ -1,0 +1,258 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Relational.{t, events}
+
+/** Third wave of relational operators: range/band join, set operations,
+  * grouping sets, string functions, explode word-count, decorrelated
+  * scalar subquery, window navigation functions, temporal interval join,
+  * JSON extraction. All oracle-checked against DuckDB.
+  *
+  * Reference surface: the loader's per-row transform layer
+  * (`/root/reference/src/file-to-sql-loader.py` datetime/string handling)
+  * only needs scalar projections; everything here is the relational
+  * closure a user of that loader reaches for next once the data is in a
+  * queryable table.
+  */
+object Relational3 {
+
+  // ----------------------------------------------------------------------
+  // Range (band) join: classify each lineitem row into a price band by a
+  // non-equi BETWEEN join. The band dim is tiny → broadcast nested-loop is
+  // the right physical plan at any scale (3 comparisons/row, no shuffle on
+  // the fact side). For a large interval table the rewrite is banding:
+  // floor(price/width) equi-key + residual filter — documented knob, not
+  // needed for a 3-row dim.
+  def q38RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("low", 0.0, 20000.0),
+      ("mid", 20000.0, 50000.0),
+      ("high", 50000.0, 1000000000.0)).toDF("band", "lo", "hi")
+    t(s, dir, "lineitem")
+      .select(col("l_extendedprice"), col("l_quantity"))
+      .join(broadcast(bands),
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+      .orderBy(col("band"))
+  }
+
+  val q38Sql: String =
+    """SELECT band, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |JOIN (VALUES ('low', 0.0, 20000.0), ('mid', 20000.0, 50000.0),
+      |             ('high', 50000.0, 1000000000.0)) AS b(band, lo, hi)
+      |  ON l_extendedprice >= lo AND l_extendedprice < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // Set operations: INTERSECT / EXCEPT with SQL set (distinct) semantics.
+  // Catalyst plans both as aggregated joins (semi/anti over distinct keys)
+  // — one shuffle per op on the key, no row blowup.
+  def q39SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def keys(status: String) =
+      o.filter(col("o_orderstatus") === status).select(col("o_custkey"))
+    keys("O").intersect(keys("F")).except(keys("P"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q39Sql: String =
+    """SELECT o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+      |) ORDER BY o_custkey""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // Explicit GROUPING SETS with grouping() indicators — the generalization
+  // of rollup (q12) / cube (q33): caller-chosen aggregation lattice, one
+  // Expand + one shuffle regardless of how many sets.
+  def q40GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.createOrReplaceTempView("graft_q40_lineitem")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        COUNT(*) AS n
+      FROM graft_q40_lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  }
+
+  val q40Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // String-function projection: regex extract, split/element access, case
+  // fold, length, edit distance — all codegen'd builtins, pure map over
+  // the scan (no shuffle, survives any scale).
+  def q41StringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        element_at(split(col("p_name"), " "), 1).as("first_tok"),
+        upper(col("p_brand")).as("brand_up"),
+        length(col("p_name")).cast("long").as("name_len"),
+        levenshtein(col("p_name"), lit("widget")).cast("long").as("lev"))
+      .orderBy(col("p_partkey"))
+
+  val q41Sql: String =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+      |  string_split(p_name, ' ')[1] AS first_tok,
+      |  upper(p_brand) AS brand_up,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  CAST(levenshtein(p_name, 'widget') AS BIGINT) AS lev
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // Explode + aggregate (word count): the canonical flatten-then-reduce.
+  // Map-side: split+explode stays in whole-stage codegen; one shuffle on
+  // the token; top-k by (count, token) is a total order so LIMIT is
+  // deterministic.
+  def q42WordCount(s: SparkSession, dir: String): DataFrame =
+    Relational.fanOut(t(s, dir, "documents"))
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  val q42Sql: String =
+    """SELECT token, COUNT(*) AS n FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      |) WHERE token <> ''
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // Correlated scalar subquery, decorrelated: customers with more orders
+  // than their market segment's average. Spark-first this is two
+  // aggregations + a broadcast of the 5-row per-segment average — the
+  // decorrelation Catalyst would do for the subquery form, written
+  // explicitly so the segment-average exchange is visibly tiny.
+  // Float discipline: avg(long) is sum/count in double on both engines —
+  // counts are exact in double, so the boundary comparison agrees.
+  def q43AboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select("o_custkey")
+    val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    val perCust = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    val segAvg = perCust.groupBy(col("c_mktsegment").as("seg"))
+      .agg(avg(col("n_orders")).as("seg_avg"))
+    perCust.join(broadcast(segAvg), col("c_mktsegment") === col("seg"))
+      .filter(col("n_orders") > col("seg_avg"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_above"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q43Sql: String =
+    """WITH per_cust AS (
+      |  SELECT c_mktsegment, c_custkey, COUNT(*) AS n_orders
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |), seg AS (
+      |  SELECT c_mktsegment AS seg, AVG(n_orders) AS seg_avg FROM per_cust GROUP BY 1
+      |)
+      |SELECT c_mktsegment, COUNT(*) AS n_above
+      |FROM per_cust JOIN seg ON c_mktsegment = seg
+      |WHERE n_orders > seg_avg
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // Window navigation: lag/lead/ntile/first_value per customer ordered by
+  // (o_orderdate, o_orderkey) — full tie-break so every engine sorts
+  // identically. One shuffle on o_custkey serves all four functions.
+  def q44WindowNav(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        first_value(col("o_orderkey")).over(w).as("first_key"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q44Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  first_value(o_orderkey) OVER w AS first_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // Temporal interval join: for every signup, how many non-signup events
+  // the same user produced within the following hour. Equi key (user_id)
+  // + range predicate → sort-merge join with a range filter: the shuffle
+  // is on user_id only, so the plan scales with user cardinality, not
+  // with the interval width.
+  def q45IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts").as("signup_ts"))
+    val others = e.filter(col("event_type") =!= "signup")
+      .select(col("user_id").as("u2"), col("ts").as("ets"))
+    signups.join(others,
+        col("user_id") === col("u2") &&
+          col("ets") >= col("signup_ts") &&
+          col("ets") <= col("signup_ts") + expr("INTERVAL 1 HOUR"),
+        "left")
+      .groupBy(col("user_id"), col("signup_id"))
+      .agg(count(col("ets")).as("n_follow"))
+      .orderBy(col("user_id"), col("signup_id"))
+  }
+
+  val q45Sql: String =
+    """SELECT s.user_id, s.event_id AS signup_id, COUNT(o.ts) AS n_follow
+      |FROM events s
+      |LEFT JOIN events o ON o.user_id = s.user_id AND o.event_type <> 'signup'
+      |  AND o.ts >= s.ts AND o.ts <= s.ts + INTERVAL 1 HOUR
+      |WHERE s.event_type = 'signup'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // JSON extraction from a string column (events.props = {"k": N}):
+  // path-extract + cast + aggregate. get_json_object is a codegen'd
+  // builtin; the JSON parse happens once per row map-side.
+  def q46Json(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val q46Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+}

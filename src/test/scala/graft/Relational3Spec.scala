@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Relational, Relational3}
+
+/** Invariants for the third relational wave (q38-q46). Value-level ground
+  * truth is the DuckDB oracle (driver + tools/compare_oracle.py); these
+  * tests pin the structural properties the oracle can't see.  */
+class Relational3Spec extends GraftSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q38 bands partition the fact table (every row in exactly one band)") {
+    val out = Relational3.q38RangeJoin(spark, sf)
+    val total = out.agg(sum(col("n"))).head.getLong(0)
+    val liRows = Relational.t(spark, sf, "lineitem").count()
+    assert(total == liRows)
+  }
+
+  test("q39 set ops: result ⊆ O∩F and disjoint from P") {
+    val o = Relational.t(spark, sf, "orders")
+    val res = Relational3.q39SetOps(spark, sf)
+    val p = o.filter(col("o_orderstatus") === "P").select("o_custkey")
+    assert(res.join(p, Seq("o_custkey"), "left_semi").count() == 0)
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey").distinct()
+    assert(res.join(open, Seq("o_custkey"), "left_semi").count() == res.count())
+    assert(res.select("o_custkey").distinct().count() == res.count())
+  }
+
+  test("q40 grouping sets: per-set counts each total the table") {
+    val out = Relational3.q40GroupingSets(spark, sf).cache()
+    val liRows = Relational.t(spark, sf, "lineitem").count()
+    // set (l_returnflag): g_rf=0, g_ls=1; set (l_linestatus): 1/0; (): 1/1
+    val byRf = out.filter(col("g_rf") === 0 && col("g_ls") === 1)
+      .agg(sum("n")).head.getLong(0)
+    val byLs = out.filter(col("g_rf") === 1 && col("g_ls") === 0)
+      .agg(sum("n")).head.getLong(0)
+    val grand = out.filter(col("g_rf") === 1 && col("g_ls") === 1)
+      .select("n").head.getLong(0)
+    assert(byRf == liRows && byLs == liRows && grand == liRows)
+    out.unpersist()
+  }
+
+  test("q41 string funcs: one row per part, extracts are consistent") {
+    val out = Relational3.q41StringFuncs(spark, sf).cache()
+    assert(out.count() == Relational.t(spark, sf, "part").count())
+    // p_name is "word word"; the regex last word == last split token
+    val bad = out.filter(col("last_word") === "").count()
+    assert(bad == 0)
+    out.unpersist()
+  }
+
+  test("q42 word count: exactly 20 rows, descending counts") {
+    val rows = Relational3.q42WordCount(spark, sf).collect()
+    assert(rows.length == 20)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q43 above-avg: strictly fewer than all customers per segment") {
+    val out = Relational3.q43AboveAvg(spark, sf)
+    val perSeg = Relational.t(spark, sf, "customer")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_cust"))
+    val joined = out.join(perSeg, "c_mktsegment")
+    assert(joined.filter(col("n_above") >= col("n_cust")).count() == 0)
+    assert(out.count() > 0)
+  }
+
+  test("q44 window nav: one row per order; quartile in 1..4; lag/lead inverse") {
+    val out = Relational3.q44WindowNav(spark, sf).cache()
+    assert(out.count() == Relational.t(spark, sf, "orders").count())
+    assert(out.filter(col("quartile") < 1 || col("quartile") > 4).count() == 0)
+    // a row's next_price must equal the successor row's o_totalprice:
+    // round-trip via self-join on (custkey, successor key ordering) is
+    // covered by the oracle; here just pin null structure — exactly one
+    // null prev_price and one null next_price per customer group.
+    val perCust = out.groupBy("o_custkey").agg(
+      sum(when(col("prev_price").isNull, 1).otherwise(0)).as("n0"),
+      sum(when(col("next_price").isNull, 1).otherwise(0)).as("n1"))
+    assert(perCust.filter(col("n0") =!= 1 || col("n1") =!= 1).count() == 0)
+    out.unpersist()
+  }
+
+  test("q45 interval join: one row per signup; follows are non-negative") {
+    val out = Relational3.q45IntervalJoin(spark, sf).cache()
+    val nSignups = Relational.events(spark, sf)
+      .filter(col("event_type") === "signup").count()
+    assert(out.count() == nSignups)
+    assert(out.filter(col("n_follow") < 0).count() == 0)
+    // at least one signup has follow-up activity in the hour
+    assert(out.filter(col("n_follow") > 0).count() > 0)
+    out.unpersist()
+  }
+
+  test("q46 json: k extraction parses every row") {
+    val e = Relational.events(spark, sf)
+    val out = Relational3.q46Json(spark, sf)
+    val total = out.agg(sum(col("n"))).head.getLong(0)
+    assert(total == e.count())
+    // sum_k present (props always has k) and bounded by n*max_k
+    assert(out.filter(col("sum_k").isNull).count() == 0)
+    assert(out.filter(col("sum_k") > col("n") * col("max_k")).count() == 0)
+  }
+}
