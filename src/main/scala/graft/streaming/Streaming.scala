@@ -50,6 +50,35 @@ object Streaming {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col(keyCol), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the continuous form of the batch
+    * `dedup.Dedup.exactDedup`: keep the first row per key, with state
+    * bounded by the watermark (a duplicate arriving later than
+    * `watermark` after its twin is out of scope, so per-key state is
+    * dropped once the event-time watermark passes — without this the
+    * state store grows with key cardinality forever, which is the thing
+    * that kills exact streaming dedup at 100 TB/day). */
+  def streamingDedup(df: DataFrame, tsCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-stream interval join — the continuous form of the batch
+    * interval join (ops.Relational3.q45IntervalJoin): left rows join right
+    * rows for the same key within `[left.ts, left.ts + within]`. Both
+    * sides carry watermarks and the join condition bounds event-time on
+    * both sides, so each side's buffered state is evictable — the only
+    * formulation of a stream-stream join that runs indefinitely. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, watermark: String,
+      within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"))
+  }
+
   // --- custom state: sessionization ------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)

@@ -104,4 +104,60 @@ class StreamingSpec extends GraftSuite {
       "1 hour", "1 hour", "1 hour")
     assert(hourly.count() > 0)
   }
+
+  test("streaming dedup drops watermark-window duplicates exactly once") {
+    val in = tempDir("dedup_in"); val ckpt = tempDir("dedup_ckpt")
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", "a"),
+      (1L, "2024-01-01 00:00:20", "a-dup"),   // same key within watermark
+      (2L, "2024-01-01 00:00:30", "b"),
+      (3L, "2024-01-01 00:01:00", "c"))
+    rows.toDF("k", "ts_str", "payload")
+      .withColumn("ts", to_timestamp($"ts_str")).drop("ts_str")
+      .write.mode("overwrite").parquet(in.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("k", LongType), StructField("payload", StringType),
+        StructField("ts", TimestampType))))
+      .parquet(in.toString)
+    val deduped = Streaming.streamingDedup(stream, "ts", "10 minutes", Seq("k"))
+    val q = deduped.writeStream.format("memory").queryName("dedupout")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000L), "stream did not drain in time")
+      val got = spark.table("dedupout")
+      assert(got.count() == 3)
+      assert(got.select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches the batch interval join") {
+    val inL = tempDir("ssj_l"); val inR = tempDir("ssj_r")
+    def mk(rows: Seq[(Long, String)], dir: java.nio.file.Path) =
+      rows.toDF("k", "ts_str").withColumn("ts", to_timestamp($"ts_str"))
+        .drop("ts_str").write.mode("overwrite").parquet(dir.toString)
+    mk(Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-01 01:00:00")), inL)
+    mk(Seq(
+      (1L, "2024-01-01 00:30:00"),  // within 1h of left(1) → joins
+      (1L, "2024-01-01 02:00:00"),  // outside → dropped
+      (2L, "2024-01-01 01:59:00")), // within 1h of left(2) → joins
+      inR)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("ts", TimestampType)))
+    val l = spark.readStream.schema(schema).parquet(inL.toString)
+      .withColumnRenamed("ts", "lts")
+    val r = spark.readStream.schema(schema).parquet(inR.toString)
+      .withColumnRenamed("ts", "rts")
+    val joined = Streaming.intervalJoinStream(l, r, "k", "lts", "rts",
+      "2 hours", "1 HOUR")
+      .select(col("l.k").as("lk"), col("l.lts"), col("r.rts"))
+    val q = joined.writeStream.format("memory").queryName("ssjout")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000L), "stream did not drain in time")
+      val got = spark.table("ssjout").select("lk").as[Long].collect().sorted
+      assert(got.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
 }
