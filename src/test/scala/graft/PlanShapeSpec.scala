@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.{Relational, Relational3}
+
+/** Physical-plan shape assertions for the scale-critical properties: the
+  * 100 TB design claims (pushdown, broadcast, partial aggregation, equi-key
+  * extraction) are checked against the actual Catalyst output, not just
+  * stated in docs. Uses sf0.001 — plan shape is scale-invariant for these
+  * properties (broadcasts come from explicit hints, pushdown from the
+  * declarative filter position).  */
+class PlanShapeSpec extends GraftSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: filters are pushed to the parquet scan and columns pruned") {
+    val p = plan(Relational.q02FilterScan(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), p)
+    // projection requires only 4 columns — the scan must not read the rest
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("q03/q04: dimension joins broadcast (no fact-side shuffle for the join)") {
+    assert(plan(Relational.q03JoinRevenue(spark, sf)).contains("BroadcastHashJoin"))
+    assert(plan(Relational.q04BroadcastDim(spark, sf)).contains("BroadcastHashJoin"))
+  }
+
+  test("q01: aggregation is two-phase (map-side partial before the shuffle)") {
+    val p = plan(Relational.q01PricingSummary(spark, sf))
+    val n = "HashAggregate".r.findAllIn(p).length
+    assert(n >= 2, s"expected partial+final HashAggregate, got $n in\n$p")
+  }
+
+  test("q42: explode word count keeps map-side combine") {
+    val p = plan(Relational3.q42WordCount(spark, sf))
+    val n = "HashAggregate".r.findAllIn(p).length
+    assert(n >= 2, s"expected partial+final HashAggregate, got $n in\n$p")
+  }
+
+  test("q38: tiny band dim uses broadcast nested-loop (no shuffle, no cartesian)") {
+    val p = plan(Relational3.q38RangeJoin(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q45: interval join extracts the equi key (never a cartesian/NLJ plan)") {
+    val p = plan(Relational3.q45IntervalJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the range predicate rides the equi join as a post-join condition
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q44: all four window functions share one hash exchange") {
+    val p = plan(Relational3.q44WindowNav(spark, sf))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected a single window shuffle, got $n in\n$p")
+  }
+}
