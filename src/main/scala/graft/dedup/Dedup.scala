@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.text.TextAnalysis
 
 /** Deduplication operators for the training-data pipeline layer.
@@ -56,13 +57,40 @@ object Dedup {
   /** All pairs with Jaccard(shingle sets) ≥ threshold. Pair space is bounded
     * by shared-shingle collisions (equi-join on the shingle hash), so cost
     * is Σ_shingle df(shingle)² — fine for natural text; a stopword-like
-    * super-frequent shingle would need a df cap (documented knob). */
+    * super-frequent shingle needs the df cap (`maxDf` below). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    jaccardPairsImpl(df, idCol, textCol, k, threshold, maxDf = None)
+
+  /** Scale-hardened variant: shingles occurring in more than `maxDf`
+    * documents are excluded from CANDIDATE GENERATION (the self-join), so
+    * the worst-case pair blowup is bounded by maxDf² per shingle instead
+    * of corpus². True set sizes (n_a/n_b) still come from the uncapped
+    * table, so the reported jaccard is a LOWER BOUND: precision is exact
+    * (every emitted pair really has ≥ the printed overlap from rare
+    * shingles alone); recall is lost only for pairs whose entire overlap
+    * is super-frequent shingles — at a stopword-level cap those pairs are
+    * boilerplate matches, not near-duplicates. */
+  def jaccardPairsCapped(df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double, maxDf: Int): DataFrame =
+    jaccardPairsImpl(df, idCol, textCol, k, threshold, maxDf = Some(maxDf))
+
+  private def jaccardPairsImpl(df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double, maxDf: Option[Int]): DataFrame = {
     // the shingle table feeds three plan branches (both join sides + the
     // size agg) — materialize it once
-    val sh = shingleTable(df, idCol, textCol, k).cache()
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val shAll = shingleTable(df, idCol, textCol, k).cache()
+    val sh = maxDf match {
+      case None => shAll
+      case Some(cap) =>
+        // df per shingle hash, computed once; the window avoids a second
+        // shuffle over the join branches (the filter rides the same
+        // hash-partitioning the self-join needs anyway)
+        shAll.withColumn("_df",
+            count(lit(1)).over(Window.partitionBy(col("sh"))))
+          .filter(col("_df") <= cap).drop("_df")
+    }
+    val sizes = shAll.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))

@@ -57,6 +57,18 @@ object Scale {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Persist `df` hive-partitioned by `partCol` (e.g. curated documents by
+    * language, facts by date): a filter on the partition column prunes
+    * whole directories at plan time — the scan never lists, let alone
+    * reads, the excluded partitions (verified in ScaleSpec via
+    * PartitionFilters). The other write-once layout investment next to
+    * bucketing; at 100 TB partition pruning is the difference between
+    * scanning a day and scanning a decade. */
+  def partitionedMirror(df: DataFrame, table: String, partCol: String): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partCol)
+      .format("parquet").saveAsTable(table)
+
   // --- driver-contract queries ------------------------------------------
 
   /** Salted two-phase aggregation over the pathologically-skewed

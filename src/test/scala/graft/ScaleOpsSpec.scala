@@ -34,6 +34,20 @@ class DedupSpec extends GraftSuite {
     assert(!keys.exists { case (a, b) => Set(a, b).contains(3L) && Set(a, b).contains(5L) })
   }
 
+  test("df-capped jaccard: generous cap is exact; tight cap only loses pairs") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    // cap >= corpus size excludes nothing
+    val generous = Dedup.jaccardPairsCapped(docs, "doc_id", "text", 3, 0.5,
+      maxDf = 1000).orderBy("doc_a", "doc_b").collect().toSeq
+    assert(generous == exact)
+    // a tight cap may drop pairs (recall) but never invent them (precision)
+    val tight = Dedup.jaccardPairsCapped(docs, "doc_id", "text", 3, 0.5, maxDf = 2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactKeys = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(exactKeys), s"invented: ${tight -- exactKeys}")
+  }
+
   test("minhash LSH recall: every exact-jaccard>=0.8 pair is recovered") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

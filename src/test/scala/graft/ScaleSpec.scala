@@ -27,6 +27,19 @@ class ScaleSpec extends GraftSuite {
     assert(direct == salted)
   }
 
+  test("partitioned mirror prunes partitions at plan time") {
+    val t = s"part_docs_${System.nanoTime()}"
+    Scale.partitionedMirror(
+      Seq((1L, "aa", "en"), (2L, "bb", "en"), (3L, "cc", "de"))
+        .toDF("doc_id", "text", "lang"), t, "lang")
+    val q = spark.table(t).filter($"lang" === "en")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), p)
+    // the partition filter actually carries the lang predicate
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"), p)
+    assert(q.count() == 2)
+  }
+
   test("bucketed mirror joins without any Exchange") {
     val a = s"bkt_a_${System.nanoTime()}"; val b = s"bkt_b_${System.nanoTime()}"
     Scale.bucketedMirror(Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "s"), a, "id", 4)
