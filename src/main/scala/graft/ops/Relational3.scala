@@ -155,9 +155,13 @@ object Relational3 {
     val perCust = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("c_custkey"))
       .agg(count(lit(1)).as("n_orders"))
-    val segAvg = perCust.groupBy(col("c_mktsegment").as("seg"))
-      .agg(avg(col("n_orders")).as("seg_avg"))
-    perCust.join(broadcast(segAvg), col("c_mktsegment") === col("seg"))
+    // segment average as a window over the per-customer agg: perCust is
+    // computed ONCE (vs the naive two-branch plan that re-joins and
+    // re-aggregates it), and the final per-segment count reuses the
+    // window's hash partitioning — 2 exchanges total instead of 4.
+    val w = Window.partitionBy(col("c_mktsegment"))
+    perCust
+      .withColumn("seg_avg", avg(col("n_orders")).over(w))
       .filter(col("n_orders") > col("seg_avg"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_above"))
