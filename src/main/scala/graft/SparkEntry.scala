@@ -56,6 +56,8 @@ object SparkEntry {
     "q44_window_nav"      -> (graft.ops.Relational3.q44WindowNav _),
     "q45_interval_join"   -> (graft.ops.Relational3.q45IntervalJoin _),
     "q46_json"            -> (graft.ops.Relational3.q46Json _),
+    "q47_count_distinct"  -> (graft.ops.Relational3.q47CountDistinct _),
+    "q48_moving_avg"      -> (graft.ops.Relational3.q48MovingAvg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -99,6 +101,8 @@ object SparkEntry {
     "q44_window_nav"      -> graft.ops.Relational3.q44Sql,
     "q45_interval_join"   -> graft.ops.Relational3.q45Sql,
     "q46_json"            -> graft.ops.Relational3.q46Sql,
+    "q47_count_distinct"  -> graft.ops.Relational3.q47Sql,
+    "q48_moving_avg"      -> graft.ops.Relational3.q48Sql,
     // q21-q26 and q35 are hash-signature / stub-codec / IVF ops: not
     // SQL-expressible in the oracle — driver records rows-only checks;
     // ground truth lives in the ScalaTest suites (recall vs exact Jaccard /

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import Relational.{t, events}
+import Relational.{t, events, fanOut}
 
 /** Third wave of relational operators: range/band join, set operations,
   * grouping sets, string functions, explode word-count, decorrelated
@@ -259,4 +259,50 @@ object Relational3 {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // Multi-column exact COUNT(DISTINCT): Catalyst plans N distinct columns
+  // as one Expand (N+1 projections) + two-phase aggregate — one shuffle,
+  // no N-pass scan. The exact companion to q37's HLL sketches.
+  def q47CountDistinct(s: SparkSession, dir: String): DataFrame =
+    fanOut(t(s, dir, "lineitem"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_suppkey")).as("nd_supps"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q47Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS nd_parts,
+      |  COUNT(DISTINCT l_suppkey) AS nd_supps,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // RANGE-frame moving aggregate: per user, the trailing-1-hour average of
+  // `value` — an event-TIME frame (peers by timestamp distance), not a row
+  // count. Frame key is epoch MICROseconds on both engines so boundaries
+  // are bit-identical; the sum inside the frame is exact decimal so
+  // accumulation order can't drift.
+  def q48MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0L)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (sum(col("value").cast("decimal(18,4)")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("mv_avg"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q48Sql: String =
+    """SELECT user_id, event_id, ts,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+      |    / COUNT(*) OVER w AS mv_avg
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
 }

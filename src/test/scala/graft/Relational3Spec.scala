@@ -91,6 +91,25 @@ class Relational3Spec extends GraftSuite {
     out.unpersist()
   }
 
+  test("q47 count distinct: nd <= n and matches per-column distinct") {
+    val out = Relational3.q47CountDistinct(spark, sf).cache()
+    assert(out.filter(col("nd_parts") > col("n")).count() == 0)
+    val li = Relational.t(spark, sf, "lineitem")
+    val direct = li.filter(col("l_returnflag") === "R")
+      .select("l_partkey").distinct().count()
+    val got = out.filter(col("l_returnflag") === "R").head.getAs[Long]("nd_parts")
+    assert(got == direct)
+    out.unpersist()
+  }
+
+  test("q48 moving avg: one row per event; single-event frames equal value") {
+    val out = Relational3.q48MovingAvg(spark, sf)
+    val e = Relational.events(spark, sf)
+    assert(out.count() == e.count())
+    // every frame contains at least the current row → mv_avg never null
+    assert(out.filter(col("mv_avg").isNull).count() == 0)
+  }
+
   test("q46 json: k extraction parses every row") {
     val e = Relational.events(spark, sf)
     val out = Relational3.q46Json(spark, sf)
