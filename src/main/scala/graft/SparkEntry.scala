@@ -58,6 +58,7 @@ object SparkEntry {
     "q46_json"            -> (graft.ops.Relational3.q46Json _),
     "q47_count_distinct"  -> (graft.ops.Relational3.q47CountDistinct _),
     "q48_moving_avg"      -> (graft.ops.Relational3.q48MovingAvg _),
+    "q49_grouped_topk"    -> (graft.ops.Relational3.q49GroupedTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -103,6 +104,7 @@ object SparkEntry {
     "q46_json"            -> graft.ops.Relational3.q46Sql,
     "q47_count_distinct"  -> graft.ops.Relational3.q47Sql,
     "q48_moving_avg"      -> graft.ops.Relational3.q48Sql,
+    "q49_grouped_topk"    -> graft.ops.Relational3.q49Sql,
     // q21-q26 and q35 are hash-signature / stub-codec / IVF ops: not
     // SQL-expressible in the oracle — driver records rows-only checks;
     // ground truth lives in the ScalaTest suites (recall vs exact Jaccard /

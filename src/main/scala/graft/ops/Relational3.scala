@@ -305,4 +305,33 @@ object Relational3 {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // Per-group top-k via the custom bounded-buffer aggregate
+  // (functions.GroupedTopK): map-side partials keep only k pairs per
+  // group, so the exchange carries groups x k rows — vs the window
+  // formulation shuffling and sorting the entire input. Same rows as the
+  // row_number() oracle (key DESC, id ASC tie-break, unique ids).
+  def q49GroupedTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge._
+    val topk = column(graft.functions.GroupedTopK(
+      expression(col("p_retailprice")), expression(col("p_partkey")), k = 3)
+      .toAggregateExpression())
+    fanOut(t(s, dir, "part"))
+      .groupBy(col("p_type"))
+      .agg(topk.as("topk"))
+      .select(col("p_type"), posexplode(col("topk")))
+      .select(col("p_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.key").as("price"), col("col.id").as("p_partkey"))
+      .orderBy(col("p_type"), col("rank"))
+  }
+
+  val q49Sql: String =
+    """SELECT p_type, rank, price, p_partkey FROM (
+      |  SELECT p_type,
+      |    row_number() OVER (PARTITION BY p_type
+      |      ORDER BY p_retailprice DESC, p_partkey) AS rank,
+      |    p_retailprice AS price, p_partkey
+      |  FROM part
+      |) WHERE rank <= 3 ORDER BY p_type, rank""".stripMargin
 }

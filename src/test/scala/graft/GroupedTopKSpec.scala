@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+import graft.functions.GroupedTopK
+
+class GroupedTopKSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def topkCol(key: String, id: String, k: Int) =
+    column(GroupedTopK(expression(col(key)), expression(col(id)), k)
+      .toAggregateExpression())
+
+  test("matches the window row_number formulation on the part table") {
+    val p = graft.ops.Relational.t(spark, "/root/testdata/sf0.001", "part")
+    val viaAgg = p.groupBy($"p_type")
+      .agg(topkCol("p_retailprice", "p_partkey", 3).as("topk"))
+      .select($"p_type", posexplode($"topk"))
+      .select($"p_type", ($"pos" + 1).as("rank"),
+        $"col.key".as("price"), $"col.id".as("id"))
+    val w = Window.partitionBy($"p_type")
+      .orderBy($"p_retailprice".desc, $"p_partkey")
+    val viaWindow = p
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"p_type", $"rank".cast("int").as("rank"),
+        $"p_retailprice".as("price"), $"p_partkey".as("id"))
+    assert(viaAgg.orderBy("p_type", "rank").collect().toSeq ==
+      viaWindow.orderBy("p_type", "rank").collect().toSeq)
+  }
+
+  test("ties break by id ascending; fewer rows than k is fine") {
+    val df = Seq(
+      ("a", 5.0, 10L), ("a", 5.0, 7L), ("a", 5.0, 20L), ("a", 1.0, 1L),
+      ("b", 2.0, 2L)).toDF("g", "key", "id")
+      .repartition(4) // force multi-partition partials + merge path
+    val out = df.groupBy($"g").agg(topkCol("key", "id", 2).as("topk"))
+      .select($"g", posexplode($"topk"))
+      .select($"g", $"col.key", $"col.id")
+      .orderBy($"g", $"pos").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(out == Seq(("a", 5.0, 7L), ("a", 5.0, 10L), ("b", 2.0, 2L)))
+  }
+
+  test("plans as partial+final ObjectHashAggregate (map-side k-pruning)") {
+    val p = graft.ops.Relational.t(spark, "/root/testdata/sf0.001", "part")
+    val plan = p.groupBy($"p_type")
+      .agg(topkCol("p_retailprice", "p_partkey", 3).as("topk"))
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert(plan.contains("partial_grouped_top_k"), plan)
+  }
+}
