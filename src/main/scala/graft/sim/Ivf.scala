@@ -130,11 +130,7 @@ object Ivf {
     val cand = index.assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cos", dot(col("cv"), col("qv")) / (col("cnorm") * col("qnorm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("rank"), col("corpus_id"), col("cos"))
+    Ann.topKPerQuery(cand, topK)
   }
 }
 
