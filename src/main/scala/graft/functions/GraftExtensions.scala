@@ -33,7 +33,18 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => NormSq(exprs.head)),
     (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)),
+    (FunctionIdentifier("grouped_top_k"),
+      info("grouped_top_k",
+        "grouped_top_k(key, id, k) - aggregate: top-k (key,id) pairs per group, key DESC id ASC"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"grouped_top_k: k must be an integer literal, got $other")
+        }
+        GroupedTopK(exprs(0), exprs(1), k)
+      }))
 
   /** Install into an already-built session (extensions only run at session
     * construction). */

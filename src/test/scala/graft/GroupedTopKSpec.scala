@@ -42,6 +42,18 @@ class GroupedTopKSpec extends GraftSuite {
     assert(out == Seq(("a", 5.0, 7L), ("a", 5.0, 10L), ("b", 2.0, 2L)))
   }
 
+  test("SQL registration: grouped_top_k usable from spark.sql") {
+    graft.functions.GraftExtensions.registerAll(spark)
+    Seq(("a", 3.0, 1L), ("a", 9.0, 2L), ("a", 5.0, 3L), ("b", 1.0, 4L))
+      .toDF("g", "key", "id").createOrReplaceTempView("gtk_in")
+    val rows = spark.sql(
+      """SELECT g, t.id FROM (
+        |  SELECT g, grouped_top_k(key, id, 2) AS topk FROM gtk_in GROUP BY g
+        |) LATERAL VIEW explode(topk) AS t ORDER BY g, t.key DESC""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("a", 2L), ("a", 3L), ("b", 4L)))
+  }
+
   test("plans as partial+final ObjectHashAggregate (map-side k-pruning)") {
     val p = graft.ops.Relational.t(spark, "/root/testdata/sf0.001", "part")
     val plan = p.groupBy($"p_type")
