@@ -72,21 +72,19 @@ object Multimodal {
     StructField("n_bytes", LongType),
     StructField("feat", ArrayType(FloatType))))
 
-  /** Decode + feature-extract, batch-at-a-time per partition (the Scala
-    * analog of mapInPandas: one iterator pass, no per-row JVM⇄native
-    * round-trips, output schema declared up front). `cellW×cellH` is the
-    * decode target ("resize"). */
+  /** Decode + feature-extract as a plan-native projection: the decode
+    * kernel is a codegen'd Catalyst expression (StubDecode), so the whole
+    * pipeline — null handling, byte length, decode — stays in one
+    * WholeStageCodegen span with column pruning intact (the earlier RDD
+    * mapPartitions formulation deserialized every row and split the
+    * stage). `cellW×cellH` is the decode target ("resize"). */
   def decodeFeatures(media: DataFrame, cellW: Int = 8, cellH: Int = 8): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        val feat = StubCodec.decode(bytes, cellW, cellH)
-        Row(id, bytes.length.toLong, feat.toSeq)
-      }
-    }
-    spark.createDataFrame(rdd, featureSchema)
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val content = coalesce(col("content"), lit(Array.emptyByteArray))
+    media.select(
+      col("media_id"),
+      length(content).cast("long").as("n_bytes"),
+      column(StubDecode(expression(content), cellW, cellH)).as("feat"))
   }
 
   /** Frame sampling for video-typed rows: emit one (media_id, frame_idx,
@@ -101,20 +99,11 @@ object Multimodal {
         explode(sequence(lit(0L),
           (coalesce(col("meta.duration_ms"), lit(0L)) / lit(everyMs))
             .cast("long"))).as("frame_idx"))
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("frame_idx", LongType, nullable = false),
-      StructField("frame_feat", ArrayType(FloatType))))
-    val rdd = withFrames.select("media_id", "content", "frame_idx").rdd.mapPartitions { it =>
-      it.map { r =>
-        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        val idx = r.getLong(2)
-        // frame seek stub: offset the byte stream by the frame index
-        val off = if (bytes.isEmpty) bytes
-          else bytes.drop((idx % math.max(1, bytes.length)).toInt)
-        Row(r.getLong(0), idx, StubCodec.decode(off, cellW, cellH).toSeq)
-      }
-    }
-    spark.createDataFrame(rdd, schema)
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val content = coalesce(col("content"), lit(Array.emptyByteArray))
+    withFrames.select(
+      col("media_id"), col("frame_idx"),
+      column(StubFrameDecode(expression(content), expression(col("frame_idx")),
+        cellW, cellH)).as("frame_feat"))
   }
 }
