@@ -1,12 +1,13 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video payloads travel as opaque
   * BINARY columns with a typed metadata struct; decode / feature-extract /
-  * resize / frame-sample run batch-at-a-time over partitions.
+  * resize / frame-sample run as plan-native codegen expressions
+  * (DecodeExpressions.scala).
   *
   * The media codec libraries are NOT in this container, so the decode step
   * is STUBBED with a deterministic fake (clearly marked below); everything
@@ -67,11 +68,6 @@ object Multimodal {
     }
   }
 
-  val featureSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("n_bytes", LongType),
-    StructField("feat", ArrayType(FloatType))))
-
   /** Decode + feature-extract as a plan-native projection: the decode
     * kernel is a codegen'd Catalyst expression (StubDecode), so the whole
     * pipeline — null handling, byte length, decode — stays in one
@@ -92,7 +88,6 @@ object Multimodal {
     * deterministic frame index sequence, decode stubbed per frame. */
   def sampleFrames(media: DataFrame, everyMs: Long = 1000L, cellW: Int = 4,
       cellH: Int = 4): DataFrame = {
-    val spark = media.sparkSession
     val withFrames = media
       .filter(col("meta.media_type") === "video")
       .select(col("media_id"), col("content"),
