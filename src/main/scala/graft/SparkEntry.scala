@@ -84,6 +84,8 @@ object SparkEntry {
     "q18_lang_id"         -> ScaleOps.q18Sql,
     "q19_ngram_jaccard"   -> ScaleOps.q19Sql,
     "q20_ann_cosine"      -> ScaleOps.q20Sql,
+    "q25_embedding_dup"   -> ScaleOps.q25Sql,
+    "q26_multimodal"      -> ScaleOps.q26Sql,
     "q27_sessionize"      -> ScaleOps.q27Sql,
     "q28_salted_agg"      -> graft.ops.Scale.q28Sql,
     "q29_salted_join"     -> graft.ops.Scale.q29Sql,
@@ -105,7 +107,7 @@ object SparkEntry {
     "q47_count_distinct"  -> graft.ops.Relational3.q47Sql,
     "q48_moving_avg"      -> graft.ops.Relational3.q48Sql,
     "q49_grouped_topk"    -> graft.ops.Relational3.q49Sql,
-    // q21-q26 and q35 are hash-signature / stub-codec / IVF ops: not
+    // q21-q24, q35, q37 are hash-signature / stub-codec / IVF ops: not
     // SQL-expressible in the oracle — driver records rows-only checks;
     // ground truth lives in the ScalaTest suites (recall vs exact Jaccard /
     // brute-force ANN).

@@ -235,6 +235,27 @@ object ScaleOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** DuckDB mirror of q25: exact all-pairs cosine >= threshold over the
+    * twinned corpus. This oracle deliberately asserts MORE than row
+    * parity — it pins RP-LSH recall at exactly 1.0 on this corpus
+    * (identical vectors hash to identical buckets deterministically, and
+    * the only >=0.999 pairs in the data are the planted exact twins; both
+    * facts verified at sf0.001 and sf0.01). The cosine arithmetic mirrors
+    * dot/(sqrt(n_a)*sqrt(n_b)) with per-element float->double widening —
+    * bit-identical to list_inner_product on DOUBLE[]. */
+  val q25Sql: String =
+    """SELECT doc_a, doc_b, cos FROM (
+      |  WITH u AS (
+      |    SELECT vec_id, embedding FROM embeddings
+      |    UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+      |  )
+      |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+      |    list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |      / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      |       * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+      |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+      |) WHERE cos >= 0.999 ORDER BY doc_a, doc_b""".stripMargin
+
   def q25EmbeddingDup(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     // union a shifted copy so exact-duplicate vectors exist at every SF —
@@ -296,6 +317,29 @@ object ScaleOps {
         approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"))
       .orderBy(col("l_returnflag"))
+
+  /** DuckDB mirror of q26: n_bytes = UTF-8 octet length; f0 re-derives the
+    * stub codec's first cell in SQL — cell 0 of the FNV-1a roll depends
+    * only on byte 0 of the payload (all first bytes are ASCII in the
+    * corpus, verified both SFs), and the final /255.0f float32 division
+    * round-trips bit-exactly through DuckDB's double-divide + FLOAT cast
+    * (checked for all 256 byte values). */
+  val q26Sql: String =
+    """WITH raw AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |         octet_length(encode(text)) AS n_bytes,
+      |         ord(substr(text, 1, 1)) AS b0
+      |  FROM documents
+      |), acc AS (
+      |  SELECT media_id, n_bytes,
+      |    ((xor(1469598103934665603, b0))::HUGEINT * 1099511628211)
+      |      % 18446744073709551616::HUGEINT AS a
+      |  FROM raw
+      |)
+      |SELECT media_id, n_bytes,
+      |  CAST(CAST((a // 1099511627776) % 256 AS DOUBLE) / 255.0 AS FLOAT) AS f0,
+      |  64 AS n_feat
+      |FROM acc ORDER BY media_id""".stripMargin
 
   def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(
