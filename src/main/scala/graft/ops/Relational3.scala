@@ -334,4 +334,42 @@ object Relational3 {
       |    p_retailprice AS price, p_partkey
       |  FROM part
       |) WHERE rank <= 3 ORDER BY p_type, rank""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // Population variance / stddev from exact decimal moments: built-in
+  // stddev accumulates doubles in partition order (non-reproducible
+  // across runs/cluster layouts, and engine-dependent); summing x and x²
+  // as exact decimals makes the moments order-independent, and the final
+  // (m2 - m1²/n)/n arithmetic is the same double ops in the same order on
+  // both engines — bit-reproducible at any parallelism. l_quantity is
+  // 2-dp ≤ 50, so x² is an exact 4-dp decimal and the sums stay far
+  // below the 2^53 double-exact ceiling after lossless scale reduction.
+  def q50Variance(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(12,2)")
+    fanOut(t(s, dir, "lineitem"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("decimal(20,2)").cast("double").as("sum_x"),
+        sum((x * x).cast("decimal(16,4)")).cast("decimal(24,4)").cast("double").as("sum_x2"))
+      .select(
+        col("l_returnflag"), col("n"),
+        ((col("sum_x2") - col("sum_x") * col("sum_x") / col("n")) / col("n"))
+          .as("var_pop"),
+        sqrt((col("sum_x2") - col("sum_x") * col("sum_x") / col("n")) / col("n"))
+          .as("stddev_pop"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q50Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS sum_x,
+      |    CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(16,4))) AS DECIMAL(24,4)) AS DOUBLE) AS sum_x2
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, n,
+      |  (sum_x2 - sum_x * sum_x / n) / n AS var_pop,
+      |  sqrt((sum_x2 - sum_x * sum_x / n) / n) AS stddev_pop
+      |FROM m ORDER BY l_returnflag""".stripMargin
 }

@@ -54,6 +54,32 @@ class GroupedTopKSpec extends GraftSuite {
     assert(rows == Seq(("a", 2L), ("a", 3L), ("b", 4L)))
   }
 
+  test("law: buffer top-k == sort-take for random inputs, splits, and k") {
+    // the TopKBuffer + merge path must equal a global sort-take for any
+    // data distribution (ties included) and any partition split
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val n = rnd.nextInt(30)
+      val k = 1 + rnd.nextInt(6)
+      // small key range forces heavy ties
+      val rows = Seq.fill(n)((rnd.nextInt(5).toDouble, rnd.nextLong() % 100))
+      val want = rows.sortWith { case ((ka, ia), (kb, ib)) =>
+        ka > kb || (ka == kb && ia < ib) }.take(k)
+      val split = if (n == 0) 1 else 1 + rnd.nextInt(4)
+      val bufs = rows.grouped(math.max(1, (n + split - 1) / split)).map { part =>
+        val b = new graft.functions.TopKBuffer(k)
+        part.foreach { case (key, id) => b.offer(key, id) }
+        b
+      }.toSeq
+      val merged = bufs.headOption.getOrElse(new graft.functions.TopKBuffer(k))
+      bufs.drop(1).foreach { o =>
+        (0 until o.size).foreach(i => merged.offer(o.keys(i), o.ids(i)))
+      }
+      val got = merged.sortedIndices.map(i => (merged.keys(i), merged.ids(i))).toSeq
+      assert(got == want, s"n=$n k=$k split=$split rows=$rows")
+    }
+  }
+
   test("plans as partial+final ObjectHashAggregate (map-side k-pruning)") {
     val p = graft.ops.Relational.t(spark, "/root/testdata/sf0.001", "part")
     val plan = p.groupBy($"p_type")

@@ -110,6 +110,21 @@ class Relational3Spec extends GraftSuite {
     assert(out.filter(col("mv_avg").isNull).count() == 0)
   }
 
+  test("q50 variance: agrees with built-in var_pop to float tolerance") {
+    val out = Relational3.q50Variance(spark, sf).cache()
+    val builtin = Relational.t(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(var_pop(col("l_quantity")).as("v"))
+    val joined = out.join(builtin, "l_returnflag").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val exact = r.getAs[Double]("var_pop"); val approx = r.getAs[Double]("v")
+      assert(math.abs(exact - approx) <= 1e-9 * math.max(1.0, exact),
+        s"${r.getString(0)}: $exact vs $approx")
+    }
+    out.unpersist()
+  }
+
   test("q46 json: k extraction parses every row") {
     val e = Relational.events(spark, sf)
     val out = Relational3.q46Json(spark, sf)
