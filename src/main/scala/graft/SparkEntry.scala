@@ -60,6 +60,7 @@ object SparkEntry {
     "q48_moving_avg"      -> (graft.ops.Relational3.q48MovingAvg _),
     "q49_grouped_topk"    -> (graft.ops.Relational3.q49GroupedTopK _),
     "q50_variance"        -> (graft.ops.Relational3.q50Variance _),
+    "q51_train_split"     -> (graft.ops.Relational3.q51TrainSplit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -109,6 +110,7 @@ object SparkEntry {
     "q48_moving_avg"      -> graft.ops.Relational3.q48Sql,
     "q49_grouped_topk"    -> graft.ops.Relational3.q49Sql,
     "q50_variance"        -> graft.ops.Relational3.q50Sql,
+    "q51_train_split"     -> graft.ops.Relational3.q51Sql,
     // q21-q24, q35, q37 are hash-signature / stub-codec / IVF ops: not
     // SQL-expressible in the oracle — driver records rows-only checks;
     // ground truth lives in the ScalaTest suites (recall vs exact Jaccard /

@@ -372,4 +372,36 @@ object Relational3 {
       |  (sum_x2 - sum_x * sum_x / n) / n AS var_pop,
       |  sqrt((sum_x2 - sum_x * sum_x / n) / n) AS stddev_pop
       |FROM m ORDER BY l_returnflag""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // Deterministic train/val/test split: Knuth multiplicative hash of the
+  // document id into 2^32 buckets, 80/10/10 by bucket range. Pure integer
+  // arithmetic — the same document lands in the same split on any engine,
+  // any cluster layout, any run (the property a reproducible training
+  // pipeline needs; seeded `sample()` is engine- and partitioning-
+  // dependent). A pure map over the scan: no shuffle until the audit agg.
+  def q51TrainSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val split = when(bucket < lit(3435973836L), "train")   // floor(0.8 * 2^32)
+      .when(bucket < lit(3865470565L), "val")              // floor(0.9 * 2^32)
+      .otherwise("test")
+    fanOut(t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), split.as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val q51Sql: String =
+    """WITH assigned AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'
+      |         WHEN (doc_id * 2654435761) % 4294967296 < 3865470565 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents
+      |)
+      |SELECT lang, split, COUNT(*) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM assigned
+      |GROUP BY lang, split ORDER BY lang, split""".stripMargin
 }

@@ -125,6 +125,20 @@ class Relational3Spec extends GraftSuite {
     out.unpersist()
   }
 
+  test("q51 train split: covers all docs, roughly 80/10/10, stable across runs") {
+    val out = Relational3.q51TrainSplit(spark, sf).cache()
+    val total = out.agg(sum(col("n_docs"))).head.getLong(0)
+    assert(total == Relational.t(spark, sf, "documents").count())
+    val bySplit = out.groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val train = bySplit.getOrElse("train", 0L).toDouble / total
+    assert(train > 0.7 && train < 0.9, s"train fraction $train")
+    // determinism: identical result on a re-run
+    val again = Relational3.q51TrainSplit(spark, sf).collect().toSeq
+    assert(again == out.orderBy(col("lang"), col("split")).collect().toSeq)
+    out.unpersist()
+  }
+
   test("q46 json: k extraction parses every row") {
     val e = Relational.events(spark, sf)
     val out = Relational3.q46Json(spark, sf)
