@@ -404,4 +404,71 @@ object Relational3 {
       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
       |FROM assigned
       |GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // Pearson correlation + covariance from exact decimal moments (same
+  // discipline as q50): builtin corr() accumulates doubles in partition
+  // order; exact decimal sums of x, y, x², y², xy are order-independent
+  // and the closed-form finish is identical double arithmetic on both
+  // engines. x = quantity (2-dp ≤ 50), y = discount (4-dp ≤ 0.1): every
+  // moment's unscaled sum stays far below 2^53 (largest is Σx² ≈ 1.5e13
+  // at sf0.1), so the decimal→double casts are exact. price² would NOT
+  // fit (Σy² ≈ 7e19 unscaled) — pick moment columns so the invariant
+  // holds, or pre-scale with a lossy documented epsilon.
+  def q52Corr(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(12,2)")
+    val y = col("l_discount").cast("decimal(8,4)")
+    fanOut(t(s, dir, "lineitem"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("decimal(20,2)").cast("double").as("sx"),
+        sum(y).cast("decimal(20,4)").cast("double").as("sy"),
+        sum((x * x).cast("decimal(16,4)")).cast("decimal(26,4)").cast("double").as("sxx"),
+        sum((y * y).cast("decimal(16,8)")).cast("decimal(26,8)").cast("double").as("syy"),
+        sum((x * y).cast("decimal(16,6)")).cast("decimal(26,6)").cast("double").as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")).as("covar_pop"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q52Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(20,4)) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(16,4))) AS DECIMAL(26,4)) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(CAST(l_discount AS DECIMAL(8,4)) * CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(16,8))) AS DECIMAL(26,8)) AS DOUBLE) AS syy,
+      |    CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(16,6))) AS DECIMAL(26,6)) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, n,
+      |  (sxy - sx * sy / n) / n AS covar_pop,
+      |  (n * sxy - sx * sy) /
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // Multiset set operations (ALL variants keep duplicates): Catalyst
+  // plans both as a count-compare aggregate join — one shuffle, no
+  // row-by-row matching.
+  def q53SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def keys(status: String) =
+      o.filter(col("o_orderstatus") === status).select(col("o_custkey"))
+    keys("O").exceptAll(keys("F"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_excess"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q53Sql: String =
+    """SELECT o_custkey, COUNT(*) AS n_excess FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |) GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 }

@@ -139,6 +139,33 @@ class Relational3Spec extends GraftSuite {
     out.unpersist()
   }
 
+  test("q52 corr: agrees with built-in corr/covar_pop to float tolerance") {
+    val out = Relational3.q52Corr(spark, sf).cache()
+    val builtin = Relational.t(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_discount")).as("c"),
+        covar_pop(col("l_quantity"), col("l_discount")).as("cv"))
+    val joined = out.join(builtin, "l_returnflag").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(math.abs(r.getAs[Double]("corr") - r.getAs[Double]("c")) < 1e-6)
+      assert(math.abs(r.getAs[Double]("covar_pop") - r.getAs[Double]("cv")) < 1e-9)
+    }
+    out.unpersist()
+  }
+
+  test("q53 except all: multiset counts are O-count minus F-count, floored") {
+    val o = Relational.t(spark, sf, "orders")
+    val counts = o.groupBy("o_custkey").agg(
+      sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("nO"),
+      sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("nF"))
+    val expect = counts.filter(col("nO") > col("nF"))
+      .select(col("o_custkey"), (col("nO") - col("nF")).as("n_excess"))
+    val got = Relational3.q53SetOpsAll(spark, sf)
+    assert(got.orderBy("o_custkey").collect().toSeq ==
+      expect.orderBy("o_custkey").collect().toSeq)
+  }
+
   test("q46 json: k extraction parses every row") {
     val e = Relational.events(spark, sf)
     val out = Relational3.q46Json(spark, sf)
