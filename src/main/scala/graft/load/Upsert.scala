@@ -64,6 +64,31 @@ object Upsert {
     joined.select(outCols :+ action.as("__merge_action"): _*)
   }
 
+  /** Snapshot diff (change-data-capture between two table versions): one
+    * full-outer join on the primary key classifies every key as
+    * inserted / deleted / changed / unchanged, with null-safe comparison
+    * over the shared non-key columns. The audit-side complement of
+    * `merge`: run it between yesterday's and today's snapshot to get the
+    * change feed the reference's row-at-a-time loader never had. One
+    * shuffle on the key; at scale both sides should be bucketed on the pk
+    * (Scale.bucketedMirror) making the diff exchange-free. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, pk: Seq[String]): DataFrame = {
+    val shared = oldDf.columns.toSeq
+      .filterNot(pk.contains).filter(newDf.columns.contains)
+    val o = shared.foldLeft(oldDf)((d, c) => d.withColumnRenamed(c, s"__o_$c"))
+      .withColumn("__in_old", lit(true))
+    val n = shared.foldLeft(newDf)((d, c) => d.withColumnRenamed(c, s"__n_$c"))
+      .withColumn("__in_new", lit(true))
+    val same = shared.map(c => col(s"__o_$c") <=> col(s"__n_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val change = when(!coalesce(col("__in_old"), lit(false)), lit("inserted"))
+      .when(!coalesce(col("__in_new"), lit(false)), lit("deleted"))
+      .when(same, lit("unchanged"))
+      .otherwise(lit("changed"))
+    o.join(n, pk, "full_outer")
+      .select(pk.map(col) :+ change.as("change"): _*)
+  }
+
   /** Count merge actions with one agg over the (already materialized)
     * merged table. */
   def counts(merged: DataFrame): MergeCounts = {

@@ -471,4 +471,52 @@ object Relational3 {
       |  EXCEPT ALL
       |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
       |) GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // Snapshot diff (CDC): classify every key between the orders table and
+  // a deterministically-mutated copy (drop keys %11=0, bump price on
+  // %5=0, insert shifted copies of %13=0) via load.Upsert.snapshotDiff —
+  // one full-outer join, null-safe column compare. The audit feed the
+  // reference's row-at-a-time upsert loop never produced.
+  def q54SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val mutated = o.filter(col("o_orderkey") % 11 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    val inserts = o.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    val newSnap = mutated.unionByName(inserts)
+    graft.load.Upsert.snapshotDiff(o, newSnap, Seq("o_orderkey"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("change"))
+  }
+
+  val q54Sql: String =
+    """WITH newsnap AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 11 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 13 = 0
+      |), j AS (
+      |  SELECT o.o_orderkey IS NOT NULL AS in_old,
+      |    n.o_orderkey IS NOT NULL AS in_new,
+      |    (o.o_custkey IS NOT DISTINCT FROM n.o_custkey)
+      |      AND (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+      |      AND (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+      |      AND (o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate)
+      |      AND (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority) AS same
+      |  FROM orders o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey
+      |)
+      |SELECT CASE WHEN NOT in_old THEN 'inserted'
+      |            WHEN NOT in_new THEN 'deleted'
+      |            WHEN same THEN 'unchanged' ELSE 'changed' END AS change,
+      |  COUNT(*) AS n
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 }

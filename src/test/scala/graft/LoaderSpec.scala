@@ -27,6 +27,18 @@ class UpsertSpec extends GraftSuite {
     assert(out.map(_.getString(1)).toSeq == Seq("last", "only"))
   }
 
+  test("snapshotDiff classifies inserted/deleted/changed/unchanged; null-safe") {
+    val old = Seq((1, Some("a"), 10.0), (2, Some("b"), 20.0), (3, None, 30.0),
+      (4, Some("d"), 40.0)).toDF("id", "name", "v")
+    val neu = Seq((1, Some("a"), 10.0), (2, Some("B"), 20.0), (3, None, 30.0),
+      (5, Some("e"), 50.0)).toDF("id", "name", "v")
+    val out = Upsert.snapshotDiff(old, neu, Seq("id"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out == Map(1 -> "unchanged", 2 -> "changed",
+      3 -> "unchanged", // null == null under null-safe compare
+      4 -> "deleted", 5 -> "inserted"))
+  }
+
   test("upsert is idempotent: applying the same source twice = once") {
     val t1 = s"ups_idem_${System.nanoTime()}"
     val init = Seq((1, "a"), (2, "b")).toDF("id", "name")
