@@ -519,4 +519,70 @@ object Relational3 {
       |            WHEN same THEN 'unchanged' ELSE 'changed' END AS change,
       |  COUNT(*) AS n
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // Unpivot (wide → long), the inverse of q32's conditional pivot: the
+  // per-segment status counts melt into (segment, status, n) rows. A pure
+  // Expand projection — no shuffle beyond the underlying aggregate.
+  def q55Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "orders")
+      .groupBy(col("o_custkey") % 100 as "cust_bucket")
+      .agg(
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_filled"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_partial"))
+    wide.unpivot(
+        Array(col("cust_bucket")),
+        Array(col("n_open"), col("n_filled"), col("n_partial")),
+        "status", "n")
+      .orderBy(col("cust_bucket"), col("status"))
+  }
+
+  val q55Sql: String =
+    """SELECT cust_bucket, status, n FROM (
+      |  UNPIVOT (
+      |    SELECT o_custkey % 100 AS cust_bucket,
+      |      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      |      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+      |      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+      |    FROM orders GROUP BY 1
+      |  ) ON n_open, n_filled, n_partial INTO NAME status VALUE n
+      |) ORDER BY cust_bucket, status""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // Gaps-and-islands: longest run of consecutive active days per user.
+  // The island key is day_number - row_number (constant within a
+  // consecutive run) — two window-free aggregations after one window
+  // pass, the standard O(n log n) formulation.
+  def q56Streaks(s: SparkSession, dir: String): DataFrame = {
+    val days = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val grouped = days
+      .withColumn("grp",
+        datediff(col("d"), to_date(lit("1970-01-01"))).cast("long")
+          - row_number().over(w))
+    grouped.groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("n_days"))
+      .orderBy(col("user_id"))
+  }
+
+  val q56Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      |), num AS (
+      |  SELECT user_id,
+      |    date_diff('day', DATE '1970-01-01', d)
+      |      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      |  FROM days
+      |), st AS (
+      |  SELECT user_id, grp, COUNT(*) AS len FROM num GROUP BY 1, 2
+      |)
+      |SELECT user_id, MAX(len) AS longest_streak, COUNT(*) AS n_streaks,
+      |  CAST(SUM(len) AS BIGINT) AS n_days
+      |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin
 }

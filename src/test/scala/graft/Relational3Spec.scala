@@ -166,6 +166,25 @@ class Relational3Spec extends GraftSuite {
       expect.orderBy("o_custkey").collect().toSeq)
   }
 
+  test("q55 unpivot: 3 rows per bucket; totals match the orders count") {
+    val out = Relational3.q55Unpivot(spark, sf).cache()
+    val perBucket = out.groupBy("cust_bucket").agg(count(lit(1)).as("k"))
+    assert(perBucket.filter(col("k") =!= 3).count() == 0)
+    val total = out.agg(sum(col("n"))).head.getLong(0)
+    assert(total == Relational.t(spark, sf, "orders").count())
+    out.unpersist()
+  }
+
+  test("q56 streaks: longest <= n_days; n_days = distinct active days") {
+    val out = Relational3.q56Streaks(spark, sf).cache()
+    assert(out.filter(col("longest_streak") > col("n_days")).count() == 0)
+    val nDays = out.agg(sum(col("n_days"))).head.getLong(0)
+    val direct = Relational.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts"))).distinct().count()
+    assert(nDays == direct)
+    out.unpersist()
+  }
+
   test("q46 json: k extraction parses every row") {
     val e = Relational.events(spark, sf)
     val out = Relational3.q46Json(spark, sf)
