@@ -17,7 +17,12 @@ object ScaleStress {
     spark.sparkContext.setLogLevel("WARN")
     val qs = Seq(
       "q01_pricing_summary", "q02_filter_scan", "q03_join_revenue",
-      "q08_topk", "q12_rollup", "q33_cube", "q38_range_join")
+      "q08_topk", "q12_rollup", "q33_cube", "q38_range_join",
+      // text layer over the token-mutated 10x documents corpus (every
+      // shingle distinct across replicas -> df flat, corpus 10x: the
+      // fair "new text" scaling shape, not pathological duplication)
+      "q15_dedup_exact", "q16_token_count", "q17_quality_score",
+      "q18_lang_id", "q19_ngram_jaccard", "q21_minhash_lsh", "q22_simhash")
     qs.foreach { n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count() }
     spark.catalog.clearCache()
     for (rep <- 1 to 2) qs.foreach { n =>
