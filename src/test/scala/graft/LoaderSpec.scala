@@ -39,6 +39,21 @@ class UpsertSpec extends GraftSuite {
       4 -> "deleted", 5 -> "inserted"))
   }
 
+  test("snapshotDiff laws: diff(x,x) is all-unchanged; diff(target, merge) = source changes") {
+    val target = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("id", "name", "v")
+    // reflexivity
+    val self = Upsert.snapshotDiff(target, target, Seq("id"))
+    assert(self.filter(col("change") =!= "unchanged").count() == 0)
+    // merge-consistency: diffing target vs merged reproduces the merge's
+    // own action classification (kept -> unchanged, updated with actual
+    // value change -> changed, inserted -> inserted)
+    val source = Seq((2, "b2", 21.0), (4, "d", 40.0)).toDF("id", "name", "v")
+    val merged = Upsert.merge(target, source, Seq("id")).drop("__merge_action")
+    val diff = Upsert.snapshotDiff(target, merged, Seq("id"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(diff == Map(1 -> "unchanged", 2 -> "changed", 3 -> "unchanged", 4 -> "inserted"))
+  }
+
   test("upsert is idempotent: applying the same source twice = once") {
     val t1 = s"ups_idem_${System.nanoTime()}"
     val init = Seq((1, "a"), (2, "b")).toDF("id", "name")
