@@ -14,8 +14,10 @@ import org.apache.spark.sql.expressions.Window
   * Scale notes (100 TB design intent):
   *  - fact tables (lineitem/orders/events) are only ever scanned with
   *    column pruning + predicate pushdown (select/filter before agg);
-  *  - dimension tables (region/nation/supplier/part/customer) are joined
-  *    with explicit `broadcast` — no shuffle of the fact side by dim keys;
+  *  - fixed-cardinality dims (region=5, nation=25, literal band tables)
+  *    carry an explicit `broadcast` hint; SF-scaling dims (customer, part,
+  *    supplier) are left to Catalyst/AQE statistics — broadcast while they
+  *    fit, sort-merge at 100 TB where a forced broadcast would OOM;
   *  - aggregates are expressed as groupBy/agg ⇒ partial (map-side) + final
   *    hash aggregation, no driver-side collection;
   *  - double-typed measures are cast to DECIMAL before SUM so results are
@@ -124,8 +126,11 @@ object Relational {
       |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
 
   // ----------------------------------------------------------------------
-  // D. Multi-way equi-join + agg (SURVEY §2 D1 join semantics). Dimension
-  // chain customer→nation→region is broadcast; only orders×lineitem shuffles.
+  // D. Multi-way equi-join + agg (SURVEY §2 D1 join semantics). Broadcast
+  // policy: FORCE the hint only on fixed-cardinality dims (nation=25,
+  // region=5 — small at any SF); customer scales with SF, so Catalyst/AQE
+  // decides from statistics (still broadcast at bench scale, sort-merge at
+  // 100 TB where a forced broadcast would OOM the executors).
   def q03JoinRevenue(s: SparkSession, dir: String): DataFrame = {
     val li = fanOut(t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"))
     val o  = t(s, dir, "orders").select("o_orderkey", "o_custkey")
@@ -133,7 +138,7 @@ object Relational {
     val n  = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     val r  = t(s, dir, "region").select("r_regionkey", "r_name")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -155,12 +160,13 @@ object Relational {
       |ORDER BY r_name, n_name""".stripMargin
 
   // ----------------------------------------------------------------------
-  // D. Broadcast dim join (SURVEY §2 D1): part is small ⇒ broadcast, the
-  // lineitem side never shuffles for the join.
+  // D. Broadcast dim join (SURVEY §2 D1): part is statistics-small here ⇒
+  // Catalyst broadcasts it unhinted, and the lineitem side never shuffles
+  // for the join; no forced hint because part scales with SF.
   def q04BroadcastDim(s: SparkSession, dir: String): DataFrame = {
     val li = fanOut(t(s, dir, "lineitem").select("l_partkey", "l_extendedprice", "l_quantity"))
     val p  = t(s, dir, "part").select("p_partkey", "p_brand")
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(dsum(col("l_extendedprice")).as("sum_price"),
            dsum(col("l_quantity")).as("sum_qty"),
@@ -225,7 +231,7 @@ object Relational {
     val c = t(s, dir, "customer").select("c_custkey", "c_name")
     o.groupBy(col("o_custkey"))
       .agg(dsum(col("o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))  // customer scales with SF: no forced hint
       .select(col("c_custkey"), col("c_name"), col("total_spent"), col("n_orders"))
       .orderBy(col("total_spent").desc, col("c_custkey"))
       .limit(10)

@@ -75,7 +75,7 @@ object Relational2 {
   def q32Pivot(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").select("o_custkey", "o_orderstatus", "o_totalprice")
     val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))  // customer scales with SF: no forced hint
       .groupBy(col("c_mktsegment"))
       .agg(
         sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),

@@ -152,7 +152,7 @@ object Relational3 {
   def q43AboveAvg(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").select("o_custkey")
     val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
-    val perCust = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    val perCust = o.join(c, col("o_custkey") === col("c_custkey"))  // customer scales with SF: no forced hint
       .groupBy(col("c_mktsegment"), col("c_custkey"))
       .agg(count(lit(1)).as("n_orders"))
     // segment average as a window over the per-customer agg: perCust is
