@@ -38,12 +38,28 @@ object GraftExtensions {
       info("grouped_top_k",
         "grouped_top_k(key, id, k) - aggregate: top-k (key,id) pairs per group, key DESC id ASC"),
       (exprs: Seq[Expression]) => {
-        val k = exprs(2) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        if (exprs.length != 3) throw new IllegalArgumentException(
+          s"grouped_top_k requires exactly 3 arguments (key, id, k), got ${exprs.length}")
+        // k must fold to a constant (buffer size is fixed at plan time), but
+        // any foldable integral expression is fine: CAST(3 AS INT), 1+2, 3L.
+        val kExpr = exprs(2)
+        if (!kExpr.foldable) throw new IllegalArgumentException(
+          s"grouped_top_k: k must be a constant integer expression, got $kExpr")
+        val k = kExpr.eval() match {
+          case i: Int   => i
+          case l: Long  => l.toInt
+          case s: Short => s.toInt
+          case b: Byte  => b.toInt
           case other => throw new IllegalArgumentException(
-            s"grouped_top_k: k must be an integer literal, got $other")
+            s"grouped_top_k: k must be an integer, got $other")
         }
-        GroupedTopK(exprs(0), exprs(1), k)
+        // Coerce numeric key/id so SQL callers with INT/FLOAT args get the
+        // analyzer's cast semantics, not an executor ClassCastException.
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        val key = if (exprs(0).dataType == DoubleType) exprs(0) else Cast(exprs(0), DoubleType)
+        val id = if (exprs(1).dataType == LongType) exprs(1) else Cast(exprs(1), LongType)
+        GroupedTopK(key, id, k)
       }))
 
   /** Install into an already-built session (extensions only run at session

@@ -3,6 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -32,6 +33,18 @@ case class GroupedTopK(
   extends TypedImperativeAggregate[TopKBuffer] {
 
   require(k > 0, s"k must be positive, got $k")
+
+  // Analysis-time rejection instead of executor ClassCastException when
+  // constructed with an INT/FLOAT key or INT id (the SQL builder in
+  // GraftExtensions inserts coercing Casts before this check runs).
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (keyExpr.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"grouped_top_k: key must be DOUBLE, got ${keyExpr.dataType.sql}")
+    else if (idExpr.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"grouped_top_k: id must be BIGINT, got ${idExpr.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def children: Seq[Expression] = Seq(keyExpr, idExpr)
   override def nullable: Boolean = false
@@ -101,9 +114,14 @@ final class TopKBuffer(k: Int) {
   var size: Int = 0
   private var worst: Int = -1 // index of the current worst kept pair
 
-  /** a is strictly better than b under (key DESC, id ASC). */
-  @inline private def better(ka: Double, ia: Long, kb: Double, ib: Long): Boolean =
-    ka > kb || (ka == kb && ia < ib)
+  /** a is strictly better than b under (key DESC, id ASC). Total order via
+    * java.lang.Double.compare: NaN sorts greatest, matching Spark's DESC
+    * ordering of the window formulation this aggregate replaces (zero-norm
+    * vectors yield cos = 0/0 = NaN and must rank identically either way). */
+  @inline private def better(ka: Double, ia: Long, kb: Double, ib: Long): Boolean = {
+    val c = java.lang.Double.compare(ka, kb)
+    if (c != 0) c > 0 else ia < ib
+  }
 
   private def recomputeWorst(): Unit = {
     var w = 0

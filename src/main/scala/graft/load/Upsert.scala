@@ -73,13 +73,25 @@ object Upsert {
     * shuffle on the key; at scale both sides should be bucketed on the pk
     * (Scale.bucketedMirror) making the diff exchange-free. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, pk: Seq[String]): DataFrame = {
-    val shared = oldDf.columns.toSeq
-      .filterNot(pk.contains).filter(newDf.columns.contains)
-    val o = shared.foldLeft(oldDf)((d, c) => d.withColumnRenamed(c, s"__o_$c"))
-      .withColumn("__in_old", lit(true))
-    val n = shared.foldLeft(newDf)((d, c) => d.withColumnRenamed(c, s"__n_$c"))
-      .withColumn("__in_new", lit(true))
-    val same = shared.map(c => col(s"__o_$c") <=> col(s"__n_$c"))
+    // Compare over the UNION of non-key columns: a column present on only
+    // one side reads as null on the other, so schema drift (dropped/added
+    // columns) surfaces as "changed" rather than being silently excluded.
+    val oldCols = oldDf.columns.toSeq.filterNot(pk.contains)
+    val newCols = newDf.columns.toSeq.filterNot(pk.contains)
+    val all = (oldCols ++ newCols.filterNot(oldCols.contains))
+    val reserved = Seq("__in_old", "__in_new") ++ all.flatMap(c => Seq(s"__o_$c", s"__n_$c"))
+    val collisions = (oldDf.columns ++ newDf.columns).toSet.intersect(reserved.toSet)
+    require(collisions.isEmpty,
+      s"snapshotDiff: input columns collide with internal helper names: ${collisions.mkString(", ")}")
+    def side(df: DataFrame, cols: Seq[String], p: String, flag: String): DataFrame = {
+      val renamed = cols.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$p$c"))
+      val withMissing = all.filterNot(cols.contains)
+        .foldLeft(renamed)((d, c) => d.withColumn(s"$p$c", lit(null)))
+      withMissing.withColumn(flag, lit(true))
+    }
+    val o = side(oldDf, oldCols, "__o_", "__in_old")
+    val n = side(newDf, newCols, "__n_", "__in_new")
+    val same = all.map(c => col(s"__o_$c") <=> col(s"__n_$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
     val change = when(!coalesce(col("__in_old"), lit(false)), lit("inserted"))
       .when(!coalesce(col("__in_new"), lit(false)), lit("deleted"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import Relational.{t, events, fanOut}
@@ -380,11 +380,31 @@ object Relational3 {
   // any cluster layout, any run (the property a reproducible training
   // pipeline needs; seeded `sample()` is engine- and partitioning-
   // dependent). A pure map over the scan: no shuffle until the audit agg.
-  def q51TrainSplit(s: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
-    val split = when(bucket < lit(3435973836L), "train")   // floor(0.8 * 2^32)
-      .when(bucket < lit(3865470565L), "val")              // floor(0.9 * 2^32)
+  /** Overflow-safe Knuth 32-bit multiplicative hash bucket for [[q51TrainSplit]]:
+    * mask the id to 32 bits, then compute (id32 * A) mod 2^32 as split
+    * 16-bit halves so no intermediate exceeds 2^49 — a naive 64-bit
+    * multiply silently wraps in Spark (and raises in DuckDB) for
+    * doc_id ≳ 3.47e9, breaking the "same split on any engine" guarantee.
+    * Precondition: id ≥ 0. */
+  def splitBucket(id: Column): Column = {
+    val a = 2654435761L
+    val id32 = pmod(id, lit(4294967296L))
+    val hi = shiftright(id32, 16)
+    val lo = pmod(id32, lit(65536L))
+    pmod(pmod(hi * lit(a), lit(65536L)) * lit(65536L) + lo * lit(a),
+      lit(4294967296L))
+  }
+
+  /** Split assignment from [[splitBucket]]: 80/10/10 by bucket range. */
+  def splitAssign(id: Column): Column = {
+    val bucket = splitBucket(id)
+    when(bucket < lit(3435973836L), "train")   // floor(0.8 * 2^32)
+      .when(bucket < lit(3865470565L), "val")  // floor(0.9 * 2^32)
       .otherwise("test")
+  }
+
+  def q51TrainSplit(s: SparkSession, dir: String): DataFrame = {
+    val split = splitAssign(col("doc_id"))
     fanOut(t(s, dir, "documents"))
       .select(col("doc_id"), col("lang"), split.as("split"))
       .groupBy(col("lang"), col("split"))
@@ -393,12 +413,19 @@ object Relational3 {
   }
 
   val q51Sql: String =
-    """WITH assigned AS (
+    """WITH h AS (
+      |  SELECT doc_id, lang, doc_id % 4294967296 AS id32 FROM documents
+      |), b AS (
       |  SELECT doc_id, lang,
-      |    CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'
-      |         WHEN (doc_id * 2654435761) % 4294967296 < 3865470565 THEN 'val'
+      |    ((((id32 // 65536) * 2654435761) % 65536) * 65536
+      |      + (id32 % 65536) * 2654435761) % 4294967296 AS bucket
+      |  FROM h
+      |), assigned AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN bucket < 3435973836 THEN 'train'
+      |         WHEN bucket < 3865470565 THEN 'val'
       |         ELSE 'test' END AS split
-      |  FROM documents
+      |  FROM b
       |)
       |SELECT lang, split, COUNT(*) AS n_docs,
       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum

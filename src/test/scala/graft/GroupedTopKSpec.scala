@@ -80,6 +80,47 @@ class GroupedTopKSpec extends GraftSuite {
     }
   }
 
+  test("NaN keys rank greatest (matching Spark DESC ordering) and never wedge the buffer") {
+    // zero-norm vectors produce cos = 0/0 = NaN; the window formulation
+    // this aggregate replaces ordered NaN first under DESC — so must we.
+    // Regression: the old comparator made NaN incomparable, so a full
+    // buffer whose worst slot held NaN rejected every later offer.
+    val df = Seq(
+      ("a", Double.NaN, 1L), ("a", 5.0, 2L), ("a", 7.0, 3L), ("a", 9.0, 4L),
+      ("a", 8.0, 5L)).toDF("g", "key", "id").repartition(3)
+    val out = df.groupBy($"g").agg(topkCol("key", "id", 2).as("topk"))
+      .select(posexplode($"topk")).select($"col.id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 4L)) // NaN first, then 9.0
+    // buffer-level: NaN lands in worst slot of a full buffer, then better keys arrive
+    val b = new graft.functions.TopKBuffer(2)
+    b.offer(Double.NaN, 1L); b.offer(1.0, 2L)
+    b.offer(5.0, 3L); b.offer(9.0, 4L)
+    val kept = b.sortedIndices.map(i => (b.keys(i), b.ids(i))).toSeq
+    assert(kept.map(_._2) == Seq(1L, 4L), kept) // NaN greatest, 9.0 replaces 1.0/5.0
+  }
+
+  test("SQL coercion: INT key and INT id are cast, not ClassCastException") {
+    graft.functions.GraftExtensions.registerAll(spark)
+    Seq(("a", 3, 1), ("a", 9, 2), ("b", 1, 4))
+      .toDF("g", "key", "id").createOrReplaceTempView("gtk_int_in")
+    val rows = spark.sql(
+      """SELECT g, t.id FROM (
+        |  SELECT g, grouped_top_k(key, id, 1) AS topk FROM gtk_int_in GROUP BY g
+        |) LATERAL VIEW explode(topk) AS t ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("a", 2L), ("b", 4L)))
+    // foldable-but-non-literal k is accepted
+    val viaExpr = spark.sql(
+      "SELECT size(grouped_top_k(key, id, 1 + 1)) FROM gtk_int_in GROUP BY g")
+      .as[Int].collect().toSeq.sorted
+    assert(viaExpr == Seq(1, 2))
+    // wrong arity fails with a clear message, not IndexOutOfBounds
+    val err = intercept[Exception] {
+      spark.sql("SELECT grouped_top_k(key, id) FROM gtk_int_in GROUP BY g").collect()
+    }
+    assert(err.getMessage.contains("3 arguments"), err.getMessage)
+  }
+
   test("plans as partial+final ObjectHashAggregate (map-side k-pruning)") {
     val p = graft.ops.Relational.t(spark, "/root/testdata/sf0.001", "part")
     val plan = p.groupBy($"p_type")

@@ -54,6 +54,31 @@ class UpsertSpec extends GraftSuite {
     assert(diff == Map(1 -> "unchanged", 2 -> "changed", 3 -> "unchanged", 4 -> "inserted"))
   }
 
+  test("snapshotDiff surfaces schema drift: dropped/added columns mark rows changed") {
+    // a column present on only one side compares against null, so rows
+    // differing only in that column classify as "changed", not silently
+    // "unchanged" (CDC schema drift must not be masked)
+    val old = Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "name", "v")
+    val dropped = Seq((1, "a"), (2, "b")).toDF("id", "name") // v dropped
+    val d1 = Upsert.snapshotDiff(old, dropped, Seq("id"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(d1 == Map(1 -> "changed", 2 -> "changed"))
+    val added = old.withColumn("extra", lit("x")) // extra added
+    val d2 = Upsert.snapshotDiff(old, added, Seq("id"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(d2 == Map(1 -> "changed", 2 -> "changed"))
+    // but an added column that is all-null does not flag changes
+    val addedNull = old.withColumn("extra", lit(null).cast("string"))
+    val d3 = Upsert.snapshotDiff(old, addedNull, Seq("id"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(d3 == Map(1 -> "unchanged", 2 -> "unchanged"))
+    // helper-name collision is rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      Upsert.snapshotDiff(old.withColumnRenamed("v", "__o_name"), old, Seq("id"))
+    }
+    assert(err.getMessage.contains("collide"), err.getMessage)
+  }
+
   test("upsert is idempotent: applying the same source twice = once") {
     val t1 = s"ups_idem_${System.nanoTime()}"
     val init = Seq((1, "a"), (2, "b")).toDF("id", "name")

@@ -139,6 +139,22 @@ class Relational3Spec extends GraftSuite {
     out.unpersist()
   }
 
+  test("q51 splitBucket: overflow-safe for ids above 2^63/A; matches BigInt reference") {
+    import spark.implicits._
+    // ids straddling the 64-bit-multiply overflow threshold (~3.47e9) and
+    // the full long range: the banked 16-bit-half formulation must equal
+    // exact BigInt arithmetic everywhere
+    val ids = Seq(0L, 1L, 12345L, 3469999999L, 3470000000L, 4294967295L,
+      4294967296L, 123456789012345L, Long.MaxValue)
+    val got = ids.toDF("doc_id")
+      .select(col("doc_id"), graft.ops.Relational3.splitBucket(col("doc_id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      val want = ((BigInt(id) % BigInt(2).pow(32)) * BigInt(2654435761L) % BigInt(2).pow(32)).toLong
+      assert(got(id) == want, s"id=$id got=${got(id)} want=$want")
+    }
+  }
+
   test("q52 corr: agrees with built-in corr/covar_pop to float tolerance") {
     val out = Relational3.q52Corr(spark, sf).cache()
     val builtin = Relational.t(spark, sf, "lineitem")
