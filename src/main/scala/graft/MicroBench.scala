@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** A/B micro-benchmark for operator-routing decisions (not part of the
+  * driver contract). Times named plan variants interleaved A,B,A,B,… so
+  * JIT/IO drift hits both arms equally — the per-round bench showed that
+  * back-to-back blocks of the same query can differ 2-5x on this sandbox
+  * purely from run order, which is exactly the mistake this harness
+  * avoids. Usage: `runMain graft.MicroBench <sfDir> <reps>`. */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    import graft.functions.VectorFunctions._
+
+    def emb = graft.ops.Relational.t(spark, sfDir, "embeddings")
+
+    // q24 arm A: HEAD — GroupedTopK aggregate routing
+    def q24Agg(): DataFrame =
+      graft.sim.Ann.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 5, nBits = 8)
+
+    // q24 arm B: the r1 window row_number routing, reconstructed
+    def q24Window(): DataFrame = {
+      val nBits = 8
+      val c = graft.ops.Relational.fanOut(
+        emb.select(col("vec_id").as("corpus_id"), col("embedding").as("cv")))
+        .withColumn("bucket", rpBucket(col("cv"), nBits))
+        .withColumn("cnorm", sqrt(normSq(col("cv"))))
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .withColumn("bucket0", rpBucket(col("qv"), nBits))
+        .withColumn("qnorm", sqrt(normSq(col("qv"))))
+      val probes = q.select(col("query_id"), col("qv"), col("qnorm"),
+        explode(array(
+          col("bucket0") +: (0 until nBits)
+            .map(b => col("bucket0").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
+      val cand = c.join(broadcast(probes), Seq("bucket"))
+        .filter(col("query_id") =!= col("corpus_id"))
+        .withColumn("cos", dot(col("cv"), col("qv")) / (col("cnorm") * col("qnorm")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("corpus_id"))
+      cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("corpus_id"), col("cos"))
+    }
+
+    val arms: Seq[(String, () => DataFrame)] = Seq(
+      "q24_agg" -> (() => q24Agg()),
+      "q24_window" -> (() => q24Window()))
+
+    // warmup both
+    arms.foreach { case (_, f) => f().count() }
+    spark.catalog.clearCache()
+
+    val times = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    for (_ <- 1 to reps; (name, f) <- arms) {
+      val t0 = System.nanoTime()
+      f().count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      times(name) = times(name) :+ dt
+    }
+    times.toSeq.sortBy(_._1).foreach { case (name, ts) =>
+      val sorted = ts.sorted
+      println(f"MICRO $name%-12s median=${sorted(sorted.size / 2)}%.3f " +
+        f"min=${sorted.head}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

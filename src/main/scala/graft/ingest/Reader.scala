@@ -47,16 +47,33 @@ object Reader {
   }
 
   /** Stable per-row ordinal in file order — the vehicle for last-wins dedup
-    * (SURVEY §2 F4) and row-numbered error logs. zipWithIndex assigns
-    * contiguous ordinals across partitions in partition order, which for a
-    * single-file narrow read IS file order; costs one extra narrow pass, no
-    * shuffle. */
+    * (SURVEY §2 F4) and row-numbered error logs.
+    *
+    * Fast path: formats exposing the `_metadata.row_index` metadata column
+    * (parquet; CSV/JSON do not, measured on this Spark) get a plan-native
+    * projection — no RDD round-trip, codegen stays intact. Guarded to
+    * single-file scans because row_index restarts per file, while the
+    * contract here is a file-order ordinal.
+    *
+    * Fallback: zipWithIndex assigns contiguous ordinals across partitions
+    * in partition order, which for a single-file narrow read IS file
+    * order; costs one extra narrow pass, no shuffle. */
   def withRowIndex(df: DataFrame, colName: String = "_row_idx"): DataFrame = {
-    val schema = df.schema
-    val withIdx = df.rdd.zipWithIndex.map { case (row, idx) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
+    val fastPath: Option[DataFrame] =
+      if (df.inputFiles.length == 1) {
+        try {
+          val out = df.withColumn(colName, col("_metadata.row_index"))
+          out.queryExecution.analyzed // force resolution of the metadata column
+          Some(out)
+        } catch { case _: org.apache.spark.sql.AnalysisException => None }
+      } else None
+    fastPath.getOrElse {
+      val schema = df.schema
+      val withIdx = df.rdd.zipWithIndex.map { case (row, idx) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
+      }
+      df.sparkSession.createDataFrame(withIdx,
+        schema.add(colName, org.apache.spark.sql.types.LongType, nullable = false))
     }
-    df.sparkSession.createDataFrame(withIdx,
-      schema.add(colName, org.apache.spark.sql.types.LongType, nullable = false))
   }
 }

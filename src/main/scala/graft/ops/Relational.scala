@@ -29,15 +29,40 @@ object Relational {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Guarded scan-parallelism fix: the bench inputs are single-row-group
-    * parquet files, so the scan (and every narrow op above the first
-    * shuffle) would run as ONE task. When the scan has fewer splits than
-    * the cluster parallelism, repartition early — shuffling the (tiny)
-    * input bytes to parallelize the expensive per-row work. On real
-    * many-file/many-row-group inputs the guard makes this a no-op. */
+  /** Guarded scan-parallelism fix: the bench inputs are SINGLE-ROW-GROUP
+    * parquet files (measured: every sf0.1 table is 1 row group), so the
+    * scan — and every narrow op above the first shuffle — runs as ONE
+    * task no matter how `spark.sql.files.maxPartitionBytes` is tuned: a
+    * row group is consumed by exactly one split, byte-range splits beyond
+    * it read zero rows. Physically repartitioning the (tiny) input bytes
+    * is therefore the only way to spread the expensive per-row work, and
+    * is the right trade at bench scale. On real many-file/many-row-group
+    * inputs the guard makes this a no-op.
+    *
+    * The guard itself is metadata-only: file count via `inputFiles` plus
+    * at most `target` driver-side FS stats, never `df.rdd` — which would
+    * force eager physical planning of the whole query on every
+    * construction. */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.length >= target) df // many files: scan is already parallel
+    else if (files.isEmpty) df    // non-file source (in-memory test data)
+    else {
+      // few files: bounded number of FS stats; estimate Spark's byte-range
+      // splits per file. Single-row-group bench files land at 1 split each.
+      val conf = spark.sessionState.conf
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val sizes = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(hconf).getFileStatus(p).getLen
+      }
+      val maxSplit = math.max(conf.filesOpenCostInBytes,
+        math.min(conf.filesMaxPartitionBytes, sizes.sum / math.max(1, target)))
+      val estSplits = sizes.map(s => math.max(1L, (s + maxSplit - 1) / maxSplit)).sum
+      if (estSplits < target) df.repartition(target) else df
+    }
   }
 
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
@@ -45,9 +70,21 @@ object Relational {
     * micros with integer arithmetic (ns ≈ 1.7e18 overflows double's exact
     * range, so no FP division). DuckDB truncates ns→us identically. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    fanOut(t(spark, dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // nanosAsLong is only consulted at schema-inference time (the
+    // spark.read call below), so set-read-restore leaves no lasting
+    // session-conf mutation for library users (verified by test).
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      fanOut(t(spark, dir, "events"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
   }
 
   /** Exact, order-independent sum of a double column: cast each value to
