@@ -28,10 +28,11 @@ object Loader {
   }
 
   /** Existing-table handling (reference handle_existing_table :908-926). */
-  def prepareTable(spark: SparkSession, table: String, mode: TableMode): Unit = mode match {
-    case TableMode.DropRecreate => spark.sql(s"DROP TABLE IF EXISTS `$table`")
+  def prepareTable(spark: SparkSession, table: String, mode: TableMode,
+      sink: TableSink = CatalogSink): Unit = mode match {
+    case TableMode.DropRecreate => sink.drop(spark, table)
     case TableMode.Fail =>
-      if (spark.catalog.tableExists(table))
+      if (sink.exists(spark, table))
         throw new IllegalStateException(s"table $table already exists (table_mode=fail)")
     case TableMode.Append | TableMode.Upsert => ()
   }
@@ -45,13 +46,12 @@ object Loader {
     * existence probe is a limit-1 job, not a full count; the inserted-row
     * count is observed DURING the write job (no second scan). */
   def loadStrict(spark: SparkSession, good: DataFrame, bad: DataFrame, table: String,
-      mode: TableMode): LoadResult = {
+      mode: TableMode, sink: TableSink = CatalogSink): LoadResult = {
     if (!bad.isEmpty)
       return LoadResult("Failed", -1, 0, 0, -1,
         Some("validation failed in strict mode: at least one invalid row"))
     val obs = Observation()
-    good.observe(obs, count(lit(1)).as("n"))
-      .write.mode(saveModeFor(mode)).format("parquet").saveAsTable(table)
+    sink.write(good.observe(obs, count(lit(1)).as("n")), table, saveModeFor(mode))
     val rows = obs.get("n").asInstanceOf[Long]
     LoadResult("Completed", rows, rows, 0, 0)
   }
@@ -60,14 +60,13 @@ object Loader {
     * count blows the budget. The bad side is counted up front (it gates
     * the write); the good side is observed during the write. */
   def loadTolerant(spark: SparkSession, good: DataFrame, bad: DataFrame, table: String,
-      mode: TableMode, maxRowErrors: Int): LoadResult = {
+      mode: TableMode, maxRowErrors: Int, sink: TableSink = CatalogSink): LoadResult = {
     val nBad = bad.count()
     if (nBad > maxRowErrors)
       return LoadResult("Failed", -1, 0, 0, nBad,
         Some(s"row errors $nBad exceed budget $maxRowErrors"))
     val obs = Observation()
-    good.observe(obs, count(lit(1)).as("n"))
-      .write.mode(saveModeFor(mode)).format("parquet").saveAsTable(table)
+    sink.write(good.observe(obs, count(lit(1)).as("n")), table, saveModeFor(mode))
     val nGood = obs.get("n").asInstanceOf[Long]
     val status = if (nBad > 0) "CompletedWithErrors" else "Completed"
     LoadResult(status, nGood + nBad, nGood, 0, nBad)
@@ -79,7 +78,8 @@ object Loader {
     * (MERGE INTO on a lakehouse table format at production scale —
     * SURVEY §7.4 note 4). */
   def loadUpsert(spark: SparkSession, source: DataFrame, badRows: DataFrame, table: String,
-      pk: Seq[String], ordinalCol: String, strict: Boolean, maxRowErrors: Int): LoadResult = {
+      pk: Seq[String], ordinalCol: String, strict: Boolean, maxRowErrors: Int,
+      sink: TableSink = CatalogSink): LoadResult = {
     val nBad = badRows.count()
     if (strict && nBad > 0)
       return LoadResult("Failed", -1, 0, 0, nBad,
@@ -91,30 +91,29 @@ object Loader {
     val deduped = Upsert.dedupLastWins(source, pk, ordinalCol)
     val status = if (nBad > 0) "CompletedWithErrors" else "Completed"
 
-    if (!spark.catalog.tableExists(table)) {
+    if (!sink.exists(spark, table)) {
       // no target yet: the merge degenerates to insert-all
       val obs = Observation()
-      deduped.observe(obs, count(lit(1)).as("n"))
-        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+      sink.write(deduped.observe(obs, count(lit(1)).as("n")), table, SaveMode.Overwrite)
       val n = obs.get("n").asInstanceOf[Long]
       return LoadResult(status, n + nBad, n, 0, nBad)
     }
 
     // insert/update counts are observed DURING the single merge write —
     // no extra key-join count jobs, no second scan of target or source
-    val target = spark.table(table)
+    val target = sink.read(spark, table)
     val next = s"${table}__upsert_next"
     val obs = Observation()
-    Upsert.merge(target, deduped, pk)
-      .observe(obs,
-        sum(when(col("__merge_action") === "inserted", 1L).otherwise(0L)).as("ins"),
-        sum(when(col("__merge_action") === "updated", 1L).otherwise(0L)).as("upd"))
-      .drop("__merge_action")
-      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(next)
+    sink.write(
+      Upsert.merge(target, deduped, pk)
+        .observe(obs,
+          sum(when(col("__merge_action") === "inserted", 1L).otherwise(0L)).as("ins"),
+          sum(when(col("__merge_action") === "updated", 1L).otherwise(0L)).as("upd"))
+        .drop("__merge_action"),
+      next, SaveMode.Overwrite)
     val inserted = Option(obs.get("ins")).map(_.asInstanceOf[Long]).getOrElse(0L)
     val updated = Option(obs.get("upd")).map(_.asInstanceOf[Long]).getOrElse(0L)
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    spark.sql(s"ALTER TABLE `$next` RENAME TO `$table`")
+    sink.rename(spark, next, table)
     LoadResult(status, inserted + updated + nBad, inserted, updated, nBad)
   }
 }

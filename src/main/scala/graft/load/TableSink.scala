@@ -1,0 +1,96 @@
+package graft.load
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Where loaded tables land. The reference's entire purpose is loading
+  * files into SQL Server over a driver connection
+  * (src/file-to-sql-loader.py:661-694 connect, :989-995 insert); this
+  * engine's default target is the Spark catalog (parquet warehouse
+  * tables), with the same write surface behind a trait so a JDBC target
+  * is a constructor argument, not a rewrite — the same seam pattern as
+  * report.ReportSender.
+  *
+  * The upsert swap (write-next-then-rename) is part of the contract: a
+  * concurrent reader sees old-or-new, never partial. */
+trait TableSink {
+  def write(df: DataFrame, table: String, mode: SaveMode): Unit
+  def read(spark: SparkSession, table: String): DataFrame
+  def exists(spark: SparkSession, table: String): Boolean
+  def drop(spark: SparkSession, table: String): Unit
+  /** Atomic-ish publish: `from` must exist; `to` is replaced. */
+  def rename(spark: SparkSession, from: String, to: String): Unit
+}
+
+/** Default sink: managed parquet tables in the session catalog. At
+  * production scale this is the lakehouse path (swap = catalog commit). */
+object CatalogSink extends TableSink {
+  override def write(df: DataFrame, table: String, mode: SaveMode): Unit =
+    df.write.mode(mode).format("parquet").saveAsTable(table)
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+  override def exists(spark: SparkSession, table: String): Boolean =
+    spark.catalog.tableExists(table)
+  override def drop(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+  override def rename(spark: SparkSession, from: String, to: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$to`")
+    spark.sql(s"ALTER TABLE `$from` RENAME TO `$to`")
+  }
+}
+
+/** JDBC sink completing the reference's SQL-Server story
+  * (src/file-to-sql-loader.py:661-694, :989-995). Writes go through
+  * Spark's built-in JDBC source — executor-parallel batched INSERTs, not
+  * the reference's single-connection row loop — and control statements
+  * (exists/drop/rename) through one driver-side connection.
+  *
+  * `dialect` mirrors analyze.Ddl's two dialects: "sqlserver" uses
+  * sp_rename / SELECT-1 probes; anything else uses ANSI forms.
+  *
+  * Compile-complete but driver-jar-dependent at runtime: this offline
+  * container ships no JDBC driver, so behavior is unit-tested through the
+  * [[TableSink]] seam (LoaderSpec) rather than against a live server. */
+final case class JdbcSink(
+    url: String,
+    properties: Map[String, String] = Map.empty,
+    dialect: String = "sqlserver") extends TableSink {
+
+  private def props: java.util.Properties = {
+    val p = new java.util.Properties()
+    properties.foreach { case (k, v) => p.setProperty(k, v) }
+    p
+  }
+
+  override def write(df: DataFrame, table: String, mode: SaveMode): Unit =
+    df.write.mode(mode).jdbc(url, table, props)
+
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  private def withConnection[A](f: java.sql.Connection => A): A = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try f(conn) finally conn.close()
+  }
+
+  override def exists(spark: SparkSession, table: String): Boolean =
+    withConnection { conn =>
+      val rs = conn.getMetaData.getTables(null, null, table, null)
+      try rs.next() finally rs.close()
+    }
+
+  override def drop(spark: SparkSession, table: String): Unit =
+    withConnection { conn =>
+      val st = conn.createStatement()
+      try st.execute(s"DROP TABLE IF EXISTS $table") finally st.close()
+    }
+
+  override def rename(spark: SparkSession, from: String, to: String): Unit =
+    withConnection { conn =>
+      val st = conn.createStatement()
+      try {
+        st.execute(s"DROP TABLE IF EXISTS $to")
+        if (dialect == "sqlserver") st.execute(s"EXEC sp_rename '$from', '$to'")
+        else st.execute(s"ALTER TABLE $from RENAME TO $to")
+      } finally st.close()
+    }
+}

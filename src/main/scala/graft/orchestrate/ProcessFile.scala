@@ -25,9 +25,13 @@ object ProcessFile {
 
   /** @param moveOnFailure quarantine the file to error/ on failure; the
     *        batch runner passes false for non-final retry attempts so the
-    *        source file is still in place for the next attempt. */
+    *        source file is still in place for the next attempt.
+    * @param sink where loaded tables land — the session catalog by
+    *        default, or a [[graft.load.JdbcSink]] for the reference's
+    *        SQL-Server target. */
   def run(spark: SparkSession, filePath: String, config: EngineConfig,
-      batchJobId: Option[String] = None, moveOnFailure: Boolean = true): FileJob = {
+      batchJobId: Option[String] = None, moveOnFailure: Boolean = true,
+      sink: graft.load.TableSink = graft.load.CatalogSink): FileJob = {
     val jobRunId = java.util.UUID.randomUUID().toString
     val start = new java.sql.Timestamp(System.currentTimeMillis())
     val fmt = Detect.detect(spark, filePath)
@@ -57,7 +61,7 @@ object ProcessFile {
 
     val result =
       try {
-        Loader.prepareTable(spark, table, config.tableMode)
+        Loader.prepareTable(spark, table, config.tableMode, sink)
         val indexed = Reader.withRowIndex(raw)
         val casted = Analyze.castPlan(indexed,
           types :+ ("_row_idx" -> InferredType.BigIntType))
@@ -67,11 +71,11 @@ object ProcessFile {
           case TableMode.Upsert =>
             Loader.loadUpsert(spark, good, bad, table,
               pk = config.primaryKeyFor(table), ordinalCol = "_row_idx",
-              strict = strict, maxRowErrors = config.maxRowErrors)
+              strict = strict, maxRowErrors = config.maxRowErrors, sink = sink)
           case m =>
             val goodOut = good.drop("_row_idx")
-            if (strict) Loader.loadStrict(spark, goodOut, bad, table, m)
-            else Loader.loadTolerant(spark, goodOut, bad, table, m, config.maxRowErrors)
+            if (strict) Loader.loadStrict(spark, goodOut, bad, table, m, sink)
+            else Loader.loadTolerant(spark, goodOut, bad, table, m, config.maxRowErrors, sink)
         }
       } catch {
         case e: Exception =>
@@ -126,11 +130,43 @@ object ProcessFile {
       }
     }
 
+    // J5: per-file log artifact — the greppable processing trace the
+    // reference writes via setup_file_specific_logging
+    // (src/file-to-sql-loader.py:69-101: process_<stem>_<id>.log in the
+    // logs dir next to the source). Driver-side, tiny, best-effort.
+    writeFileLog(spark, filePath, jobRunId, table, start, end, result, batchJobId)
+
     // I10: file lifecycle — success ⇒ processed/, failure ⇒ error/
     // (skipped for non-final retry attempts)
     if (result.status != "Failed") moveFile(spark, filePath, "processed")
     else if (moveOnFailure) moveFile(spark, filePath, "error")
   }
+
+  private def writeFileLog(spark: SparkSession, filePath: String, jobRunId: String,
+      table: String, start: java.sql.Timestamp, end: java.sql.Timestamp,
+      result: LoadResult, batchJobId: Option[String]): Unit =
+    try {
+      moveTargetDir(spark, filePath, "logs").foreach { logs =>
+        val stem = Ddl.tableName(filePath)
+        val dir = new Path(logs)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(dir)) fs.mkdirs(dir)
+        val lines = Seq(
+          s"$start INFO job_run_id=$jobRunId",
+          s"$start INFO source_file=$filePath",
+          s"$start INFO target_table=$table" +
+            batchJobId.map(b => s" batch_job_id=$b").getOrElse(""),
+          s"$end ${if (result.status == "Failed") "ERROR" else "INFO"} " +
+            s"status=${result.status} rows_read=${result.rowsRead} " +
+            s"rows_inserted=${result.rowsInserted} rows_updated=${result.rowsUpdated} " +
+            s"rows_failed=${result.rowsErrored}" +
+            result.errorMessage.map(m => s" error=$m").getOrElse(""),
+          s"$end INFO duration_seconds=${(end.getTime - start.getTime) / 1000}")
+        val out = fs.create(new Path(dir, s"process_${stem}_$jobRunId.log"), true)
+        try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+    } catch { case _: Exception => () } // logging must never fail the job
 
   private def moveTargetDir(spark: SparkSession, filePath: String, sub: String)
       : Option[String] = {

@@ -44,6 +44,14 @@ class EndToEndSpec extends GraftSuite {
     val stats = Ledger.jobStats(spark).filter(col("SourceFile") === f).head()
     assert(stats.getAs[String]("JobStatus") == "Completed")
     assert(stats.getAs[Long]("RowsRead") == 10)
+
+    // J5: per-file log artifact names the job id (reference
+    // setup_file_specific_logging, src/file-to-sql-loader.py:69-101)
+    val logFile = dir.resolve(s"logs/process_dates_iso_format_${job.jobRunId}.log")
+    assert(Files.exists(logFile), s"missing $logFile")
+    val log = Files.readString(logFile)
+    assert(log.contains(s"job_run_id=${job.jobRunId}"))
+    assert(log.contains("status=Completed") && log.contains("rows_read=10"))
   }
 
   test("PSV ingest: pipe-delimited, unsupported date format stays string") {

@@ -132,6 +132,59 @@ class LoaderSpec extends GraftSuite {
       Loader.prepareTable(spark, t, TableMode.Fail)
     }
   }
+
+  test("TableSink seam: every load path routes through the sink (JDBC-shaped contract)") {
+    // In-memory sink standing where JdbcSink would: Loader must never
+    // bypass the trait (the reference's SQL-Server story,
+    // src/file-to-sql-loader.py:661-694, :989-995, hangs on this seam).
+    import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+    class MemSink extends graft.load.TableSink {
+      val tables = scala.collection.mutable.Map[String, DataFrame]()
+      val calls = scala.collection.mutable.ArrayBuffer[String]()
+      override def write(df: DataFrame, table: String, mode: SaveMode): Unit = {
+        calls += s"write:$table:$mode"
+        val mat = df.cache(); mat.count() // fire Observation metrics
+        tables(table) = mode match {
+          case SaveMode.Append if tables.contains(table) => tables(table).union(mat)
+          case _ => mat
+        }
+      }
+      override def read(spark: SparkSession, table: String): DataFrame = tables(table)
+      override def exists(spark: SparkSession, table: String): Boolean = {
+        calls += s"exists:$table"; tables.contains(table)
+      }
+      override def drop(spark: SparkSession, table: String): Unit = {
+        calls += s"drop:$table"; tables.remove(table)
+      }
+      override def rename(spark: SparkSession, from: String, to: String): Unit = {
+        calls += s"rename:$from:$to"; tables(to) = tables(from); tables.remove(from)
+      }
+    }
+    val sink = new MemSink
+    // strict insert
+    val df = Seq(("1", "x"), ("2", "y")).toDF("id", "name")
+    val (good, bad) = Loader.split(df, Seq("id"))
+    val r1 = Loader.loadStrict(spark, good, bad, "mem_t", TableMode.DropRecreate, sink)
+    assert(r1.status == "Completed" && r1.rowsInserted == 2)
+    assert(sink.tables("mem_t").count() == 2)
+    // upsert: create, then merge + swap through the sink
+    val src1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+      .withColumn("_row_idx", monotonically_increasing_id())
+    val r2 = Loader.loadUpsert(spark, src1, src1.limit(0), "mem_u", Seq("id"),
+      "_row_idx", strict = true, 100, sink)
+    assert(r2.rowsInserted == 2)
+    val src2 = Seq((2, "b2"), (3, "c")).toDF("id", "v")
+      .withColumn("_row_idx", monotonically_increasing_id())
+    val r3 = Loader.loadUpsert(spark, src2, src2.limit(0), "mem_u", Seq("id"),
+      "_row_idx", strict = true, 100, sink)
+    assert(r3.rowsInserted == 1 && r3.rowsUpdated == 1)
+    val rows = sink.tables("mem_u").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "a"), (2, "b2"), (3, "c")))
+    assert(sink.calls.exists(_.startsWith("rename:mem_u__upsert_next:mem_u")))
+    // nothing leaked into the real catalog
+    assert(!spark.catalog.tableExists("mem_t") && !spark.catalog.tableExists("mem_u"))
+  }
 }
 
 class ConfigSpec extends GraftSuite {
