@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -8,15 +8,20 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-document signature kernels.
   *
-  * SimHash and MinHash signatures are pure per-row functions of the token
-  * array, so they do NOT need the explode + groupBy shuffle the exploded
-  * formulation uses: these expressions compute the whole signature in one
-  * tight loop inside the scan stage (map-side at any scale — the only
-  * shuffle left in the LSH pipelines is the band-bucket candidate join).
+  * SimHash, MinHash, fingerprint and bag-hash are pure per-row functions
+  * of the token array, so they do NOT need the explode + groupBy shuffle
+  * the exploded formulation uses: these expressions compute the whole
+  * signature in one tight loop inside the scan stage (map-side at any
+  * scale — the only shuffle left in the LSH pipelines is the band-bucket
+  * candidate join).
   *
-  * Hash scheme matches the previous exploded formulation exactly:
-  * token/shingle hash = xxhash64(string) (XXH64 over UTF-8 bytes, seed 42);
-  * minhash slot s = xxhash64(s, shingleHash) = hashLong(h, hashInt(s, 42)).
+  * Hash scheme: token/shingle hash = FNV-1a-64 over UTF-8 bytes — chosen
+  * over xxhash64 because signatures must be ENGINE-PORTABLE: a dedup
+  * decision made here must be reproducible by any system that can do
+  * 64-bit integer arithmetic (the DuckDB oracles re-derive every value in
+  * SQL, the same way q51's split hash is engine-invariant). MinHash slot
+  * s remixes the shingle hash as ((h XOR seed_s) * FNV_PRIME) mod 2^64
+  * with seed_s = (s+1) * 0x9E3779B97F4A7C15 (golden-ratio odd constant).
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -42,9 +47,80 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int) extends UnaryEx
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+/** Order-sensitive rolling fingerprint: left fold over tokens of
+  * acc' = rotl(acc, 5) XOR fnv1a64(token). One tight loop, no HOF. */
+case class Fingerprint64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint64"
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.fingerprint(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = TextHashKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, a => s"$k.fingerprint($a)")
+  }
+  override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(child = c)
+}
+
+/** Order-insensitive bag-of-tokens hash: Σ (fnv1a64(token) unsigned-mod
+  * (2^31 − 1)) — a billion-token document stays far below Long overflow. */
+case class BagHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bag_hash64"
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.bagHash(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = TextHashKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, a => s"$k.bagHash($a)")
+  }
+  override protected def withNewChildInternal(c: Expression): BagHash64 = copy(child = c)
+}
+
 object TextHashKernels {
 
-  private def hashUtf8(s: UTF8String): Long = XXH64.hashUTF8String(s, 42L)
+  final val FnvOffset = -3750763034362895579L // 14695981039346656037 as signed
+  final val FnvPrime = 1099511628211L
+  final val Golden = -7046029254386353131L    // 0x9E3779B97F4A7C15 as signed
+
+  /** FNV-1a 64 over the UTF-8 bytes. Java's wrapping long arithmetic IS
+    * mod-2^64 unsigned arithmetic, so any engine with 64-bit (or wider)
+    * integers reproduces this exactly — see the DuckDB HUGEINT mirrors. */
+  def fnv1a64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  private def hashUtf8(s: UTF8String): Long = fnv1a64(s)
+
+  /** Rolling rotl(5)-XOR fold of token hashes (order-sensitive). */
+  def fingerprint(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc = ((acc << 5) | (acc >>> 59)) ^ fnv1a64(tokens.getUTF8String(i))
+      i += 1
+    }
+    acc
+  }
+
+  /** Σ (unsigned h mod 2147483647) over tokens (order-insensitive). */
+  def bagHash(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.remainderUnsigned(
+        fnv1a64(tokens.getUTF8String(i)), 2147483647L)
+      i += 1
+    }
+    acc
+  }
 
   /** 64-bit SimHash over the token array (duplicates weighted, matching the
     * exploded groupBy formulation). */
@@ -70,12 +146,13 @@ object TextHashKernels {
     out
   }
 
-  // memoized per-slot seed hashes: seedHash(s) = hashInt(s, 42)
+  // per-slot seeds: seed_s = (s+1) * golden-ratio constant (odd ⇒ distinct,
+  // well-mixed; engine-reproducible integer arithmetic)
   @volatile private var seedCache: Array[Long] = Array.empty
   private def seeds(n: Int): Array[Long] = {
     var c = seedCache
     if (c.length < n) {
-      c = Array.tabulate(n)(s => XXH64.hashInt(s, 42L))
+      c = Array.tabulate(n)(s => (s + 1) * Golden)
       seedCache = c
     }
     c
@@ -100,7 +177,7 @@ object TextHashKernels {
       val h = hashUtf8(UTF8String.concatWs(sep, parts: _*))
       var s = 0
       while (s < numHashes) {
-        val v = XXH64.hashLong(h, seedArr(s))
+        val v = (h ^ seedArr(s)) * FnvPrime
         if (v < sig(s)) sig(s) = v
         s += 1
       }

@@ -229,6 +229,97 @@ object ScaleOps {
         TextAnalysis.bagHashOf(col("tk")).as("bag_hash"))
       .orderBy(col("doc_id"))
 
+  // --- DuckDB mirrors of the signature ops -------------------------------
+  // All three re-derive the FNV-1a-64 signature arithmetic in pure SQL
+  // (HUGEINT = exact mod-2^64), the same engine-portability contract as
+  // q51's split hash: a dedup/fingerprint decision made by this engine is
+  // reproducible by any system with 64-bit integers. Precondition
+  // (verified at every SF): the documents corpus is ASCII, so per-char
+  // ord() == UTF-8 byte. Spark kernels: functions.TextHashKernels.
+
+  /** DuckDB: FNV-1a-64 of each string in list column `c` → HUGEINT list. */
+  private def duckFnv(c: String): String =
+    s"""[list_reduce(
+       |      list_prepend(14695981039346656037::HUGEINT,
+       |        [ord(substr(x, i, 1))::HUGEINT FOR i IN range(1, length(x) + 1)]),
+       |      (acc, b) -> (xor(acc, b) * 1099511628211) % 18446744073709551616::HUGEINT)
+       |    FOR x IN $c]""".stripMargin
+
+  private val duckToSigned =
+    "CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END"
+
+  val q23Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), th AS (
+      |  SELECT doc_id, ${duckFnv("t")} AS hs FROM toks
+      |), folded AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(0::HUGEINT, hs),
+      |      (acc, h) -> xor(((acc * 32) % 18446744073709551616::HUGEINT)
+      |                        + (acc // 576460752303423488), h)) AS fp,
+      |    list_sum([h % 2147483647 FOR h IN hs]) AS bag
+      |  FROM th
+      |)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN fp >= 9223372036854775808::HUGEINT
+      |            THEN fp - 18446744073709551616::HUGEINT ELSE fp END AS BIGINT) AS fingerprint,
+      |  CAST(bag AS BIGINT) AS bag_hash
+      |FROM folded ORDER BY doc_id""".stripMargin
+
+  val q22Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), th AS (
+      |  SELECT doc_id, ${duckFnv("t")} AS hs FROM toks
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum([
+      |      CASE WHEN 2 * list_sum([CAST((h >> b) % 2 AS BIGINT) FOR h IN hs]) >= len(hs)
+      |           THEN CASE WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << b) END
+      |           ELSE 0 END
+      |      FOR b IN range(64)]) AS BIGINT) AS simhash
+      |  FROM th
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val q21Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), th AS (
+      |  SELECT doc_id, t, len(t) AS n FROM toks
+      |), shingles AS (
+      |  SELECT doc_id,
+      |    [array_to_string(t[i + 1 : least(i + 3, n)], ' ')
+      |     FOR i IN range(0, greatest(n - 3, 0) + 1)] AS sgl
+      |  FROM th
+      |), sghash AS (
+      |  SELECT doc_id, ${duckFnv("sgl")} AS shs FROM shingles
+      |), sig AS (
+      |  SELECT doc_id,
+      |    [list_min([CAST($duckToSigned AS BIGINT)
+      |       FOR v IN [(xor(h, ((s + 1)::HUGEINT * 11400714819323198485)
+      |                           % 18446744073709551616::HUGEINT)
+      |                   * 1099511628211) % 18446744073709551616::HUGEINT
+      |                 FOR h IN shs]])
+      |     FOR s IN range(32)] AS sg
+      |  FROM sghash
+      |)
+      |SELECT doc_a, doc_b, est_jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len([i FOR i IN range(32) IF a.sg[i + 1] = b.sg[i + 1]]) AS DOUBLE)
+      |      / 32.0 AS est_jaccard,
+      |    len([bb FOR bb IN range(8)
+      |         IF a.sg[4 * bb + 1 : 4 * bb + 4] = b.sg[4 * bb + 1 : 4 * bb + 4]]) AS n_bands
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |)
+      |WHERE n_bands > 0 AND est_jaccard >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def q24AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Ann.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 5, nBits = 8)

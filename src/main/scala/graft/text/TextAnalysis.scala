@@ -91,21 +91,26 @@ object TextAnalysis {
   // --- fingerprinting ----------------------------------------------------
 
   /** Order-sensitive rolling document fingerprint: left fold of
-    * acc' = rotl(acc, 5) XOR xxhash64(token). Pure bit ops — no overflow
-    * under ANSI mode — and position-sensitive (permuted docs differ),
-    * unlike a bag hash. */
+    * acc' = rotl(acc, 5) XOR fnv1a64(token). Pure mod-2^64 integer ops —
+    * the same document fingerprints identically on ANY engine (the DuckDB
+    * oracle re-derives it in SQL) — and position-sensitive (permuted docs
+    * differ), unlike a bag hash. One tight codegen'd loop per row
+    * (functions.Fingerprint64), not an interpreted HOF. */
   def fingerprint(text: Column): Column = fingerprintOf(tokens(text))
-  def fingerprintOf(toks: Column): Column =
-    aggregate(toks, lit(0L), (acc, t) =>
-      shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(xxhash64(t)))
+  def fingerprintOf(toks: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge._
+    column(graft.functions.Fingerprint64(expression(toks)))
+  }
 
   /** Order-insensitive content hash (bag-of-tokens): sum of token hashes
     * folded into [0, 2^31) so a billion-token document cannot overflow
-    * Long. Near-dup candidate key where token order noise is irrelevant. */
+    * Long. Near-dup candidate key where token order noise is irrelevant.
+    * Engine-portable like [[fingerprint]]. */
   def bagHash(text: Column): Column = bagHashOf(tokens(text))
-  def bagHashOf(toks: Column): Column =
-    aggregate(toks, lit(0L),
-      (acc, t) => acc + pmod(xxhash64(t), lit(2147483647L)))
+  def bagHashOf(toks: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge._
+    column(graft.functions.BagHash64(expression(toks)))
+  }
 
   /** Full per-document text profile used by pipeline consumers. */
   def profile(df: DataFrame, textCol: String): DataFrame =

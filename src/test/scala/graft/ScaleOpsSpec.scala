@@ -74,6 +74,18 @@ class DedupSpec extends GraftSuite {
     assert(fp(0) != fp(1))
     assert(bh(0) == bh(1))
   }
+
+  test("hash kernels pin the published FNV-1a-64 constants (engine portability)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TextHashKernels
+    // standard FNV-1a 64 test vectors (unsigned hex → signed long)
+    assert(TextHashKernels.fnv1a64(UTF8String.fromString("")) ==
+      java.lang.Long.parseUnsignedLong("cbf29ce484222325", 16))
+    assert(TextHashKernels.fnv1a64(UTF8String.fromString("hello")) ==
+      java.lang.Long.parseUnsignedLong("a430d84680aabd0b", 16))
+    assert(TextHashKernels.fnv1a64(UTF8String.fromString("a")) ==
+      java.lang.Long.parseUnsignedLong("af63dc4c8601ec8c", 16))
+  }
 }
 
 class AnnSpec extends GraftSuite {
