@@ -23,7 +23,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_ORDER=reverse runs the suite back-to-front: used
+    // for clean re-measurement (run-order/JIT drift shows up as a
+    // forward-vs-reverse split on the same build; a real plan regression
+    // shows up in both orderings).
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse")) sorted.reverse
+      else sorted
     queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
