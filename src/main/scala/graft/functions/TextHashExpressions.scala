@@ -75,6 +75,22 @@ case class BagHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): BagHash64 = copy(child = c)
 }
 
+/** Count of the most frequent adjacent token 2-gram (0 for < 2 tokens) —
+  * the exact integer core of the Gopher-style top-2-gram repetition
+  * signal; the fraction is derived in column space so the kernel output
+  * stays engine-comparable. */
+case class TopBigramCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "top_bigram_count"
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.topBigramCount(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = TextHashKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, a => s"$k.topBigramCount($a)")
+  }
+  override protected def withNewChildInternal(c: Expression): TopBigramCount = copy(child = c)
+}
+
 object TextHashKernels {
 
   final val FnvOffset = -3750763034362895579L // 14695981039346656037 as signed
@@ -107,6 +123,23 @@ object TextHashKernels {
       i += 1
     }
     acc
+  }
+
+  /** Highest multiplicity among adjacent token 2-grams. String keys (not
+    * hashes) so the count is exact and any engine's histogram agrees. */
+  def topBigramCount(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    if (n < 2) return 0L
+    val m = new java.util.HashMap[String, Long]()
+    var best = 0L
+    var i = 0
+    while (i < n - 1) {
+      val k = tokens.getUTF8String(i).toString + " " + tokens.getUTF8String(i + 1).toString
+      val c = m.merge(k, 1L, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best
   }
 
   /** Σ (unsigned h mod 2147483647) over tokens (order-insensitive). */

@@ -229,6 +229,33 @@ object ScaleOps {
         TextAnalysis.bagHashOf(col("tk")).as("bag_hash"))
       .orderBy(col("doc_id"))
 
+  /** Repetition quality signals (Gopher-style published filters): per-doc
+    * duplicate-token fraction + top-2-gram coverage. A pure map over the
+    * documents scan. */
+  def q57Repetition(s: SparkSession, dir: String): DataFrame =
+    Relational.fanOut(t(s, dir, "documents"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        TextAnalysis.dupTokenFrac(col("tk")).as("dup_token_frac"),
+        TextAnalysis.topBigramFrac(col("tk")).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+
+  val q57Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(t) AS INT) AS n_tokens,
+      |  1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS dup_token_frac,
+      |  CASE WHEN len(t) < 2 THEN 0.0
+      |       ELSE 2.0 * CAST(list_max(map_values(list_aggregate(
+      |              [t[i + 1] || ' ' || t[i + 2] FOR i IN range(len(t) - 1)],
+      |              'histogram'))) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+      |  END AS top_bigram_frac
+      |FROM toks ORDER BY doc_id""".stripMargin
+
   // --- DuckDB mirrors of the signature ops -------------------------------
   // All three re-derive the FNV-1a-64 signature arithmetic in pure SQL
   // (HUGEINT = exact mod-2^64), the same engine-portability contract as

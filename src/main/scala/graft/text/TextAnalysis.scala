@@ -112,6 +112,25 @@ object TextAnalysis {
     column(graft.functions.BagHash64(expression(toks)))
   }
 
+  // --- repetition signals ------------------------------------------------
+
+  /** Gopher-style repetition signals (published quality filters for
+    * LLM training corpora): duplicate-token fraction and the fraction of
+    * tokens covered by the most frequent adjacent 2-gram. Highly
+    * repetitious documents (boilerplate, template spam, generation loops)
+    * score high on both. Pure per-row map — scan-parallel at any scale;
+    * integer cores are exact, fractions are single IEEE divisions, so the
+    * DuckDB oracle matches bit-for-bit. */
+  def dupTokenFrac(toks: Column): Column =
+    lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+
+  def topBigramFrac(toks: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge._
+    val cnt = column(graft.functions.TopBigramCount(expression(toks)))
+    when(size(toks) < 2, lit(0.0))
+      .otherwise(lit(2.0) * cnt.cast("double") / size(toks).cast("double"))
+  }
+
   /** Full per-document text profile used by pipeline consumers. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("__toks", tokens(col(textCol)))

@@ -75,6 +75,21 @@ class DedupSpec extends GraftSuite {
     assert(bh(0) == bh(1))
   }
 
+  test("repetition signals: dup-token and top-bigram fractions on known docs") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),          // 1 distinct of 4; bigram 'spam spam' x3
+      (2L, "all tokens here are different"),
+      (3L, "one")                           // <2 tokens: bigram frac 0
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextAnalysis.dupTokenFrac(TextAnalysis.tokens($"text")).as("dup"),
+        TextAnalysis.topBigramFrac(TextAnalysis.tokens($"text")).as("big"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((0.75, 1.5)))  // 2*3/4 = 1.5 (overlapping bigrams can exceed 1)
+    assert(out(2L) == ((0.0, 2.0 / 5.0)))
+    assert(out(3L) == ((0.0, 0.0)))
+  }
+
   test("hash kernels pin the published FNV-1a-64 constants (engine portability)") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.functions.TextHashKernels
