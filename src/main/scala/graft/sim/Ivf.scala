@@ -108,6 +108,32 @@ object Ivf {
     IvfIndex(cents, if (cache) assigned.cache() else assigned)
   }
 
+  /** Persist the index with each inverted list as a PARTITION
+    * (`partitionBy(centroid_id)`): at production scale this is the
+    * write-time layout investment that makes a search touch only its
+    * `nProbe` partitions of a 100 TB corpus — [[search]] prunes
+    * statically, visible as `PartitionFilters` on the scan (asserted in
+    * IvfSpec). Centroids (O(k·dim)) land beside the lists. */
+  def writeIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/lists")
+    index.centroids.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("centroid_id", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Reopen a persisted index. The lists DataFrame is the partitioned
+    * parquet layout — no data is read until a search probes it. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    IvfIndex(cents, spark.read.parquet(s"$path/lists"))
+  }
+
   /** Top-k search probing the `nProbe` nearest inverted lists per query. */
   def search(index: IvfIndex, queries: DataFrame, topK: Int, nProbe: Int = 4,
       queryId: String = "vec_id", queryVec: String = "embedding"): DataFrame = {
@@ -127,7 +153,15 @@ object Ivf {
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= nProbe)
         .select(col("query_id"), col("qv"), col("qnorm"), col("centroid_id"))
     }
-    val cand = index.assigned.join(broadcast(probes), Seq("centroid_id"))
+    // Static probe pruning: the probed centroid set is ≤ k values by
+    // construction (k is driver-small — same O(k) budget as the centroid
+    // collect), so materialize it and filter BEFORE the join. Over a
+    // partitionBy(centroid_id) layout (writeIndex) this becomes plan-time
+    // partition pruning — the scan reads only the probed inverted lists.
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cand = index.assigned.filter(col("centroid_id").isin(probedIds: _*))
+      .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cos", dot(col("cv"), col("qv")) / (col("cnorm") * col("qnorm")))
     Ann.topKPerQuery(cand, topK)

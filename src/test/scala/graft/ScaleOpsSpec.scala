@@ -287,6 +287,28 @@ class IvfSpec extends GraftSuite {
     val c2 = graft.sim.Ivf.train(corpus, "vec_id", "embedding", 4, 3)
     assert(c1.map(_._2.toSeq).toSeq == c2.map(_._2.toSeq).toSeq)
   }
+
+  test("persisted index: load == memory results; search reads only probed partitions") {
+    val idx = graft.sim.Ivf.build(corpus, k = 8, iters = 4, cache = false)
+    val path = tempDir("ivf_idx").toString
+    graft.sim.Ivf.writeIndex(idx, path)
+    val loaded = graft.sim.Ivf.loadIndex(spark, path)
+    assert(loaded.centroids.map(_._2.toSeq).toSeq == idx.centroids.map(_._2.toSeq).toSeq)
+    val q = corpus.filter($"vec_id" < 4)
+    def rows(r: org.apache.spark.sql.DataFrame) =
+      r.select("query_id", "rank", "corpus_id").collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    val mem = rows(graft.sim.Ivf.search(idx, q, 3, nProbe = 2))
+    val disk0 = graft.sim.Ivf.search(loaded, q, 3, nProbe = 2)
+    assert(rows(disk0) == mem)
+    // the scan over the partitionBy(centroid_id) layout must carry a
+    // static PartitionFilters pruning to the probed centroid set — the
+    // plan-level proof that a 100 TB search touches only nProbe lists
+    val plan = disk0.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"), plan)
+    val pruned = "PartitionFilters: \\[[^\\]]*centroid_id#\\d+ IN \\(".r
+    assert(pruned.findFirstIn(plan).isDefined, plan)
+  }
 }
 
 class CurationSpec extends GraftSuite {
