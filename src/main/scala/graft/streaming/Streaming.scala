@@ -62,6 +62,37 @@ object Streaming {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Continuous corpus curation — the streaming form of
+    * `pipeline.Curation.curate`: exact content dedup becomes
+    * watermark-bounded dropDuplicatesWithinWatermark on the md5 (state
+    * evictable — the only formulation that runs indefinitely); every
+    * other gate (quality, token bounds, language, repetition) is a
+    * stateless codegen'd projection, so the stream curates at scan
+    * parallelism. Difference from batch, documented: batch keeps the
+    * min-id copy of a duplicate group; a stream keeps the FIRST-ARRIVED
+    * copy — over an ordered replay they agree. */
+  def curationStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String,
+      params: graft.pipeline.Curation.Params = graft.pipeline.Curation.Params())
+      : DataFrame = {
+    import graft.text.TextAnalysis
+    val deduped = docs
+      .withColumn("__md5", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__md5"))
+      .drop("__md5")
+    deduped
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .select(
+        col(idCol), col(textCol), col(tsCol),
+        TextAnalysis.tokenCountOf(col("__toks")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScoreOf(col(textCol), col("__toks")).as("quality"),
+        TextAnalysis.langIdOf(col("__toks")).as("lang_pred"))
+      .filter(col("quality") >= params.minQuality)
+      .filter(col("n_tokens") >= params.minTokens && col("n_tokens") <= params.maxTokens)
+      .filter(col("lang_pred").isin(params.keepLangs: _*))
+  }
+
   /** Stream-stream interval join — the continuous form of the batch
     * interval join (ops.Relational3.q45IntervalJoin): left rows join right
     * rows for the same key within `[left.ts, left.ts + within]`. Both

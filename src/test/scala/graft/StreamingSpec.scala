@@ -27,6 +27,40 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("curation stream: same survivors as the batch pipeline on a replay") {
+    val in = tempDir("stream_cur_in"); val ckpt = tempDir("stream_cur_ckpt")
+    val docs = Seq(
+      (1L, "the cat and the dog of the house sit in the sun for a while today", "2024-01-01 00:00:01"),
+      (2L, "the cat and the dog of the house sit in the sun for a while today", "2024-01-01 00:00:02"), // dup
+      (3L, "short text", "2024-01-01 00:00:03"),                                  // < minTokens
+      (4L, "zzz qqq www rrr ttt yyy uuu iii ooo ppp aaa sss", "2024-01-01 00:00:04"), // lang und
+      (5L, "the quick brown fox jumps over the lazy dog and runs to the river", "2024-01-01 00:00:05"))
+    docs.toDF("doc_id", "text", "ts_str")
+      .withColumn("ts", to_timestamp($"ts_str")).drop("ts_str")
+      .write.mode("overwrite").parquet(in.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("ts", TimestampType))))
+      .parquet(in.toString)
+    val params = graft.pipeline.Curation.Params(minQuality = 0.3, minTokens = 10)
+    val cur = Streaming.curationStream(stream, "doc_id", "text", "ts", "10 minutes", params)
+    val q = cur.writeStream.format("memory").queryName("curout")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    // batch keeps min-id of a dup group; the single-batch replay keeps one
+    // of the two identical texts — compare surviving TEXT sets + count
+    val got = spark.table("curout")
+    val batch = graft.pipeline.Curation.curate(
+      docs.map(d => (d._1, d._2)).toDF("doc_id", "text"), "doc_id", "text", params)
+    assert(got.count() == batch.count())
+    assert(got.select("text").collect().map(_.getString(0)).toSet ==
+      batch.select("text").collect().map(_.getString(0)).toSet)
+    // gates agree row-for-row on the metrics columns
+    assert(got.select("lang_pred").collect().map(_.getString(0)).toSet == Set("en"))
+  }
+
   test("windowed counts with watermark match the batch equivalent") {
     val in = tempDir("stream_w_in"); val ckpt = tempDir("stream_w_ckpt")
     val rows = Seq(
