@@ -22,7 +22,8 @@ object ScaleStress {
       // shingle distinct across replicas -> df flat, corpus 10x: the
       // fair "new text" scaling shape, not pathological duplication)
       "q15_dedup_exact", "q16_token_count", "q17_quality_score",
-      "q18_lang_id", "q19_ngram_jaccard", "q21_minhash_lsh", "q22_simhash")
+      "q18_lang_id", "q19_ngram_jaccard", "q21_minhash_lsh", "q22_simhash",
+      "q23_fingerprint", "q57_repetition")
     qs.foreach { n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count() }
     spark.catalog.clearCache()
     for (rep <- 1 to 2) qs.foreach { n =>
