@@ -15,11 +15,18 @@ import graft.text.TextAnalysis
   * hash-groupBy and the final stats aggregation (when requested). */
 object Curation {
 
+  /** Repetition gates (maxDupTokenFrac / maxTopBigramFrac — the
+    * Gopher-style filters, q57) default to pass-everything so the
+    * historical pipeline shape (q36 oracle) is unchanged; tighten them to
+    * drop boilerplate/template-spam documents. topBigramFrac counts
+    * overlapping bigrams so its range is [0, 2). */
   final case class Params(
       minQuality: Double = 0.5,
       minTokens: Long = 10,
       maxTokens: Long = 100000,
-      keepLangs: Seq[String] = Seq("en", "es", "de", "fr"))
+      keepLangs: Seq[String] = Seq("en", "es", "de", "fr"),
+      maxDupTokenFrac: Double = 1.0,
+      maxTopBigramFrac: Double = 2.0)
 
   /** Curated corpus: one row per surviving document with its metrics. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
@@ -31,11 +38,15 @@ object Curation {
         col(idCol), col(textCol),
         TextAnalysis.tokenCountOf(col("__toks")).cast("long").as("n_tokens"),
         TextAnalysis.qualityScoreOf(col(textCol), col("__toks")).as("quality"),
-        TextAnalysis.langIdOf(col("__toks")).as("lang_pred"))
+        TextAnalysis.langIdOf(col("__toks")).as("lang_pred"),
+        TextAnalysis.dupTokenFrac(col("__toks")).as("dup_token_frac"),
+        TextAnalysis.topBigramFrac(col("__toks")).as("top_bigram_frac"))
     profiled
       .filter(col("quality") >= params.minQuality)
       .filter(col("n_tokens") >= params.minTokens && col("n_tokens") <= params.maxTokens)
       .filter(col("lang_pred").isin(params.keepLangs: _*))
+      .filter(col("dup_token_frac") <= params.maxDupTokenFrac)
+      .filter(col("top_bigram_frac") <= params.maxTopBigramFrac)
   }
 
   /** Aggregate curation report per predicted language. */

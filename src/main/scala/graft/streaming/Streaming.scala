@@ -87,10 +87,14 @@ object Streaming {
         col(idCol), col(textCol), col(tsCol),
         TextAnalysis.tokenCountOf(col("__toks")).cast("long").as("n_tokens"),
         TextAnalysis.qualityScoreOf(col(textCol), col("__toks")).as("quality"),
-        TextAnalysis.langIdOf(col("__toks")).as("lang_pred"))
+        TextAnalysis.langIdOf(col("__toks")).as("lang_pred"),
+        TextAnalysis.dupTokenFrac(col("__toks")).as("dup_token_frac"),
+        TextAnalysis.topBigramFrac(col("__toks")).as("top_bigram_frac"))
       .filter(col("quality") >= params.minQuality)
       .filter(col("n_tokens") >= params.minTokens && col("n_tokens") <= params.maxTokens)
       .filter(col("lang_pred").isin(params.keepLangs: _*))
+      .filter(col("dup_token_frac") <= params.maxDupTokenFrac)
+      .filter(col("top_bigram_frac") <= params.maxTopBigramFrac)
   }
 
   /** Stream-stream interval join — the continuous form of the batch

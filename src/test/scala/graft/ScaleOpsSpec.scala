@@ -330,6 +330,22 @@ class CurationSpec extends GraftSuite {
     assert(rep.length == 1 && rep.head.getString(0) == "en")
     assert(rep.head.getAs[Long]("n_docs") == 2)
   }
+
+  test("repetition gates drop template spam when tightened, pass-all by default") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the river"),
+      (2L, "buy now buy now buy now buy now buy now buy now buy now buy now") // template spam
+    ).toDF("doc_id", "text")
+    val loose = graft.pipeline.Curation.Params(minQuality = 0.0, minTokens = 1,
+      keepLangs = Seq("en", "es", "de", "fr", "und"))
+    val all = graft.pipeline.Curation.curate(docs, "doc_id", "text", loose)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L)) // defaults gate nothing
+    val gated = graft.pipeline.Curation.curate(docs, "doc_id", "text",
+      loose.copy(maxDupTokenFrac = 0.5, maxTopBigramFrac = 1.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gated == Set(1L), s"got $gated") // spam doc: dup 14/16, bigram frac ~1.9
+  }
 }
 
 class SketchSpec extends GraftSuite {
