@@ -403,6 +403,17 @@ object Relational3 {
       .otherwise("test")
   }
 
+  /** Deterministic hash-sample: keep rows whose [[splitBucket]] falls
+    * below fraction·2^32. Unlike seeded `sample()` (engine- and
+    * partitioning-dependent), the same row is kept on any engine, any
+    * layout, any run — and samples NEST: sampleByHash(f1) ⊆
+    * sampleByHash(f2) for f1 ≤ f2, so a 1% debug run is always a subset
+    * of the 10% run. Pure map over the scan. */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction out of [0,1]")
+    df.filter(splitBucket(col(idCol)) < lit(math.round(fraction * 4294967296.0)))
+  }
+
   def q51TrainSplit(s: SparkSession, dir: String): DataFrame = {
     val split = splitAssign(col("doc_id"))
     fanOut(t(s, dir, "documents"))

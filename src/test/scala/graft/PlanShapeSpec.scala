@@ -61,4 +61,26 @@ class PlanShapeSpec extends GraftSuite {
     val n = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(n == 1, s"expected a single window shuffle, got $n in\n$p")
   }
+
+  test("q23/q57: signature kernels are pure maps — no hash exchange below the sort") {
+    // one scan stage, codegen'd kernels, and the only exchange is the
+    // final presentation orderBy (rangepartitioning) — the plan a 100 TB
+    // per-document map must have
+    for (q <- Seq(graft.ops.ScaleOps.q23Fingerprint _, graft.ops.ScaleOps.q57Repetition _)) {
+      val df = q(spark, sf)
+      df.collect() // finalize THIS df's AQE plan so codegen stages are visible
+      val p = plan(df)
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      // "*(n)" prefixes mark operators inside a WholeStageCodegen stage;
+      // the kernel projection must sit inside one
+      assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined, p)
+    }
+  }
+
+  test("q21: LSH band join is an equi hash join, never cartesian") {
+    val p = plan(graft.ops.ScaleOps.q21MinhashLsh(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
 }

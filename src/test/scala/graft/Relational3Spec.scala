@@ -155,6 +155,27 @@ class Relational3Spec extends GraftSuite {
     }
   }
 
+  test("sampleByHash: deterministic, near-fraction, and nested across fractions") {
+    val docs = Relational.t(spark, sf, "documents")
+    val n = docs.count().toDouble
+    val s10 = Relational3.sampleByHash(docs, "doc_id", 0.10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s25 = Relational3.sampleByHash(docs, "doc_id", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // deterministic: re-run identical
+    val again = Relational3.sampleByHash(docs, "doc_id", 0.10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s10 == again)
+    // near-fraction (multiplicative hash is well-mixed; generous tolerance)
+    assert(math.abs(s10.size / n - 0.10) < 0.05, s"${s10.size / n}")
+    assert(math.abs(s25.size / n - 0.25) < 0.07, s"${s25.size / n}")
+    // nesting law: the 10% sample is a subset of the 25% sample
+    assert(s10.subsetOf(s25))
+    // edge fractions
+    assert(Relational3.sampleByHash(docs, "doc_id", 0.0).count() == 0)
+    assert(Relational3.sampleByHash(docs, "doc_id", 1.0).count() == n.toLong)
+  }
+
   test("q52 corr: agrees with built-in corr/covar_pop to float tolerance") {
     val out = Relational3.q52Corr(spark, sf).cache()
     val builtin = Relational.t(spark, sf, "lineitem")
