@@ -44,12 +44,13 @@ object CatalogSink extends TableSink {
   * the reference's single-connection row loop — and control statements
   * (exists/drop/rename) through one driver-side connection.
   *
-  * `dialect` mirrors analyze.Ddl's two dialects: "sqlserver" uses
-  * sp_rename / SELECT-1 probes; anything else uses ANSI forms.
+  * `dialect` ∈ {"sqlserver", "derby", ansi default} selects the rename
+  * form (sp_rename / RENAME TABLE / ALTER TABLE … RENAME TO); drops are
+  * existence-guarded instead of IF EXISTS (Derby has none).
   *
-  * Compile-complete but driver-jar-dependent at runtime: this offline
-  * container ships no JDBC driver, so behavior is unit-tested through the
-  * [[TableSink]] seam (LoaderSpec) rather than against a live server. */
+  * Integration-tested in LoaderSpec against the embedded Derby that
+  * ships with Spark; the SQL-Server path differs only in the rename
+  * statement. */
 final case class JdbcSink(
     url: String,
     properties: Map[String, String] = Map.empty,
@@ -72,25 +73,35 @@ final case class JdbcSink(
     try f(conn) finally conn.close()
   }
 
-  override def exists(spark: SparkSession, table: String): Boolean =
-    withConnection { conn =>
-      val rs = conn.getMetaData.getTables(null, null, table, null)
+  /** Case-robust existence probe: unquoted identifiers are stored
+    * upper-case by Derby/ANSI engines and lower-case by others. */
+  private def existsOn(conn: java.sql.Connection, table: String): Boolean =
+    Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+      val rs = conn.getMetaData.getTables(null, null, t, null)
       try rs.next() finally rs.close()
     }
 
+  override def exists(spark: SparkSession, table: String): Boolean =
+    withConnection(existsOn(_, table))
+
   override def drop(spark: SparkSession, table: String): Unit =
     withConnection { conn =>
-      val st = conn.createStatement()
-      try st.execute(s"DROP TABLE IF EXISTS $table") finally st.close()
+      if (existsOn(conn, table)) {
+        val st = conn.createStatement()
+        try st.execute(s"DROP TABLE $table") finally st.close()
+      }
     }
 
   override def rename(spark: SparkSession, from: String, to: String): Unit =
     withConnection { conn =>
       val st = conn.createStatement()
       try {
-        st.execute(s"DROP TABLE IF EXISTS $to")
-        if (dialect == "sqlserver") st.execute(s"EXEC sp_rename '$from', '$to'")
-        else st.execute(s"ALTER TABLE $from RENAME TO $to")
+        if (existsOn(conn, to)) st.execute(s"DROP TABLE $to")
+        dialect match {
+          case "sqlserver" => st.execute(s"EXEC sp_rename '$from', '$to'")
+          case "derby"     => st.execute(s"RENAME TABLE $from TO $to")
+          case _           => st.execute(s"ALTER TABLE $from RENAME TO $to")
+        }
       } finally st.close()
     }
 }

@@ -79,6 +79,38 @@ class UpsertSpec extends GraftSuite {
     assert(err.getMessage.contains("collide"), err.getMessage)
   }
 
+  test("JdbcSink integration: full load + upsert round-trip on embedded Derby") {
+    // Derby ships with Spark (metastore dependency) — a REAL JDBC server
+    // path: executor-parallel write, metadata probe, drop, rename swap.
+    val sink = graft.load.JdbcSink("jdbc:derby:memory:graftjdbc;create=true",
+      dialect = "derby")
+    // strict insert (drop_recreate)
+    val df = Seq(("1", "x"), ("2", "y")).toDF("id", "name")
+    val (good, bad) = Loader.split(df, Seq("id"))
+    Loader.prepareTable(spark, "jdbc_t", TableMode.DropRecreate, sink)
+    val r1 = Loader.loadStrict(spark, good, bad, "jdbc_t", TableMode.DropRecreate, sink)
+    assert(r1.status == "Completed" && r1.rowsInserted == 2)
+    assert(sink.read(spark, "jdbc_t").count() == 2)
+    assert(sink.exists(spark, "jdbc_t"))
+    // upsert: create then merge + RENAME TABLE swap, all over JDBC
+    val s1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+      .withColumn("_row_idx", monotonically_increasing_id())
+    val r2 = Loader.loadUpsert(spark, s1, s1.limit(0), "jdbc_u", Seq("id"),
+      "_row_idx", strict = true, 100, sink)
+    assert(r2.rowsInserted == 2)
+    val s2 = Seq((2, "b2"), (3, "c")).toDF("id", "v")
+      .withColumn("_row_idx", monotonically_increasing_id())
+    val r3 = Loader.loadUpsert(spark, s2, s2.limit(0), "jdbc_u", Seq("id"),
+      "_row_idx", strict = true, 100, sink)
+    assert(r3.rowsInserted == 1 && r3.rowsUpdated == 1)
+    val rows = sink.read(spark, "jdbc_u").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "a"), (2, "b2"), (3, "c")))
+    // drop cleans up; fail-mode probe sees absence
+    sink.drop(spark, "jdbc_t"); sink.drop(spark, "jdbc_u")
+    assert(!sink.exists(spark, "jdbc_u"))
+  }
+
   test("upsert is idempotent: applying the same source twice = once") {
     val t1 = s"ups_idem_${System.nanoTime()}"
     val init = Seq((1, "a"), (2, "b")).toDF("id", "name")
