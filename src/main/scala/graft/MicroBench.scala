@@ -58,9 +58,41 @@ object MicroBench {
           col("corpus_id"), col("cos"))
     }
 
+    // q19 arm B: the pre-kernel shingle table (interpreted transform +
+    // array_distinct + string explode + xxhash64), kept for comparison
+    def q19OldShingles(): DataFrame = {
+      import graft.text.TextAnalysis
+      def oldShingleTable(df: DataFrame): DataFrame =
+        graft.ops.Relational.fanOut(
+            df.select(col("doc_id").as("doc"), col("text").as("__text")))
+          .select(col("doc"), TextAnalysis.tokens(col("__text")).as("t"))
+          .select(col("doc"), explode(array_distinct(
+            transform(sequence(lit(0), greatest(size(col("t")) - 3, lit(0))),
+              i => concat_ws(" ", slice(col("t"), i + 1, lit(3)))))).as("sh"))
+          .select(col("doc"), xxhash64(col("sh")).as("sh"))
+      val docs = graft.ops.Relational.t(spark, sfDir, "documents")
+      val shAll = oldShingleTable(docs).cache()
+      val sizes = shAll.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+      val a = shAll.as("a"); val b = shAll.as("b")
+      val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+        .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("jaccard", col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+        .filter(col("jaccard") >= 0.5)
+    }
+
+    def q19New(): DataFrame =
+      graft.ops.ScaleOps.q19NgramJaccard(spark, sfDir)
+
     val arms: Seq[(String, () => DataFrame)] = Seq(
       "q24_agg" -> (() => q24Agg()),
-      "q24_window" -> (() => q24Window()))
+      "q24_window" -> (() => q24Window()),
+      "q19_kernel" -> (() => q19New()),
+      "q19_hof" -> (() => q19OldShingles()))
 
     // warmup both
     arms.foreach { case (_, f) => f().count() }

@@ -44,13 +44,17 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
 
   /** (id, shingle-hash) exploded and distinct — the join key table for
-    * Jaccard/MinHash. Shingles are hashed to 64-bit before the shuffle so
-    * the exchange carries longs, not strings. */
-  def shingleTable(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    * Jaccard/MinHash. The whole shingle→hash→distinct step is ONE
+    * codegen'd kernel (functions.ShingleHashSet): no interpreted
+    * transform/array_distinct, and shingle strings never leave the
+    * expression — the explode and every exchange carry longs only. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge._
     graft.ops.Relational.fanOut(df.select(col(idCol).as("doc"), col(textCol).as("__text")))
       .select(col("doc"), TextAnalysis.tokens(col("__text")).as("t"))
-      .select(col("doc"), explode(shinglesOf(col("t"), k)).as("sh"))
-      .select(col("doc"), xxhash64(col("sh")).as("sh"))
+      .select(col("doc"), explode(column(
+        graft.functions.ShingleHashSet(expression(col("t")), k))).as("sh"))
+  }
 
   // --- exact n-gram Jaccard ---------------------------------------------
 

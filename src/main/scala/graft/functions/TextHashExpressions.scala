@@ -75,6 +75,24 @@ case class BagHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): BagHash64 = copy(child = c)
 }
 
+/** Distinct FNV-1a-64 hashes of the k-token shingles of a token array —
+  * the join-key table for Jaccard/LSH computed in ONE loop: no
+  * interpreted transform/array_distinct, and no shingle STRINGS ever
+  * leave the expression (the exchange carries longs). Shingle
+  * construction matches Dedup.shinglesOf: windows of k joined by one
+  * space; fewer than k tokens ⇒ one shingle of all tokens. */
+case class ShingleHashSet(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_set"
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.shingleHashSet(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = TextHashKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, a => s"$kn.shingleHashSet($a, $k)")
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleHashSet = copy(child = c)
+}
+
 /** Count of the most frequent adjacent token 2-gram (0 for < 2 tokens) —
   * the exact integer core of the Gopher-style top-2-gram repetition
   * signal; the fraction is derived in column space so the kernel output
@@ -123,6 +141,28 @@ object TextHashKernels {
       i += 1
     }
     acc
+  }
+
+  /** Distinct fnv1a64(shingle) set, insertion-ordered. */
+  def shingleHashSet(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val nShingles = math.max(n - k, 0) + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long](nShingles * 2)
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < nShingles) {
+      val end = math.min(i + k, n)
+      val parts = new Array[UTF8String](end - i)
+      var j = i
+      while (j < end) { parts(j - i) = tokens.getUTF8String(j); j += 1 }
+      seen.add(fnv1a64(UTF8String.concatWs(sep, parts: _*)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
   }
 
   /** Highest multiplicity among adjacent token 2-grams. String keys (not
