@@ -34,6 +34,18 @@ object GraftExtensions {
     (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)),
+    (FunctionIdentifier("fingerprint64"),
+      info("fingerprint64",
+        "fingerprint64(tokens) - order-sensitive rotl5-XOR fold of FNV-1a token hashes"),
+      (exprs: Seq[Expression]) => Fingerprint64(exprs.head)),
+    (FunctionIdentifier("bag_hash64"),
+      info("bag_hash64",
+        "bag_hash64(tokens) - order-insensitive sum of FNV-1a token hashes mod 2^31-1"),
+      (exprs: Seq[Expression]) => BagHash64(exprs.head)),
+    (FunctionIdentifier("top_bigram_count"),
+      info("top_bigram_count",
+        "top_bigram_count(tokens) - multiplicity of the most frequent adjacent 2-gram"),
+      (exprs: Seq[Expression]) => TopBigramCount(exprs.head)),
     (FunctionIdentifier("grouped_top_k"),
       info("grouped_top_k",
         "grouped_top_k(key, id, k) - aggregate: top-k (key,id) pairs per group, key DESC id ASC"),

@@ -77,6 +77,18 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("q36: the whole curation pipeline is two hash shuffles end-to-end") {
+    val df = graft.ops.ScaleOps.q36Curation(spark, sf)
+    df.collect()
+    // the AQE plan string repeats everything under "== Initial Plan ==" —
+    // count only the final section
+    val p = plan(df).split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    // exactly: the dedup hash-groupBy and the report agg; the repetition/
+    // quality gates must add NO exchange
+    assert(n == 2, s"expected 2 hash exchanges, got $n in\n$p")
+  }
+
   test("q21: LSH band join is an equi hash join, never cartesian") {
     val p = plan(graft.ops.ScaleOps.q21MinhashLsh(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

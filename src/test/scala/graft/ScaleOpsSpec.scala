@@ -90,6 +90,22 @@ class DedupSpec extends GraftSuite {
     assert(out(3L) == ((0.0, 0.0)))
   }
 
+  test("kernel SQL surface: fingerprint64/bag_hash64/top_bigram_count callable from SQL") {
+    graft.functions.GraftExtensions.registerAll(spark)
+    Seq((1L, "spam spam spam")).toDF("id", "text").createOrReplaceTempView("ker_in")
+    val r = spark.sql(
+      """SELECT fingerprint64(split(text, ' ')) AS fp,
+        |       bag_hash64(split(text, ' ')) AS bh,
+        |       top_bigram_count(split(text, ' ')) AS tb
+        |FROM ker_in""".stripMargin).head()
+    // parity with the column API
+    val c = Seq((1L, "spam spam spam")).toDF("id", "text")
+      .select(TextAnalysis.fingerprint($"text").as("fp"),
+        TextAnalysis.bagHash($"text").as("bh")).head()
+    assert(r.getLong(0) == c.getLong(0) && r.getLong(1) == c.getLong(1))
+    assert(r.getLong(2) == 2L) // 'spam spam' twice
+  }
+
   test("hash kernels pin the published FNV-1a-64 constants (engine portability)") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.functions.TextHashKernels
