@@ -194,6 +194,45 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  // --- cross-corpus decontamination --------------------------------------
+
+  /** Contamination report: which `train` documents leak `test` content —
+    * the benchmark-decontamination step every published training pipeline
+    * runs before pretraining. Two detectors, exact winning ties:
+    *  - `exact`: identical text (md5 equi-join — one shuffle on the hash);
+    *  - `ngram`: ≥ `threshold` of the train doc's k-shingle set appears in
+    *    ONE test doc (equi-join on 64-bit shingle hashes, so the pair
+    *    space is bounded by shared-shingle collisions — never |train|×|test|).
+    * Returns (doc id, reason) per contaminated train doc. */
+  def contaminationReport(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val exact = train.select(col(idCol).as("doc"), md5(col(textCol)).as("__h"))
+      .join(test.select(md5(col(textCol)).as("__h")).distinct(), "__h")
+      .select(col("doc")).distinct()
+      .withColumn("reason", lit("exact"))
+    val trSh = shingleTable(train, idCol, textCol, k)
+    val teSh = shingleTable(test, idCol, textCol, k)
+      .withColumnRenamed("doc", "tdoc")
+    val sizes = trSh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val overlap = trSh.join(teSh, "sh")
+      .groupBy(col("doc"), col("tdoc")).agg(count(lit(1)).as("n_common"))
+      .join(sizes, "doc")
+      .filter(col("n_common").cast("double") / col("n_sh").cast("double") >= threshold)
+      .select(col("doc")).distinct()
+      .withColumn("reason", lit("ngram"))
+    // exact wins ties: drop ngram rows whose doc is already exact
+    val ngramOnly = overlap.join(exact.select(col("doc")), Seq("doc"), "left_anti")
+    exact.unionByName(ngramOnly)
+  }
+
+  /** Surviving train corpus after decontamination against `test`. */
+  def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, threshold: Double = 0.8): DataFrame =
+    train.join(
+      contaminationReport(train, test, idCol, textCol, k, threshold)
+        .select(col("doc").as(idCol)),
+      Seq(idCol), "left_anti")
+
   // --- embedding near-dup ------------------------------------------------
 
   /** Near-duplicates by embedding cosine ≥ threshold. Candidates from

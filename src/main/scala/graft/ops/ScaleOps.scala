@@ -256,6 +256,21 @@ object ScaleOps {
       |  END AS top_bigram_frac
       |FROM toks ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination (q58): remove train-split documents that
+    * leak test-split content — exact text match or ≥80% shingle overlap
+    * with a single test doc. Composes q51's deterministic split with the
+    * dedup machinery; the report is the audit artifact a pretraining run
+    * keeps. */
+  def q58Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val split = graft.ops.Relational3.splitAssign(col("doc_id"))
+    val train = docs.withColumn("__s", split).filter(col("__s") =!= "test").drop("__s")
+    val test = docs.withColumn("__s", split).filter(col("__s") === "test").drop("__s")
+    Dedup.contaminationReport(train, test, "doc_id", "text", k = 3, threshold = 0.8)
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   // --- DuckDB mirrors of the signature ops -------------------------------
   // All three re-derive the FNV-1a-64 signature arithmetic in pure SQL
   // (HUGEINT = exact mod-2^64), the same engine-portability contract as
