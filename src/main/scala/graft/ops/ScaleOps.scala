@@ -271,6 +271,61 @@ object ScaleOps {
       .orderBy(col("doc_id"))
   }
 
+  /** DuckDB mirror of q58: the q51 split-bucket arithmetic partitions the
+    * corpus, then exact = text equality (md5 equi-join ≡ equality) and
+    * ngram = the q19 string-shingle overlap (Spark joins on FNV shingle
+    * hashes; collision-free on this corpus, so string-shingle counts are
+    * identical). Exact wins ties, matching contaminationReport. */
+  val q58Sql: String =
+    raw"""WITH b AS (
+      |  SELECT doc_id, text,
+      |    (((((doc_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+      |      + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS bucket
+      |  FROM documents
+      |), train AS (
+      |  SELECT doc_id, text FROM b WHERE bucket < 3865470565
+      |), test AS (
+      |  SELECT doc_id, text FROM b WHERE bucket >= 3865470565
+      |), exact AS (
+      |  SELECT DISTINCT tr.doc_id
+      |  FROM train tr JOIN (SELECT DISTINCT text FROM test) te ON tr.text = te.text
+      |), tr_toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM train
+      |), te_toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM test
+      |), tr_sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(
+      |      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |           ELSE list_transform(generate_series(0, len(t) - 3),
+      |                               i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+      |      END) AS sh
+      |    FROM tr_toks)
+      |), te_sh AS (
+      |  SELECT DISTINCT doc_id AS tdoc, sh FROM (
+      |    SELECT doc_id, unnest(
+      |      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |           ELSE list_transform(generate_series(0, len(t) - 3),
+      |                               i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+      |      END) AS sh
+      |    FROM te_toks)
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM tr_sh GROUP BY doc_id
+      |), overlap AS (
+      |  SELECT a.doc_id, b.tdoc, COUNT(*) AS n_common
+      |  FROM tr_sh a JOIN te_sh b ON a.sh = b.sh
+      |  GROUP BY 1, 2
+      |), ngram AS (
+      |  SELECT DISTINCT o.doc_id
+      |  FROM overlap o JOIN sizes s ON o.doc_id = s.doc_id
+      |  WHERE CAST(o.n_common AS DOUBLE) / CAST(s.n_sh AS DOUBLE) >= 0.8
+      |)
+      |SELECT doc_id, 'exact' AS reason FROM exact
+      |UNION ALL
+      |SELECT doc_id, 'ngram' AS reason FROM ngram
+      |WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+      |ORDER BY doc_id""".stripMargin
+
   // --- DuckDB mirrors of the signature ops -------------------------------
   // All three re-derive the FNV-1a-64 signature arithmetic in pure SQL
   // (HUGEINT = exact mod-2^64), the same engine-portability contract as

@@ -117,6 +117,51 @@ class DedupSpec extends GraftSuite {
     assert(TextHashKernels.fnv1a64(UTF8String.fromString("a")) ==
       java.lang.Long.parseUnsignedLong("af63dc4c8601ec8c", 16))
   }
+
+  // --- decontamination (q58) ground truth --------------------------------
+  // k=3 shingles throughout; threshold 0.8 of the TRAIN doc's shingle set
+  // must appear in ONE test doc.
+
+  val testCorpus = Seq(
+    (101L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa"),
+    (102L, "we hold these truths to be self evident that all men are created equal"),
+    (103L, "uno dos tres cuatro cinco seis"),
+    (104L, "siete ocho nueve diez once doce")
+  ).toDF("doc_id", "text")
+
+  val trainCorpus = Seq(
+    // exact copy of test 102 (also 100% shingle overlap → tie with ngram)
+    (1L, "we hold these truths to be self evident that all men are created equal"),
+    // strict prefix of test 101: 14 tokens → 12 shingles, all inside 101 → overlap 1.0, not exact
+    (2L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november"),
+    // overlap split across test 103/104: 6 shingles, max 3 with any ONE test doc (0.5) → clean
+    (3L, "cuatro cinco seis siete ocho nueve diez once"),
+    // unrelated → clean
+    (4L, "spark catalyst pushes filters below the exchange for pruned scans")
+  ).toDF("doc_id", "text")
+
+  test("contamination report: exact + near-dup flagged, per-single-test-doc threshold holds") {
+    val rep = Dedup.contaminationReport(trainCorpus, testCorpus, "doc_id", "text",
+      k = 3, threshold = 0.8)
+    val got = rep.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "exact"), (2L, "ngram")), s"got $got")
+  }
+
+  test("contamination report: exact wins ties — one row per doc, reason exact") {
+    // doc 1 qualifies under BOTH detectors (identical text ⇒ 100% overlap)
+    val rep = Dedup.contaminationReport(trainCorpus, testCorpus, "doc_id", "text",
+      k = 3, threshold = 0.8)
+    val doc1 = rep.filter($"doc" === 1L).collect()
+    assert(doc1.length == 1 && doc1.head.getString(1) == "exact")
+  }
+
+  test("decontaminate removes flagged docs and is idempotent") {
+    val once = Dedup.decontaminate(trainCorpus, testCorpus, "doc_id", "text", 3, 0.8)
+    assert(once.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    val twice = Dedup.decontaminate(once, testCorpus, "doc_id", "text", 3, 0.8)
+    assert(twice.orderBy("doc_id").collect().toSeq ==
+      once.orderBy("doc_id").collect().toSeq)
+  }
 }
 
 class AnnSpec extends GraftSuite {
