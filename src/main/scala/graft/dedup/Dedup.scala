@@ -79,6 +79,28 @@ object Dedup {
       k: Int, threshold: Double, maxDf: Int): DataFrame =
     jaccardPairsImpl(df, idCol, textCol, k, threshold, maxDf = Some(maxDf))
 
+  /** Default document-frequency cap for [[nearDupPairs]]: a k-word shingle
+    * shared by more than this many documents is boilerplate (license
+    * headers, templated pages, navigation chrome), not evidence of
+    * near-duplication — stopword-level frequency at corpus scale. The
+    * constant bounds the self-join's worst case to maxDf² rows per shingle
+    * (≤1M at 1000) INDEPENDENT of corpus size, which is what keeps exact
+    * near-dup viable on a 100 TB corpus where one hot shingle in 30% of
+    * documents would otherwise detonate the pair space to (0.3·N)². */
+  val DefaultNearDupMaxDf = 1000
+
+  /** PRODUCTION near-dup entry point — the path `Curation` and any
+    * pipeline caller should use. Routes to [[jaccardPairsCapped]] with the
+    * stopword-level [[DefaultNearDupMaxDf]]: candidate generation is
+    * df-bounded, so runtime stays ~linear in corpus size on skewed real-
+    * world corpora (measured in ScaleStress's boilerplate-skew case).
+    * [[jaccardPairs]] (uncapped, exact) remains for oracle verification
+    * and small corpora. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = DefaultNearDupMaxDf): DataFrame =
+    jaccardPairsCapped(df, idCol, textCol, k, threshold, maxDf)
+
   private def jaccardPairsImpl(df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double, maxDf: Option[Int]): DataFrame = {
     // the shingle table feeds three plan branches (both join sides + the

@@ -1,9 +1,11 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-document signature kernels.
@@ -109,6 +111,27 @@ case class TopBigramCount(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TopBigramCount = copy(child = c)
 }
 
+/** Fused repetition-signal kernel: distinct-token count AND top-bigram
+  * multiplicity in ONE pass over the token array, returned as
+  * struct<n_distinct, top_bigram>. Replaces the two-expression form
+  * (size(array_distinct(toks)) + TopBigramCount) that walked the array
+  * twice and materialized the distinct array just to take its size.
+  * Value-identical to the split form (distinct = binary string equality,
+  * bigram histogram on exact strings), so oracle arithmetic is unchanged. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_bigram", LongType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.repetitionStats(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = TextHashKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, a => s"$k.repetitionStats($a)")
+  }
+  override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(child = c)
+}
+
 object TextHashKernels {
 
   final val FnvOffset = -3750763034362895579L // 14695981039346656037 as signed
@@ -163,6 +186,29 @@ object TextHashKernels {
     var o = 0
     while (it.hasNext) { out(o) = it.next(); o += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Distinct-token count + top-bigram multiplicity in one loop (see
+    * [[RepetitionStats]]). UTF8String equals/hashCode are byte-exact, so
+    * the distinct count matches array_distinct's binary equality. */
+  def repetitionStats(tokens: ArrayData): InternalRow = {
+    val n = tokens.numElements()
+    val seen = new java.util.HashSet[UTF8String](n * 2)
+    val bigrams = new java.util.HashMap[String, Long]()
+    var best = 0L
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      seen.add(t)
+      if (prev != null) {
+        val c = bigrams.merge(prev.toString + " " + t.toString, 1L, (a, b) => a + b)
+        if (c > best) best = c
+      }
+      prev = t
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](seen.size.toLong, best))
   }
 
   /** Highest multiplicity among adjacent token 2-grams. String keys (not

@@ -256,11 +256,12 @@ object ScaleOps {
       |  END AS top_bigram_frac
       |FROM toks ORDER BY doc_id""".stripMargin
 
-  /** Benchmark decontamination (q58): remove train-split documents that
-    * leak test-split content — exact text match or ≥80% shingle overlap
-    * with a single test doc. Composes q51's deterministic split with the
-    * dedup machinery; the report is the audit artifact a pretraining run
-    * keeps. */
+  /** Benchmark decontamination (q58): flag non-test (train+val) documents
+    * that leak test-split content — exact text match or ≥80% shingle
+    * overlap with a single test doc. The whole non-test side is screened
+    * (val leakage into test poisons model selection just like train
+    * leakage). Composes q51's deterministic split with the dedup
+    * machinery; the report is the audit artifact a pretraining run keeps. */
   def q58Decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = Relational.fanOut(t(s, dir, "documents"))
     val split = graft.ops.Relational3.splitAssign(col("doc_id"))

@@ -8,14 +8,16 @@ import graft.report.Report
 /** CLI (reference `main()` src/file-to-sql-loader.py:1503-1515 + shell
   * wrapper arg surface run-file-to-sql-loader.sh:44-85):
   * `graft.orchestrate.Main <input_path> [--config f] [--file|--directory]
-  * [--setup-only] [-v]`. A file argument runs the single-file job; a
-  * directory runs the checkpointed batch; `--setup-only` just provisions
-  * the ledger tables. Exit code 1 on failure (reference :1686-1687). */
+  * [--setup-only] [--check-deps] [-v]`. A file argument runs the
+  * single-file job; a directory runs the checkpointed batch; `--setup-only`
+  * just provisions the ledger tables; `--check-deps` reports environment
+  * health and exits. Exit code 1 on failure (reference :1686-1687). */
 object Main {
 
   final case class CliArgs(
       input: Option[String], config: Option[String], forceFile: Boolean,
-      forceDir: Boolean, setupOnly: Boolean, verbose: Boolean)
+      forceDir: Boolean, setupOnly: Boolean, checkDeps: Boolean,
+      verbose: Boolean)
 
   def main(args: Array[String]): Unit = {
     val cli = parseArgs(args)
@@ -38,6 +40,10 @@ object Main {
     spark.sparkContext.setLogLevel(if (cli.verbose) "INFO" else "WARN")
 
     try {
+      if (cli.checkDeps) {
+        if (!checkDeps(spark, config)) sys.exit(1)
+        return
+      }
       if (cli.setupOnly) {
         graft.ledger.Ledger.ensureTables(spark)
         println("[graft] setup complete: ledger tables provisioned")
@@ -45,7 +51,7 @@ object Main {
       }
       val inputPath = cli.input.getOrElse {
         System.err.println("usage: Main <input_path> [--config file.yaml] " +
-          "[--file|--directory] [--setup-only] [-v]")
+          "[--file|--directory] [--setup-only] [--check-deps] [-v]")
         spark.stop(); sys.exit(1); ""
       }
       val path = Paths.get(inputPath)
@@ -80,9 +86,49 @@ object Main {
     } finally spark.stop()
   }
 
+  /** Environment sanity report (reference wrapper's `--check-deps`,
+    * run-file-to-sql-loader.sh:399-446,516-521): what the shell script
+    * verifies for its Python/venv world — interpreter, packages, script,
+    * config — maps here to the Spark runtime, catalog/warehouse
+    * writability and the configured report directory. Prints one ✅/❌
+    * line per check and returns whether all passed (exit 1 otherwise,
+    * matching the wrapper). */
+  def checkDeps(spark: SparkSession, config: EngineConfig): Boolean = {
+    var allGood = true
+    def check(name: String, detail: => String)(ok: => Boolean): Unit = {
+      val passed = try ok catch { case e: Exception => allGood = false
+        println(s"[graft] ❌ $name: ${e.getMessage}"); return }
+      if (!passed) allGood = false
+      println(s"[graft] ${if (passed) "✅" else "❌"} $name: $detail")
+    }
+    check("spark runtime", s"Spark ${spark.version}, Scala ${util.Properties.versionNumberString}, " +
+      s"Java ${System.getProperty("java.version")}")(spark.version.nonEmpty)
+    check("catalog/metastore", s"database '${config.database}' reachable") {
+      spark.catalog.databaseExists("default") || spark.catalog.listDatabases().count() >= 0
+    }
+    check("warehouse dir writable", config.warehouseDir) {
+      val d = Paths.get(config.warehouseDir)
+      if (!Files.exists(d)) Files.createDirectories(d)
+      val probe = Files.createTempFile(d, ".graft-check", "")
+      Files.delete(probe); true
+    }
+    check("report dir writable", config.emailReportDir) {
+      val d = Paths.get(config.emailReportDir)
+      if (!Files.exists(d)) Files.createDirectories(d)
+      val probe = Files.createTempFile(d, ".graft-check", "")
+      Files.delete(probe); true
+    }
+    check("config", s"modes ${config.tableMode}/${config.transactionMode}, " +
+      s"maxRowErrors=${config.maxRowErrors}, maxRetries=${config.maxRetries}")(
+      config.maxRowErrors >= 0 && config.maxRetries >= 0)
+    println(if (allGood) "[graft] all dependency checks passed"
+      else "[graft] some dependency checks FAILED")
+    allGood
+  }
+
   private def parseArgs(args: Array[String]): CliArgs = {
     var cli = CliArgs(None, None, forceFile = false, forceDir = false,
-      setupOnly = false, verbose = false)
+      setupOnly = false, checkDeps = false, verbose = false)
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -91,14 +137,16 @@ object Main {
         case "--file" => cli = cli.copy(forceFile = true); i += 1
         case "--directory" => cli = cli.copy(forceDir = true); i += 1
         case "--setup-only" => cli = cli.copy(setupOnly = true); i += 1
+        case "--check-deps" => cli = cli.copy(checkDeps = true); i += 1
         case "-v" | "--verbose" => cli = cli.copy(verbose = true); i += 1
         case a if !a.startsWith("-") => cli = cli.copy(input = Some(a)); i += 1
         case a => throw new IllegalArgumentException(s"unknown argument: $a")
       }
     }
-    if (!cli.setupOnly && cli.input.isEmpty)
+    if (!cli.setupOnly && !cli.checkDeps && cli.input.isEmpty)
       throw new IllegalArgumentException(
-        "usage: Main <input_path> [--config file.yaml] [--file|--directory] [--setup-only] [-v]")
+        "usage: Main <input_path> [--config file.yaml] [--file|--directory] " +
+          "[--setup-only] [--check-deps] [-v]")
     cli
   }
 }

@@ -19,19 +19,40 @@ object Curation {
     * Gopher-style filters, q57) default to pass-everything so the
     * historical pipeline shape (q36 oracle) is unchanged; tighten them to
     * drop boilerplate/template-spam documents. topBigramFrac counts
-    * overlapping bigrams so its range is [0, 2). */
+    * overlapping bigrams so its range is [0, 2).
+    *
+    * `nearDupThreshold` (off by default, same oracle-stability rationale)
+    * adds a shingle-Jaccard near-dup stage after exact dedup; when on it
+    * ALWAYS routes through the df-capped candidate generation
+    * ([[Dedup.nearDupPairs]], cap `nearDupMaxDf`) — the uncapped exact
+    * join is an oracle/verification tool, never a production default,
+    * because one boilerplate shingle shared by a large fraction of the
+    * corpus makes its pair space quadratic in corpus size. */
   final case class Params(
       minQuality: Double = 0.5,
       minTokens: Long = 10,
       maxTokens: Long = 100000,
       keepLangs: Seq[String] = Seq("en", "es", "de", "fr"),
       maxDupTokenFrac: Double = 1.0,
-      maxTopBigramFrac: Double = 2.0)
+      maxTopBigramFrac: Double = 2.0,
+      nearDupThreshold: Option[Double] = None,
+      nearDupMaxDf: Int = Dedup.DefaultNearDupMaxDf)
 
   /** Curated corpus: one row per surviving document with its metrics. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       params: Params = Params()): DataFrame = {
-    val deduped = Dedup.exactDedup(docs, idCol, textCol)
+    val exactDeduped = Dedup.exactDedup(docs, idCol, textCol)
+    // near-dup removal (keep the lower id of each flagged pair) — runs
+    // BEFORE profiling so the gated metrics aren't computed for documents
+    // the near-dup stage drops
+    val deduped = params.nearDupThreshold match {
+      case None => exactDeduped
+      case Some(th) =>
+        val drops = Dedup.nearDupPairs(exactDeduped, idCol, textCol,
+            k = 3, threshold = th, maxDf = params.nearDupMaxDf)
+          .select(col("doc_b").as(idCol)).distinct()
+        exactDeduped.join(drops, Seq(idCol), "left_anti")
+    }
     val profiled = graft.ops.Relational.fanOut(deduped)
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .select(

@@ -55,16 +55,30 @@ object Report {
     val rows = outcome.jobs.map { j =>
       s"<tr><td>${j.sourceFile}</td><td>${j.targetTable}</td><td>${j.result.status}</td>" +
         s"<td>${j.result.rowsInserted}</td><td>${j.result.rowsUpdated}</td>" +
-        s"<td>${j.result.rowsErrored}</td></tr>"
+        s"<td>${j.result.rowsErrored}</td>" +
+        s"<td>${j.result.errorMessage.getOrElse("")}</td></tr>"
     }.mkString("\n")
+    // per-file error details (reference email body's "Error Details"
+    // section, src/file-to-sql-loader.py:406-414) so a failed batch is
+    // debuggable from the report alone, without opening the ledger
+    val failed = outcome.jobs.filter(_.result.errorMessage.isDefined)
+    val errorSection =
+      if (failed.isEmpty) ""
+      else {
+        val items = failed.map { j =>
+          s"<p><strong>${j.sourceFile}</strong> (job ${j.jobRunId}):</p>" +
+            s"<pre>${j.result.errorMessage.get}</pre>"
+        }.mkString("\n")
+        s"\n<h3>Error Details</h3>\n$items"
+      }
     s"""<html><body>
        |<h2>${statusGlyph(outcome.status)} ETL Batch Summary</h2>
        |<p>Batch ${outcome.batchJobId}: ${outcome.status} —
        |${outcome.processed}/${outcome.totalFiles} processed, ${outcome.failed} failed.</p>
        |<table border="1" cellpadding="4">
-       |<tr><th>File</th><th>Table</th><th>Status</th><th>Inserted</th><th>Updated</th><th>Errored</th></tr>
+       |<tr><th>File</th><th>Table</th><th>Status</th><th>Inserted</th><th>Updated</th><th>Errored</th><th>Error</th></tr>
        |$rows
-       |</table>
+       |</table>$errorSection
        |</body></html>""".stripMargin
   }
 

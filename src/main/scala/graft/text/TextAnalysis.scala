@@ -131,6 +131,24 @@ object TextAnalysis {
       .otherwise(lit(2.0) * cnt.cast("double") / size(toks).cast("double"))
   }
 
+  /** Both repetition cores from ONE kernel pass
+    * (functions.RepetitionStats, struct<n_distinct, top_bigram>): project
+    * this once, then derive the fractions with [[dupTokenFracFrom]] /
+    * [[topBigramFracFrom]]. Value-identical to
+    * [[dupTokenFrac]]+[[topBigramFrac]] but walks the token array once
+    * instead of twice and never materializes the distinct array. */
+  def repetitionStatsOf(toks: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge._
+    column(graft.functions.RepetitionStats(expression(toks)))
+  }
+
+  def dupTokenFracFrom(rep: Column, toks: Column): Column =
+    lit(1.0) - rep.getField("n_distinct").cast("double") / size(toks).cast("double")
+
+  def topBigramFracFrom(rep: Column, toks: Column): Column =
+    when(size(toks) < 2, lit(0.0))
+      .otherwise(lit(2.0) * rep.getField("top_bigram").cast("double") / size(toks).cast("double"))
+
   /** Full per-document text profile used by pipeline consumers. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("__toks", tokens(col(textCol)))

@@ -158,6 +158,30 @@ class EndToEndSpec extends GraftSuite {
     assert(b.getAs[String]("BatchStatus") == "Completed")
     assert(b.getAs[Long]("FilesProcessed") == 2)
   }
+
+  test("batch report embeds per-file error details (J4 parity with the reference email)") {
+    val dir = tempDir("e2e_report")
+    writeFile(dir, "rep_good.csv", "id,v\n1,a\n2,b\n")
+    writeFile(dir, "rep_bad.csv", "") // empty file fails outside upsert mode
+    val outcome = BatchRunner.run(spark, dir.toString, cfg.copy(maxRetries = 1))
+    assert(outcome.failed == 1 && outcome.processed == 1)
+    val html = graft.report.Report.renderBatch(outcome)
+    // reference email body's Error Details section
+    // (src/file-to-sql-loader.py:406-414): the failed file's actual error
+    // message must be readable from the report, not just a count
+    assert(html.contains("<h3>Error Details</h3>"), html)
+    val failedJob = outcome.jobs.find(_.result.status == "Failed").get
+    val msg = failedJob.result.errorMessage.getOrElse(fail("failed job has no errorMessage"))
+    assert(html.contains(msg), s"missing '$msg' in\n$html")
+    assert(html.contains("rep_bad.csv"))
+    // a clean outcome renders no error section
+    val clean = outcome.copy(jobs = outcome.jobs.filter(_.result.status != "Failed"))
+    assert(!graft.report.Report.renderBatch(clean).contains("Error Details"))
+  }
+
+  test("--check-deps environment report passes on a healthy session") {
+    assert(graft.orchestrate.Main.checkDeps(spark, cfg))
+  }
 }
 
 /** J3 retry contract: failures retry up to maxRetries; the file is only

@@ -89,6 +89,28 @@ class PlanShapeSpec extends GraftSuite {
     assert(n == 2, s"expected 2 hash exchanges, got $n in\n$p")
   }
 
+  test("q58: decontamination joins broadcast the small test side, never cartesian") {
+    val df = graft.ops.ScaleOps.q58Decontaminate(spark, sf)
+    df.collect() // finalize AQE so runtime join selections are visible
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the test split is ~10% of the corpus: AQE must broadcast it in the
+    // md5/shingle equi-joins instead of shuffling the train side
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("curation near-dup stage: candidate generation carries the df cap") {
+    val docs = graft.ops.Relational.t(spark, sf, "documents")
+    val out = graft.pipeline.Curation.curate(docs, "doc_id", "text",
+      graft.pipeline.Curation.Params(nearDupThreshold = Some(0.8)))
+    // the capped path computes per-shingle document frequency in a window
+    // and filters before the self-join — both must be in the plan (the
+    // uncapped exact join has neither)
+    val p = out.queryExecution.optimizedPlan.toString
+    assert(p.contains("windowspecdefinition"), p)
+    assert(p.contains("_df"), p)
+  }
+
   test("q21: LSH band join is an equi hash join, never cartesian") {
     val p = plan(graft.ops.ScaleOps.q21MinhashLsh(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -48,6 +48,42 @@ class DedupSpec extends GraftSuite {
     assert(tight.subsetOf(exactKeys), s"invented: ${tight -- exactKeys}")
   }
 
+  test("production near-dup path (nearDupPairs) routes through the df cap") {
+    // identity with the explicitly-capped call at the default cap…
+    val prod = Dedup.nearDupPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val capped = Dedup.jaccardPairsCapped(docs, "doc_id", "text", 3, 0.5,
+      Dedup.DefaultNearDupMaxDf).orderBy("doc_a", "doc_b").collect().toSeq
+    assert(prod == capped)
+    // …and the plan carries the df-cap window filter (the scale guard the
+    // uncapped oracle path deliberately lacks)
+    val p = Dedup.nearDupPairs(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("windowspecdefinition") && p.contains("_df"), p)
+  }
+
+  test("fused RepetitionStats kernel matches the split form bit-for-bit") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "all tokens here are different"),
+      (3L, "one"),
+      (4L, ""),
+      (5L, "a b a b a b c c c the quick brown fox the quick brown fox")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.tokens($"text").as("tk"))
+    val rep = df.withColumn("__rep", TextAnalysis.repetitionStatsOf($"tk"))
+    val rows = rep.select($"doc_id",
+        TextAnalysis.dupTokenFrac($"tk").as("dup_split"),
+        TextAnalysis.topBigramFrac($"tk").as("big_split"),
+        TextAnalysis.dupTokenFracFrom($"__rep", $"tk").as("dup_fused"),
+        TextAnalysis.topBigramFracFrom($"__rep", $"tk").as("big_fused"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(3), s"dup mismatch for doc ${r.getLong(0)}")
+      assert(r.getDouble(2) == r.getDouble(4), s"bigram mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   test("minhash LSH recall: every exact-jaccard>=0.8 pair is recovered") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -390,6 +426,23 @@ class CurationSpec extends GraftSuite {
     val rep = graft.pipeline.Curation.report(out).collect()
     assert(rep.length == 1 && rep.head.getString(0) == "en")
     assert(rep.head.getAs[Long]("n_docs") == 2)
+  }
+
+  test("near-dup stage: flagged near-duplicates dropped (lower id kept), off by default") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+      (3L, "completely different words about spark catalyst optimizer plans and shuffles today")
+    ).toDF("doc_id", "text")
+    val loose = graft.pipeline.Curation.Params(minQuality = 0.0, minTokens = 1,
+      keepLangs = Seq("en", "es", "de", "fr", "und"))
+    val off = graft.pipeline.Curation.curate(docs, "doc_id", "text", loose)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(off == Set(1L, 2L, 3L)) // default: no near-dup stage (q36 oracle shape)
+    val on = graft.pipeline.Curation.curate(docs, "doc_id", "text",
+      loose.copy(nearDupThreshold = Some(0.5)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(on == Set(1L, 3L), s"got $on") // doc 2 dropped, keeper is the lower id
   }
 
   test("repetition gates drop template spam when tightened, pass-all by default") {
