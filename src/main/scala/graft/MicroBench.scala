@@ -88,11 +88,32 @@ object MicroBench {
     def q19New(): DataFrame =
       graft.ops.ScaleOps.q19NgramJaccard(spark, sfDir)
 
+    // q57/q36 repetition-gate routing: split two-expression form
+    // (size(array_distinct) + TopBigramCount — two walks over the token
+    // array) vs the fused one-pass RepetitionStats kernel
+    import graft.text.TextAnalysis
+    def docs = graft.ops.Relational.fanOut(
+      graft.ops.Relational.t(spark, sfDir, "documents"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+
+    def q57Split(): DataFrame =
+      docs.select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        TextAnalysis.dupTokenFrac(col("tk")).as("dup_token_frac"),
+        TextAnalysis.topBigramFrac(col("tk")).as("top_bigram_frac"))
+
+    def q57Fused(): DataFrame =
+      docs.withColumn("__rep", TextAnalysis.repetitionStatsOf(col("tk")))
+        .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+          TextAnalysis.dupTokenFracFrom(col("__rep"), col("tk")).as("dup_token_frac"),
+          TextAnalysis.topBigramFracFrom(col("__rep"), col("tk")).as("top_bigram_frac"))
+
     val arms: Seq[(String, () => DataFrame)] = Seq(
       "q24_agg" -> (() => q24Agg()),
       "q24_window" -> (() => q24Window()),
       "q19_kernel" -> (() => q19New()),
-      "q19_hof" -> (() => q19OldShingles()))
+      "q19_hof" -> (() => q19OldShingles()),
+      "q57_split" -> (() => q57Split()),
+      "q57_fused" -> (() => q57Fused()))
 
     // warmup both
     arms.foreach { case (_, f) => f().count() }

@@ -55,13 +55,16 @@ object Curation {
     }
     val profiled = graft.ops.Relational.fanOut(deduped)
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      // both repetition gates from ONE kernel pass (RepetitionStats) —
+      // value-identical to the split form, one fewer walk per document
+      .withColumn("__rep", TextAnalysis.repetitionStatsOf(col("__toks")))
       .select(
         col(idCol), col(textCol),
         TextAnalysis.tokenCountOf(col("__toks")).cast("long").as("n_tokens"),
         TextAnalysis.qualityScoreOf(col(textCol), col("__toks")).as("quality"),
         TextAnalysis.langIdOf(col("__toks")).as("lang_pred"),
-        TextAnalysis.dupTokenFrac(col("__toks")).as("dup_token_frac"),
-        TextAnalysis.topBigramFrac(col("__toks")).as("top_bigram_frac"))
+        TextAnalysis.dupTokenFracFrom(col("__rep"), col("__toks")).as("dup_token_frac"),
+        TextAnalysis.topBigramFracFrom(col("__rep"), col("__toks")).as("top_bigram_frac"))
     profiled
       .filter(col("quality") >= params.minQuality)
       .filter(col("n_tokens") >= params.minTokens && col("n_tokens") <= params.maxTokens)
