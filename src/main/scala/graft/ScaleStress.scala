@@ -1,20 +1,167 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
-/** One-off scale-stress harness: times the lineitem-heavy queries on an
-  * N-times-replicated copy of the fact table (multi-row-group, so scans
-  * split into real parallel tasks) and prints seconds per query. Used to
-  * check that runtimes scale ~linearly in fact rows and plans stay stable
-  * (same joins/aggregates, no spills) before claiming 100 TB viability. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Scale-stress harness backing the 100 TB-viability claims with measured
+  * evidence instead of plan reading alone. Three modes:
+  *
+  *  - (default) `<dir>`: legacy fact-table mode — times the lineitem-heavy
+  *    queries on an N-times-replicated copy (multi-row-group) and prints
+  *    seconds per query.
+  *  - `curve <base> [reps]`: 3-point scaling curves (1×/3×/10× corpora
+  *    from [[StressGen]]) for the near-dup/ANN layer — capped Jaccard,
+  *    MinHash LSH, SimHash, embedding near-dup, IVF search over the
+  *    persisted partitioned index — and prints the fitted exponent of
+  *    t ∝ n^e per op (least squares over the 3 points). The corpora are
+  *    token-mutated per replica, so this is the "new data" scaling shape.
+  *  - `skew <base>`: the boilerplate-skew adversarial case — one sentence
+  *    shared by ~30% of documents. Prints the candidate-pair space
+  *    Σ df·(df−1)/2 with and without the df cap (the uncapped number is
+  *    the join size a production run would have to materialize) and times
+  *    the CAPPED production path ([[Dedup.nearDupPairs]]) at 1× and 10×,
+  *    plus the uncapped path at 1× for contrast. */
 object ScaleStress {
-  def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/tmp/sfbig")
+
+  private def session(): SparkSession = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  private def time(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = f
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  /** Median-of-reps wall time plus the (stable) result count. */
+  private def timed(spark: SparkSession, reps: Int)(f: => Long): (Double, Long) = {
+    val runs = (1 to reps).map { _ =>
+      val r = time(f)
+      spark.catalog.clearCache()
+      r
+    }
+    (runs.map(_._1).sorted.apply(reps / 2), runs.head._2)
+  }
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("curve") => curve(args.lift(1).getOrElse("/tmp/stress_r5"),
+      args.lift(2).map(_.toInt).getOrElse(3))
+    case Some("skew") => skew(args.lift(1).getOrElse("/tmp/stress_r5"))
+    case _ => facts(args.headOption.getOrElse("/tmp/sfbig"))
+  }
+
+  // --- curve mode ---------------------------------------------------------
+
+  def curve(base: String, reps: Int): Unit = {
+    val spark = session()
+    def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+    def emb(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
+
+    val scales = Seq(1, 3, 10)
+    // IVF: build+persist each index once (untimed — the 100 TB story
+    // amortizes the build over many searches); search time is what curves.
+    val idxPaths = scales.map { n =>
+      val dir = s"$base/x$n"
+      val path = s"$base/ivf_idx_x$n"
+      if (!new java.io.File(s"$path/centroids").exists()) {
+        val idx = graft.sim.Ivf.build(emb(dir), k = 16, iters = 3, cache = false)
+        graft.sim.Ivf.writeIndex(idx, path)
+      }
+      n -> path
+    }.toMap
+
+    val ops: Seq[(String, String => Long)] = Seq(
+      "jaccard_capped" -> (dir => Dedup.nearDupPairs(
+        docs(dir), "doc_id", "text", k = 3, threshold = 0.5).count()),
+      "minhash_lsh" -> (dir => Dedup.minhashLshPairs(
+        docs(dir), "doc_id", "text", k = 3, numHashes = 32, bands = 8,
+        threshold = 0.5).count()),
+      "simhash" -> (dir => Dedup.simhashPairs(
+        docs(dir), "doc_id", "text", maxDist = 3).count()),
+      // 0.9 (not the q25 oracle's 0.999): the mutated replicas are near
+      // but not exact twins, and the threshold must keep the exact-verify
+      // stage doing real work (nonzero surviving pairs) at every scale
+      "embedding_dup" -> (dir => Dedup.embeddingDupPairs(
+        emb(dir), "vec_id", "embedding", threshold = 0.9, nBits = 12).count()),
+      "ivf_search" -> { dir =>
+        val n = scales.find(s => dir.endsWith(s"x$s")).get
+        val idx = graft.sim.Ivf.loadIndex(spark, idxPaths(n))
+        val q = emb(dir).filter(col("vec_id") < 20)
+        graft.sim.Ivf.search(idx, q, topK = 5, nProbe = 4).count()
+      })
+
+    // warmup (JIT + codegen) on the smallest corpus
+    ops.foreach { case (_, f) => f(s"$base/x1") }
+    spark.catalog.clearCache()
+
+    val results = for ((name, f) <- ops) yield {
+      val pts = scales.map { n =>
+        val (sec, rows) = timed(spark, reps)(f(s"$base/x$n"))
+        println(f"CURVE $name x$n%-3d ${sec}%.2fs rows=$rows")
+        (n.toDouble, sec)
+      }
+      // least-squares slope of ln t vs ln n over the 3 points
+      val xs = pts.map(p => math.log(p._1)); val ys = pts.map(p => math.log(p._2))
+      val xm = xs.sum / xs.size; val ym = ys.sum / ys.size
+      val e = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
+        xs.map(x => (x - xm) * (x - xm)).sum
+      println(f"CURVE $name exponent=${e}%.2f")
+      name -> e
+    }
+    val worst = results.maxBy(_._2)
+    println(f"CURVE worst ${worst._1} exponent=${worst._2}%.2f")
+    spark.stop()
+  }
+
+  // --- skew mode ----------------------------------------------------------
+
+  def skew(base: String): Unit = {
+    val spark = session()
+    val cap = Dedup.DefaultNearDupMaxDf
+    // warmup both plan shapes (JIT + codegen) before any timing
+    val w = spark.read.parquet(s"$base/skew1/documents.parquet")
+    Dedup.nearDupPairs(w, "doc_id", "text", k = 3, threshold = 0.5).count()
+    spark.catalog.clearCache()
+    Dedup.jaccardPairs(w, "doc_id", "text", k = 3, threshold = 0.5).count()
+    spark.catalog.clearCache()
+    for (n <- Seq(1, 10)) {
+      val dir = s"$base/skew$n"
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      // candidate-pair space Σ df·(df−1)/2, capped vs uncapped — the
+      // equi-join row count the self-join must materialize
+      val stats = Dedup.shingleTable(docs, "doc_id", "text", 3)
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .agg(
+          sum(col("df") * (col("df") - 1) / 2).as("pairs_uncapped"),
+          sum(when(col("df") <= cap, col("df") * (col("df") - 1) / 2)
+            .otherwise(0)).as("pairs_capped"),
+          max(col("df")).as("max_df")).head()
+      println(s"SKEW skew$n candidate_pairs uncapped=${stats.get(0)} " +
+        s"capped=${stats.get(1)} max_df=${stats.get(2)}")
+      spark.catalog.clearCache()
+      val (capSec, capRows) = timed(spark, 3)(
+        Dedup.nearDupPairs(docs, "doc_id", "text", k = 3, threshold = 0.5).count())
+      println(f"SKEW skew$n capped_path ${capSec}%.2fs pairs=$capRows")
+      if (n == 1) { // uncapped contrast is affordable at 1× only
+        val (unSec, unRows) = timed(spark, 3)(
+          Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5).count())
+        println(f"SKEW skew$n uncapped_path ${unSec}%.2fs pairs=$unRows")
+      }
+    }
+    spark.stop()
+  }
+
+  // --- legacy fact-table mode ---------------------------------------------
+
+  def facts(dir: String): Unit = {
+    val spark = session()
     val qs = Seq(
       "q01_pricing_summary", "q02_filter_scan", "q03_join_revenue",
       "q08_topk", "q12_rollup", "q33_cube", "q38_range_join",

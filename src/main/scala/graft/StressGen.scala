@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic stress-corpus generator for the ScaleStress scaling
+  * curves: replicates the sf0.1 documents/embeddings tables 1×/3×/10×
+  * with PER-REPLICA MUTATION so the scaled corpora behave like *new* data
+  * (every replica's shingles are distinct → document frequency stays
+  * flat; every replica's vectors point in new directions → LSH/IVF
+  * buckets spread) — replication without mutation would measure the
+  * pathological all-duplicates case, not scaling.
+  *
+  * Also writes boilerplate-SKEWED document corpora (a fixed license
+  * sentence prepended to ~30% of docs ⇒ its shingles have df = 0.3·N):
+  * the adversarial input that detonates uncapped near-dup candidate
+  * generation and that `Dedup.nearDupPairs`'s df cap must keep bounded.
+  *
+  * Usage: `runMain graft.StressGen <srcSfDir> <outBase>` → writes
+  * `outBase/{x1,x3,x10}/{documents,embeddings}.parquet` and
+  * `outBase/{skew1,skew10}/documents.parquet`. */
+object StressGen {
+
+  /** ~30%-frequency boilerplate (11 tokens ⇒ 9 interior 3-shingles shared
+    * verbatim by every skewed doc). */
+  val Boilerplate =
+    "this document is provided under the standard boilerplate license agreement terms"
+
+  /** Replica r of the documents table: doc ids offset, every token
+    * suffixed with the replica tag — same length distribution, zero
+    * cross-replica shingle collisions. Replica 0 is the original. */
+  def mutateDocs(docs: DataFrame, r: Int): DataFrame =
+    if (r == 0) docs.select(col("doc_id"), col("text"))
+    else docs.select(
+      (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+      array_join(transform(split(col("text"), "\\s+"),
+        t => concat(t, lit(s"x$r"))), " ").as("text"))
+
+  /** Replica r of the embeddings table: ids offset, each element nudged by
+    * a deterministic per-(vector, index, replica) term so replica vectors
+    * are genuinely new directions (cosine to the original < 1). */
+  def mutateEmb(emb: DataFrame, r: Int): DataFrame =
+    if (r == 0) emb
+    else {
+      val perturbed = transform(col("embedding"), (x, i) =>
+        (x.cast("double") +
+          sin(col("vec_id") * 31 + i * 7 + lit(r)) * 0.1).cast("float"))
+      emb.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        perturbed.as("embedding"), col("label"))
+    }
+
+  def replicatedDocs(docs: DataFrame, n: Int): DataFrame =
+    (0 until n).map(mutateDocs(docs, _)).reduce(_ unionByName _)
+
+  def replicatedEmb(emb: DataFrame, n: Int): DataFrame =
+    (0 until n).map(mutateEmb(emb, _)).reduce(_ unionByName _)
+
+  /** Boilerplate prepended to docs with doc_id ≡ 0,1,2 (mod 10) — ~30%. */
+  def skewedDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(10)) < 3,
+        concat(lit(Boilerplate + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outBase = if (args.length > 1) args(1) else "/tmp/stress_r5"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+
+    for (n <- Seq(1, 3, 10)) {
+      // 8 files per table so scans split into real parallel tasks
+      replicatedDocs(docs, n).repartition(8)
+        .write.mode("overwrite").parquet(s"$outBase/x$n/documents.parquet")
+      replicatedEmb(emb, n).repartition(8)
+        .write.mode("overwrite").parquet(s"$outBase/x$n/embeddings.parquet")
+      println(s"[stressgen] wrote $outBase/x$n")
+    }
+    for (n <- Seq(1, 10)) {
+      skewedDocs(replicatedDocs(docs, n)).repartition(8)
+        .write.mode("overwrite").parquet(s"$outBase/skew$n/documents.parquet")
+      println(s"[stressgen] wrote $outBase/skew$n")
+    }
+    spark.stop()
+  }
+}

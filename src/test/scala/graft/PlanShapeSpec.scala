@@ -103,11 +103,11 @@ class PlanShapeSpec extends GraftSuite {
     val docs = graft.ops.Relational.t(spark, sf, "documents")
     val out = graft.pipeline.Curation.curate(docs, "doc_id", "text",
       graft.pipeline.Curation.Params(nearDupThreshold = Some(0.8)))
-    // the capped path computes per-shingle document frequency in a window
-    // and filters before the self-join — both must be in the plan (the
+    // the capped path blacklists over-cap shingles via a partial-agg +
+    // anti-join before the self-join — both must be in the plan (the
     // uncapped exact join has neither)
     val p = out.queryExecution.optimizedPlan.toString
-    assert(p.contains("windowspecdefinition"), p)
+    assert(p.contains("LeftAnti"), p)
     assert(p.contains("_df"), p)
   }
 

@@ -55,11 +55,11 @@ class DedupSpec extends GraftSuite {
     val capped = Dedup.jaccardPairsCapped(docs, "doc_id", "text", 3, 0.5,
       Dedup.DefaultNearDupMaxDf).orderBy("doc_a", "doc_b").collect().toSeq
     assert(prod == capped)
-    // …and the plan carries the df-cap window filter (the scale guard the
-    // uncapped oracle path deliberately lacks)
+    // …and the plan carries the df-cap blacklist anti-join (the scale
+    // guard the uncapped oracle path deliberately lacks)
     val p = Dedup.nearDupPairs(docs, "doc_id", "text")
       .queryExecution.optimizedPlan.toString
-    assert(p.contains("windowspecdefinition") && p.contains("_df"), p)
+    assert(p.contains("LeftAnti") && p.contains("_df"), p)
   }
 
   test("fused RepetitionStats kernel matches the split form bit-for-bit") {
