@@ -54,7 +54,37 @@ object ScaleStress {
     case Some("curve") => curve(args.lift(1).getOrElse("/tmp/stress_r5"),
       args.lift(2).map(_.toInt).getOrElse(3))
     case Some("skew") => skew(args.lift(1).getOrElse("/tmp/stress_r5"))
+    case Some("audit") => audit(args.lift(1).getOrElse("/root/testdata/sf0.1"))
     case _ => facts(args.headOption.getOrElse("/tmp/sfbig"))
+  }
+
+  // --- audit mode ---------------------------------------------------------
+
+  /** Oracle-precondition audit for the hash-mirrored queries (q19/q21/q58):
+    * (a) FNV-1a-64 collision-freeness over the corpus's shingle set —
+    * Spark joins on 64-bit shingle hashes while the DuckDB mirrors join on
+    * the shingle STRINGS, so a collision would silently diverge them;
+    * (b) no whitespace outside [ \t\n\r\f] — Spark's Java `\s` and
+    * DuckDB's RE2 `\s` disagree on vertical tab and some Unicode spaces,
+    * which would shift tokenization between the engines. */
+  def audit(dir: String): Unit = {
+    val spark = session()
+    import graft.text.TextAnalysis
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val toks = graft.ops.Relational.fanOut(docs)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+    val strings = toks
+      .select(explode(Dedup.shinglesOf(col("t"), 3)).as("sh"))
+      .agg(countDistinct(col("sh"))).head().getLong(0)
+    val hashes = Dedup.shingleTable(docs, "doc_id", "text", 3)
+      .agg(countDistinct(col("sh"))).head().getLong(0)
+    println(s"AUDIT $dir distinct_shingle_strings=$strings " +
+      s"distinct_fnv_hashes=$hashes collisions=${strings - hashes}")
+    val exotic = docs.filter(col("text").rlike("[\\x0b\\u0085\\u00a0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]"))
+      .count()
+    println(s"AUDIT $dir docs_with_exotic_whitespace=$exotic")
+    spark.stop()
   }
 
   // --- curve mode ---------------------------------------------------------
