@@ -55,7 +55,27 @@ object ScaleStress {
       args.lift(2).map(_.toInt).getOrElse(3))
     case Some("skew") => skew(args.lift(1).getOrElse("/tmp/stress_r5"))
     case Some("audit") => audit(args.lift(1).getOrElse("/root/testdata/sf0.1"))
+    case Some("single") => single(args(1),
+      args.lift(2).getOrElse("/root/testdata/sf0.1"),
+      args.lift(3).map(_.toInt).getOrElse(5))
     case _ => facts(args.headOption.getOrElse("/tmp/sfbig"))
+  }
+
+  /** Repeat ONE registered query in a fresh JVM: isolates a bench outlier
+    * from suite-interference (JIT/GC state accumulated by the 57 queries
+    * that ran before it in the full Bench pass). */
+  def single(name: String, dir: String, reps: Int): Unit = {
+    val spark = session()
+    val fn = SparkEntry.queries(name)
+    fn(spark, "/root/testdata/sf0.001").count() // warmup: JIT + codegen
+    spark.catalog.clearCache()
+    for (i <- 1 to reps) {
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      println(f"SINGLE $name rep$i ${(System.nanoTime() - t0) / 1e9}%.2f")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
   }
 
   // --- audit mode ---------------------------------------------------------
