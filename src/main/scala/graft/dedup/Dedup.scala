@@ -219,6 +219,49 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  // --- near-dup cluster formation (connected components) ------------------
+
+  /** Connected components over a near-dup PAIR graph: the step that turns
+    * pairwise evidence into dedup DECISIONS (keep one document per
+    * component). Iterative min-label propagation: every node repeatedly
+    * takes the minimum label among itself and its neighbors; at fixpoint
+    * label = min doc id of the component — deterministic keeper choice,
+    * consistent with [[exactGroups]]' min-id convention.
+    *
+    * Scale shape: each round is one equi-join (labels onto edge endpoints)
+    * + one partial-aggregated groupBy — all shuffles on compact ids.
+    * Rounds needed = graph diameter, and near-dup components are
+    * shallow (duplicates of a common source), so convergence is fast;
+    * `maxIter` bounds the pathological chain case. Labels are re-cached
+    * and the previous round unpersisted each iteration so lineage stays
+    * constant-depth. */
+  def clusterPairs(vertices: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = vertices.select(col(idCol).as("node"), col(idCol).as("cluster_id"))
+      .cache()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("cluster_id"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "node")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as(idCol), col("cluster_id"))
+  }
+
   // --- cross-corpus decontamination --------------------------------------
 
   /** Contamination report: which `train` documents leak `test` content —

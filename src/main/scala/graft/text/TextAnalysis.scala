@@ -149,6 +149,31 @@ object TextAnalysis {
     when(size(toks) < 2, lit(0.0))
       .otherwise(lit(2.0) * rep.getField("top_bigram").cast("double") / size(toks).cast("double"))
 
+  // --- PII detection / redaction -----------------------------------------
+
+  /** PII patterns, ordered by redaction precedence (SSN before phone so
+    * the 3-2-4 digit shape is not half-eaten by the phone rule). All
+    * patterns use only syntax with IDENTICAL semantics in Java regex and
+    * RE2 (no lookaround/backrefs; `\b` is the ASCII word boundary in
+    * both), so the DuckDB oracle mirrors them verbatim — a redaction
+    * decision made by this engine is reproducible anywhere. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "ssn"   -> raw"\b\d{3}-\d{2}-\d{4}\b",
+    "email" -> raw"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b",
+    "phone" -> raw"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4"  -> raw"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
+
+  /** Count of non-overlapping matches of one PII class. */
+  def piiCount(text: Column, kind: String): Column =
+    regexp_count(text, lit(PiiPatterns.toMap.apply(kind)))
+
+  /** Text with every PII class replaced by its `[KIND]` placeholder, in
+    * [[PiiPatterns]] order. Pure per-row map — scan-parallel at any scale. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (kind, pat)) =>
+      regexp_replace(c, pat, s"[${kind.toUpperCase}]")
+    }
+
   /** Full per-document text profile used by pipeline consumers. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("__toks", tokens(col(textCol)))

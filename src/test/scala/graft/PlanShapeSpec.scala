@@ -62,11 +62,12 @@ class PlanShapeSpec extends GraftSuite {
     assert(n == 1, s"expected a single window shuffle, got $n in\n$p")
   }
 
-  test("q23/q57: signature kernels are pure maps — no hash exchange below the sort") {
+  test("q23/q57/q59: per-document kernels are pure maps — no hash exchange below the sort") {
     // one scan stage, codegen'd kernels, and the only exchange is the
     // final presentation orderBy (rangepartitioning) — the plan a 100 TB
     // per-document map must have
-    for (q <- Seq(graft.ops.ScaleOps.q23Fingerprint _, graft.ops.ScaleOps.q57Repetition _)) {
+    for (q <- Seq(graft.ops.ScaleOps.q23Fingerprint _, graft.ops.ScaleOps.q57Repetition _,
+        graft.ops.ScaleOps2.q59PiiRedact _)) {
       val df = q(spark, sf)
       df.collect() // finalize THIS df's AQE plan so codegen stages are visible
       val p = plan(df)

@@ -191,6 +191,61 @@ class DedupSpec extends GraftSuite {
     assert(doc1.length == 1 && doc1.head.getString(1) == "exact")
   }
 
+  // --- cluster formation (q60) ground truth -------------------------------
+
+  test("clusterPairs: transitive chains collapse to min-id components") {
+    val verts = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1-2-3 (1-3 never directly paired), pair 4-5, isolated 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairs(verts, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L), got)
+  }
+
+  test("clusterPairs agrees with a driver-side union-find on the near-dup graph") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = Dedup.clusterPairs(docs, "doc_id",
+        Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  // --- PII redaction (q59) ground truth -----------------------------------
+
+  test("PII redaction: known strings detected, counted and replaced") {
+    val df = Seq(
+      (1L, "mail a.b-c_9@sub.example.org now"),
+      (2L, "ssn 123-45-6789 phone 555-123-4567"),
+      (3L, "server at 10.0.200.7 and 192.168.1.255"),
+      (4L, "no pii here at all"),
+      (5L, "not-a-ssn 1234-45-6789x but 999-88-7777 yes")
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextAnalysis.piiCount($"text", "email").as("e"),
+        TextAnalysis.piiCount($"text", "ssn").as("s"),
+        TextAnalysis.piiCount($"text", "phone").as("p"),
+        TextAnalysis.piiCount($"text", "ipv4").as("i"),
+        TextAnalysis.redactPii($"text").as("r"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5)))).toMap
+    assert(out(1L) == ((1, 0, 0, 0, "mail [EMAIL] now")))
+    assert(out(2L) == ((0, 1, 1, 0, "ssn [SSN] phone [PHONE]")))
+    assert(out(3L) == ((0, 0, 0, 2, "server at [IPV4] and [IPV4]")))
+    assert(out(4L) == ((0, 0, 0, 0, "no pii here at all")))
+    // \b guards: digits glued to a longer run don't count
+    assert(out(5L)._2 == 1 && out(5L)._5.contains("[SSN]")
+      && out(5L)._5.contains("1234-45-6789x"), out(5L))
+  }
+
   test("decontaminate removes flagged docs and is idempotent") {
     val once = Dedup.decontaminate(trainCorpus, testCorpus, "doc_id", "text", 3, 0.8)
     assert(once.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L, 4L))
