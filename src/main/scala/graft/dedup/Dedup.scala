@@ -238,28 +238,56 @@ object Dedup {
   def clusterPairs(vertices: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
       maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not cache) everywhere the loop iterates: caching
+    // keeps the FULL logical lineage, so each round's plan would nest the
+    // previous round's plan (plus the whole pair-graph DAG) several times
+    // over via the self-joins — measured: Catalyst planning time, not
+    // compute, then dominates and grows per round (8-10s/round by round
+    // 2). Checkpointing truncates the plan to the materialized result, so
+    // every round plans against a flat scan. (Local checkpoints trade
+    // executor-loss recovery for speed; a long-lived cluster job can flip
+    // to reliable checkpoints without changing the algorithm.)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().cache()
-    var labels = vertices.select(col(idCol).as("node"), col(idCol).as("cluster_id"))
-      .cache()
+      .distinct().localCheckpoint()
+    // Only nodes that appear in the pair graph can ever change label; at
+    // corpus scale that is a small fraction of all documents (near-dups
+    // are the exception, not the rule), so the iteration runs over edge
+    // nodes only and the untouched majority joins back once at the end
+    // as singleton clusters.
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster_id", col("node")).localCheckpoint()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
+      // one hop: min over self + neighbors
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("cluster_id"))
-      val next = labels.unionByName(viaNeighbors)
+      val hop = labels.unionByName(viaNeighbors)
         .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
-        .cache()
+        .localCheckpoint()
+      // path halving (pointer doubling): relabel through the mapping
+      // itself — label(v) := label(label(v)). Every label value is an
+      // edge node (labels are mins over initial own-ids), so the inner
+      // self-join is total. Effective propagation distance doubles per
+      // round → O(log diameter) rounds instead of O(diameter), which is
+      // what bounds the driver-side round count on long chains.
+      val next = hop
+        .join(hop.select(col("node").as("cluster_id"), col("cluster_id").as("__root")),
+          "cluster_id")
+        .select(col("node"), col("__root").as("cluster_id"))
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "node")
         .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    edges.unpersist()
-    labels.select(col("node").as(idCol), col("cluster_id"))
+    val inGraph = labels.select(col("node").as(idCol), col("cluster_id"))
+    val singletons = vertices.select(col(idCol))
+      .join(inGraph.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn("cluster_id", col(idCol))
+    inGraph.unionByName(singletons)
   }
 
   // --- cross-corpus decontamination --------------------------------------
