@@ -89,6 +89,86 @@ object ScaleOps2 {
     Dedup.clusterPairs(docs, "doc_id", pairs).orderBy(col("doc_id"))
   }
 
+  // --- sequence packing (q61) ---------------------------------------------
+
+  /** Context-window packing (q61): lay documents out per source in doc_id
+    * order and chunk the concatenated token stream into ctx=2048 windows;
+    * report each pack's fill. The batch-assembly step between curation
+    * and training (graft.pipeline.Packing). One window shuffle per
+    * source; arithmetic on running sums otherwise. */
+  def q61SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val assigned = graft.pipeline.Packing.packAssignments(
+      t(s, dir, "documents"), "doc_id", "text", "source", ctxTokens = 2048L)
+    graft.pipeline.Packing.packSummary(assigned, "doc_id", "source")
+      .orderBy(col("source"), col("pack_id"))
+  }
+
+  val q61Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), cum AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM toks
+      |), packed AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(floor((c - n_tokens) / 2048) AS BIGINT) AS pack_id
+      |  FROM cum
+      |)
+      |SELECT source, pack_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM packed GROUP BY source, pack_id
+      |ORDER BY source, pack_id""".stripMargin
+
+  // --- weighted source mixing (q62) ---------------------------------------
+
+  /** Data-mix sampling (q62): per-source keep rates (1.0/0.5/0.25/0.1 by
+    * source index mod 4) applied with the q51 engine-portable hash, so
+    * the kept set is identical on any engine/partitioning/run. Audit
+    * report: per-source totals, kept counts, and the kept-id checksum
+    * that pins the exact kept SET (not just its size). */
+  def q62SourceMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val rate = element_at(
+      array(lit(1.0), lit(0.5), lit(0.25), lit(0.1)),
+      (substring(col("source"), 4, 10).cast("int") % 4) + 1)
+    val kept = graft.pipeline.Packing.sourceMix(docs, "doc_id", rate)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+      .orderBy(col("source"))
+  }
+
+  val q62Sql: String =
+    raw"""WITH rated AS (
+      |  SELECT doc_id, source,
+      |    CASE CAST(substr(source, 4, 10) AS INT) % 4
+      |      WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.1
+      |    END AS rate,
+      |    (((((doc_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+      |      + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS bucket
+      |  FROM documents
+      |), kept AS (
+      |  SELECT source, COUNT(*) AS n_kept, SUM(doc_id) AS kept_id_sum
+      |  -- floor() before the cast: DuckDB CAST(double AS BIGINT) ROUNDS
+      |  -- while Spark's cast truncates; floor makes both exact
+      |  FROM rated WHERE bucket < CAST(floor(rate * 4294967296) AS BIGINT)
+      |  GROUP BY source
+      |)
+      |SELECT d.source, COUNT(*) AS n_total,
+      |  COALESCE(ANY_VALUE(k.n_kept), 0) AS n_kept,
+      |  CAST(COALESCE(ANY_VALUE(k.kept_id_sum), 0) AS BIGINT) AS kept_id_sum
+      |FROM documents d LEFT JOIN kept k ON d.source = k.source
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** DuckDB mirror of q60: the q19 shingle/Jaccard arithmetic with the
     * df cap applied to CANDIDATE GENERATION only (sizes stay uncapped,
     * matching jaccardPairsCapped), then transitive closure via a

@@ -246,6 +246,43 @@ class DedupSpec extends GraftSuite {
       && out(5L)._5.contains("1234-45-6789x"), out(5L))
   }
 
+  // --- sequence packing / mixing (q61/q62) ground truth -------------------
+
+  test("packAssignments: greedy contiguous fill, straddlers start their own pack") {
+    // group g: token counts 3, 4, 2 with ctx=5 → cum-before 0, 3, 7 →
+    // packs 0, 0, 1 (doc 2 straddles the boundary but STARTS in pack 0)
+    val docs = Seq(
+      (1L, "a b c", "g"), (2L, "d e f g", "g"), (3L, "h i", "g"),
+      (4L, "x y", "h") // separate group restarts at pack 0
+    ).toDF("doc_id", "text", "source")
+    val got = graft.pipeline.Packing
+      .packAssignments(docs, "doc_id", "text", "source", ctxTokens = 5L)
+      .select("doc_id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L), got)
+    val sum = graft.pipeline.Packing.packSummary(
+      graft.pipeline.Packing.packAssignments(docs, "doc_id", "text", "source", 5L),
+      "doc_id", "source")
+      .filter($"source" === "g" && $"pack_id" === 0)
+      .head()
+    assert(sum.getAs[Long]("n_docs") == 2 && sum.getAs[Long]("pack_tokens") == 7)
+  }
+
+  test("sourceMix: rate 1 keeps all, rate 0 keeps none, selection is deterministic") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i", "s")).toDF("doc_id", "text", "source")
+    assert(graft.pipeline.Packing.sourceMix(docs, "doc_id", lit(1.0)).count() == 200)
+    assert(graft.pipeline.Packing.sourceMix(docs, "doc_id", lit(0.0)).count() == 0)
+    val k1 = graft.pipeline.Packing.sourceMix(docs, "doc_id", lit(0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k2 = graft.pipeline.Packing.sourceMix(docs, "doc_id", lit(0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k1 == k2 && k1.nonEmpty && k1.size < 200)
+    // halving the rate only removes documents, never swaps them in
+    val k025 = graft.pipeline.Packing.sourceMix(docs, "doc_id", lit(0.25))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k025.subsetOf(k1), s"not nested: ${k025 -- k1}")
+  }
+
   test("decontaminate removes flagged docs and is idempotent") {
     val once = Dedup.decontaminate(trainCorpus, testCorpus, "doc_id", "text", 3, 0.8)
     assert(once.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L, 4L))
