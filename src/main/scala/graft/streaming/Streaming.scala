@@ -71,25 +71,34 @@ object Streaming {
     * parallelism. Difference from batch, documented: batch keeps the
     * min-id copy of a duplicate group; a stream keeps the FIRST-ARRIVED
     * copy — over an ordered replay they agree. */
+  /** @param scrubPii replace detected PII with placeholders in the
+    *        emitted text (stateless map — safe in any streaming mode);
+    *        default off so historical outputs are unchanged. */
   def curationStream(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, watermark: String,
-      params: graft.pipeline.Curation.Params = graft.pipeline.Curation.Params())
-      : DataFrame = {
+      params: graft.pipeline.Curation.Params = graft.pipeline.Curation.Params(),
+      scrubPii: Boolean = false): DataFrame = {
     import graft.text.TextAnalysis
     val deduped = docs
       .withColumn("__md5", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("__md5"))
       .drop("__md5")
+    val outText =
+      if (scrubPii) TextAnalysis.redactPii(col(textCol)).as(textCol)
+      else col(textCol)
     deduped
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      // fused one-pass repetition kernel — same routing as the batch
+      // pipeline (Curation.curate), bit-identical to the split form
+      .withColumn("__rep", TextAnalysis.repetitionStatsOf(col("__toks")))
       .select(
-        col(idCol), col(textCol), col(tsCol),
+        col(idCol), outText, col(tsCol),
         TextAnalysis.tokenCountOf(col("__toks")).cast("long").as("n_tokens"),
         TextAnalysis.qualityScoreOf(col(textCol), col("__toks")).as("quality"),
         TextAnalysis.langIdOf(col("__toks")).as("lang_pred"),
-        TextAnalysis.dupTokenFrac(col("__toks")).as("dup_token_frac"),
-        TextAnalysis.topBigramFrac(col("__toks")).as("top_bigram_frac"))
+        TextAnalysis.dupTokenFracFrom(col("__rep"), col("__toks")).as("dup_token_frac"),
+        TextAnalysis.topBigramFracFrom(col("__rep"), col("__toks")).as("top_bigram_frac"))
       .filter(col("quality") >= params.minQuality)
       .filter(col("n_tokens") >= params.minTokens && col("n_tokens") <= params.maxTokens)
       .filter(col("lang_pred").isin(params.keepLangs: _*))

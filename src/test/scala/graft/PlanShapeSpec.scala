@@ -112,6 +112,19 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("_df"), p)
   }
 
+  test("q61: packing is one window shuffle; map-side partial agg above it") {
+    val df = graft.ops.ScaleOps2.q61SequencePack(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // exactly one hash exchange: the per-source window; the pack roll-up
+    // rides the same partitioning (source is a prefix of its keys… it is
+    // not — but partial aggregation bounds the second exchange's input
+    // to one row per (source, pack))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"expected at most window+agg exchanges, got $n in\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial+final
+  }
+
   test("q21: LSH band join is an equi hash join, never cartesian") {
     val p = plan(graft.ops.ScaleOps.q21MinhashLsh(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -219,6 +219,28 @@ class DedupSpec extends GraftSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("clusterPairs matches union-find on random graphs (fixed seeds)") {
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val verts = (0L until n).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0L until n).map(i => i -> find(i)).toMap
+      val got = Dedup.clusterPairs(verts, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed: got $got expected $expected")
+    }
+  }
+
   // --- PII redaction (q59) ground truth -----------------------------------
 
   test("PII redaction: known strings detected, counted and replaced") {

@@ -61,6 +61,29 @@ class StreamingSpec extends GraftSuite {
     assert(got.select("lang_pred").collect().map(_.getString(0)).toSet == Set("en"))
   }
 
+  test("curation stream scrubs PII statelessly when enabled") {
+    val in = tempDir("stream_pii_in"); val ckpt = tempDir("stream_pii_ckpt")
+    Seq((1L,
+      "the cat and the dog of the house mail me at j.doe@example.org for more sun today",
+      "2024-01-01 00:00:01"))
+      .toDF("doc_id", "text", "ts_str")
+      .withColumn("ts", to_timestamp($"ts_str")).drop("ts_str")
+      .write.mode("overwrite").parquet(in.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("ts", TimestampType))))
+      .parquet(in.toString)
+    val cur = Streaming.curationStream(stream, "doc_id", "text", "ts", "10 minutes",
+      graft.pipeline.Curation.Params(minQuality = 0.0, minTokens = 1), scrubPii = true)
+    val q = cur.writeStream.format("memory").queryName("piiout")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val txt = spark.table("piiout").select("text").head().getString(0)
+    assert(txt.contains("[EMAIL]") && !txt.contains("example.org"), txt)
+  }
+
   test("windowed counts with watermark match the batch equivalent") {
     val in = tempDir("stream_w_in"); val ckpt = tempDir("stream_w_ckpt")
     val rows = Seq(
