@@ -140,6 +140,11 @@ object ScaleStress {
       // stage doing real work (nonzero surviving pairs) at every scale
       "embedding_dup" -> (dir => Dedup.embeddingDupPairs(
         emb(dir), "vec_id", "embedding", threshold = 0.9, nBits = 12).count()),
+      "dedup_clusters" -> { dir =>
+        val d = docs(dir)
+        Dedup.clusterPairs(d, "doc_id",
+          Dedup.nearDupPairs(d, "doc_id", "text", k = 3, threshold = 0.5)).count()
+      },
       "ivf_search" -> { dir =>
         val n = scales.find(s => dir.endsWith(s"x$s")).get
         val idx = graft.sim.Ivf.loadIndex(spark, idxPaths(n))

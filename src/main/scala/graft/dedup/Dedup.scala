@@ -254,9 +254,14 @@ object Dedup {
     // corpus scale that is a small fraction of all documents (near-dups
     // are the exception, not the rule), so the iteration runs over edge
     // nodes only and the untouched majority joins back once at the end
-    // as singleton clusters.
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("cluster_id", col("node")).localCheckpoint()
+    // as singleton clusters. Labels start at the 1-hop minimum (node vs
+    // its neighbors) rather than the node itself — star-shaped components
+    // (duplicates of one source, the common case) then converge in a
+    // single confirmation round.
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
+      .select(col("src").as("node"),
+        least(col("src"), col("__mn")).as("cluster_id"))
+      .localCheckpoint()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
