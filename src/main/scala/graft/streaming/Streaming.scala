@@ -62,6 +62,23 @@ object Streaming {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming decontamination: drop stream documents whose exact text
+    * appears in a STATIC benchmark/test corpus — the continuous form of
+    * `Dedup.decontaminate`'s exact detector, for filtering an incoming
+    * crawl against held-out evaluation sets before it ever lands.
+    * A stream-static left-anti equi-join on the md5: stateless (the
+    * static side is a broadcast-able hash set, no streaming state at
+    * all), so it runs indefinitely at scan parallelism. The n-gram
+    * overlap detector needs per-(doc, test-doc) aggregation and belongs
+    * in the batch decontamination pass over landed data. */
+  def decontaminateStream(stream: DataFrame, test: DataFrame,
+      textCol: String): DataFrame = {
+    val testHashes = test.select(md5(col(textCol)).as("__h")).distinct()
+    stream.withColumn("__h", md5(col(textCol)))
+      .join(testHashes, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
   /** Continuous corpus curation — the streaming form of
     * `pipeline.Curation.curate`: exact content dedup becomes
     * watermark-bounded dropDuplicatesWithinWatermark on the md5 (state

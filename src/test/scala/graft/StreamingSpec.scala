@@ -84,6 +84,35 @@ class StreamingSpec extends GraftSuite {
     assert(txt.contains("[EMAIL]") && !txt.contains("example.org"), txt)
   }
 
+  test("streaming decontamination drops exact test-set matches, stateless") {
+    val in = tempDir("stream_dc_in"); val ckpt = tempDir("stream_dc_ckpt")
+    Seq(
+      (1L, "we hold these truths to be self evident", "2024-01-01 00:00:01"),
+      (2L, "a perfectly clean training document here", "2024-01-01 00:00:02"))
+      .toDF("doc_id", "text", "ts_str")
+      .withColumn("ts", to_timestamp($"ts_str")).drop("ts_str")
+      .write.mode("overwrite").parquet(in.toString)
+    val test = Seq((101L, "we hold these truths to be self evident")).toDF("doc_id", "text")
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("ts", TimestampType))))
+      .parquet(in.toString)
+    val out = Streaming.decontaminateStream(stream, test, "text")
+    val q = out.writeStream.format("memory").queryName("dcout")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("dcout").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L), s"got $ids")
+    // agrees with the batch exact detector on the same data
+    val batch = graft.dedup.Dedup.decontaminate(
+      Seq((1L, "we hold these truths to be self evident"),
+        (2L, "a perfectly clean training document here")).toDF("doc_id", "text"),
+      test, "doc_id", "text")
+    assert(batch.select("doc_id").collect().map(_.getLong(0)).toSet == ids)
+  }
+
   test("windowed counts with watermark match the batch equivalent") {
     val in = tempDir("stream_w_in"); val ckpt = tempDir("stream_w_ckpt")
     val rows = Seq(
