@@ -125,6 +125,16 @@ class PlanShapeSpec extends GraftSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial+final
   }
 
+  test("q62: mixing is a map-side filter; aggregations partial; no cartesian") {
+    val df = graft.ops.ScaleOps2.q62SourceMix(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // the hash-threshold keep-filter must sit in the scan stage (a Filter,
+    // not a join against a sampled id list)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial+final
+  }
+
   test("q21: LSH band join is an equi hash join, never cartesian") {
     val p = plan(graft.ops.ScaleOps.q21MinhashLsh(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

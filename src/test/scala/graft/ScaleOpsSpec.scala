@@ -290,6 +290,21 @@ class DedupSpec extends GraftSuite {
     assert(sum.getAs[Long]("n_docs") == 2 && sum.getAs[Long]("pack_tokens") == 7)
   }
 
+  test("packing conserves tokens: per-source pack totals equal the corpus total") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val assigned = graft.pipeline.Packing
+      .packAssignments(docs, "doc_id", "text", "source", ctxTokens = 512L)
+    val packed = graft.pipeline.Packing.packSummary(assigned, "doc_id", "source")
+      .agg(org.apache.spark.sql.functions.sum("pack_tokens")).head().getLong(0)
+    val direct = docs
+      .select(org.apache.spark.sql.functions.size(
+        TextAnalysis.tokens($"text")).cast("long").as("n"))
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(packed == direct, s"$packed != $direct")
+    // every doc appears in exactly one pack
+    assert(assigned.count() == docs.count())
+  }
+
   test("sourceMix: rate 1 keeps all, rate 0 keeps none, selection is deterministic") {
     val docs = (1L to 200L).map(i => (i, s"doc $i", "s")).toDF("doc_id", "text", "source")
     assert(graft.pipeline.Packing.sourceMix(docs, "doc_id", lit(1.0)).count() == 200)
