@@ -169,6 +169,78 @@ object ScaleOps2 {
       |FROM documents d LEFT JOIN kept k ON d.source = k.source
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // --- leakage-safe train/val/test split (q63) ----------------------------
+
+  /** Leakage-safe split (q63): q51's deterministic 80/10/10 split keyed on
+    * the near-dup CLUSTER id instead of the document id, so a document and
+    * its near-duplicates always land in the SAME split — the naive per-doc
+    * split leaks paraphrases of training documents into the test set,
+    * silently inflating eval. Composes the production capped pair graph
+    * (q19/q60 machinery) with the engine-portable split hash (q51); the
+    * whole-cluster-moves property is asserted in the spec. */
+  def q63LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+    val clusters = Dedup.clusterPairs(docs, "doc_id", pairs)
+    clusters
+      .withColumn("split", Relational3.splitAssign(col("cluster_id")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .orderBy(col("split"))
+  }
+
+  /** DuckDB mirror of q63: the q60 recursive-CTE clustering, then the q51
+    * split-bucket arithmetic applied to the cluster id. */
+  val q63Sql: String =
+    raw"""WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(
+      |      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |           ELSE list_transform(generate_series(0, len(t) - 3),
+      |                               i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+      |      END) AS sh
+      |    FROM toks)
+      |), eligible AS (
+      |  SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= ${Dedup.DefaultNearDupMaxDf}
+      |), shc AS (
+      |  SELECT s.doc_id, s.sh FROM sh s JOIN eligible e USING (sh)
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+      |), edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |), reach(node, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+      |), clusters AS (
+      |  SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+      |), assigned AS (
+      |  SELECT doc_id, cluster_id,
+      |    CASE WHEN (((((cluster_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+      |                + ((cluster_id % 4294967296) % 65536) * 2654435761) % 4294967296
+      |              < 3435973836 THEN 'train'
+      |         WHEN (((((cluster_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+      |                + ((cluster_id % 4294967296) % 65536) * 2654435761) % 4294967296
+      |              < 3865470565 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM clusters
+      |)
+      |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT cluster_id) AS n_clusters
+      |FROM assigned GROUP BY split ORDER BY split""".stripMargin
+
   /** DuckDB mirror of q60: the q19 shingle/Jaccard arithmetic with the
     * df cap applied to CANDIDATE GENERATION only (sizes stay uncapped,
     * matching jaccardPairsCapped), then transitive closure via a

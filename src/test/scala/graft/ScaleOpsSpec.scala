@@ -241,6 +241,29 @@ class DedupSpec extends GraftSuite {
     }
   }
 
+  test("leakage-safe split: every near-dup cluster lands entirely in one split") {
+    val docsReal = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val pairs = Dedup.nearDupPairs(docsReal, "doc_id", "text", k = 3, threshold = 0.5)
+    val clusters = Dedup.clusterPairs(docsReal, "doc_id", pairs)
+    val leaks = clusters
+      .withColumn("split", graft.ops.Relational3.splitAssign($"cluster_id"))
+      .groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("n_splits"))
+      .filter($"n_splits" > 1)
+      .count()
+    assert(leaks == 0)
+    // …whereas the naive per-DOC split does leak on this corpus (the bug
+    // the operator exists to prevent) — at least one multi-doc cluster
+    // straddles splits when keyed by doc_id
+    val naiveLeaks = clusters
+      .withColumn("split", graft.ops.Relational3.splitAssign($"doc_id"))
+      .groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("n_splits"))
+      .filter($"n_splits" > 1)
+      .count()
+    assert(naiveLeaks > 0, "corpus has no straddling cluster; test is vacuous")
+  }
+
   // --- PII redaction (q59) ground truth -----------------------------------
 
   test("PII redaction: known strings detected, counted and replaced") {
