@@ -288,6 +288,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"clusterPairs stopped at maxIter=$maxIter with $changed labels still " +
+          "moving — components wider than 2^maxIter hops are split; raise maxIter")
     val inGraph = labels.select(col("node").as(idCol), col("cluster_id"))
     val singletons = vertices.select(col(idCol))
       .join(inGraph.select(col(idCol)), Seq(idCol), "left_anti")

@@ -44,7 +44,10 @@ object Curation {
     val exactDeduped = Dedup.exactDedup(docs, idCol, textCol)
     // near-dup removal (keep the lower id of each flagged pair) — runs
     // BEFORE profiling so the gated metrics aren't computed for documents
-    // the near-dup stage drops
+    // the near-dup stage drops. Pair-greedy drop (not transitive): keeps
+    // the plan LAZY (a single Catalyst plan, the curate() contract). For
+    // cluster-exact dedup — one survivor per connected component — use
+    // Dedup.clusterPairs (q60), which iterates with its own actions.
     val deduped = params.nearDupThreshold match {
       case None => exactDeduped
       case Some(th) =>
