@@ -101,6 +101,12 @@ object VectorKernels {
     } else cache(p)
   }
 
+  /** The deterministic ±1 hyperplane sign matrix, exposed so SQL oracle
+    * mirrors can inline it as literals (q24) — single source of truth
+    * with the bucket kernel below. */
+  def signMatrix(nBits: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(nBits)(p => signs(p, dims).take(dims))
+
   def rpBucket(a: ArrayData, nBits: Int): Long = {
     val n = a.numElements()
     var bucket = 0L

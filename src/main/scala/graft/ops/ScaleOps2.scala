@@ -89,6 +89,51 @@ object ScaleOps2 {
     Dedup.clusterPairs(docs, "doc_id", pairs).orderBy(col("doc_id"))
   }
 
+  // --- q24 oracle (promotes ANN-LSH from rows-only to full) ---------------
+
+  /** DuckDB mirror of q24 (Ann.lshTopK, k=5, nBits=8, queries vec_id<20).
+    * The random-hyperplane signs are ±1 derived from integer hashing, so
+    * the 8×64 sign matrix is inlined as SQL literals straight from the
+    * kernel's own `VectorKernels.signMatrix` (single source of truth);
+    * the projections and cosines then ride `list_inner_product` on
+    * DOUBLE[], the in-order float64 accumulation q20 already proved
+    * bit-exact. Precondition (verified at every SF): embedding dim = 64.
+    * Multi-probe = own bucket + 8 single-bit XOR flips; re-rank =
+    * ROW_NUMBER over (cos DESC, corpus_id), matching GroupedTopK's
+    * tie-break exactly. */
+  val q24Sql: String = {
+    val nBits = 8
+    val dims = 64
+    val m = graft.functions.VectorKernels.signMatrix(nBits, dims)
+    def arr(p: Int) = m(p).map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]")
+    val bucketExpr = (0 until nBits).map { p =>
+      s"(CASE WHEN list_inner_product(embedding::DOUBLE[], ${arr(p)}::DOUBLE[]) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val probeList = "[bucket" +
+      (0 until nBits).map(b => s", xor(bucket, ${1L << b})").mkString + "]"
+    raw"""WITH b AS (
+      |  SELECT vec_id, embedding,
+      |    $bucketExpr AS bucket,
+      |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), probes AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm,
+      |    unnest($probeList) AS bucket
+      |  FROM b WHERE vec_id < 20
+      |), cand AS (
+      |  SELECT p.query_id, c.vec_id AS corpus_id,
+      |    list_inner_product(c.embedding::DOUBLE[], p.qv::DOUBLE[]) / (c.nrm * p.qnrm) AS cos
+      |  FROM b c JOIN probes p USING (bucket)
+      |  WHERE p.query_id <> c.vec_id
+      |), ranked AS (
+      |  SELECT query_id, corpus_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+      |  FROM cand
+      |)
+      |SELECT query_id, rank, corpus_id, cos FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   // --- sequence packing (q61) ---------------------------------------------
 
   /** Context-window packing (q61): lay documents out per source in doc_id
