@@ -59,15 +59,27 @@ object Reader {
     * in partition order, which for a single-file narrow read IS file
     * order; costs one extra narrow pass, no shuffle. */
   def withRowIndex(df: DataFrame, colName: String = "_row_idx"): DataFrame = {
-    val fastPath: Option[DataFrame] =
-      if (df.inputFiles.length == 1) {
-        try {
-          val out = df.withColumn(colName, col("_metadata.row_index"))
-          out.queryExecution.analyzed // force resolution of the metadata column
-          Some(out)
-        } catch { case _: org.apache.spark.sql.AnalysisException => None }
-      } else None
-    fastPath.getOrElse {
+    // Fast-path decision WITHOUT a failing analysis: `_metadata` resolves
+    // cleanly for EVERY file source (its field set varies by format), so
+    // probing its struct schema for `row_index` never throws on the common
+    // paths. The previous probe analyzed `_metadata.row_index` directly and
+    // caught the AnalysisException — but failed analyses are also delivered
+    // to QueryExecutionListeners (e.g. Spark's Observation helper), which
+    // rethrow, spamming `ERROR ExecutionListenerBus FIELD_NOT_FOUND` into
+    // otherwise-green logs on every CSV/JSON load.
+    val fastPath: Boolean =
+      df.inputFiles.length == 1 && (try {
+        df.select(col("_metadata")).schema.headOption.exists(_.dataType match {
+          case s: org.apache.spark.sql.types.StructType =>
+            s.fieldNames.contains("row_index")
+          case _ => false
+        })
+      } catch {
+        // non-file relation (no _metadata at all) — fallback below
+        case _: org.apache.spark.sql.AnalysisException => false
+      })
+    if (fastPath) df.withColumn(colName, col("_metadata.row_index"))
+    else {
       val schema = df.schema
       val withIdx = df.rdd.zipWithIndex.map { case (row, idx) =>
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)

@@ -499,28 +499,131 @@ object ScaleOps {
   private val ivfCentroidMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Float])]]()
 
+  /** Key of the most recent q35 training run — lets [[q35SqlOpt]] inline
+    * the exact centroids the query used. Verify runs every query BEFORE
+    * dumping oracleSql, so the memo is always populated by dump time. */
+  @volatile private var ivfLastKey: Option[String] = None
+
   def q35AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val cents = ivfCentroidMemo.computeIfAbsent(s"$dir|k=16|iters=3",
+    val key = s"$dir|k=16|iters=3"
+    val cents = ivfCentroidMemo.computeIfAbsent(key,
       _ => graft.sim.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 3))
+    ivfLastKey = Some(key)
     val idx = graft.sim.Ivf.IvfIndex(cents,
       graft.sim.Ivf.assign(emb, "vec_id", "embedding", cents))
     graft.sim.Ivf.search(idx, emb.filter(col("vec_id") < 20), topK = 5, nProbe = 4)
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** DuckDB mirror of q35 (IVF: k=16, iters=3, topK=5, nProbe=4, queries
+    * vec_id<20). The trained centroids are DETERMINISTIC per corpus
+    * (seeded by the lowest-id vectors, fixed Lloyd rounds, driver-loop
+    * accumulation — Ivf.train), so, exactly like q24's inlined sign
+    * matrix, the oracle inlines the kernel's own centroids as DOUBLE[]
+    * literals: `Double.toString` shortest-repr round-trips bit-exactly
+    * through DuckDB's literal parser, and every float input widens to the
+    * identical double on both engines. Assignment, probe selection, and
+    * re-rank then ride `list_inner_product`'s in-order double
+    * accumulation (bit-identical to cosArr/DotProduct/NormSq), with
+    * ROW_NUMBER tie-breaks mirroring the kernels' lowest-id-wins
+    * (`cs > bestCos` keeps the first argmax; GroupedTopK orders
+    * (cos DESC, corpus_id)). The zero-norm CASE mirrors cosArr's -1.0
+    * sentinel. Data-dependent by necessity — exposed as an Option that is
+    * present only after q35AnnIvf has trained on a corpus this JVM. */
+  def q35SqlOpt: Option[String] = ivfLastKey.map { key =>
+    val cents = ivfCentroidMemo.get(key)
+    // joined without margin markers: stripMargin leaves lines that don't
+    // start with whitespace+'|' untouched, so the literals pass through
+    val values = cents.map { case (i, v) =>
+      s"($i, ${v.map(f => f.toDouble.toString).mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(",\n")
+    raw"""WITH cent(centroid_id, cvec) AS (
+      |    VALUES $values
+      |), b AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), asg AS (
+      |  SELECT vec_id, embedding, nrm, centroid_id FROM (
+      |    SELECT b.vec_id, b.embedding, b.nrm, cent.centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+      |        CASE WHEN list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) = 0
+      |               OR list_inner_product(cent.cvec, cent.cvec) = 0 THEN -1.0
+      |             ELSE list_inner_product(b.embedding::DOUBLE[], cent.cvec)
+      |                  / (sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+      |                   * sqrt(list_inner_product(cent.cvec, cent.cvec))) END DESC,
+      |        cent.centroid_id) AS rn
+      |    FROM b, cent) WHERE rn = 1
+      |), probes AS (
+      |  SELECT query_id, qv, qnrm, centroid_id FROM (
+      |    SELECT b.vec_id AS query_id, b.embedding AS qv, b.nrm AS qnrm, cent.centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+      |        list_inner_product(b.embedding::DOUBLE[], cent.cvec)
+      |          / (sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+      |           * sqrt(list_inner_product(cent.cvec, cent.cvec))) DESC,
+      |        cent.centroid_id) AS rn
+      |    FROM b, cent WHERE b.vec_id < 20) WHERE rn <= 4
+      |), cand AS (
+      |  SELECT p.query_id, a.vec_id AS corpus_id,
+      |    list_inner_product(a.embedding::DOUBLE[], p.qv::DOUBLE[]) / (a.nrm * p.qnrm) AS cos
+      |  FROM asg a JOIN probes p USING (centroid_id)
+      |  WHERE p.query_id <> a.vec_id
+      |), ranked AS (
+      |  SELECT query_id, corpus_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+      |  FROM cand
+      |)
+      |SELECT query_id, rank, corpus_id, cos FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Approximate sketches at scale: HLL++ distinct counts and quantile
-    * sketches over the fact table (rows-only; accuracy vs exact asserted
-    * in SketchSpec). The constant relative error makes these the 100 TB
-    * substitutes for exact COUNT(DISTINCT)/percentile. */
+    * sketches over the fact table. The constant relative error makes
+    * these the 100 TB substitutes for exact COUNT(DISTINCT)/percentile.
+    *
+    * Oracle design (hash-exact for an approximate operator): sketch
+    * internals can't be mirrored in DuckDB, so the query emits the EXACT
+    * aggregates plus `*_within_eps` BOOLEANS — Spark computes sketch AND
+    * exact and tests |approx-exact| <= eps·exact (counts, eps=5·rsd) /
+    * approx-median inside the exact [p49, p51] band (accuracy=10000 ⇒
+    * rank error ≤ 1e-4, comfortably inside). DuckDB mirrors the exact
+    * arm and literal `true` — any sketch drift flips a boolean and fails
+    * the hash. Tighter per-run bounds live in SketchSpec. */
   def q37ApproxSketches(s: SparkSession, dir: String): DataFrame =
     Relational.fanOut(t(s, dir, "lineitem"))
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"))
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("exact_median_price"),
+        percentile(col("l_extendedprice"), lit(0.49)).as("p49"),
+        percentile(col("l_extendedprice"), lit(0.51)).as("p51"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("a_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("a_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a_median"))
+      .select(col("l_returnflag"),
+        col("exact_orders"), col("exact_parts"), col("exact_median_price"),
+        (abs(col("a_orders") - col("exact_orders")) <= col("exact_orders") * lit(0.05))
+          .as("orders_within_eps"),
+        (abs(col("a_parts") - col("exact_parts")) <= col("exact_parts") * lit(0.05))
+          .as("parts_within_eps"),
+        (col("a_median") >= col("p49") && col("a_median") <= col("p51"))
+          .as("median_in_band"))
       .orderBy(col("l_returnflag"))
+
+  /** DuckDB mirror of q37: the exact arm plus literal `true` for each
+    * within-eps boolean (see q37ApproxSketches — the booleans are where
+    * the sketch is actually checked). */
+  val q37Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  quantile_cont(l_extendedprice, 0.5) AS exact_median_price,
+      |  true AS orders_within_eps,
+      |  true AS parts_within_eps,
+      |  true AS median_in_band
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** DuckDB mirror of q26: n_bytes = UTF-8 octet length; f0 re-derives the
     * stub codec's first cell in SQL — cell 0 of the FNV-1a roll depends
