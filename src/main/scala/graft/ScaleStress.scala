@@ -114,15 +114,27 @@ object ScaleStress {
     def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
     def emb(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
 
-    val scales = Seq(1, 3, 10)
+    // the 100× decade joins the curve when StressGen has written it
+    // (`runMain graft.StressGen <src> <base> 100`)
+    val scales = Seq(1, 3, 10, 100)
+      .filter(n => new java.io.File(s"$base/x$n/documents.parquet").exists())
+    println(s"CURVE scales=${scales.mkString(",")}")
     // IVF: build+persist each index once (untimed — the 100 TB story
     // amortizes the build over many searches); search time is what curves.
+    // The index dir is stamped with its source corpus (path + row count)
+    // and rebuilt on mismatch, so an index left over from a previous
+    // StressGen run can never silently skew search timings/results.
     val idxPaths = scales.map { n =>
       val dir = s"$base/x$n"
       val path = s"$base/ivf_idx_x$n"
-      if (!new java.io.File(s"$path/centroids").exists()) {
+      val stamp = s"$dir|rows=${emb(dir).count()}"
+      val stampFile = java.nio.file.Paths.get(path, "_stamp")
+      val reusable = java.nio.file.Files.exists(stampFile) &&
+        java.nio.file.Files.readString(stampFile) == stamp
+      if (!reusable) {
         val idx = graft.sim.Ivf.build(emb(dir), k = 16, iters = 3, cache = false)
         graft.sim.Ivf.writeIndex(idx, path)
+        java.nio.file.Files.writeString(stampFile, stamp)
       }
       n -> path
     }.toMap
@@ -133,8 +145,11 @@ object ScaleStress {
       "minhash_lsh" -> (dir => Dedup.minhashLshPairs(
         docs(dir), "doc_id", "text", k = 3, numHashes = 32, bands = 8,
         threshold = 0.5).count()),
+      // production path: band-bucket cap on (curve r6 found the uncapped
+      // self-join superlinear in the 10x->100x decade — 1.4s -> 36s)
       "simhash" -> (dir => Dedup.simhashPairs(
-        docs(dir), "doc_id", "text", maxDist = 3).count()),
+        docs(dir), "doc_id", "text", maxDist = 3,
+        maxBucket = Dedup.DefaultSimhashMaxBucket).count()),
       // 0.9 (not the q25 oracle's 0.999): the mutated replicas are near
       // but not exact twins, and the threshold must keep the exact-verify
       // stage doing real work (nonzero surviving pairs) at every scale

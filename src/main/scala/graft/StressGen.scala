@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * the adversarial input that detonates uncapped near-dup candidate
   * generation and that `Dedup.nearDupPairs`'s df cap must keep bounded.
   *
-  * Usage: `runMain graft.StressGen <srcSfDir> <outBase>` → writes
-  * `outBase/{x1,x3,x10}/{documents,embeddings}.parquet` and
+  * Usage: `runMain graft.StressGen <srcSfDir> <outBase> [scale...]` →
+  * writes `outBase/x$n/{documents,embeddings}.parquet` for each scale
+  * (default 1 3 10; pass e.g. `100` to add just the 100× decade to an
+  * existing base) and, when no explicit scales are given,
   * `outBase/{skew1,skew10}/documents.parquet`. */
 object StressGen {
 
@@ -62,27 +64,84 @@ object StressGen {
         concat(lit(Boilerplate + " "), col("text")))
         .otherwise(col("text")).as("text"))
 
+  /** Replica r of the order-keyed fact tables: orderkeys offset by
+    * r·10⁷ (stays inside INT at 100 replicas of sf0.1), every other
+    * column verbatim — so orders⋈lineitem cardinality scales linearly
+    * and dim joins (custkey/partkey) keep matching. Replica 0 is the
+    * original. */
+  def mutateByOrderkey(df: DataFrame, keyCol: String, r: Int): DataFrame =
+    if (r == 0) df
+    else df.withColumn(keyCol, col(keyCol) + lit(r * 10000000))
+
+  def replicatedFacts(df: DataFrame, keyCol: String, n: Int): DataFrame =
+    (0 until n).map(mutateByOrderkey(df, keyCol, _)).reduce(_ unionByName _)
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(p, t,
+        StandardCopyOption.REPLACE_EXISTING) }
+    }
+  }
+
+  /** `facts <src> <out> <n>`: the N× fact-table corpus for
+    * `ScaleStress facts` — orders/lineitem replicated with orderkey
+    * offsets, documents/embeddings token/vector-mutated, dims + events
+    * copied byte-for-byte (events carries TIMESTAMP(NANOS), which a
+    * plain read-rewrite would reject/alter; a file copy preserves it). */
+  def factsCorpus(spark: SparkSession, src: String, out: String, n: Int): Unit = {
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "events"))
+      copyTree(java.nio.file.Paths.get(s"$src/$t.parquet"),
+        java.nio.file.Paths.get(s"$out/$t.parquet"))
+    val nFiles = math.max(8, n / 2)
+    replicatedFacts(spark.read.parquet(s"$src/orders.parquet"), "o_orderkey", n)
+      .repartition(nFiles).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    replicatedFacts(spark.read.parquet(s"$src/lineitem.parquet"), "l_orderkey", n)
+      .repartition(nFiles).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val docs = spark.read.parquet(s"$src/documents.parquet").select("doc_id", "text")
+    replicatedDocs(docs, n).repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    replicatedEmb(spark.read.parquet(s"$src/embeddings.parquet"), n)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[stressgen] wrote facts corpus $out (${n}x)")
+  }
+
   def main(args: Array[String]): Unit = {
-    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val outBase = if (args.length > 1) args(1) else "/tmp/stress_r5"
+    val factsMode = args.headOption.contains("facts")
+    val rest = if (factsMode) args.drop(1) else args
+    val src = rest.headOption.getOrElse("/root/testdata/sf0.1")
+    val outBase = if (rest.length > 1) rest(1) else "/tmp/stress_r5"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (factsMode) {
+      factsCorpus(spark, src, outBase,
+        rest.lift(2).flatMap(_.toIntOption).getOrElse(100))
+      spark.stop(); return
+    }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
       .select("doc_id", "text")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
 
-    for (n <- Seq(1, 3, 10)) {
-      // 8 files per table so scans split into real parallel tasks
-      replicatedDocs(docs, n).repartition(8)
+    val explicit = args.drop(2).flatMap(_.toIntOption).toSeq
+    val scales = if (explicit.nonEmpty) explicit else Seq(1, 3, 10)
+    for (n <- scales) {
+      // files scale with the corpus so scans split into real parallel
+      // tasks without single-file-row-group limits at the big decades
+      val nFiles = math.max(8, n)
+      replicatedDocs(docs, n).repartition(nFiles)
         .write.mode("overwrite").parquet(s"$outBase/x$n/documents.parquet")
-      replicatedEmb(emb, n).repartition(8)
+      replicatedEmb(emb, n).repartition(nFiles)
         .write.mode("overwrite").parquet(s"$outBase/x$n/embeddings.parquet")
       println(s"[stressgen] wrote $outBase/x$n")
     }
+    if (explicit.nonEmpty) { spark.stop(); return }
     for (n <- Seq(1, 10)) {
       skewedDocs(replicatedDocs(docs, n)).repartition(8)
         .write.mode("overwrite").parquet(s"$outBase/skew$n/documents.parquet")

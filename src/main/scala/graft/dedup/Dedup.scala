@@ -194,12 +194,32 @@ object Dedup {
         expression(TextAnalysis.tokens(col("__text"))))).as("simhash"))
   }
 
+  /** Default band-bucket cap for [[simhashPairs]]' production path — same
+    * role as [[DefaultNearDupMaxDf]] for the shingle path. */
+  val DefaultSimhashMaxBucket = 1000
+
   /** Near-dup candidates: hamming(simhash) ≤ maxDist via the band trick —
     * split the 64-bit hash into `maxDist+1` bands; any pair within distance
     * must agree on ≥1 band (pigeonhole). Exact hamming verify after the
-    * band join. */
+    * band join.
+    *
+    * `maxBucket > 0` caps candidate generation per (band, band_bits)
+    * bucket: oversized buckets — a band value shared by more than
+    * `maxBucket` documents — are excluded from the self-join, exactly
+    * like the shingle df cap in [[nearDupPairs]] (partial-agg the FEW
+    * violating buckets, anti-join them back; AQE broadcasts the
+    * blacklist so the filter is map-side). Without it the per-bucket
+    * self-join is quadratic in bucket size, and bucket sizes grow
+    * linearly with the corpus: measured 36 s at 500 k docs vs 1.4 s at
+    * 50 k (super-linear last decade) — capped, the curve returns to the
+    * near-linear regime. A pair suppressed in an oversized bucket is
+    * still found through any of its other ≤ maxDist+1 bands whose
+    * buckets are small; only pairs ALL of whose agreeing bands are
+    * pathological are lost (boilerplate-dominated corpora — exactly the
+    * docs exact-dedup/df-cap layers already handle). 0 = exact
+    * (the q22 oracle shape). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucket: Int = 0): DataFrame = {
     val nBands = maxDist + 1
     val width = 64 / nBands
     val sh = simhash(df, idCol, textCol).cache()
@@ -208,7 +228,15 @@ object Dedup {
         shiftrightunsigned(col("simhash"), b * width)
           .bitwiseAND(lit(if (width == 64) -1L else (1L << width) - 1))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
-    val a = banded.as("a"); val b = banded.as("b")
+    val pruned =
+      if (maxBucket <= 0) banded
+      else {
+        val over = banded.groupBy(col("band"), col("band_bits"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > maxBucket)
+          .select(col("band"), col("band_bits"))
+        banded.join(over, Seq("band", "band_bits"), "left_anti")
+      }
+    val a = pruned.as("a"); val b = pruned.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.band_bits") === col("b.band_bits") &&
           col("a.doc") < col("b.doc"))
@@ -232,24 +260,40 @@ object Dedup {
     * + one partial-aggregated groupBy — all shuffles on compact ids.
     * Rounds needed = graph diameter, and near-dup components are
     * shallow (duplicates of a common source), so convergence is fast;
-    * `maxIter` bounds the pathological chain case. Labels are re-cached
-    * and the previous round unpersisted each iteration so lineage stays
-    * constant-depth. */
+    * `maxIter` bounds the pathological chain case. Each round's
+    * checkpointed result is explicitly unpersisted once superseded, so
+    * executor storage stays O(1 round), not O(rounds).
+    *
+    * `reliableCheckpoints = true` swaps localCheckpoint for reliable
+    * `checkpoint()` (requires `SparkContext.setCheckpointDir`, typically
+    * on HDFS/object storage): a long 100 TB job then survives executor
+    * loss mid-iteration at the cost of writing each round to stable
+    * storage. The algorithm and results are identical on both paths. */
   def clusterPairs(vertices: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
-      maxIter: Int = 20): DataFrame = {
-    // localCheckpoint (not cache) everywhere the loop iterates: caching
+      maxIter: Int = 20, reliableCheckpoints: Boolean = false): DataFrame = {
+    // checkpoint (not cache) everywhere the loop iterates: caching
     // keeps the FULL logical lineage, so each round's plan would nest the
     // previous round's plan (plus the whole pair-graph DAG) several times
     // over via the self-joins — measured: Catalyst planning time, not
     // compute, then dominates and grows per round (8-10s/round by round
     // 2). Checkpointing truncates the plan to the materialized result, so
-    // every round plans against a flat scan. (Local checkpoints trade
-    // executor-loss recovery for speed; a long-lived cluster job can flip
-    // to reliable checkpoints without changing the algorithm.)
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // every round plans against a flat scan.
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoints) df.checkpoint() else df.localCheckpoint()
+    // Free the block-manager storage behind a superseded checkpoint round.
+    // Dataset.unpersist only clears cache-manager entries; a checkpointed
+    // Dataset is a LogicalRDD over a persisted RDD, so the RDD itself is
+    // what must be unpersisted (no-op for reliable checkpoints, whose
+    // blocks live in the checkpoint dir, not executor storage).
+    def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+    val edges = ckpt(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().localCheckpoint()
+      .distinct())
     // Only nodes that appear in the pair graph can ever change label; at
     // corpus scale that is a small fraction of all documents (near-dups
     // are the exception, not the rule), so the iteration runs over edge
@@ -258,10 +302,9 @@ object Dedup {
     // its neighbors) rather than the node itself — star-shaped components
     // (duplicates of one source, the common case) then converge in a
     // single confirmation round.
-    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
+    var labels = ckpt(edges.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
       .select(col("src").as("node"),
-        least(col("src"), col("__mn")).as("cluster_id"))
-      .localCheckpoint()
+        least(col("src"), col("__mn")).as("cluster_id")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -269,22 +312,24 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("cluster_id"))
-      val hop = labels.unionByName(viaNeighbors)
-        .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
+      val hop = ckpt(labels.unionByName(viaNeighbors)
+        .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id")))
       // path halving (pointer doubling): relabel through the mapping
       // itself — label(v) := label(label(v)). Every label value is an
       // edge node (labels are mins over initial own-ids), so the inner
       // self-join is total. Effective propagation distance doubles per
       // round → O(log diameter) rounds instead of O(diameter), which is
       // what bounds the driver-side round count on long chains.
-      val next = hop
+      val next = ckpt(hop
         .join(hop.select(col("node").as("cluster_id"), col("cluster_id").as("__root")),
           "cluster_id")
-        .select(col("node"), col("__root").as("cluster_id"))
-        .localCheckpoint()
+        .select(col("node"), col("__root").as("cluster_id")))
+      // changed is counted BEFORE freeing the superseded round (it reads
+      // both next and the old labels)
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "node")
         .filter(col("cluster_id") =!= col("old")).count()
+      free(hop)
+      free(labels)
       labels = next
       iter += 1
     }
@@ -292,6 +337,8 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"clusterPairs stopped at maxIter=$maxIter with $changed labels still " +
           "moving — components wider than 2^maxIter hops are split; raise maxIter")
+    // checkpoints are eager, so the final labels no longer reference edges
+    free(edges)
     val inGraph = labels.select(col("node").as(idCol), col("cluster_id"))
     val singletons = vertices.select(col(idCol))
       .join(inGraph.select(col(idCol)), Seq(idCol), "left_anti")

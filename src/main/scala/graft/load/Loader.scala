@@ -99,6 +99,14 @@ object Loader {
       return LoadResult(status, n + nBad, n, 0, nBad)
     }
 
+    // sinks with a native server-side merge (JDBC MERGE pushdown) take it:
+    // the full target never crosses the wire, work scales with the batch
+    sink.mergeUpsert(spark, deduped, table, pk) match {
+      case Some((inserted, updated)) =>
+        return LoadResult(status, inserted + updated + nBad, inserted, updated, nBad)
+      case None => ()
+    }
+
     // insert/update counts are observed DURING the single merge write —
     // no extra key-join count jobs, no second scan of target or source
     val target = sink.read(spark, table)

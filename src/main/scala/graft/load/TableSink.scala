@@ -19,6 +19,13 @@ trait TableSink {
   def drop(spark: SparkSession, table: String): Unit
   /** Atomic-ish publish: `from` must exist; `to` is replaced. */
   def rename(spark: SparkSession, from: String, to: String): Unit
+  /** Server-side key-merge capability: sinks that can upsert `staged`
+    * into an existing `table` natively (SQL MERGE executed where the
+    * data lives) do so and return `Some((inserted, updated))`; the
+    * default `None` routes the caller to the generic Spark-side
+    * read-merge-swap. */
+  def mergeUpsert(spark: SparkSession, staged: DataFrame, table: String,
+      pk: Seq[String]): Option[(Long, Long)] = None
 }
 
 /** Default sink: managed parquet tables in the session catalog. At
@@ -54,7 +61,8 @@ object CatalogSink extends TableSink {
 final case class JdbcSink(
     url: String,
     properties: Map[String, String] = Map.empty,
-    dialect: String = "sqlserver") extends TableSink {
+    dialect: String = "sqlserver",
+    mergePushdown: Boolean = true) extends TableSink {
 
   private def props: java.util.Properties = {
     val p = new java.util.Properties()
@@ -104,4 +112,35 @@ final case class JdbcSink(
         }
       } finally st.close()
     }
+
+  /** Server-side MERGE upsert (reference `_generate_merge_sql`,
+    * src/file-to-sql-loader.py:1340-1366): stage the batch via the
+    * executor-parallel JDBC writer, MERGE on the server, drop the stage.
+    * The FULL TARGET NEVER CROSSES THE WIRE — against a real RDBMS this
+    * replaces the read-everything / merge-in-Spark / rename-swap round
+    * trip, which scales with target size instead of batch size. The
+    * updated count is the staged∩target key overlap measured just before
+    * the MERGE (same statement connection), inserted = staged − updated. */
+  override def mergeUpsert(spark: SparkSession, staged: DataFrame, table: String,
+      pk: Seq[String]): Option[(Long, Long)] = {
+    if (!mergePushdown) return None
+    val staging = s"${table}__merge_stage"
+    staged.write.mode(SaveMode.Overwrite).jdbc(url, staging, props)
+    val q = graft.analyze.Ddl.jdbcQuote(dialect)
+    try withConnection { conn =>
+      val st = conn.createStatement()
+      try {
+        def count(sql: String): Long = {
+          val rs = st.executeQuery(sql)
+          try { rs.next(); rs.getLong(1) } finally rs.close()
+        }
+        val total = count(s"SELECT COUNT(*) FROM $staging")
+        val on = pk.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+        val updated = count(s"SELECT COUNT(*) FROM $staging s JOIN $table t ON $on")
+        st.execute(graft.analyze.Ddl.mergeSql(
+          table, staging, staged.columns.toSeq, pk, dialect))
+        Some((total - updated, updated))
+      } finally st.close()
+    } finally drop(spark, staging)
+  }
 }

@@ -106,18 +106,20 @@ object Main {
     check("catalog/metastore", s"database '${config.database}' reachable") {
       spark.catalog.databaseExists("default") || spark.catalog.listDatabases().count() >= 0
     }
-    check("warehouse dir writable", config.warehouseDir) {
-      val d = Paths.get(config.warehouseDir)
-      if (!Files.exists(d)) Files.createDirectories(d)
-      val probe = Files.createTempFile(d, ".graft-check", "")
-      Files.delete(probe); true
-    }
-    check("report dir writable", config.emailReportDir) {
-      val d = Paths.get(config.emailReportDir)
-      if (!Files.exists(d)) Files.createDirectories(d)
-      val probe = Files.createTempFile(d, ".graft-check", "")
-      Files.delete(probe); true
-    }
+    // a health check must not mutate the environment: a missing directory
+    // is reported as a FAILED check (likely misconfiguration), not silently
+    // provisioned — the run paths create it on demand, this only reports
+    def checkDirWritable(name: String, path: String): Unit =
+      check(name, path) {
+        val d = Paths.get(path)
+        if (!Files.isDirectory(d))
+          throw new java.nio.file.NoSuchFileException(
+            s"$path does not exist (checked, not created — verify the configured path)")
+        val probe = Files.createTempFile(d, ".graft-check", "")
+        Files.delete(probe); true
+      }
+    checkDirWritable("warehouse dir writable", config.warehouseDir)
+    checkDirWritable("report dir writable", config.emailReportDir)
     check("config", s"modes ${config.tableMode}/${config.transactionMode}, " +
       s"maxRowErrors=${config.maxRowErrors}, maxRetries=${config.maxRetries}")(
       config.maxRowErrors >= 0 && config.maxRetries >= 0)

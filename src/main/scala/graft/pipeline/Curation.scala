@@ -38,6 +38,24 @@ object Curation {
       nearDupThreshold: Option[Double] = None,
       nearDupMaxDf: Int = Dedup.DefaultNearDupMaxDf)
 
+  object Params {
+    /** The preset a production pretraining-data run should start from:
+      * everything the defaults do PLUS near-duplicate removal at Jaccard
+      * ≥ 0.8 through the df-capped candidate path, and the Gopher-style
+      * repetition gates actually switched on. The gate thresholds are set
+      * just above the p99 of natural text measured at TOKEN level (dup
+      * tokens p99 ≈ 0.71 — stopword repetition makes token-level stats
+      * run far higher than Gopher's line-level numbers; top-bigram p99 ≈
+      * 0.21), while template spam sits at ≈0.98 / ≈1.9 — an order of
+      * separation. The bare `Params()` default keeps near-dup OFF only
+      * for oracle stability of the historical q36 plan — a real pipeline
+      * composing [[Curation.curate]] wants this preset. */
+    val production: Params = Params(
+      nearDupThreshold = Some(0.8),
+      maxDupTokenFrac = 0.8,
+      maxTopBigramFrac = 0.3)
+  }
+
   /** Curated corpus: one row per surviving document with its metrics. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       params: Params = Params()): DataFrame = {

@@ -42,6 +42,21 @@ class DdlSpec extends GraftSuite {
     assert(ddl.contains("[name] NVARCHAR(50) NULL"))
     assert(ddl.contains("[born] DATETIME2 NULL"))
   }
+  test("MERGE generation: SQL Server brackets+semicolon, ANSI quotes, all-key form") {
+    val ss = Ddl.mergeSql("tgt", "stage", Seq("id", "v"), Seq("id"))
+    assert(ss.contains("MERGE INTO tgt t USING stage s ON (t.[id] = s.[id])"))
+    assert(ss.contains("WHEN MATCHED THEN UPDATE SET [v] = s.[v]"))
+    assert(ss.contains("WHEN NOT MATCHED THEN INSERT ([id], [v]) VALUES (s.[id], s.[v]);"))
+    val derby = Ddl.mergeSql("tgt", "stage", Seq("id", "v"), Seq("id"), "derby")
+    assert(derby.contains("t.\"id\" = s.\"id\"") && !derby.endsWith(";"))
+    // every column a key: no WHEN MATCHED clause (Derby rejects empty SET)
+    val allKey = Ddl.mergeSql("tgt", "stage", Seq("a", "b"), Seq("a", "b"), "derby")
+    assert(!allKey.contains("WHEN MATCHED"))
+    assert(allKey.contains("WHEN NOT MATCHED THEN INSERT"))
+    // a key outside the column list is a misuse, loudly
+    intercept[IllegalArgumentException](Ddl.mergeSql("t", "s", Seq("a"), Seq("zz")))
+  }
+
   test("varchar length bucketing") {
     assert(InferredType.varcharBucket(0) == 50)
     assert(InferredType.varcharBucket(50) == 50)

@@ -180,7 +180,17 @@ class EndToEndSpec extends GraftSuite {
   }
 
   test("--check-deps environment report passes on a healthy session") {
+    // a health check must not provision its own environment — make it
+    // healthy explicitly, then check
+    Files.createDirectories(Paths.get(cfg.warehouseDir))
+    Files.createDirectories(Paths.get(cfg.emailReportDir))
     assert(graft.orchestrate.Main.checkDeps(spark, cfg))
+  }
+
+  test("--check-deps reports a missing directory as FAILED without creating it") {
+    val ghost = tempDir("checkdeps").resolve("does_not_exist").toString
+    assert(!graft.orchestrate.Main.checkDeps(spark, cfg.copy(warehouseDir = ghost)))
+    assert(!Files.exists(Paths.get(ghost)), "health check silently provisioned the path")
   }
 }
 

@@ -106,6 +106,20 @@ class UpsertSpec extends GraftSuite {
     val rows = sink.read(spark, "jdbc_u").orderBy("id").collect()
       .map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(rows == Seq((1, "a"), (2, "b2"), (3, "c")))
+    // that upsert ran as a server-side MERGE (pushdown default): the
+    // staging table must be cleaned up afterwards
+    assert(!sink.exists(spark, "jdbc_u__merge_stage"))
+    // the Spark-side read-merge-rename fallback (mergePushdown = false)
+    // produces the identical table and counts
+    val swapSink = sink.copy(mergePushdown = false)
+    val s3 = Seq((3, "c3"), (4, "d")).toDF("id", "v")
+      .withColumn("_row_idx", monotonically_increasing_id())
+    val r4 = Loader.loadUpsert(spark, s3, s3.limit(0), "jdbc_u", Seq("id"),
+      "_row_idx", strict = true, 100, swapSink)
+    assert(r4.rowsInserted == 1 && r4.rowsUpdated == 1)
+    val rows2 = sink.read(spark, "jdbc_u").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows2 == Seq((1, "a"), (2, "b2"), (3, "c3"), (4, "d")))
     // drop cleans up; fail-mode probe sees absence
     sink.drop(spark, "jdbc_t"); sink.drop(spark, "jdbc_u")
     assert(!sink.exists(spark, "jdbc_u"))

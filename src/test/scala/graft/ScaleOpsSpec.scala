@@ -103,6 +103,25 @@ class DedupSpec extends GraftSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhashPairs bucket cap: identical when no bucket overflows, prunes when one does") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a generous cap changes nothing on a natural corpus
+    val capped = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3,
+      maxBucket = Dedup.DefaultSimhashMaxBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == exact, "generous cap must not change a natural corpus")
+    // identical docs concentrate in ONE bucket per band; cap 1 suppresses
+    // the quadratic bucket entirely (all four agreeing bands overflow)
+    val clones = (1L to 20L).map(i => (i, "same words everywhere all the time"))
+      .toDF("doc_id", "text")
+    val pruned = Dedup.simhashPairs(clones, "doc_id", "text", maxDist = 3,
+      maxBucket = 1).count()
+    val full = Dedup.simhashPairs(clones, "doc_id", "text", maxDist = 3).count()
+    assert(full == 190 && pruned == 0, s"full=$full pruned=$pruned")
+  }
+
   test("fingerprint is order-sensitive, bagHash is order-insensitive") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
     val fp = df.select(TextAnalysis.fingerprint($"text")).collect().map(_.getLong(0))
@@ -239,6 +258,32 @@ class DedupSpec extends GraftSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"seed $seed: got $got expected $expected")
     }
+  }
+
+  test("clusterPairs reliable-checkpoint path: same result, rounds written to stable storage") {
+    val ckptDir = tempDir("reliable_ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    val verts = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairs(verts, "doc_id", pairs, reliableCheckpoints = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L), got)
+    // the rounds really went to the checkpoint dir (executor-loss survival)
+    val written = java.nio.file.Files.walk(ckptDir)
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(written > 0, s"no checkpoint files under $ckptDir")
+  }
+
+  test("clusterPairs frees superseded per-round checkpoint storage") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val verts = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // a 12-long chain forces several propagation rounds
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    Dedup.clusterPairs(verts, "doc_id", pairs).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the final labels round may remain persisted (it backs the
+    // returned plan); every superseded round and the edge table are freed
+    assert(after - before <= 1, s"persistent RDDs grew $before -> $after")
   }
 
   test("leakage-safe split: every near-dup cluster lands entirely in one split") {
@@ -611,6 +656,26 @@ class CurationSpec extends GraftSuite {
       loose.copy(maxDupTokenFrac = 0.5, maxTopBigramFrac = 1.0))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(gated == Set(1L), s"got $gated") // spam doc: dup 14/16, bigram frac ~1.9
+  }
+
+  test("Params.production: near-dup + repetition gates on, real corpus mostly survives") {
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"text")
+    val base = real.orderBy($"doc_id").limit(1).collect().head.getString(1)
+    val bad = Seq(
+      (9000001L, base + " extra"),                        // near-dup of the lowest-id doc
+      (9000002L, Array.fill(40)("buy now").mkString(" ")) // template spam
+    ).toDF("doc_id", "text")
+    val p = graft.pipeline.Curation.Params.production
+    assert(p.nearDupThreshold.contains(0.8), "production preset must enable near-dup")
+    assert(p.nearDupMaxDf == Dedup.DefaultNearDupMaxDf, "capped candidate path")
+    val curated = graft.pipeline.Curation.curate(real.unionByName(bad), "doc_id", "text", p)
+    val ids = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(9000001L), "near-dup survived the production preset")
+    assert(!ids.contains(9000002L), "template spam survived the production preset")
+    val keptReal = ids.count(_ < 9000000L)
+    val nReal = real.count()
+    assert(keptReal >= nReal * 0.5, s"production preset kept only $keptReal of $nReal real docs")
   }
 }
 
