@@ -504,11 +504,21 @@ object ScaleOps {
     * dumping oracleSql, so the memo is always populated by dump time. */
   @volatile private var ivfLastKey: Option[String] = None
 
+  /** Shared deterministic centroid training, memoized per (dir, params):
+    * q35 (ANN-IVF) and q66 (SemDeDup) cluster with the same coarse
+    * quantizer, so one Verify/Bench session trains at most once per
+    * corpus. Determinism makes the memo semantically invisible. */
+  private[ops] def trainedCentroids(emb: DataFrame, dir: String): Array[(Int, Array[Float])] =
+    ivfCentroidMemo.computeIfAbsent(s"$dir|k=16|iters=3",
+      _ => graft.sim.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 3))
+
+  private[ops] def trainedCentroidsOpt(dir: String): Option[Array[(Int, Array[Float])]] =
+    Option(ivfCentroidMemo.get(s"$dir|k=16|iters=3"))
+
   def q35AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val key = s"$dir|k=16|iters=3"
-    val cents = ivfCentroidMemo.computeIfAbsent(key,
-      _ => graft.sim.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 3))
+    val cents = trainedCentroids(emb, dir)
     ivfLastKey = Some(key)
     val idx = graft.sim.Ivf.IvfIndex(cents,
       graft.sim.Ivf.assign(emb, "vec_id", "embedding", cents))

@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.{BloomDedup, ChunkDedup, SemDedup}
+import graft.text.Relevance
+
+/** Ground truth for the round-6 pipeline operators (q64–q67): chunk-level
+  * dedup, TF-IDF, SemDeDup, bloom incremental dedup. Hand-computed
+  * expectations on tiny in-memory corpora, plus corpus-level invariants
+  * for the planted-duplicate query surfaces. */
+class ScaleOps3Spec extends GraftSuite {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  // --- ChunkDedup ---------------------------------------------------------
+
+  test("chunkStats: aligned shared chunk is counted for both docs, unique docs stay clean") {
+    // doc 1 and doc 2 share their FIRST 3-token chunk exactly; doc 3 is
+    // disjoint. chunkTokens=3: doc1 = [a b c][d e f], doc2 = [a b c][x y z],
+    // doc3 = [p q r].
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "p q r")).toDF("doc_id", "text")
+    val got = ChunkDedup.chunkStats(df, "doc_id", "text", chunkTokens = 3, dropFrac = 0.5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_chunks", "n_dup_chunks", "dup_frac", "drop_doc")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 0.5, true),
+      (2L, 2L, 1L, 0.5, true),
+      (3L, 1L, 0L, 0.0, false)))
+  }
+
+  test("chunkStats: within-doc repeated chunk is NOT cross-doc duplication") {
+    // doc 1 repeats its own chunk; no other doc shares it — df_docs stays 1.
+    val df = Seq((1L, "a b c a b c"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = ChunkDedup.chunkStats(df, "doc_id", "text", chunkTokens = 3)
+      .orderBy("doc_id").select("n_dup_chunks").as[Long].collect().toSeq
+    assert(got == Seq(0L, 0L))
+  }
+
+  test("chunkStats: doc shorter than a chunk degenerates to one whole-doc chunk") {
+    val df = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = ChunkDedup.chunkStats(df, "doc_id", "text", chunkTokens = 10)
+      .orderBy("doc_id")
+      .select("n_chunks", "n_dup_chunks").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (1L, 1L)))
+  }
+
+  test("q64: planted docs measure dup_frac 0.5 and their sources gain a dup chunk") {
+    val out = graft.ops.ScaleOps3.q64ChunkDedup(spark, sf).cache()
+    val planted = out.filter(col("doc_id") >= 20000L)
+    assert(planted.count() > 0)
+    // planted = source's first 10-token chunk + a marker tail chunk
+    assert(planted.filter(col("n_chunks") =!= 2 || col("n_dup_chunks") =!= 1)
+      .count() == 0, "every planted doc: 2 chunks, exactly 1 duplicated")
+    assert(planted.filter(!col("drop_doc")).count() == 0,
+      "dup_frac 0.5 >= 0.3 drops every planted doc")
+    // each planted source (doc_id % 10 == 0, >= 10 tokens in this corpus)
+    // now shares its first chunk with its plant
+    val sources = out.filter(col("doc_id") < 20000L && col("doc_id") % 10 === 0)
+    assert(sources.filter(col("n_dup_chunks") < 1).count() == 0)
+    out.unpersist()
+  }
+
+  // --- Relevance (TF-IDF) -------------------------------------------------
+
+  test("tfIdfTopTerms: hand-computed scores, rare terms outrank common ones") {
+    // N=3. doc1: apple(tf2, df1) score 6.0; banana(tf1, df2) 1.5.
+    // doc3: cherry(tf2, df2) 3.0; durian(tf1, df1) 3.0 — equal scores,
+    // term ASC tie-break puts cherry first.
+    val df = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian cherry")).toDF("doc_id", "text")
+    val got = Relevance.tfIdfTopTerms(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+      .as[(Long, Long, String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, "apple", 2L, 1L, 6.0),
+      (1L, 2L, "banana", 1L, 2L, 1.5),
+      (2L, 1L, "banana", 1L, 2L, 1.5),
+      (2L, 2L, "cherry", 1L, 2L, 1.5),
+      (3L, 1L, "cherry", 2L, 2L, 3.0),
+      (3L, 2L, "durian", 1L, 1L, 3.0)))
+  }
+
+  test("q65: per-doc ranks are 1..3 with non-increasing scores") {
+    val out = graft.ops.ScaleOps3.q65Tfidf(spark, sf)
+    val bad = out.withColumn("prev",
+        lag(col("score"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("rank")))
+      .filter(col("prev").isNotNull && col("score") > col("prev"))
+    assert(bad.count() == 0, "scores must be non-increasing within a doc")
+    assert(out.filter(col("rank") < 1 || col("rank") > 3).count() == 0)
+  }
+
+  // --- SemDedup -----------------------------------------------------------
+
+  test("clusterDupStats: known clusters, greedy keep-lowest-id removal set") {
+    import graft.functions.VectorFunctions
+    // cluster 0: ids 1,2 identical (cos 1.0); id 3 orthogonal. cluster 1:
+    // id 4 alone. Expect c0 pair (1,2) -> removed {2}; c1 clean.
+    val assigned = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 0),
+      (4L, Seq(1.0f, 1.0f), 1)
+    ).toDF("corpus_id", "cv", "centroid_id")
+      .withColumn("cnorm", sqrt(VectorFunctions.normSq(col("cv"))))
+    val got = SemDedup.clusterDupStats(assigned, threshold = 0.95)
+      .orderBy("centroid_id")
+      .select("centroid_id", "n_members", "n_dup_pairs", "n_removed", "removed_id_sum")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0, 3L, 1L, 1L, 2L), (1, 1L, 0L, 0L, 0L)))
+  }
+
+  test("q66: every planted near-dup is found in its source's cluster") {
+    val out = graft.ops.ScaleOps3.q66Semdedup(spark, sf).cache()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val nPlanted = emb.filter(col("vec_id") < 50).count()
+    val members = out.agg(sum("n_members")).as[Long].head()
+    assert(members == emb.count() + nPlanted, "union corpus fully assigned")
+    // the planted perturbation (first component halved) keeps cos ≈ 0.998
+    // to its source; natural max is ~0.51 — so every FOUND pair is a
+    // (source, plant) pair. A plant whose perturbation flips the argmax
+    // centroid straddles clusters and is missed — SemDeDup's documented
+    // recall/cost trade (at sf0.001 exactly one of 50 straddles) — so the
+    // assertion is a recall bound, not equality.
+    val pairs = out.agg(sum("n_dup_pairs")).as[Long].head()
+    assert(pairs <= nPlanted, "no pair can exist besides (source, plant)")
+    assert(pairs >= (nPlanted * 9) / 10, s"recall >= 0.9: got $pairs of $nPlanted")
+    // each found pair removes its plant (the higher id, >= 1000000) and
+    // plants are unique per pair
+    val (nRemoved, removedSum) = out
+      .agg(sum("n_removed"), sum("removed_id_sum")).as[(Long, Long)].head()
+    assert(nRemoved == pairs, "one distinct removed plant per pair")
+    assert(removedSum >= nRemoved * 1000000L, "removed ids are all planted ids")
+    out.unpersist()
+  }
+
+  // --- BloomDedup ---------------------------------------------------------
+
+  test("bloomDedupStats: exact dup counts with sketch properties on a known corpus") {
+    val hist = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val fresh = Seq((10L, "delta"), (11L, "beta"), (12L, "epsilon")).toDF("doc_id", "text")
+    val got = BloomDedup.bloomDedupStats(hist, fresh, "doc_id", "text")
+      .select("n_new", "n_true_dup", "bloom_caught_all_dups", "fpr_within_bound")
+      .as[(Long, Long, Boolean, Boolean)].head()
+    assert(got == ((3L, 1L, true, true)))
+  }
+
+  test("splitByBloom: misses are definitely new; true dups always land in candidates") {
+    val hist = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val fresh = Seq((10L, "alpha"), (11L, "zeta"), (12L, "eta")).toDF("doc_id", "text")
+    val bloom = BloomDedup.buildContentBloom(hist, "text")
+    val (definitelyNew, candidates) = BloomDedup.splitByBloom(fresh, "text", bloom)
+    assert(definitelyNew.count() + candidates.count() == 3)
+    // the true dup (10, "alpha") cannot be in definitelyNew — no false negatives
+    assert(definitelyNew.filter(col("doc_id") === 10L).count() == 0)
+    assert(candidates.filter(col("doc_id") === 10L).count() == 1)
+  }
+
+  test("q67: catches every planted cross-batch duplicate") {
+    val got = graft.ops.ScaleOps3.q67BloomDedup(spark, sf)
+      .select("n_new", "n_true_dup", "bloom_caught_all_dups", "fpr_within_bound")
+      .as[(Long, Long, Boolean, Boolean)].head()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nOdd = docs.filter(col("doc_id") % 2 === 1).count()
+    val nPlanted = docs.filter(col("doc_id") % 10 === 0).count()
+    assert(got._1 == nOdd + nPlanted)
+    assert(got._2 == nPlanted, "exact dups = the planted copies (corpus has no natural dups)")
+    assert(got._3 && got._4)
+  }
+}

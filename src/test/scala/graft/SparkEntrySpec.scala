@@ -4,10 +4,12 @@ package graft
 class SparkEntrySpec extends GraftSuite {
 
   test("oracle coverage is total: every registered query carries a DuckDB mirror") {
-    // q35's mirror is data-dependent (inlined trained centroids) and
-    // appears after the query has trained — the Verify main runs every
-    // query BEFORE dumping oracleSql, which this test re-enacts.
+    // q35's and q66's mirrors are data-dependent (inlined trained
+    // centroids) and appear after the queries have trained — the Verify
+    // main runs every query BEFORE dumping oracleSql, which this test
+    // re-enacts.
     graft.ops.ScaleOps.q35AnnIvf(spark, "/root/testdata/sf0.001").count()
+    graft.ops.ScaleOps3.q66Semdedup(spark, "/root/testdata/sf0.001").count()
     val sql = SparkEntry.oracleSql
     assert(SparkEntry.queries.keySet == sql.keySet,
       s"queries without an oracle: ${SparkEntry.queries.keySet -- sql.keySet}")
