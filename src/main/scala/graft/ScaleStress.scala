@@ -165,6 +165,33 @@ object ScaleStress {
         val idx = graft.sim.Ivf.loadIndex(spark, idxPaths(n))
         val q = emb(dir).filter(col("vec_id") < 20)
         graft.sim.Ivf.search(idx, q, topK = 5, nProbe = 4).count()
+      },
+      // r6 additions — the linearity claims measured, not asserted:
+      // chunk dedup has NO pair space (explode + df groupBy + join back)
+      "chunk_dedup" -> (dir => graft.dedup.ChunkDedup.chunkStats(
+        docs(dir), "doc_id", "text").count()),
+      // bloom incremental dedup: distributed build over one half, map-side
+      // probe of the other; counts force both split outputs
+      "bloom_dedup" -> { dir =>
+        val d = docs(dir)
+        val bloom = graft.dedup.BloomDedup.buildContentBloom(
+          d.filter(col("doc_id") % 2 === 0), "text", capacity = 2000000L)
+        val (defNew, cands) = graft.dedup.BloomDedup.splitByBloom(
+          d.filter(col("doc_id") % 2 === 1), "text", bloom)
+        defNew.count() + cands.count()
+      },
+      // SemDeDup with k ∝ N (constant target cluster size — the documented
+      // production rule): within-cluster pair space stays N·clusterSize/2,
+      // so the curve should hold near-linear instead of the quadratic a
+      // FIXED k would measure
+      "semdedup" -> { dir =>
+        val n = scales.find(s => dir.endsWith(s"x$s")).get
+        val e = emb(dir)
+        val cents = graft.sim.Ivf.train(e, "vec_id", "embedding",
+          k = 16 * n, iters = 3)
+        graft.dedup.SemDedup.clusterDupStats(
+          graft.sim.Ivf.assign(e, "vec_id", "embedding", cents),
+          threshold = 0.9).count()
       })
 
     // warmup (JIT + codegen) on the smallest corpus

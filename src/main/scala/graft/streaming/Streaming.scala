@@ -79,6 +79,23 @@ object Streaming {
       .drop("__h")
   }
 
+  /** Streaming incremental dedup against a HISTORICAL corpus via a
+    * broadcast bloom filter ([[graft.dedup.BloomDedup]]): keep only rows
+    * whose content hash the filter has definitely never seen. Fully
+    * STATELESS — the filter rides in the task closure as a codegen
+    * ref-object probe, so unlike `streamingDedup` (watermark-bounded
+    * state for WITHIN-stream twins) this guards against the 100 TB
+    * already on disk with zero streaming state and no join. The two
+    * compose: bloom-probe first (vs history), dropDuplicatesWithinWatermark
+    * second (vs the stream itself). Bloom hits are dropped here — the
+    * ~fpp false-positive rows are the price of statelessness; route hits
+    * to a side topic for batch exact-confirmation when recall of new
+    * content matters more than pipeline simplicity. */
+  def bloomDedupStream(stream: DataFrame, textCol: String,
+      historical: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+    stream.filter(!graft.functions.BloomFunctions.mightContain(
+      md5(col(textCol)), historical))
+
   /** Continuous corpus curation — the streaming form of
     * `pipeline.Curation.curate`: exact content dedup becomes
     * watermark-bounded dropDuplicatesWithinWatermark on the md5 (state

@@ -141,4 +141,24 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
       || p.contains("ShuffledHashJoin"), p)
   }
+
+  test("q64: chunk dedup is equi-join only (the linear-shape claim) with partial aggs") {
+    val p = plan(graft.ops.ScaleOps3.q64ChunkDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // df groupBy and the per-doc rollup both partial-aggregate before
+    // their shuffles
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q67: bloom probe is a map-side filter — no exchange between scan and probe") {
+    // the probe expression must sit in the same codegen stage as the new-
+    // batch scan: assert the filter references bloom_might_contain and the
+    // only exchanges in the whole plan are the exact-arm distinct + the
+    // final single-row aggregate (never one feeding the probe itself)
+    val p = plan(graft.ops.ScaleOps3.q67BloomDedup(spark, sf))
+    assert(p.contains("bloom_might_contain"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges (hist distinct + final agg), got $exchanges\n$p")
+  }
 }

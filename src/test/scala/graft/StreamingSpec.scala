@@ -246,4 +246,34 @@ class StreamingSpec extends GraftSuite {
       assert(got.toSeq == Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("bloom dedup stream: drops rows already in the historical corpus, stateless") {
+    val in = tempDir("stream_bl_in"); val ckpt = tempDir("stream_bl_ckpt")
+    Seq(
+      (1L, "already seen last month", "2024-01-01 00:00:01"),
+      (2L, "genuinely fresh content one", "2024-01-01 00:00:02"),
+      (3L, "genuinely fresh content two", "2024-01-01 00:00:03"))
+      .toDF("doc_id", "text", "ts_str")
+      .withColumn("ts", to_timestamp($"ts_str")).drop("ts_str")
+      .write.mode("overwrite").parquet(in.toString)
+    val hist = Seq((100L, "already seen last month")).toDF("doc_id", "text")
+    val bloom = graft.dedup.BloomDedup.buildContentBloom(hist, "text")
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("ts", TimestampType))))
+      .parquet(in.toString)
+    val out = Streaming.bloomDedupStream(stream, "text", bloom)
+    val q = out.writeStream.format("memory").queryName("blout")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("blout").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L, 3L), s"got $ids")
+    // stateless: agrees with the batch splitByBloom definitely-new side
+    val (defNew, _) = graft.dedup.BloomDedup.splitByBloom(
+      Seq((1L, "already seen last month"), (2L, "genuinely fresh content one"),
+        (3L, "genuinely fresh content two")).toDF("doc_id", "text"), "text", bloom)
+    assert(defNew.select("doc_id").collect().map(_.getLong(0)).toSet == ids)
+  }
 }
