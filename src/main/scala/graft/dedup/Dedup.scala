@@ -101,7 +101,37 @@ object Dedup {
     jaccardPairsCapped(df, idCol, textCol, k, threshold, maxDf)
 
   private def jaccardPairsImpl(df: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double, maxDf: Option[Int]): DataFrame = {
+      k: Int, threshold: Double, maxDf: Option[Int]): DataFrame =
+    overlapTable(df, idCol, textCol, k, maxDf)
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+
+  /** Broder-style CONTAINMENT pairs: C(A,B) = |S(A)∩S(B)| / |S(A)| — the
+    * asymmetric cousin of Jaccard that catches SUBSET duplication (a doc
+    * embedded verbatim inside a much larger one scores contain ≈ 1 while
+    * its Jaccard stays low because the big doc's size dominates the
+    * union). Emits both directions; a pair qualifies when either reaches
+    * `threshold`. Same candidate engine as Jaccard (equi-join on shingle
+    * hashes, df-capped by default — the production bound), same
+    * lower-bound semantics for capped overlap counts. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.9,
+      maxDf: Option[Int] = Some(DefaultNearDupMaxDf)): DataFrame =
+    overlapTable(df, idCol, textCol, k, maxDf)
+      .withColumn("contain_a", col("n_common").cast("double") / col("n_a").cast("double"))
+      .withColumn("contain_b", col("n_common").cast("double") / col("n_b").cast("double"))
+      .filter(greatest(col("contain_a"), col("contain_b")) >= threshold)
+      .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "contain_a", "contain_b")
+
+  /** Shared candidate engine under Jaccard and containment scoring:
+    * (doc_a, doc_b, n_common, n_a, n_b) for every pair sharing ≥1
+    * df-eligible shingle. Set sizes always come from the UNCAPPED table
+    * (capped n_common is a lower bound; sizes stay exact). */
+  private def overlapTable(df: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDf: Option[Int]): DataFrame = {
     // the shingle table feeds three plan branches (both join sides + the
     // size agg) — materialize it once
     val shAll = shingleTable(df, idCol, textCol, k).cache()
@@ -127,11 +157,6 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
   // --- MinHash + LSH -----------------------------------------------------

@@ -216,4 +216,89 @@ object ScaleOps3 {
       |  true AS fpr_within_bound
       |FROM (SELECT md5(text) AS k FROM newb) n
       |LEFT JOIN hist h USING (k)""".stripMargin
+
+  // --- shingle containment dedup (q68) ------------------------------------
+
+  /** q68: Broder containment pairs ([[graft.dedup.Dedup.containmentPairs]],
+    * production df-capped path, cap mirrored in the oracle like q60) —
+    * catches SUBSET duplication that Jaccard misses: planted rows (source
+    * doc_id % 10 == 0, id + 40000) are the source's first 15 tokens, a
+    * sub-document whose shingle set is fully contained in its source
+    * (contain_b = 1.0) while its Jaccard against it stays well under the
+    * q19 threshold. */
+  def q68Containment(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val tk = graft.text.TextAnalysis.tokens(col("text"))
+    val planted = docs.filter(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + 40000L).as("doc_id"),
+      array_join(slice(tk, 1, 15), " ").as("text"))
+    graft.dedup.Dedup.containmentPairs(docs.unionByName(planted),
+      "doc_id", "text", k = 3, threshold = 0.9)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q68Sql: String =
+    raw"""WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 40000 AS doc_id,
+      |    array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 15), ' ') AS text
+      |  FROM documents WHERE doc_id % 10 = 0
+      |), toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM base
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(
+      |      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |           ELSE list_transform(generate_series(0, len(t) - 3),
+      |                               i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+      |      END) AS sh
+      |    FROM toks)
+      |), eligible AS (
+      |  SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= ${graft.dedup.Dedup.DefaultNearDupMaxDf}
+      |), shc AS (
+      |  SELECT s.doc_id, s.sh FROM sh s JOIN eligible e USING (sh)
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |  CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS contain_a,
+      |  CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE) AS contain_b
+      |FROM inter
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE greatest(CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE),
+      |               CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE)) >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- deterministic stratified exact-k sample (q69) ----------------------
+
+  /** q69: exact-k-per-stratum sample ([[graft.pipeline.Packing
+    * .stratifiedSample]] — smallest q51 portable-hash bucket wins, id
+    * tie-break), stratified by language. The eval-set construction
+    * primitive: same rows on any engine/run, exactly 5 per language. */
+  def q69StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Packing.stratifiedSample(
+      t(s, dir, "documents"), "doc_id", "lang", k = 5)
+      .select(col("lang"), col("sample_rank"), col("doc_id"), col("source"))
+      .orderBy(col("lang"), col("sample_rank"))
+
+  val q69Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang, source,
+      |    (((((doc_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+      |      + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS bucket
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT lang, doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS sample_rank
+      |  FROM b
+      |)
+      |SELECT lang, sample_rank, doc_id, source FROM ranked
+      |WHERE sample_rank <= 5 ORDER BY lang, sample_rank""".stripMargin
 }

@@ -59,4 +59,21 @@ object Packing {
 
   def sourceMix(docs: DataFrame, idCol: String, rate: Column): DataFrame =
     graft.ops.Relational.fanOut(docs).filter(mixKeep(col(idCol), rate))
+
+  /** Deterministic EXACT-k stratified sample: the k rows per stratum with
+    * the smallest portable hash bucket (ties broken by id). Same
+    * reproducibility contract as [[mixKeep]] — identical sample on any
+    * engine, partitioning, or run — but with exact per-stratum counts
+    * (eval-set construction wants "exactly k per language", not a rate),
+    * and samples NEST: the k-sample is a prefix of the (k+1)-sample.
+    * One window shuffle on the stratum key; rank is attached as
+    * `sample_rank`. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(graft.ops.Relational3.splitBucket(col(idCol)), col(idCol))
+    graft.ops.Relational.fanOut(df)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
 }

@@ -164,6 +164,63 @@ class ScaleOps3Spec extends GraftSuite {
     assert(candidates.filter(col("doc_id") === 10L).count() == 1)
   }
 
+  test("containmentPairs: subset doc scores contain 1.0 where Jaccard stays low") {
+    // doc 2 = first 5 tokens of doc 1 (3 shingles, all inside doc 1's 8);
+    // doc 3 disjoint. contain(2→1) = 3/3 = 1.0; jaccard = 3/8 — under any
+    // near-dup threshold.
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e"),
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.containmentPairs(df, "doc_id", "text",
+      k = 3, threshold = 0.9)
+      .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "contain_b")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L, 8L, 3L, 1.0)))
+    val jac = graft.dedup.Dedup.jaccardPairs(df, "doc_id", "text",
+      k = 3, threshold = 0.5).count()
+    assert(jac == 0L, "Jaccard at 0.5 misses the subset duplication containment catches")
+  }
+
+  test("q68: every planted sub-document is caught at containment 1.0") {
+    val out = graft.ops.ScaleOps3.q68Containment(spark, sf).cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nPlanted = docs.filter(col("doc_id") % 10 === 0).count()
+    // each planted id appears as doc_b (id+40000 sorts above its source)
+    // with contain_b == 1.0 against its source
+    val caught = out.filter(col("doc_b") >= 40000L &&
+      col("doc_a") === col("doc_b") - 40000L && col("contain_b") === 1.0).count()
+    assert(caught == nPlanted, s"expected $nPlanted planted catches, got $caught")
+    out.unpersist()
+  }
+
+  test("stratifiedSample: exact k per stratum, deterministic, and nesting") {
+    val df = Seq.tabulate(40)(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val s3 = graft.pipeline.Packing.stratifiedSample(df, "doc_id", "lang", 3)
+    val byLang = s3.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang == Map("en" -> 3L, "de" -> 3L))
+    // deterministic: second run picks the identical rows
+    val ids1 = s3.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = graft.pipeline.Packing.stratifiedSample(df, "doc_id", "lang", 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // nesting: the 3-sample is a subset of the 5-sample
+    val ids5 = graft.pipeline.Packing.stratifiedSample(df, "doc_id", "lang", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1.forall(ids5.contains))
+  }
+
+  test("q69: exactly 5 per language present in the corpus") {
+    val out = graft.ops.ScaleOps3.q69StratifiedSample(spark, sf)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val langSizes = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    langSizes.foreach { case (lang, n) =>
+      assert(counts.getOrElse(lang, 0L) == math.min(5L, n), s"lang $lang")
+    }
+  }
+
   test("q67: catches every planted cross-batch duplicate") {
     val got = graft.ops.ScaleOps3.q67BloomDedup(spark, sf)
       .select("n_new", "n_true_dup", "bloom_caught_all_dups", "fpr_within_bound")
