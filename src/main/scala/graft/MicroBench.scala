@@ -107,13 +107,36 @@ object MicroBench {
           TextAnalysis.dupTokenFracFrom(col("__rep"), col("tk")).as("dup_token_frac"),
           TextAnalysis.topBigramFracFrom(col("__rep"), col("tk")).as("top_bigram_frac"))
 
+    // q64 chunk-key routing: FNV kernel (HEAD — exchanges carry longs) vs
+    // the interpreted HOF + chunk-string explode it replaced
+    def q64Kernel(): DataFrame =
+      graft.dedup.ChunkDedup.chunkStats(
+        graft.ops.Relational.t(spark, sfDir, "documents"), "doc_id", "text")
+
+    def q64Hof(): DataFrame = {
+      val toks = graft.ops.Relational.t(spark, sfDir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      val chunks = toks.select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), (ceil(size(col("tk")) / lit(10.0)).cast("int") - 1)),
+          i => concat_ws(" ", slice(col("tk"), i * 10 + 1, lit(10))))).as("ch"))
+      val cf = chunks.groupBy(col("ch"))
+        .agg(countDistinct(col("doc_id")).as("df_docs"))
+      chunks.join(cf, Seq("ch"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("df_docs") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+    }
+
     val arms: Seq[(String, () => DataFrame)] = Seq(
       "q24_agg" -> (() => q24Agg()),
       "q24_window" -> (() => q24Window()),
       "q19_kernel" -> (() => q19New()),
       "q19_hof" -> (() => q19OldShingles()),
       "q57_split" -> (() => q57Split()),
-      "q57_fused" -> (() => q57Fused()))
+      "q57_fused" -> (() => q57Fused()),
+      "q64_kernel" -> (() => q64Kernel()),
+      "q64_hof" -> (() => q64Hof()))
 
     // warmup both
     arms.foreach { case (_, f) => f().count() }

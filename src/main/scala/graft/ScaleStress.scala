@@ -101,6 +101,28 @@ object ScaleStress {
       .agg(countDistinct(col("sh"))).head().getLong(0)
     println(s"AUDIT $dir distinct_shingle_strings=$strings " +
       s"distinct_fnv_hashes=$hashes collisions=${strings - hashes}")
+    // same precondition for q64's chunk keys (ChunkDedup joins on
+    // fnv1a64(chunk) while the mirror groups on chunk strings) — audited
+    // over the q64 surface: base corpus + the planted prefix rows
+    locally {
+      import org.apache.spark.sql.GraftSqlBridge._
+      val tk = TextAnalysis.tokens(col("text"))
+      val planted = docs.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 20000L).as("doc_id"),
+        concat(array_join(slice(tk, 1, 10), " "),
+          lit(" zzuniq"), col("doc_id").cast("string")).as("text"))
+      val t64 = graft.ops.Relational.fanOut(docs.unionByName(planted))
+        .select(TextAnalysis.tokens(col("text")).as("t"))
+      val cStrings = t64.select(explode(transform(
+          sequence(lit(0), (ceil(size(col("t")) / lit(10.0)).cast("int") - 1)),
+          i => array_join(slice(col("t"), i * 10 + 1, lit(10)), " "))).as("c"))
+        .agg(countDistinct(col("c"))).head().getLong(0)
+      val cHashes = t64.select(explode(column(
+          graft.functions.ChunkHashes(expression(col("t")), 10))).as("h"))
+        .agg(countDistinct(col("h"))).head().getLong(0)
+      println(s"AUDIT $dir distinct_chunk_strings=$cStrings " +
+        s"distinct_chunk_hashes=$cHashes collisions=${cStrings - cHashes}")
+    }
     val exotic = docs.filter(col("text").rlike("[\\x0b\\u0085\\u00a0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]"))
       .count()
     println(s"AUDIT $dir docs_with_exotic_whitespace=$exotic")

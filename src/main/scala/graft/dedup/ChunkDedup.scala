@@ -21,10 +21,13 @@ import graft.text.TextAnalysis
   * the chunk key for document frequency, one join back, one per-doc
   * groupBy. No pair space exists to blow up, which is why chunk-level
   * dedup is the first pass production pipelines run before any quadratic
-  * candidate generation. At production scale the chunk STRING key would be
-  * xxhash64-compressed before the shuffle; it stays the raw string here so
-  * the DuckDB oracle mirrors the exact semantics (same trade as q19's
-  * shingles).
+  * candidate generation. The chunk key is the FNV-1a-64 of the chunk
+  * (one codegen kernel, [[graft.functions.ChunkHashes]] — chunk STRINGS
+  * never leave the expression; every exchange carries longs), the same
+  * contract as `Dedup.shingleTable`. The DuckDB oracle groups on the
+  * chunk STRINGS — equivalent iff FNV is collision-free on the corpus's
+  * chunk set, which `ScaleStress audit` verifies alongside the shingle
+  * sets (q19/q21 precondition).
   */
 object ChunkDedup {
 
@@ -35,13 +38,12 @@ object ChunkDedup {
     * q19 shingle degenerate case). */
   def chunkStats(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 10, dropFrac: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge._
     val c = chunkTokens
     val toks = df.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("tk"))
-    val chunks = toks.select(col("doc_id"),
-      explode(transform(
-        sequence(lit(0), (ceil(size(col("tk")) / lit(c.toDouble)).cast("int") - 1)),
-        i => array_join(slice(col("tk"), i * c + 1, lit(c)), " "))).as("ch"))
+    val chunks = toks.select(col("doc_id"), explode(column(
+      graft.functions.ChunkHashes(expression(col("tk")), c))).as("ch"))
     // document frequency per chunk — partial-aggregated, one shuffle on ch
     val cf = chunks.groupBy(col("ch"))
       .agg(countDistinct(col("doc_id")).as("df_docs"))

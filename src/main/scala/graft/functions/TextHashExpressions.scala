@@ -95,6 +95,24 @@ case class ShingleHashSet(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): ShingleHashSet = copy(child = c)
 }
 
+/** FNV-1a-64 of each ALIGNED NON-OVERLAPPING k-token chunk (stride k,
+  * tail partial chunk included; chunks joined by one space) — the join
+  * keys for chunk-level dedup computed in one loop. NOT distinct, unlike
+  * [[ShingleHashSet]]: chunk dedup counts per-POSITION duplication, so a
+  * doc repeating its own chunk contributes both positions. Chunk strings
+  * never leave the expression — exchanges carry longs. */
+case class ChunkHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "chunk_hashes"
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.chunkHashes(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = TextHashKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, a => s"$kn.chunkHashes($a, $k)")
+  }
+  override protected def withNewChildInternal(c: Expression): ChunkHashes = copy(child = c)
+}
+
 /** Count of the most frequent adjacent token 2-gram (0 for < 2 tokens) —
   * the exact integer core of the Gopher-style top-2-gram repetition
   * signal; the fraction is derived in column space so the kernel output
@@ -185,6 +203,27 @@ object TextHashKernels {
     val it = seen.iterator()
     var o = 0
     while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Per-position fnv1a64(chunk) for aligned k-token chunks (see
+    * [[ChunkHashes]]); n tokens ⇒ ceil(n/k) chunks, 0 tokens ⇒ none
+    * (unreachable from the tokenizer, which yields [""] for empty text). */
+  def chunkHashes(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val nChunks = (n + k - 1) / k
+    val out = new Array[Long](nChunks)
+    val sep = UTF8String.fromString(" ")
+    var c = 0
+    while (c < nChunks) {
+      val start = c * k
+      val end = math.min(start + k, n)
+      val parts = new Array[UTF8String](end - start)
+      var j = start
+      while (j < end) { parts(j - start) = tokens.getUTF8String(j); j += 1 }
+      out(c) = fnv1a64(UTF8String.concatWs(sep, parts: _*))
+      c += 1
+    }
     new GenericArrayData(out)
   }
 
