@@ -52,7 +52,7 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("curve") => curve(args.lift(1).getOrElse("/tmp/stress_r5"),
-      args.lift(2).map(_.toInt).getOrElse(3))
+      args.lift(2).map(_.toInt).getOrElse(3), args.lift(3))
     case Some("skew") => skew(args.lift(1).getOrElse("/tmp/stress_r5"))
     case Some("audit") => audit(args.lift(1).getOrElse("/root/testdata/sf0.1"))
     case Some("single") => single(args(1),
@@ -131,7 +131,9 @@ object ScaleStress {
 
   // --- curve mode ---------------------------------------------------------
 
-  def curve(base: String, reps: Int): Unit = {
+  /** opFilter: comma-separated op-name substring filter — re-measure one
+    * op's curve after a routing change without re-running the suite. */
+  def curve(base: String, reps: Int, opFilter: Option[String] = None): Unit = {
     val spark = session()
     def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
     def emb(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -161,7 +163,7 @@ object ScaleStress {
       n -> path
     }.toMap
 
-    val ops: Seq[(String, String => Long)] = Seq(
+    val allOps: Seq[(String, String => Long)] = Seq(
       "jaccard_capped" -> (dir => Dedup.nearDupPairs(
         docs(dir), "doc_id", "text", k = 3, threshold = 0.5).count()),
       "minhash_lsh" -> (dir => Dedup.minhashLshPairs(
@@ -214,13 +216,26 @@ object ScaleStress {
         graft.dedup.SemDedup.clusterDupStats(
           graft.sim.Ivf.assign(e, "vec_id", "embedding", cents),
           threshold = 0.9).count()
-      })
+      },
+      // containment shares jaccard's capped candidate engine; its curve
+      // should track jaccard_capped's
+      "containment" -> (dir => Dedup.containmentPairs(
+        docs(dir), "doc_id", "text", k = 3, threshold = 0.9).count()),
+      "tfidf" -> (dir => graft.text.Relevance.tfIdfTopTerms(
+        docs(dir), "doc_id", "text", k = 3).count()))
+
+    val opsRun = opFilter match {
+      case None => allOps
+      case Some(f) =>
+        val pats = f.split(",").toSeq
+        allOps.filter { case (name, _) => pats.exists(name.contains) }
+    }
 
     // warmup (JIT + codegen) on the smallest corpus
-    ops.foreach { case (_, f) => f(s"$base/x1") }
+    opsRun.foreach { case (_, f) => f(s"$base/x1") }
     spark.catalog.clearCache()
 
-    val results = for ((name, f) <- ops) yield {
+    val results = for ((name, f) <- opsRun) yield {
       val pts = scales.map { n =>
         val (sec, rows) = timed(spark, reps)(f(s"$base/x$n"))
         println(f"CURVE $name x$n%-3d ${sec}%.2fs rows=$rows")
