@@ -114,7 +114,10 @@ object MicroBench {
         graft.ops.Relational.t(spark, sfDir, "documents"), "doc_id", "text")
 
     def q64Hof(): DataFrame = {
-      val toks = graft.ops.Relational.t(spark, sfDir, "documents")
+      // fanOut matches chunkStats' internal fanOut — both arms get the
+      // same scan parallelism, the A/B isolates the key routing alone
+      val toks = graft.ops.Relational.fanOut(
+          graft.ops.Relational.t(spark, sfDir, "documents"))
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
       val chunks = toks.select(col("doc_id"),
         explode(transform(

@@ -148,7 +148,11 @@ object ScaleStress {
     // The index dir is stamped with its source corpus (path + row count)
     // and rebuilt on mismatch, so an index left over from a previous
     // StressGen run can never silently skew search timings/results.
-    val idxPaths = scales.map { n =>
+    // populated (untimed) below ONLY when ivf_search is in the filtered op
+    // set — a `curve ... tfidf` re-measure must not pay per-scale k-means
+    // builds for an op it never runs
+    var idxPaths: Map[Int, String] = Map.empty
+    def buildIndexes(): Unit = idxPaths = scales.map { n =>
       val dir = s"$base/x$n"
       val path = s"$base/ivf_idx_x$n"
       val stamp = s"$dir|rows=${emb(dir).count()}"
@@ -230,6 +234,10 @@ object ScaleStress {
         val pats = f.split(",").toSeq
         allOps.filter { case (name, _) => pats.exists(name.contains) }
     }
+    require(opsRun.nonEmpty,
+      s"op filter '${opFilter.getOrElse("")}' matches nothing; " +
+        s"available: ${allOps.map(_._1).mkString(", ")}")
+    if (opsRun.exists(_._1 == "ivf_search")) buildIndexes()
 
     // warmup (JIT + codegen) on the smallest corpus
     opsRun.foreach { case (_, f) => f(s"$base/x1") }

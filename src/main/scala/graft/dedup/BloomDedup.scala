@@ -36,11 +36,15 @@ object BloomDedup {
     * one map-side bloom probe. `definitelyNew` (bloom miss) skips the
     * exact join entirely — no false negatives; `candidates` (bloom hit =
     * true dups + ~fpp of new rows) is the only part that exact-confirms
-    * against history. */
+    * against history. A NULL text row has no content hash and so cannot
+    * content-duplicate anything in history (history nulls are never
+    * put): it routes to definitelyNew — the coalesce keeps the split a
+    * true partition of `fresh` instead of three-valued-logic dropping
+    * the row from both sides. */
   def splitByBloom(fresh: DataFrame, textCol: String, bloom: BloomFilter)
       : (DataFrame, DataFrame) = {
-    val probed = fresh.withColumn("bloom_hit",
-      BloomFunctions.mightContain(md5(col(textCol)), bloom))
+    val probed = fresh.withColumn("bloom_hit", coalesce(
+      BloomFunctions.mightContain(md5(col(textCol)), bloom), lit(false)))
     (probed.filter(!col("bloom_hit")).drop("bloom_hit"),
      probed.filter(col("bloom_hit")).drop("bloom_hit"))
   }

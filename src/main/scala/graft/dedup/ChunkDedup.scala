@@ -40,8 +40,10 @@ object ChunkDedup {
       chunkTokens: Int = 10, dropFrac: Double = 0.3): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge._
     val c = chunkTokens
-    val toks = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.tokens(col(textCol)).as("tk"))
+    // fanOut inside the operator (the shingleTable convention) so bare
+    // callers get scan parallelism for the tokenizer/kernel stage too
+    val toks = graft.ops.Relational.fanOut(df)
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
     val chunks = toks.select(col("doc_id"), explode(column(
       graft.functions.ChunkHashes(expression(col("tk")), c))).as("ch"))
     // document frequency per chunk — partial-aggregated, one shuffle on ch

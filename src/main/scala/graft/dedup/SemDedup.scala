@@ -22,9 +22,16 @@ object SemDedup {
     * ([[graft.sim.Ivf.assign]] output: corpus_id, cv, centroid_id, cnorm).
     *
     * Returns one row per cluster: member count, number of within-cluster
-    * pairs at cosine ≥ `threshold`, and the greedy keep-lowest-id removal
-    * set (n_removed = distinct higher-id endpoints, with their id checksum
-    * so the oracle pins the exact removed SET, not just its size).
+    * pairs at cosine ≥ `threshold`, and the PAIR-GREEDY removal set —
+    * every distinct higher-id pair endpoint (with its id checksum so the
+    * oracle pins the exact removed SET, not just its size). Pair-greedy
+    * is deliberately conservative on similarity CHAINS: for pairs (A,B),
+    * (B,C) with A≁C it removes {B,C}, where a sequential greedy pass
+    * would keep C once B is gone — the same one-shot choice Curation's
+    * near-dup stage documents (near-similarity is not transitive; the
+    * order-dependent sequential variant is not expressible as one
+    * deterministic parallel pass). Chain-aware keeper selection is what
+    * [[Dedup.clusterPairs]] (connected components, q60) provides.
     *
     * Shuffle shape: the self-join shuffles both sides on centroid_id once;
     * the per-cluster aggregates reuse that partitioning. Norms are folded

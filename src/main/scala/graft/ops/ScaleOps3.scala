@@ -27,8 +27,9 @@ object ScaleOps3 {
     * token, so planted docs measure dup_frac 0.5 and their sources gain
     * one duplicated chunk. */
   def q64ChunkDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = Relational.fanOut(t(s, dir, "documents"))
-      .select(col("doc_id"), col("text"))
+    // no call-site fanOut: chunkStats fans out the (docs ∪ planted) input
+    // itself — fanning here too would stack a second exchange
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val tk = graft.text.TextAnalysis.tokens(col("text"))
     val planted = docs.filter(col("doc_id") % 10 === 0).select(
       (col("doc_id") + 20000L).as("doc_id"),
@@ -72,8 +73,7 @@ object ScaleOps3 {
     * ([[Relevance.tfIdfTopTerms]] — unlogged engine-portable idf N/df;
     * see its doc for why ln() can't be hash-compared across engines). */
   def q65Tfidf(s: SparkSession, dir: String): DataFrame =
-    Relevance.tfIdfTopTerms(Relational.fanOut(t(s, dir, "documents")),
-      "doc_id", "text", k = 3)
+    Relevance.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
       .orderBy(col("doc_id"), col("rank"))
 
   val q65Sql: String =

@@ -93,8 +93,11 @@ object Streaming {
     * content matters more than pipeline simplicity. */
   def bloomDedupStream(stream: DataFrame, textCol: String,
       historical: org.apache.spark.util.sketch.BloomFilter): DataFrame =
-    stream.filter(!graft.functions.BloomFunctions.mightContain(
-      md5(col(textCol)), historical))
+    // coalesce: a NULL text row has no content hash, cannot duplicate
+    // history, and must pass through — not be dropped by NULL-probe
+    // three-valued logic (same contract as BloomDedup.splitByBloom)
+    stream.filter(!coalesce(graft.functions.BloomFunctions.mightContain(
+      md5(col(textCol)), historical), lit(false)))
 
   /** Continuous corpus curation — the streaming form of
     * `pipeline.Curation.curate`: exact content dedup becomes

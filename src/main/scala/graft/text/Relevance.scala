@@ -28,7 +28,10 @@ object Relevance {
     */
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
-    val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // fanOut inside the operator (the shingleTable convention) so bare
+    // callers get scan parallelism for the tokenize/explode stage too
+    val docs = graft.ops.Relational.fanOut(df)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val terms = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
       .select(col("doc_id"), explode(col("tk")).as("term"))

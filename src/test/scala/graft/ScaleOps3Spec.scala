@@ -153,6 +153,19 @@ class ScaleOps3Spec extends GraftSuite {
     assert(got == ((3L, 1L, true, true)))
   }
 
+  test("splitByBloom: null-text rows route to definitelyNew — the split stays a partition") {
+    // a NULL text has no content hash and cannot duplicate history; the
+    // probe's SQL NULL must not drop the row from BOTH outputs
+    val hist = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val fresh = Seq((10L, Option("alpha")), (11L, Option.empty[String]),
+      (12L, Option("zeta"))).toDF("doc_id", "text")
+    val bloom = BloomDedup.buildContentBloom(hist, "text")
+    val (defNew, cands) = BloomDedup.splitByBloom(fresh, "text", bloom)
+    assert(defNew.count() + cands.count() == 3, "no row may vanish from the split")
+    assert(defNew.filter(col("doc_id") === 11L).count() == 1,
+      "null text is definitely-new, not a silent drop")
+  }
+
   test("splitByBloom: misses are definitely new; true dups always land in candidates") {
     val hist = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
     val fresh = Seq((10L, "alpha"), (11L, "zeta"), (12L, "eta")).toDF("doc_id", "text")
