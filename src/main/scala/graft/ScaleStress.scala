@@ -142,6 +142,9 @@ object ScaleStress {
     // (`runMain graft.StressGen <src> <base> 100`)
     val scales = Seq(1, 3, 10, 100)
       .filter(n => new java.io.File(s"$base/x$n/documents.parquet").exists())
+    require(scales.nonEmpty,
+      s"no StressGen corpora under $base (expected x1/x3/... dirs) — " +
+        "a mistyped base must fail loudly, not record an empty green run")
     println(s"CURVE scales=${scales.mkString(",")}")
     // IVF: build+persist each index once (untimed — the 100 TB story
     // amortizes the build over many searches); search time is what curves.

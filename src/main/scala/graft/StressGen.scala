@@ -71,13 +71,21 @@ object StressGen {
     * original. */
   def mutateByOrderkey(df: DataFrame, keyCol: String, r: Int): DataFrame =
     if (r == 0) df
-    else df.withColumn(keyCol, col(keyCol) + lit(r * 10000000))
+    // L suffix: r * 10000000 in Int wraps negative at r >= 215, colliding
+    // orderkeys across replicas (the doc/emb mutators already use longs)
+    else df.withColumn(keyCol, col(keyCol) + lit(r * 10000000L))
 
   def replicatedFacts(df: DataFrame, keyCol: String, n: Int): DataFrame =
     (0 until n).map(mutateByOrderkey(df, keyCol, _)).reduce(_ unionByName _)
 
   private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
     import java.nio.file._
+    // clear stale destination first: Spark part files carry UUID names, so
+    // REPLACE_EXISTING alone would leave a previous corpus's parts beside
+    // the new ones and readers would union two corpora
+    if (Files.exists(dst))
+      Files.walk(dst).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(Files.delete(_))
     Files.walk(src).forEach { p =>
       val t = dst.resolve(src.relativize(p))
       if (Files.isDirectory(p)) Files.createDirectories(t)

@@ -119,28 +119,46 @@ final case class JdbcSink(
     * The FULL TARGET NEVER CROSSES THE WIRE — against a real RDBMS this
     * replaces the read-everything / merge-in-Spark / rename-swap round
     * trip, which scales with target size instead of batch size. The
-    * updated count is the staged∩target key overlap measured just before
-    * the MERGE (same statement connection), inserted = staged − updated. */
+    * updated count is the staged key overlap measured just before the
+    * MERGE (same statement connection) via EXISTS — each staged row
+    * counts at most once even against a duplicate-key target, so
+    * inserted = staged − updated can never go negative.
+    *
+    * Any server rejection of the pushdown (schema drift the MERGE can't
+    * express, a key type the dialect won't compare — e.g. Derby CLOB
+    * equality for string pks the JDBC writer created as CLOB) returns
+    * None instead of failing the load: the caller's Spark-side
+    * read-merge-swap path handles every case the old route did, so
+    * enabling pushdown can only ever improve, not regress. */
   override def mergeUpsert(spark: SparkSession, staged: DataFrame, table: String,
       pk: Seq[String]): Option[(Long, Long)] = {
     if (!mergePushdown) return None
     val staging = s"${table}__merge_stage"
-    staged.write.mode(SaveMode.Overwrite).jdbc(url, staging, props)
-    val q = graft.analyze.Ddl.jdbcQuote(dialect)
-    try withConnection { conn =>
-      val st = conn.createStatement()
-      try {
-        def count(sql: String): Long = {
-          val rs = st.executeQuery(sql)
-          try { rs.next(); rs.getLong(1) } finally rs.close()
-        }
-        val total = count(s"SELECT COUNT(*) FROM $staging")
-        val on = pk.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
-        val updated = count(s"SELECT COUNT(*) FROM $staging s JOIN $table t ON $on")
-        st.execute(graft.analyze.Ddl.mergeSql(
-          table, staging, staged.columns.toSeq, pk, dialect))
-        Some((total - updated, updated))
-      } finally st.close()
+    try {
+      staged.write.mode(SaveMode.Overwrite).jdbc(url, staging, props)
+      val q = graft.analyze.Ddl.jdbcQuote(dialect)
+      withConnection { conn =>
+        val st = conn.createStatement()
+        try {
+          def count(sql: String): Long = {
+            val rs = st.executeQuery(sql)
+            try { rs.next(); rs.getLong(1) } finally rs.close()
+          }
+          val total = count(s"SELECT COUNT(*) FROM $staging")
+          val on = pk.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+          val updated = count(s"SELECT COUNT(*) FROM $staging s WHERE EXISTS " +
+            s"(SELECT 1 FROM $table t WHERE $on)")
+          st.execute(graft.analyze.Ddl.mergeSql(
+            table, staging, staged.columns.toSeq, pk, dialect))
+          Some((total - updated, updated))
+        } finally st.close()
+      }
+    } catch {
+      case e: java.sql.SQLException =>
+        System.err.println(s"[graft] MERGE pushdown for $table declined " +
+          s"(${e.getSQLState}: ${e.getMessage.linesIterator.next()}); " +
+          "falling back to Spark-side merge")
+        None
     } finally drop(spark, staging)
   }
 }

@@ -125,6 +125,32 @@ class UpsertSpec extends GraftSuite {
     assert(!sink.exists(spark, "jdbc_u"))
   }
 
+  test("JdbcSink: MERGE pushdown declines gracefully when the server rejects it") {
+    // string pk: Spark's JDBC writer creates it as CLOB on Derby, and
+    // Derby rejects CLOB equality in the MERGE's ON clause — the pushdown
+    // must return None (fall back to the Spark read-merge-swap), NOT fail
+    // the load; the old non-pushdown route always handled this case.
+    val sink = graft.load.JdbcSink("jdbc:derby:memory:graftjdbc2;create=true",
+      dialect = "derby")
+    val s1 = Seq(("k1", "a"), ("k2", "b")).toDF("id", "v")
+      .withColumn("_row_idx", monotonically_increasing_id())
+    val r1 = Loader.loadUpsert(spark, s1, s1.limit(0), "jdbc_clob", Seq("id"),
+      "_row_idx", strict = true, 100, sink)
+    assert(r1.rowsInserted == 2)
+    val s2 = Seq(("k2", "b2"), ("k3", "c")).toDF("id", "v")
+      .withColumn("_row_idx", monotonically_increasing_id())
+    val r2 = Loader.loadUpsert(spark, s2, s2.limit(0), "jdbc_clob", Seq("id"),
+      "_row_idx", strict = true, 100, sink)
+    assert(r2.status == "Completed", s"load must not fail: ${r2.errorMessage}")
+    assert(r2.rowsInserted == 1 && r2.rowsUpdated == 1)
+    val rows = sink.read(spark, "jdbc_clob").orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("k1", "a"), ("k2", "b2"), ("k3", "c")))
+    // the declined pushdown must still have cleaned its staging table
+    assert(!sink.exists(spark, "jdbc_clob__merge_stage"))
+    sink.drop(spark, "jdbc_clob")
+  }
+
   test("upsert is idempotent: applying the same source twice = once") {
     val t1 = s"ups_idem_${System.nanoTime()}"
     val init = Seq((1, "a"), (2, "b")).toDF("id", "name")
