@@ -315,7 +315,9 @@ object ScaleStress {
       // fair "new text" scaling shape, not pathological duplication)
       "q15_dedup_exact", "q16_token_count", "q17_quality_score",
       "q18_lang_id", "q19_ngram_jaccard", "q21_minhash_lsh", "q22_simhash",
-      "q23_fingerprint", "q57_repetition")
+      "q23_fingerprint", "q57_repetition",
+      // r6 text/pipeline additions with linearity claims to check at 100×
+      "q64_chunk_dedup", "q65_tfidf", "q69_stratified_sample")
     qs.foreach { n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count() }
     spark.catalog.clearCache()
     for (rep <- 1 to 2) qs.foreach { n =>

@@ -30,13 +30,18 @@ object StressGen {
 
   /** Replica r of the documents table: doc ids offset, every token
     * suffixed with the replica tag — same length distribution, zero
-    * cross-replica shingle collisions. Replica 0 is the original. */
-  def mutateDocs(docs: DataFrame, r: Int): DataFrame =
-    if (r == 0) docs.select(col("doc_id"), col("text"))
+    * cross-replica shingle collisions. lang/source metadata rides along
+    * verbatim when the source carries it (q69 stratifies on lang; q62 on
+    * source). Replica 0 is the original. */
+  def mutateDocs(docs: DataFrame, r: Int): DataFrame = {
+    val meta = Seq("lang", "source").filter(docs.columns.contains)
+      .map(col)
+    if (r == 0) docs.select(col("doc_id") +: col("text") +: meta: _*)
     else docs.select(
-      (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+      (col("doc_id") + lit(r * 10000000L)).as("doc_id") +:
       array_join(transform(split(col("text"), "\\s+"),
-        t => concat(t, lit(s"x$r"))), " ").as("text"))
+        t => concat(t, lit(s"x$r"))), " ").as("text") +: meta: _*)
+  }
 
   /** Replica r of the embeddings table: ids offset, each element nudged by
     * a deterministic per-(vector, index, replica) term so replica vectors
@@ -108,7 +113,7 @@ object StressGen {
       .repartition(nFiles).write.mode("overwrite").parquet(s"$out/orders.parquet")
     replicatedFacts(spark.read.parquet(s"$src/lineitem.parquet"), "l_orderkey", n)
       .repartition(nFiles).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    val docs = spark.read.parquet(s"$src/documents.parquet").select("doc_id", "text")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
     replicatedDocs(docs, n).repartition(nFiles)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     replicatedEmb(spark.read.parquet(s"$src/embeddings.parquet"), n)
