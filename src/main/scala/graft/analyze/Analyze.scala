@@ -97,6 +97,34 @@ object Analyze {
     }
   }
 
+  /** Fixed-width numeric histogram: one partial-aggregated groupBy on the
+    * bucket id, then a single window pass over the (small) bucket table
+    * for the share column — the profiling companion every distribution
+    * dashboard needs next to `profile`'s scalar facts. Bucketing goes
+    * through floor over double (exact for |v| < 2^53) rather than
+    * integer division, whose negative-value semantics differ between
+    * engines (Spark `div` truncates toward zero; DuckDB `//` floors). */
+  def histogram(df: org.apache.spark.sql.DataFrame, valueCol: String,
+      width: Long): org.apache.spark.sql.DataFrame = {
+    require(width > 0, s"histogram width must be positive, got $width")
+    val bucket = floor(col(valueCol).cast("double") / lit(width.toDouble)).cast("long")
+    val agg = df.filter(col(valueCol).isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
+    // share over the bucket table: rows = value range / width (driver-small
+    // for any sane width), so the unpartitioned window is not a scale risk
+    val w = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    agg
+      .withColumn("lo", col("bucket") * width)
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(w).cast("double"))
+      .select(col("bucket"), col("lo"), col("n"),
+        col("min_v"), col("max_v"), col("share"))
+  }
+
   /** 10 retained sample values per column (reference :732) — optional audit
     * companion to `profile`; one small limit-collect. */
   def sampleValues(df: DataFrame, n: Int = 10): Map[String, Seq[String]] = {

@@ -301,4 +301,85 @@ object ScaleOps3 {
       |)
       |SELECT lang, sample_rank, doc_id, source FROM ranked
       |WHERE sample_rank <= 5 ORDER BY lang, sample_rank""".stripMargin
+
+  // --- fixed-width numeric histogram (q70) --------------------------------
+
+  /** q70: document-length distribution ([[graft.analyze.Analyze
+    * .histogram]], width 50 over n_chars) — the profiling companion to
+    * q34's percentiles: one partial-agg groupBy on the bucket id plus a
+    * window over the driver-small bucket table for shares. */
+  def q70Histogram(s: SparkSession, dir: String): DataFrame =
+    graft.analyze.Analyze.histogram(
+      Relational.fanOut(t(s, dir, "documents")), "n_chars", width = 50L)
+      .orderBy(col("bucket"))
+
+  val q70Sql: String =
+    """WITH h AS (
+      |  SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 50.0) AS BIGINT) AS bucket,
+      |    COUNT(*) AS n, MIN(n_chars) AS min_v, MAX(n_chars) AS max_v
+      |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+      |)
+      |SELECT bucket, bucket * 50 AS lo, n, min_v, max_v,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
+      |FROM h ORDER BY bucket""".stripMargin
+
+  // --- cross-source duplication matrix (q71) ------------------------------
+
+  /** q71: corpus-governance view of near-duplication — the q19/q60 pair
+    * graph (production df-capped path, cap mirrored) rolled up to SOURCE
+    * pairs: which corpora mirror each other, and how hard. The matrix is
+    * what a data-mixing decision (q62 rates) consumes when two sources
+    * turn out to be substantially the same crawl. */
+  def q71SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = graft.dedup.Dedup.nearDupPairs(
+      Relational.fanOut(docs), "doc_id", "text", k = 3, threshold = 0.5)
+    val srcOf = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(srcOf.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "src_a"), Seq("doc_a"))
+      .join(srcOf.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "src_b"), Seq("doc_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("source_x"), col("source_y"))
+  }
+
+  val q71Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(
+      |      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |           ELSE list_transform(generate_series(0, len(t) - 3),
+      |                               i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+      |      END) AS sh
+      |    FROM toks)
+      |), eligible AS (
+      |  SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= ${graft.dedup.Dedup.DefaultNearDupMaxDf}
+      |), shc AS (
+      |  SELECT s.doc_id, s.sh FROM sh s JOIN eligible e USING (sh)
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+      |)
+      |SELECT least(da.source, db.source) AS source_x,
+      |  greatest(da.source, db.source) AS source_y,
+      |  COUNT(*) AS n_pairs, MAX(jaccard) AS max_jaccard
+      |FROM pairs
+      |JOIN documents da ON pairs.doc_a = da.doc_id
+      |JOIN documents db ON pairs.doc_b = db.doc_id
+      |GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin
 }

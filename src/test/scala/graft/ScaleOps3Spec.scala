@@ -234,6 +234,49 @@ class ScaleOps3Spec extends GraftSuite {
     }
   }
 
+  test("histogram: hand-computed buckets, shares sum to 1, nulls excluded") {
+    val df = Seq(Some(5L), Some(49L), Some(50L), Some(149L), Some(150L), None)
+      .toDF("v")
+    val got = graft.analyze.Analyze.histogram(df, "v", width = 50L)
+      .orderBy("bucket")
+      .select("bucket", "lo", "n", "min_v", "max_v", "share")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, 5L, 49L, 0.4),
+      (1L, 50L, 1L, 50L, 50L, 0.2),
+      (2L, 100L, 1L, 149L, 149L, 0.2),
+      (3L, 150L, 1L, 150L, 150L, 0.2)))
+  }
+
+  test("histogram: negative values floor-bucket (not truncate toward zero)") {
+    val df = Seq(-1L, -50L, -51L, 0L).toDF("v")
+    val got = graft.analyze.Analyze.histogram(df, "v", width = 50L)
+      .orderBy("bucket").select("bucket", "n").as[(Long, Long)].collect().toSeq
+    // floor(-1/50) = -1, floor(-50/50) = -1, floor(-51/50) = -2
+    assert(got == Seq((-2L, 1L), (-1L, 2L), (0L, 1L)))
+  }
+
+  test("q70: buckets cover all docs and shares sum to 1") {
+    val out = graft.ops.ScaleOps3.q70Histogram(spark, sf).cache()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.agg(sum("n")).as[Long].head() == total)
+    val shareSum = out.agg(sum("share")).as[Double].head()
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    out.unpersist()
+  }
+
+  test("q71: source pairs are canonically ordered and cover the q19 pair graph") {
+    val out = graft.ops.ScaleOps3.q71SourceOverlap(spark, sf).cache()
+    assert(out.filter(col("source_x") > col("source_y")).count() == 0,
+      "least/greatest canonicalization")
+    val totalPairs = out.agg(sum("n_pairs")).as[Long].head()
+    val rawPairs = graft.dedup.Dedup.nearDupPairs(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+      k = 3, threshold = 0.5).count()
+    assert(totalPairs == rawPairs, "every near-dup pair lands in exactly one cell")
+    out.unpersist()
+  }
+
   test("q67: catches every planted cross-batch duplicate") {
     val got = graft.ops.ScaleOps3.q67BloomDedup(spark, sf)
       .select("n_new", "n_true_dup", "bloom_caught_all_dups", "fpr_within_bound")
