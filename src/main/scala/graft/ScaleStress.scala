@@ -322,8 +322,17 @@ object ScaleStress {
     spark.catalog.clearCache()
     for (rep <- 1 to 2) qs.foreach { n =>
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, dir).count()
-      println(f"STRESS rep$rep $n ${(System.nanoTime() - t0) / 1e9}%.2f")
+      // per-query catch: a stale corpus (e.g. documents written before
+      // lang/source were preserved) must cost ONE query's timing and say
+      // why, not abort the rest of the protocol
+      try {
+        SparkEntry.queries(n)(spark, dir).count()
+        println(f"STRESS rep$rep $n ${(System.nanoTime() - t0) / 1e9}%.2f")
+      } catch {
+        case e: Throwable =>
+          println(s"STRESS rep$rep $n FAILED ${e.getClass.getSimpleName}: " +
+            s"${e.getMessage.linesIterator.next()} (stale corpus? regenerate with StressGen)")
+      }
       spark.catalog.clearCache()
     }
     spark.stop()

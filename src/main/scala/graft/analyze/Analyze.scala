@@ -103,12 +103,15 @@ object Analyze {
     * dashboard needs next to `profile`'s scalar facts. Bucketing goes
     * through floor over double (exact for |v| < 2^53) rather than
     * integer division, whose negative-value semantics differ between
-    * engines (Spark `div` truncates toward zero; DuckDB `//` floors). */
-  def histogram(df: org.apache.spark.sql.DataFrame, valueCol: String,
-      width: Long): org.apache.spark.sql.DataFrame = {
+    * engines (Spark `div` truncates toward zero; DuckDB `//` floors).
+    * NULL and non-finite values (NaN, ±Inf on floating columns) are
+    * excluded — Spark's Floor would silently bucket NaN to 0 and Inf to
+    * Long.MaxValue where an engine-portable mirror errors instead. */
+  def histogram(df: DataFrame, valueCol: String, width: Long): DataFrame = {
     require(width > 0, s"histogram width must be positive, got $width")
-    val bucket = floor(col(valueCol).cast("double") / lit(width.toDouble)).cast("long")
-    val agg = df.filter(col(valueCol).isNotNull)
+    val v = col(valueCol).cast("double")
+    val bucket = floor(v / lit(width.toDouble)).cast("long")
+    val agg = df.filter(v.isNotNull && !isnan(v) && abs(v) <= lit(Double.MaxValue))
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))

@@ -238,15 +238,14 @@ object ScaleOps3 {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val q68Sql: String =
-    raw"""WITH base AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 40000 AS doc_id,
-      |    array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 15), ' ') AS text
-      |  FROM documents WHERE doc_id % 10 = 0
-      |), toks AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM base
+  /** Shared DuckDB CTE chain mirroring the capped pair-candidate engine
+    * (`Dedup.overlapTable`): toks→sh→eligible→shc→sizes→inter over
+    * `srcRel`. Single source of truth for the q68 and q71 mirrors, so
+    * tokenization, the df cap, and the short-doc degenerate rule can
+    * never diverge between them. */
+  private def cappedPairCtes(srcRel: String): String =
+    raw"""toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM $srcRel
       |), sh AS (
       |  SELECT DISTINCT doc_id, sh FROM (
       |    SELECT doc_id, unnest(
@@ -265,7 +264,17 @@ object ScaleOps3 {
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
       |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
-      |)
+      |)""".stripMargin
+
+  val q68Sql: String =
+    raw"""WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 40000 AS doc_id,
+      |    array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 15), ' ') AS text
+      |  FROM documents WHERE doc_id % 10 = 0
+      |), """.stripMargin + cappedPairCtes("base") +
+    raw"""
       |SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
       |  CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS contain_a,
       |  CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE) AS contain_b
@@ -347,27 +356,8 @@ object ScaleOps3 {
   }
 
   val q71Sql: String =
-    raw"""WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
-      |), sh AS (
-      |  SELECT DISTINCT doc_id, sh FROM (
-      |    SELECT doc_id, unnest(
-      |      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-      |           ELSE list_transform(generate_series(0, len(t) - 3),
-      |                               i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
-      |      END) AS sh
-      |    FROM toks)
-      |), eligible AS (
-      |  SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= ${graft.dedup.Dedup.DefaultNearDupMaxDf}
-      |), shc AS (
-      |  SELECT s.doc_id, s.sh FROM sh s JOIN eligible e USING (sh)
-      |), sizes AS (
-      |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-      |), inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
-      |), pairs AS (
+    "WITH " + cappedPairCtes("documents") +
+    raw""", pairs AS (
       |  SELECT doc_a, doc_b,
       |    CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
       |  FROM inter
