@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.text.TextAnalysis
 
@@ -14,6 +14,42 @@ import graft.text.TextAnalysis
   * 100 TB.
   */
 object Dedup {
+
+  // --- candidate-cache lifecycle ------------------------------------------
+
+  /** The pair-candidate builders ([[overlapTable]], [[minhashLshPairs]],
+    * [[simhashPairs]]) each cache one large exploded intermediate that
+    * feeds several branches of the ONE job that consumes the returned
+    * (lazy) plan. The builder cannot know when that job has run, so each
+    * such cache is registered here per session and freed by the caller
+    * once the consuming action completes — the same storage discipline
+    * [[clusterPairs]] applies internally to its per-round checkpoints,
+    * surfaced as an explicit API because these plans are lazy. Without a
+    * free, a long-lived session running many dedup calls accumulates
+    * executor storage until LRU eviction pressure; `spark.catalog
+    * .clearCache()` also clears these (it empties the whole CacheManager). */
+  private val candidateCaches =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.Queue[DataFrame]]()
+
+  private def cacheTracked(df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    candidateCaches
+      .computeIfAbsent(cached.sparkSession,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+      .add(cached)
+    cached
+  }
+
+  /** Unpersist every intermediate cached by a pair-candidate builder on
+    * this session since the last call. Safe at any point: an unpersisted
+    * intermediate recomputes if its plan is consumed again. */
+  def freeCandidateCaches(spark: SparkSession, blocking: Boolean = false): Unit = {
+    val q = candidateCaches.remove(spark)
+    if (q != null) {
+      var df = q.poll()
+      while (df != null) { df.unpersist(blocking); df = q.poll() }
+    }
+  }
 
   // --- exact -------------------------------------------------------------
 
@@ -133,8 +169,8 @@ object Dedup {
   private def overlapTable(df: DataFrame, idCol: String, textCol: String,
       k: Int, maxDf: Option[Int]): DataFrame = {
     // the shingle table feeds three plan branches (both join sides + the
-    // size agg) — materialize it once
-    val shAll = shingleTable(df, idCol, textCol, k).cache()
+    // size agg) — materialize it once; registered for freeCandidateCaches
+    val shAll = cacheTracked(shingleTable(df, idCol, textCol, k))
     val sh = maxDf match {
       case None => shAll
       case Some(cap) =>
@@ -180,7 +216,9 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, k, numHashes).cache()
+    // feeds the band explode + both candidate re-attach branches;
+    // registered for freeCandidateCaches
+    val sig = cacheTracked(minhashSignatures(df, idCol, textCol, k, numHashes))
     // band rows are (doc, band, band_hash) ONLY — the 32-long signature
     // array does not ride the band shuffle; it re-attaches after the pair
     // space has collapsed to deduped candidates.
@@ -247,7 +285,9 @@ object Dedup {
       maxDist: Int = 3, maxBucket: Int = 0): DataFrame = {
     val nBands = maxDist + 1
     val width = 64 / nBands
-    val sh = simhash(df, idCol, textCol).cache()
+    // feeds both sides of the band self-join (and the blacklist agg when
+    // capped); registered for freeCandidateCaches
+    val sh = cacheTracked(simhash(df, idCol, textCol))
     val banded = sh.select(col("doc"), col("simhash"),
       posexplode(array((0 until nBands).map(b =>
         shiftrightunsigned(col("simhash"), b * width)
