@@ -84,8 +84,29 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * The driver contract form: the two data-dependent mirrors (q35/q66
+    * inline trained centroids) resolve for the most recently trained
+    * corpus. A caller that knows its corpus dir — like Verify — should
+    * use [[oracleSqlFor]], which keys those mirrors by dir and cannot be
+    * confused by another session training a different corpus in the same
+    * JVM. */
+  def oracleSql: Map[String, String] =
+    staticOracleSql ++
+    ScaleOps.q35SqlOpt.map("q35_ann_ivf" -> _) ++
+    graft.ops.ScaleOps3.q66SqlOpt.map("q66_semdedup" -> _)
+
+  /** Dir-keyed oracle set: identical to [[oracleSql]] except the
+    * data-dependent q35/q66 mirrors are built from the centroids trained
+    * on exactly `dir` (absent if that corpus has not been trained in this
+    * JVM). */
+  def oracleSqlFor(dir: String): Map[String, String] =
+    staticOracleSql ++
+    ScaleOps.q35SqlFor(dir).map("q35_ann_ivf" -> _) ++
+    graft.ops.ScaleOps3.q66SqlFor(dir).map("q66_semdedup" -> _)
+
+  private def staticOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> Relational.q01Sql,
     "q02_filter_scan"     -> Relational.q02Sql,
     "q03_join_revenue"    -> Relational.q03Sql,
@@ -159,13 +180,7 @@ object SparkEntry {
     // q21-q23 (ScaleOps.duckFnv) and the inlined ±1 hyperplane sign
     // matrix + list_inner_product double accumulation for q24
     // (ScaleOps2.q24Sql).
-  ) ++
-    // q35's mirror inlines the deterministic trained centroids as DOUBLE[]
-    // literals (the q24 sign-matrix move), so it is data-dependent and
-    // present only after q35AnnIvf has run — Verify runs every query
-    // before dumping oracleSql, so the driver always gets it.
-    ScaleOps.q35SqlOpt.map("q35_ann_ivf" -> _) ++
-    // q66's mirror likewise inlines the SAME shared memoized centroids
-    // (SemDeDup clusters with the q35 coarse quantizer).
-    graft.ops.ScaleOps3.q66SqlOpt.map("q66_semdedup" -> _)
+    // q35/q66 (data-dependent centroid-literal mirrors) are appended by
+    // oracleSql/oracleSqlFor above.
+  )
 }

@@ -499,10 +499,13 @@ object ScaleOps {
   private val ivfCentroidMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Float])]]()
 
-  /** Key of the most recent q35 training run — lets [[q35SqlOpt]] inline
-    * the exact centroids the query used. Verify runs every query BEFORE
-    * dumping oracleSql, so the memo is always populated by dump time. */
-  @volatile private var ivfLastKey: Option[String] = None
+  /** Dir of the most recent q35 training run — the default corpus for the
+    * no-arg [[q35SqlOpt]] contract path. Mirror CONSTRUCTION is dir-keyed
+    * ([[q35SqlFor]] reads the memo entry for the dir it is asked about),
+    * so interleaved sessions over different corpora each get a correct
+    * mirror by passing their dir; this var only picks which one the
+    * legacy no-arg accessor returns. */
+  @volatile private var ivfLastDir: Option[String] = None
 
   /** Shared deterministic centroid training, memoized per (dir, params):
     * q35 (ANN-IVF) and q66 (SemDeDup) cluster with the same coarse
@@ -517,9 +520,8 @@ object ScaleOps {
 
   def q35AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val key = s"$dir|k=16|iters=3"
     val cents = trainedCentroids(emb, dir)
-    ivfLastKey = Some(key)
+    ivfLastDir = Some(dir)
     val idx = graft.sim.Ivf.IvfIndex(cents,
       graft.sim.Ivf.assign(emb, "vec_id", "embedding", cents))
     graft.sim.Ivf.search(idx, emb.filter(col("vec_id") < 20), topK = 5, nProbe = 4)
@@ -539,10 +541,11 @@ object ScaleOps {
     * ROW_NUMBER tie-breaks mirroring the kernels' lowest-id-wins
     * (`cs > bestCos` keeps the first argmax; GroupedTopK orders
     * (cos DESC, corpus_id)). The zero-norm CASE mirrors cosArr's -1.0
-    * sentinel. Data-dependent by necessity — exposed as an Option that is
-    * present only after q35AnnIvf has trained on a corpus this JVM. */
-  def q35SqlOpt: Option[String] = ivfLastKey.map { key =>
-    val cents = ivfCentroidMemo.get(key)
+    * sentinel. Data-dependent by necessity — present only after q35AnnIvf
+    * has trained on `dir` in this JVM. Dir-keyed: asks the memo for
+    * exactly the corpus it is mirroring, so two corpora trained in one
+    * JVM each produce their own correct mirror. */
+  def q35SqlFor(dir: String): Option[String] = trainedCentroidsOpt(dir).map { cents =>
     // joined without margin markers: stripMargin leaves lines that don't
     // start with whitespace+'|' untouched, so the literals pass through
     val values = cents.map { case (i, v) =>
@@ -587,6 +590,10 @@ object ScaleOps {
       |SELECT query_id, rank, corpus_id, cos FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Legacy no-arg accessor: the mirror for the most recently trained
+    * corpus (the single-corpus Verify contract). Prefer [[q35SqlFor]]. */
+  def q35SqlOpt: Option[String] = ivfLastDir.flatMap(q35SqlFor)
 
   /** Approximate sketches at scale: HLL++ distinct counts and quantile
     * sketches over the fact table. The constant relative error makes

@@ -129,10 +129,10 @@ object ScaleOps3 {
 
   /** DuckDB mirror of q66 — data-dependent like q35: inlines the shared
     * memoized centroids as DOUBLE[] literals; assignment tie-breaks and
-    * the zero-norm CASE copy the proven q35 asg CTE verbatim. Present only
-    * after q66Semdedup has run (Verify runs every query before dumping
-    * oracleSql). */
-  def q66SqlOpt: Option[String] = q66LastDir.flatMap(ScaleOps.trainedCentroidsOpt).map { cents =>
+    * the zero-norm CASE copy the proven q35 asg CTE verbatim. Dir-keyed
+    * like [[ScaleOps.q35SqlFor]]: present only after the shared quantizer
+    * has trained on `dir` in this JVM. */
+  def q66SqlFor(dir: String): Option[String] = ScaleOps.trainedCentroidsOpt(dir).map { cents =>
     val values = cents.map { case (i, v) =>
       s"($i, ${v.map(f => f.toDouble.toString).mkString("[", ", ", "]")}::DOUBLE[])"
     }.mkString(",\n")
@@ -183,6 +183,10 @@ object ScaleOps3 {
       |LEFT JOIN rm USING (centroid_id)
       |ORDER BY centroid_id""".stripMargin
   }
+
+  /** Legacy no-arg accessor: the mirror for the most recently run corpus
+    * (the single-corpus Verify contract). Prefer [[q66SqlFor]]. */
+  def q66SqlOpt: Option[String] = q66LastDir.flatMap(q66SqlFor)
 
   // --- bloom-filter incremental dedup (q67) -------------------------------
 
