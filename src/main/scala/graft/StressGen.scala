@@ -62,6 +62,17 @@ object StressGen {
   def replicatedEmb(emb: DataFrame, n: Int): DataFrame =
     (0 until n).map(mutateEmb(emb, _)).reduce(_ unionByName _)
 
+  /** Media fixture table: one complete, genuinely parseable P6 PPM file
+    * per document id (graft.multimodal.Ppm.fixtureBytes) — exercises the
+    * REAL image-decode path at stress scale. */
+  def mediaFixtures(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    docs.select(
+      col("doc_id").cast("long").as("media_id"),
+      column(graft.multimodal.PpmFixture(
+        expression(col("doc_id").cast("long")))).as("content"))
+  }
+
   /** Boilerplate prepended to docs with doc_id ≡ 0,1,2 (mod 10) — ~30%. */
   def skewedDocs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -152,6 +163,10 @@ object StressGen {
         .write.mode("overwrite").parquet(s"$outBase/x$n/documents.parquet")
       replicatedEmb(emb, n).repartition(nFiles)
         .write.mode("overwrite").parquet(s"$outBase/x$n/embeddings.parquet")
+      // media fixture corpus: one REAL P6 file per doc (Ppm.fixtureBytes)
+      // — the input for decode-path stress runs
+      mediaFixtures(replicatedDocs(docs, n)).repartition(nFiles)
+        .write.mode("overwrite").parquet(s"$outBase/x$n/media.parquet")
       println(s"[stressgen] wrote $outBase/x$n")
     }
     if (explicit.nonEmpty) { spark.stop(); return }

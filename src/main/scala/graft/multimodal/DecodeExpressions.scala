@@ -1,9 +1,10 @@
 package graft.multimodal
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, FloatType, IntegerType, StructField, StructType}
 
 /** Plan-native decode kernels: the stub codec as Catalyst expressions, so
   * decode/feature-extract stays inside whole-stage codegen instead of
@@ -23,6 +24,17 @@ object DecodeKernels {
       else bytes.drop((frameIdx % math.max(1, bytes.length)).toInt)
     ArrayData.toArrayData(Multimodal.StubCodec.decode(off, w, h))
   }
+
+  /** REAL PPM decode to a (width, height, maxval, feat) row; null when the
+    * bytes are not a well-formed P6 image. */
+  def ppmDecodeRow(bytes: Array[Byte], cellW: Int, cellH: Int): InternalRow = {
+    val img = Ppm.decode(bytes)
+    if (img == null) null
+    else new GenericInternalRow(Array[Any](img.width, img.height, img.maxval,
+      ArrayData.toArrayData(Ppm.cellFeatures(img, cellW, cellH))))
+  }
+
+  def ppmFixture(id: Long): Array[Byte] = Ppm.fixtureBytes(id)
 }
 
 /** feat = decode(content, w x h); empty array input decodes like the
@@ -54,4 +66,44 @@ case class StubFrameDecode(left: Expression, right: Expression, w: Int, h: Int)
   }
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): StubFrameDecode = copy(left = l, right = r)
+}
+
+/** img = ppm_decode(content): REAL P6 parse + block-average gray features
+  * in one codegen kernel. NULL (not an exception) for malformed bytes, so
+  * a corrupt blob in a 100 TB scan costs one null row, not the job. */
+case class PpmDecode(child: Expression, cellW: Int, cellH: Int) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("maxval", IntegerType, nullable = false),
+    StructField("feat", ArrayType(FloatType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "ppm_decode"
+  override def nullSafeEval(c: Any): Any =
+    DecodeKernels.ppmDecodeRow(c.asInstanceOf[Array[Byte]], cellW, cellH)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $kn.ppmDecodeRow($c, $cellW, $cellH);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): PpmDecode =
+    copy(child = c)
+}
+
+/** content = ppm_fixture(id): deterministic complete P6 file bytes (see
+  * Ppm.fixtureBytes) — the corpus-from-nothing generator for media tests,
+  * q26, and StressGen media corpora. */
+case class PpmFixture(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "ppm_fixture"
+  override def nullSafeEval(id: Any): Any =
+    DecodeKernels.ppmFixture(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$kn.ppmFixture($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): PpmFixture =
+    copy(child = c)
 }

@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * resize / frame-sample run as plan-native codegen expressions
   * (DecodeExpressions.scala).
   *
-  * The media codec libraries are NOT in this container, so the decode step
-  * is STUBBED with a deterministic fake (clearly marked below); everything
-  * Spark-side — schema, batch iteration shape, partitioning, output
-  * contract — is real and tested. Swapping `StubCodec` for a JNI/FFI codec
-  * (or a `mapInPandas`/`mapInArrow` Python worker with PIL/torchaudio on a
-  * PySpark front end) changes no plan shape.
+  * The IMAGE path is a REAL decoder: PPM (P6) — header grammar, comments,
+  * raster bounds, 1/2-byte samples — parsed end-to-end in a codegen
+  * kernel ([[Ppm]], [[decodePpmFeatures]]), with malformed bytes
+  * degrading to a NULL row instead of an exception. Formats that require
+  * a native codec library NOT present in this container (jpeg, wav, mp4)
+  * remain behind the clearly-marked `StubCodec` below; swapping it for a
+  * JNI/FFI codec (or a `mapInPandas`/`mapInArrow` Python worker with
+  * PIL/torchaudio on a PySpark front end) changes no plan shape.
   */
 object Multimodal {
 
@@ -47,13 +49,15 @@ object Multimodal {
         lit(null).cast("long").as("duration_ms")).as("meta"))
 
   // ======================================================================
-  // STUB CODEC — deterministic fake in lieu of real image/audio libraries.
-  // Real deployment: replace decode() with the actual codec call; the
-  // iterator/batch shape and schemas stay identical.
+  // STUB CODEC — deterministic fake for formats whose codec libraries are
+  // not in this container (jpeg, wav, mp4). The PPM image path above is a
+  // REAL decoder; real deployment replaces this decode() with the actual
+  // codec call — the iterator/batch shape and schemas stay identical.
   // ======================================================================
   object StubCodec {
-    /** ??? real codec goes here — deterministic fake derived from the bytes
-      * so tests are reproducible: "pixels" = rolling byte hash per cell. */
+    /** Library-backed codec goes here in production — deterministic fake
+      * derived from the bytes so tests are reproducible: "pixels" =
+      * rolling byte hash per cell. */
     def decode(content: Array[Byte], w: Int, h: Int): Array[Float] = {
       val out = new Array[Float](w * h)
       var acc = 1469598103934665603L // FNV offset basis
@@ -81,6 +85,29 @@ object Multimodal {
       col("media_id"),
       length(content).cast("long").as("n_bytes"),
       column(StubDecode(expression(content), cellW, cellH)).as("feat"))
+  }
+
+  /** REAL image decode path: parse each `content` blob as a PPM (P6)
+    * image and emit parsed header fields plus a cellW x cellH
+    * block-average grayscale feature grid — decode, "resize", and
+    * feature-extract in ONE codegen kernel, so the whole projection stays
+    * inside a WholeStageCodegen span exactly like the stub path. Rows
+    * whose bytes are not a well-formed P6 image get NULL width/height/
+    * maxval/feat (never an exception — one corrupt blob in a 100 TB scan
+    * costs one null row). */
+  def decodePpmFeatures(media: DataFrame, cellW: Int = 8, cellH: Int = 8): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    media
+      .select(
+        col("media_id"),
+        length(col("content")).cast("long").as("n_bytes"),
+        column(PpmDecode(expression(col("content")), cellW, cellH)).as("__img"))
+      .select(
+        col("media_id"), col("n_bytes"),
+        col("__img.width").as("width"),
+        col("__img.height").as("height"),
+        col("__img.maxval").as("maxval"),
+        col("__img.feat").as("feat"))
   }
 
   /** Frame sampling for video-typed rows: emit one (media_id, frame_idx,

@@ -642,34 +642,45 @@ object ScaleOps {
       |  true AS median_in_band
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** DuckDB mirror of q26: n_bytes = UTF-8 octet length; f0 re-derives the
-    * stub codec's first cell in SQL — cell 0 of the FNV-1a roll depends
-    * only on byte 0 of the payload (all first bytes are ASCII in the
-    * corpus, verified both SFs), and the final /255.0f float32 division
-    * round-trips bit-exactly through DuckDB's double-divide + FLOAT cast
-    * (checked for all 256 byte values). */
+  /** DuckDB mirror of q26 (REAL PPM decode): the payload is a complete P6
+    * file built by Ppm.fixtureBytes from doc_id alone, so the mirror
+    * re-derives every output arithmetically without touching bytes —
+    * header "P6\n{w} {h}\n255\n" gives n_bytes = 9 + digits(w) +
+    * digits(h) + w*h*3; the Spark side genuinely PARSES those bytes back
+    * (a header/raster bug would break width/height/n_feat). f0 = cell
+    * (0,0) of the 8x8 block-average gray grid; with images smaller than
+    * the grid the cell degenerates to pixel (0,0), whose samples are
+    * (id*31 + {0,7,14}) mod 256 — the (sum/3.0)/255.0 double-division
+    * order matches Ppm.cellFeatures exactly, then both engines narrow to
+    * float once. */
   val q26Sql: String =
-    """WITH raw AS (
+    """WITH d AS (
       |  SELECT CAST(doc_id AS BIGINT) AS media_id,
-      |         octet_length(encode(text)) AS n_bytes,
-      |         ord(substr(text, 1, 1)) AS b0
+      |    3 + doc_id % 3 AS w, 2 + doc_id % 2 AS h,
+      |    (doc_id * 31) % 256 AS r0,
+      |    (doc_id * 31 + 7) % 256 AS g0,
+      |    (doc_id * 31 + 14) % 256 AS b0
       |  FROM documents
-      |), acc AS (
-      |  SELECT media_id, n_bytes,
-      |    ((xor(1469598103934665603, b0))::HUGEINT * 1099511628211)
-      |      % 18446744073709551616::HUGEINT AS a
-      |  FROM raw
       |)
-      |SELECT media_id, n_bytes,
-      |  CAST(CAST((a // 1099511627776) % 256 AS DOUBLE) / 255.0 AS FLOAT) AS f0,
+      |SELECT media_id,
+      |  CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+      |    + w * h * 3 AS BIGINT) AS n_bytes,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST((r0 + g0 + b0) / 3.0 / 255.0 AS FLOAT) AS f0,
       |  64 AS n_feat
-      |FROM acc ORDER BY media_id""".stripMargin
+      |FROM d ORDER BY media_id""".stripMargin
 
   def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.asMediaTable(
-      Relational.fanOut(t(s, dir, "documents")), "doc_id", "text", "image", "fake")
-    Multimodal.decodeFeatures(media, 8, 8)
-      .select(col("media_id"), col("n_bytes"),
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    // real, complete P6 bytes per document (media_id-deterministic), then
+    // the REAL decoder parses them back: header fields + feature grid
+    val media = docs.select(
+      col("doc_id").cast("long").as("media_id"),
+      column(graft.multimodal.PpmFixture(
+        expression(col("doc_id").cast("long")))).as("content"))
+    Multimodal.decodePpmFeatures(media, 8, 8)
+      .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
         element_at(col("feat"), 1).as("f0"), size(col("feat")).as("n_feat"))
       .orderBy(col("media_id"))
   }

@@ -494,6 +494,69 @@ class MultimodalSpec extends GraftSuite {
     assert(f1(0).getSeq[Float](2) != f1(1).getSeq[Float](2))
   }
 
+  test("Ppm.decode parses a hand-built P6 image exactly: dims, maxval, pixels") {
+    // 2x2 image, header with a comment and multi-space whitespace
+    val raster = Array[Int](
+      255, 0, 0,   0, 255, 0,   // row 0: red, green
+      0, 0, 255,   30, 60, 90)  // row 1: blue, mixed
+    val bytes = ("P6\n# hand-built fixture\n2  2\n255\n").getBytes("US-ASCII") ++
+      raster.map(_.toByte)
+    val img = graft.multimodal.Ppm.decode(bytes)
+    assert(img != null)
+    assert(img.width == 2 && img.height == 2 && img.maxval == 255)
+    assert(img.samples.toSeq == raster.toSeq)
+    // 2x2 feature grid = per-pixel gray: (r+g+b)/3/255
+    val feat = graft.multimodal.Ppm.cellFeatures(img, 2, 2)
+    assert(feat(0) == ((255.0 / 3.0) / 255.0).toFloat)
+    assert(feat(3) == ((180.0 / 3.0) / 255.0).toFloat)
+  }
+
+  test("Ppm.decode handles 16-bit samples and rejects malformed bytes with null") {
+    // 1x1 image, maxval 65535 -> 2-byte big-endian samples
+    val wide = "P6\n1 1\n65535\n".getBytes("US-ASCII") ++
+      Array[Byte](0x12, 0x34, 0x00, 0x01, 0xff.toByte, 0xff.toByte)
+    val img = graft.multimodal.Ppm.decode(wide)
+    assert(img != null && img.maxval == 65535)
+    assert(img.samples.toSeq == Seq(0x1234, 0x0001, 0xffff))
+    // malformed variants all -> null, never an exception
+    assert(graft.multimodal.Ppm.decode("P5\n1 1\n255\n".getBytes ++ Array[Byte](1, 2, 3)) == null) // wrong magic
+    assert(graft.multimodal.Ppm.decode("P6\n0 1\n255\n".getBytes ++ Array[Byte](1, 2, 3)) == null) // zero width
+    assert(graft.multimodal.Ppm.decode("P6\n2 2\n255\n".getBytes ++ Array[Byte](1, 2, 3)) == null) // truncated raster
+    assert(graft.multimodal.Ppm.decode("P6\n1 1\n70000\n".getBytes ++ Array[Byte](1, 2, 3)) == null) // maxval too big
+    assert(graft.multimodal.Ppm.decode(Array.emptyByteArray) == null)
+  }
+
+  test("Ppm encode/decode round-trips, and fixtureBytes are real parseable P6 files") {
+    val samples = Array.tabulate(3 * 2 * 3)(j => (j * 41) % 256)
+    val rt = graft.multimodal.Ppm.decode(graft.multimodal.Ppm.encode(3, 2, 255, samples))
+    assert(rt != null && rt.width == 3 && rt.height == 2)
+    assert(rt.samples.toSeq == samples.toSeq)
+    for (id <- Seq(0L, 1L, 5L, 123456L)) {
+      val img = graft.multimodal.Ppm.decode(graft.multimodal.Ppm.fixtureBytes(id))
+      assert(img != null, s"fixture $id must parse")
+      assert(img.width == 3 + (id % 3) && img.height == 2 + (id % 2))
+      assert(img.samples(0) == ((id * 31) % 256).toInt)
+    }
+  }
+
+  test("decodePpmFeatures: real decode in-plan, malformed rows go NULL not boom") {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val ids = Seq(1L, 2L, 3L).toDF("media_id")
+    val good = ids.select(col("media_id"),
+      column(graft.multimodal.PpmFixture(expression(col("media_id")))).as("content"))
+    val bad = Seq((99L, "not an image at all".getBytes)).toDF("media_id", "content")
+    val out = Multimodal.decodePpmFeatures(good.unionByName(bad), 8, 8)
+      .orderBy("media_id").collect()
+    assert(out.length == 4)
+    // parsed header fields match the fixture construction
+    assert(out(0).getInt(2) == 4 && out(0).getInt(3) == 3)   // id 1: w=4, h=3
+    assert(out(1).getInt(2) == 5 && out(1).getInt(3) == 2)   // id 2: w=5, h=2
+    assert(out.take(3).forall(_.getSeq[Float](5).length == 64))
+    // the malformed row survives as NULLs
+    assert(out(3).isNullAt(2) && out(3).isNullAt(5))
+    assert(out(3).getLong(1) == "not an image at all".getBytes.length.toLong)
+  }
+
   test("sampleFrames emits one row per sampled frame for video rows") {
     val vids = Seq((7L, "video-bytes-here")).toDF("id", "data")
     val media = Multimodal.asMediaTable(vids, "id", "data", "video", "mp4")
