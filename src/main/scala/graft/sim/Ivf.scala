@@ -122,6 +122,60 @@ object Ivf {
     index.centroids.toSeq.map { case (i, v) => (i, v.toSeq) }
       .toDF("centroid_id", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    stampIndex(spark, path)
+  }
+
+  /** Row-count stamp beside the lists: written at build, refreshed by
+    * every [[addToIndex]] — lets an operator detect a layout that was
+    * mutated outside the API (stamp != footer count ⇒ rebuild). Parquet
+    * footer counts only; no data scan. */
+  private def stampIndex(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val rows = spark.read.parquet(s"$path/lists").count()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_rows"), true)
+    try out.write(rows.toString.getBytes("UTF-8")) finally out.close()
+    rows
+  }
+
+  /** Stamped row count of a persisted index (-1 if never stamped). */
+  def indexRows(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_rows")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](32) // a decimal row count fits easily
+        val n = in.read(buf)
+        new String(buf, 0, math.max(0, n), "UTF-8").trim.toLong
+      } finally in.close()
+    }
+  }
+
+  /** Incrementally add vectors to a PERSISTED index without retraining —
+    * the growing-corpus production path (yesterday's 100 TB index +
+    * today's crawl): assign `newVecs` against the index's EXISTING
+    * centroids (the same narrow-map kernel as build — no shuffle) and
+    * APPEND them to the partitioned list layout, where each lands in its
+    * centroid's partition directory; no existing list file is rewritten,
+    * and probe-time partition pruning keeps working unchanged. The coarse
+    * quantizer is deliberately not retrained: the centroids are the
+    * index's immutable addressing scheme, and re-deriving them would
+    * re-address every existing list — that is a rebuild, not an add.
+    * Search over (build + add) is therefore IDENTICAL to search over a
+    * rebuild that assigns the union against the same centroids (asserted
+    * in spec), and the nProbe recall bound holds for added vectors
+    * exactly as for originals. Re-stamps the index; returns rows added. */
+  def addToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVecs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Long = {
+    val before = indexRows(spark, path)
+    assign(newVecs, idCol, vecCol, loadIndex(spark, path).centroids)
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/lists")
+    val after = stampIndex(spark, path)
+    if (before >= 0) after - before else after
   }
 
   /** Reopen a persisted index. The lists DataFrame is the partitioned

@@ -687,6 +687,41 @@ class IvfSpec extends GraftSuite {
     val pruned = "PartitionFilters: \\[[^\\]]*centroid_id#\\d+ IN \\(".r
     assert(pruned.findFirstIn(plan).isDefined, plan)
   }
+
+  test("incremental add: search over build+add == rebuild on same centroids; stamp refreshed") {
+    val base = corpus.filter($"vec_id" < 40)
+    val added = corpus.filter($"vec_id" >= 40)
+    assert(added.count() > 0, "fixture has no vectors to add — test is vacuous")
+    val path = tempDir("ivf_add").toString
+    val idx = graft.sim.Ivf.build(base, k = 8, iters = 4, cache = false)
+    graft.sim.Ivf.writeIndex(idx, path)
+    val stamp0 = graft.sim.Ivf.indexRows(spark, path)
+    assert(stamp0 == base.count(), s"build stamp $stamp0")
+    val nAdded = graft.sim.Ivf.addToIndex(spark, path, added)
+    assert(nAdded == added.count(), s"added $nAdded")
+    assert(graft.sim.Ivf.indexRows(spark, path) == corpus.count(), "re-stamp after add")
+    // equivalence: the incremental index answers exactly like a "rebuild"
+    // that assigns the full union against the SAME centroids (the add
+    // contract: centroids are the immutable addressing scheme)
+    val q = corpus.filter($"vec_id" < 4)
+    def rows(r: org.apache.spark.sql.DataFrame) =
+      r.select("query_id", "rank", "corpus_id").collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    val incremental = rows(graft.sim.Ivf.search(
+      graft.sim.Ivf.loadIndex(spark, path), q, 3, nProbe = 2))
+    val rebuilt = graft.sim.Ivf.IvfIndex(idx.centroids,
+      graft.sim.Ivf.assign(corpus, "vec_id", "embedding", idx.centroids))
+    assert(incremental == rows(graft.sim.Ivf.search(rebuilt, q, 3, nProbe = 2)))
+    // recall bound holds over the grown index (added vectors included)
+    val exact = graft.sim.Ann.bruteForceTopK(corpus, q, 3)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows(graft.sim.Ivf.search(
+      graft.sim.Ivf.loadIndex(spark, path), q, 3, nProbe = 4))
+      .map(t => (t._1, t._3))
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall after add $recall")
+  }
 }
 
 class CurationSpec extends GraftSuite {
