@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI for the one-call training-data pipeline:
+  *
+  * {{{
+  * runMain graft.pipeline.PipelineMain <docs.parquet> <outDir> [test.parquet]
+  * }}}
+  *
+  * Runs [[TrainingPipeline.curateToTraining]] (production curation preset)
+  * over the documents table, optionally decontaminating against a test
+  * parquet, writes the packed corpus partitioned by split to
+  * `<outDir>/packed`, and prints one line per stage (the same counts land
+  * in the job-statistics ledger under the printed run id). */
+object PipelineMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: PipelineMain <docs.parquet> <outDir> [test.parquet]")
+      sys.exit(1)
+    }
+    val Array(docsPath, outDir) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val docs = spark.read.parquet(docsPath)
+      val test = args.lift(2).map(spark.read.parquet(_))
+      val r = TrainingPipeline.curateToTraining(spark, docs, test)
+      r.stages.foreach { s =>
+        println(f"[pipeline] ${s.stage}%-16s in=${s.rowsIn}%9d out=${s.rowsOut}%9d dropped=${s.rowsIn - s.rowsOut}%8d")
+      }
+      r.packed.write.mode("overwrite").partitionBy("split")
+        .parquet(s"$outDir/packed")
+      println(s"[pipeline] run ${r.runId}: packed corpus written to $outDir/packed")
+      r.free()
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.ops.Relational3
+
+/** The one-call training-data pipeline a real user runs per corpus
+  * snapshot: curation → decontamination → mixing → leakage-safe split →
+  * packing, with a ledger row per stage. Every stage is an operator this
+  * engine already oracle-verifies individually (q36/q58/q62/q63/q61) —
+  * this is the composed entry point.
+  *
+  * Stage order note vs the obvious listing: the SPLIT runs before PACKING
+  * because a pack is a training context window — a pack straddling the
+  * train/test boundary would leak test documents into training batches,
+  * exactly the failure the cluster-keyed split exists to prevent. Packs
+  * are therefore laid out within (split, source) groups.
+  *
+  * Scale/storage shape: each stage materializes via an eager checkpoint
+  * (plan-lineage truncation — the stages after the pair graph would
+  * otherwise replan the whole upstream DAG per action), counts land in
+  * the ledger, and each superseded stage's storage is freed as soon as
+  * its successor is materialized ([[Dedup.clusterPairs]]' discipline),
+  * so peak storage is two adjacent stages, not the whole chain. On a
+  * real cluster each stage boundary is where you'd write to the lake
+  * instead; `reliableCheckpoints` switches the split's CC iteration to
+  * stable storage for executor-loss survival. */
+object TrainingPipeline {
+
+  final case class Config(
+      curation: Curation.Params = Curation.Params.production,
+      decontShingleK: Int = 3,
+      decontThreshold: Double = 0.8,
+      /** per-source keep rate; sources not listed keep `defaultMixRate`. */
+      mixRates: Map[String, Double] = Map.empty,
+      defaultMixRate: Double = 1.0,
+      /** near-dup threshold for the split's cluster graph. */
+      splitThreshold: Double = 0.5,
+      ctxTokens: Long = 2048L,
+      reliableCheckpoints: Boolean = false)
+
+  final case class StageCount(stage: String, rowsIn: Long, rowsOut: Long)
+
+  final case class Result(packed: DataFrame, stages: Seq[StageCount], runId: String) {
+    /** Release the block storage backing the returned (checkpointed)
+      * result once it has been consumed/written. */
+    def free(): Unit = packed.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
+  /** Run the full chain over `docs` (id, text, source columns), optionally
+    * decontaminating against `test`. Returns the packed corpus — one row
+    * per surviving document with curation metrics, split, and pack_id —
+    * plus per-stage counts (also written to the job-statistics ledger
+    * under one pipeline run id). */
+  def curateToTraining(spark: SparkSession, docs: DataFrame,
+      test: Option[DataFrame] = None,
+      idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source",
+      cfg: Config = Config(), ledger: Boolean = true): Result = {
+    val runId = java.util.UUID.randomUUID().toString
+    val stages = scala.collection.mutable.ArrayBuffer.empty[StageCount]
+    def ckpt(df: DataFrame): DataFrame =
+      if (cfg.reliableCheckpoints) df.checkpoint() else df.localCheckpoint()
+    def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+    def record(stage: String, rowsIn: Long, rowsOut: Long, t0: Long): Unit = {
+      stages += StageCount(stage, rowsIn, rowsOut)
+      if (ledger) {
+        val now = System.currentTimeMillis()
+        graft.ledger.Ledger.writeJobStats(spark, graft.core.JobStats(
+          JobRunID = java.util.UUID.randomUUID().toString,
+          JobStartTime = new java.sql.Timestamp(t0),
+          JobEndTime = new java.sql.Timestamp(now),
+          JobDurationSeconds = (now - t0) / 1000,
+          JobStatus = "Completed",
+          SourceFile = s"pipeline:$stage",
+          TargetTable = "training_corpus",
+          RowsRead = rowsIn, RowsInserted = rowsOut, RowsUpdated = 0,
+          RowsFailed = rowsIn - rowsOut,
+          ErrorMessage = None, BatchJobID = Some(runId),
+          TableMode = "pipeline", TransactionMode = "strict"))
+      }
+    }
+
+    val nDocs = docs.count()
+
+    // 1. curation (q36 semantics): dedup + quality/lang/repetition gates;
+    //    re-attach the source column curate() projects away
+    var t0 = System.currentTimeMillis()
+    val curated = ckpt(
+      Curation.curate(docs, idCol, textCol, cfg.curation)
+        .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol)))
+    val nCurated = curated.count()
+    Dedup.freeCandidateCaches(spark) // the near-dup stage's shingle cache
+    record("curation", nDocs, nCurated, t0)
+
+    // 2. decontamination (q58): drop train docs leaking test content
+    t0 = System.currentTimeMillis()
+    val decontaminated = test match {
+      case None => curated
+      case Some(te) =>
+        val d = ckpt(Dedup.decontaminate(curated, te, idCol, textCol,
+          cfg.decontShingleK, cfg.decontThreshold))
+        Dedup.freeCandidateCaches(spark)
+        d
+    }
+    val nDecont = decontaminated.count()
+    if (test.isDefined) free(curated)
+    record("decontamination", nCurated, nDecont, t0)
+
+    // 3. mixing (q62): deterministic per-source keep rates — a pure map
+    t0 = System.currentTimeMillis()
+    val rate = cfg.mixRates.foldLeft(lit(cfg.defaultMixRate)) {
+      case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    val mixed = ckpt(Packing.sourceMix(decontaminated, idCol, rate))
+    val nMixed = mixed.count()
+    free(decontaminated)
+    record("mixing", nDecont, nMixed, t0)
+
+    // 4. leakage-safe split (q63): near-dup clusters over the SURVIVING
+    //    corpus, split keyed on cluster_id so components never straddle
+    t0 = System.currentTimeMillis()
+    val pairs = Dedup.nearDupPairs(mixed, idCol, textCol,
+      k = 3, threshold = cfg.splitThreshold)
+    val clusters = Dedup.clusterPairs(mixed, idCol, pairs,
+      reliableCheckpoints = cfg.reliableCheckpoints)
+    val split = ckpt(mixed.join(
+      clusters.withColumn("split", Relational3.splitAssign(col("cluster_id"))),
+      Seq(idCol)))
+    val nSplit = split.count()
+    Dedup.freeCandidateCaches(spark)
+    free(mixed)
+    record("split", nMixed, nSplit, t0)
+
+    // 5. packing (q61): fixed-ctx windows laid out within (split, source)
+    //    so no pack crosses a split (or corpus) boundary
+    t0 = System.currentTimeMillis()
+    // (drop curation's n_tokens first: packAssignments re-derives it with
+    // the same tokenizer and re-attaching two copies would collide)
+    val packed = ckpt(Packing.packAssignments(
+        split.drop("n_tokens").withColumn("__grp",
+          concat_ws("|", col("split"), col(sourceCol))),
+        idCol, textCol, "__grp", cfg.ctxTokens)
+      .drop("__grp"))
+    val nPacked = packed.count()
+    free(split)
+    record("packing", nSplit, nPacked, t0)
+
+    Result(packed, stages.toSeq, runId)
+  }
+}

@@ -777,6 +777,56 @@ class CurationSpec extends GraftSuite {
     assert(gated == Set(1L), s"got $gated") // spam doc: dup 14/16, bigram frac ~1.9
   }
 
+  test("curateToTraining: composed pipeline with per-stage ledger rows and leak-free packs") {
+    import graft.pipeline.TrainingPipeline
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"text", $"source")
+    // plant: one doc contaminated by the test set, one exact dup
+    val testSet = real.orderBy($"doc_id").limit(3).select($"doc_id", $"text")
+    val base = real.orderBy($"doc_id").limit(1).collect().head.getString(1)
+    val planted = Seq((9000001L, base, "srcX")).toDF("doc_id", "text", "source")
+    val docs = real.unionByName(planted)
+    val cfg = TrainingPipeline.Config(
+      curation = graft.pipeline.Curation.Params(minQuality = 0.0, minTokens = 1,
+        keepLangs = Seq("en", "es", "de", "fr", "und")),
+      mixRates = Map("src0" -> 0.5), defaultMixRate = 1.0)
+    val r = TrainingPipeline.curateToTraining(spark, docs, Some(testSet), cfg = cfg)
+    // 5 stages, chained counts: each stage's input is the previous output
+    assert(r.stages.map(_.stage) ==
+      Seq("curation", "decontamination", "mixing", "split", "packing"))
+    r.stages.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.rowsOut == b.rowsIn, s"${a.stage} -> ${b.stage} count mismatch: $a $b")
+    }
+    // curation dropped the planted exact dup; decontamination dropped the
+    // test-set leaks (the 3 test docs are verbatim members of the corpus)
+    val cur = r.stages.find(_.stage == "curation").get
+    assert(cur.rowsOut < cur.rowsIn)
+    val dec = r.stages.find(_.stage == "decontamination").get
+    assert(dec.rowsOut < dec.rowsIn, "test-set leaks must be dropped")
+    val mix = r.stages.find(_.stage == "mixing").get
+    assert(mix.rowsOut < mix.rowsIn, "src0 at rate 0.5 must drop rows")
+    // split and packing preserve rows 1:1
+    assert(r.stages.find(_.stage == "split").get.rowsOut ==
+      r.stages.find(_.stage == "packing").get.rowsOut)
+    // packs are laid out per (split, source): every group's pack numbering
+    // restarts at 0 — the structural proof no pack crosses a split (or
+    // corpus) boundary
+    val groupsBadStart = r.packed.groupBy($"split", $"source")
+      .agg(min($"pack_id").as("first_pack"))
+      .filter($"first_pack" =!= 0L).count()
+    assert(groupsBadStart == 0, "each (split, source) group packs from 0")
+    assert(r.packed.columns.toSet.contains("split") &&
+      r.packed.columns.toSet.contains("pack_id"))
+    // the ledger carries one row per stage under this run id
+    val ledger = graft.ledger.Ledger.jobStats(spark)
+      .filter($"BatchJobID" === r.runId)
+    assert(ledger.count() == 5, "one ledger row per stage")
+    val packedLedger = ledger.filter($"SourceFile" === "pipeline:packing").head()
+    assert(packedLedger.getAs[Long]("RowsInserted") ==
+      r.stages.last.rowsOut)
+    r.free()
+  }
+
   test("Params.production: near-dup + repetition gates on, real corpus mostly survives") {
     val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select($"doc_id", $"text")
