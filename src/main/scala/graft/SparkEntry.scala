@@ -81,6 +81,9 @@ object SparkEntry {
     "q69_stratified_sample" -> (graft.ops.ScaleOps3.q69StratifiedSample _),
     "q70_histogram"       -> (graft.ops.ScaleOps3.q70Histogram _),
     "q71_source_overlap"  -> (graft.ops.ScaleOps3.q71SourceOverlap _),
+    "q72_equidepth"       -> (graft.ops.ScaleOps4.q72EquiDepth _),
+    "q73_token_budget"    -> (graft.ops.ScaleOps4.q73TokenBudget _),
+    "q74_heavy_hitters"   -> (graft.ops.ScaleOps4.q74HeavyHitters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -176,6 +179,9 @@ object SparkEntry {
     "q69_stratified_sample" -> graft.ops.ScaleOps3.q69Sql,
     "q70_histogram"       -> graft.ops.ScaleOps3.q70Sql,
     "q71_source_overlap"  -> graft.ops.ScaleOps3.q71Sql,
+    "q72_equidepth"       -> graft.ops.ScaleOps4.q72Sql,
+    "q73_token_budget"    -> graft.ops.ScaleOps4.q73Sql,
+    "q74_heavy_hitters"   -> graft.ops.ScaleOps4.q74Sql,
     // q21-q24 carry full DuckDB mirrors: FNV-1a signature arithmetic for
     // q21-q23 (ScaleOps.duckFnv) and the inlined ±1 hyperplane sign
     // matrix + list_inner_product double accumulation for q24

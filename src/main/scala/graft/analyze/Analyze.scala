@@ -128,6 +128,37 @@ object Analyze {
         col("min_v"), col("max_v"), col("share"))
   }
 
+  /** Equi-DEPTH histogram (quantile bins — the profiling companion to the
+    * fixed-width [[histogram]]): bin boundaries are the exact i/nBins
+    * percentiles, then every row map-side counts how many boundaries it
+    * exceeds. Scale shape: ONE percentile aggregation (no global sort —
+    * Spark's exact `percentile` is a distributed sort-based agg), the
+    * 1-row boundary array broadcast to a pure-map bin assignment, one
+    * partial-agg groupBy on the bin id. Engine-portable because Spark
+    * `percentile` and DuckDB `quantile_cont` share the
+    * linear-interpolation definition (the q34 precedent) and the
+    * value-vs-boundary comparison runs in double on both. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins > 1, s"need at least 2 bins, got $nBins")
+    val v = col(valueCol).cast("double")
+    val clean = df.filter(v.isNotNull && !isnan(v) && abs(v) <= lit(Double.MaxValue))
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val bounds = clean.agg(
+      percentile(v, typedLit(ps)).as("__bs"))
+    val binned = clean.join(broadcast(bounds))
+      .withColumn("bin",
+        (lit(1) + size(filter(col("__bs"), b => v > b))).cast("long"))
+    val agg = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
+    val w = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    agg.withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(w).cast("double"))
+      .select(col("bin"), col("n"), col("min_v"), col("max_v"), col("share"))
+  }
+
   /** 10 retained sample values per column (reference :732) — optional audit
     * companion to `profile`; one small limit-collect. */
   def sampleValues(df: DataFrame, n: Int = 10): Map[String, Seq[String]] = {

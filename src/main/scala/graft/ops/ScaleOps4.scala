@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Relational.t
+
+/** Round-7 additions to the profiling / pipeline-planning layer:
+  * equi-depth (quantile-bin) histogram, token-budget mix planning, and
+  * Count-Min-Sketch heavy-hitter verification — all with full DuckDB
+  * oracles. */
+object ScaleOps4 {
+
+  // --- equi-depth histogram (q72) -----------------------------------------
+
+  /** q72: 10-bin equi-depth histogram over document length
+    * ([[graft.analyze.Analyze.equiDepthHistogram]]) — the quantile-bin
+    * companion to q70's fixed-width buckets: boundaries are the exact
+    * decile percentiles (the q34 percentile/quantile_cont equivalence),
+    * bin assignment is a broadcast pure map. */
+  def q72EquiDepth(s: SparkSession, dir: String): DataFrame =
+    graft.analyze.Analyze.equiDepthHistogram(
+      Relational.fanOut(t(s, dir, "documents")), "n_chars", nBins = 10)
+      .orderBy(col("bin"))
+
+  val q72Sql: String = {
+    val ps = (1 until 10).map(i => (i / 10.0).toString).mkString("[", ", ", "]")
+    raw"""WITH c AS (
+      |  SELECT n_chars FROM documents WHERE n_chars IS NOT NULL
+      |), b AS (
+      |  SELECT quantile_cont(CAST(n_chars AS DOUBLE), $ps) AS bs FROM c
+      |), r AS (
+      |  SELECT n_chars,
+      |    CAST(1 + len(list_filter(bs, x -> CAST(n_chars AS DOUBLE) > x)) AS BIGINT) AS bin
+      |  FROM c, b
+      |)
+      |SELECT bin, COUNT(*) AS n, MIN(n_chars) AS min_v, MAX(n_chars) AS max_v,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+      |FROM r GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
+  // --- token-budget mix planning (q73) ------------------------------------
+
+  /** q73: plan a half-the-corpus token budget across sources with
+    * weights 1..4 by source index ([[graft.pipeline.Packing
+    * .tokenBudgetPlan]]): integer-exact targets, capped allocations,
+    * deficits, and the keep rate a q62 mixing pass would then apply —
+    * the planning step that precedes mixing in a real data-mix change. */
+  def q73TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+      .withColumn("n_tokens",
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("long"))
+    val weight = (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("long")
+    graft.pipeline.Packing.tokenBudgetPlan(
+      docs, "source", "n_tokens", weight, budgetNum = 1L, budgetDen = 2L)
+      .orderBy(col("source"))
+  }
+
+  val q73Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), per AS (
+      |  -- CAST the sums back to BIGINT: DuckDB SUM(BIGINT) widens to
+      |  -- HUGEINT, which would ride through // and least() and land as
+      |  -- float64 on the comparison side
+      |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens,
+      |    CAST(CAST(substr(source, 4, 10) AS INT) % 4 + 1 AS BIGINT) AS weight
+      |  FROM toks GROUP BY source
+      |), planned AS (
+      |  SELECT source, avail_tokens, weight,
+      |    CAST((weight * CAST(SUM(avail_tokens) OVER () AS BIGINT) * 1)
+      |      // (CAST(SUM(weight) OVER () AS BIGINT) * 2) AS BIGINT)
+      |      AS target_tokens
+      |  FROM per
+      |)
+      |SELECT source, avail_tokens, weight, target_tokens,
+      |  least(target_tokens, avail_tokens) AS alloc_tokens,
+      |  target_tokens - least(target_tokens, avail_tokens) AS deficit_tokens,
+      |  CAST(least(target_tokens, avail_tokens) AS DOUBLE)
+      |    / CAST(avail_tokens AS DOUBLE) AS keep_rate
+      |FROM planned ORDER BY source""".stripMargin
+
+  // --- CMS heavy hitters (q74) --------------------------------------------
+
+  /** q74: exact top-10 corpus tokens with Count-Min-Sketch verification
+    * booleans ([[graft.text.HeavyHitters.topTokensWithSketchCheck]]) —
+    * the sketch is the no-shuffle production path for vocabularies that
+    * don't fit a shuffle; the exact arm plus never-underestimates /
+    * within-eps·N booleans is the q37/q67 oracle pattern. */
+  def q74HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.text.HeavyHitters.topTokensWithSketchCheck(
+      t(s, dir, "documents"), "text", k = 10)
+      .orderBy(col("rank"))
+
+  val q74Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents
+      |), tot AS (
+      |  SELECT COUNT(*) AS n_total FROM toks
+      |), cnt AS (
+      |  SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+      |), ranked AS (
+      |  SELECT token, n,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT) AS rank
+      |  FROM cnt
+      |)
+      |SELECT rank, token, n,
+      |  CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+      |  true AS cms_no_underestimate,
+      |  true AS cms_within_eps
+      |FROM ranked CROSS JOIN tot
+      |WHERE rank <= 10 ORDER BY rank""".stripMargin
+}

@@ -60,6 +60,40 @@ object Packing {
   def sourceMix(docs: DataFrame, idCol: String, rate: Column): DataFrame =
     graft.ops.Relational.fanOut(docs).filter(mixKeep(col(idCol), rate))
 
+  /** Token-budget mix planning: given integer per-source WEIGHTS and a
+    * token budget expressed as a fraction budgetNum/budgetDen of the
+    * corpus's total tokens ("train on half our tokens"), allocate each
+    * source its weight-proportional share, cap it at what the source
+    * actually has, and report the keep rate a mixing pass
+    * ([[sourceMix]]) should then apply. The planning arithmetic is ALL
+    * integer — target = (weight · total · num) div (Σweights · den) in
+    * BIGINT (Column./ would route through double and lose exactness past
+    * 2^53, which is real at a 1e13-token corpus) — so the plan is
+    * bit-identical on any engine; only the final keep rate is a single
+    * double division. deficit > 0 flags a source that cannot fill its
+    * allocation (the signal to re-weight or up-sample elsewhere).
+    * Scale shape: one partial-agg groupBy on source + windows over the
+    * driver-small per-source table. */
+  def tokenBudgetPlan(docs: DataFrame, sourceCol: String, nTokensCol: String,
+      weight: Column, budgetNum: Long = 1L, budgetDen: Long = 2L): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0, s"bad budget $budgetNum/$budgetDen")
+    val perSource = docs.groupBy(col(sourceCol))
+      .agg(sum(col(nTokensCol)).cast("long").as("avail_tokens"),
+        first(weight).cast("long").as("weight"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perSource
+      .withColumn("__num", col("weight") * sum(col("avail_tokens")).over(w) * lit(budgetNum))
+      .withColumn("__den", sum(col("weight")).over(w) * lit(budgetDen))
+      // `div` = BIGINT integer division; DuckDB mirrors with `//`,
+      // identical for non-negative operands
+      .withColumn("target_tokens", expr("__num div __den"))
+      .drop("__num", "__den")
+      .withColumn("alloc_tokens", least(col("target_tokens"), col("avail_tokens")))
+      .withColumn("deficit_tokens", col("target_tokens") - col("alloc_tokens"))
+      .withColumn("keep_rate",
+        col("alloc_tokens").cast("double") / col("avail_tokens").cast("double"))
+  }
+
   /** Deterministic EXACT-k stratified sample: the k rows per stratum with
     * the smallest portable hash bucket (ties broken by id). Same
     * reproducibility contract as [[mixKeep]] — identical sample on any

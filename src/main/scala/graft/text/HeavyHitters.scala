@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Heavy hitters (most frequent tokens) with a Count-Min-Sketch
+  * cross-check — the 100 TB shape for "what are the dominant tokens /
+  * boilerplate markers in this corpus": the exact arm is a partial-agg
+  * token count (fine when the distinct-token set fits a shuffle), while
+  * the CMS arm is what production runs when it does NOT — a fixed-size
+  * sketch built map-side (treeAggregate, executors merge row-wise), no
+  * token-key shuffle at all.
+  *
+  * Oracle design (q37/q67 pattern): sketch internals cannot be mirrored
+  * in DuckDB, so the query emits the EXACT top-k plus the two properties
+  * that make the sketch trustworthy — CMS never underestimates
+  * (structural), and the overestimate stays within eps·N (holds with
+  * probability ≥ confidence per query; both margins carried). DuckDB
+  * mirrors the exact arm + literal true. */
+object HeavyHitters {
+
+  /** Exact top-k tokens by frequency — (count DESC, token ASC) ties. */
+  def topTokens(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = graft.ops.Relational.fanOut(docs.select(col(textCol).as("__text")))
+      .select(explode(TextAnalysis.tokens(col("__text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    // the window input is the per-token AGGREGATE (distinct tokens), not
+    // the corpus; for true web-scale vocabularies swap in GroupedTopK
+    toks.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Distributed CMS over every token occurrence. Deterministic: fixed
+    * seed, and CMS merge is commutative counting. */
+  def tokenSketch(docs: DataFrame, textCol: String,
+      eps: Double = 0.0001, confidence: Double = 0.999,
+      seed: Int = 42): CountMinSketch =
+    graft.ops.Relational.fanOut(docs.select(col(textCol).as("__text")))
+      .select(explode(TextAnalysis.tokens(col("__text"))).as("token"))
+      .as[String](Encoders.STRING)
+      .rdd.treeAggregate(CountMinSketch.create(eps, confidence, seed))(
+        (s, t) => { s.add(t); s },
+        (a, b) => a.mergeInPlace(b))
+
+  /** q74 surface: exact top-k with per-token sketch verification booleans.
+    * The k sketch probes are a driver-side O(k) step (the q35 centroid
+    * budget); `eps` bounds the allowed overestimate at eps·N tokens plus
+    * a +10 absolute floor (the q67 small-population guard). */
+  def topTokensWithSketchCheck(docs: DataFrame, textCol: String, k: Int,
+      eps: Double = 0.0001, confidence: Double = 0.999): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val top = topTokens(docs, textCol, k)
+    val totalN = docs.select(
+        sum(size(TextAnalysis.tokens(col(textCol)))).cast("long"))
+      .collect()(0).getLong(0)
+    val cms = tokenSketch(docs, textCol, eps, confidence)
+    val bound = math.max(10.0, eps * totalN)
+    val rows = top.collect().map { r =>
+      val token = r.getAs[String]("token")
+      val exact = r.getAs[Long]("n")
+      val est = cms.estimateCount(token)
+      (r.getAs[Int]("rank"), token, exact,
+        exact.toDouble / totalN.toDouble,
+        est >= exact,                    // CMS never underestimates
+        est <= exact + bound)            // overestimate within eps*N (+floor)
+    }
+    rows.toSeq.toDF("rank", "token", "n", "share",
+      "cms_no_underestimate", "cms_within_eps")
+  }
+}

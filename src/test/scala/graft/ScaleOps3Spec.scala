@@ -256,6 +256,58 @@ class ScaleOps3Spec extends GraftSuite {
     assert(got == Seq((-2L, 1L), (-1L, 2L), (0L, 1L)))
   }
 
+  test("equiDepthHistogram: bins balanced on distinct values, cover all rows, nulls excluded") {
+    val df = ((1L to 100L).map(Some(_)) :+ None).toDF("v")
+    val got = graft.analyze.Analyze.equiDepthHistogram(df, "v", nBins = 4)
+      .orderBy("bin")
+      .select("bin", "n", "min_v", "max_v")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // 1..100 into quartile bins: boundaries at p25/p50/p75 interpolate to
+    // 25.75/50.5/75.25 -> bins of 25, 25, 25, 25
+    assert(got.map(_._2).sum == 100L, s"covers all non-null rows: $got")
+    assert(got.length == 4 && got.map(_._2).forall(n => n >= 24 && n <= 26), got.toString)
+    // bins tile the value range in order with no overlap
+    got.sliding(2).foreach { case Seq(a, b) => assert(a._4 < b._3, s"$a then $b") }
+  }
+
+  test("tokenBudgetPlan: integer-exact allocation, caps at availability, keep rates consistent") {
+    val docs = Seq(
+      ("srcA", 100L), ("srcA", 100L),   // avail 200, weight 1
+      ("srcB", 30L),                     // avail 30,  weight 3
+      ("srcC", 500L), ("srcC", 500L)     // avail 1000, weight 2
+    ).toDF("source", "n_tokens")
+    val weight = org.apache.spark.sql.functions.when($"source" === "srcA", 1L)
+      .when($"source" === "srcB", 3L).otherwise(2L)
+    // budget = half of 1230 = 615; sumw = 6
+    // targets: A 615*1/6=102, B 615*3/6=307, C 615*2/6=205
+    val got = graft.pipeline.Packing.tokenBudgetPlan(
+        docs, "source", "n_tokens", weight, 1L, 2L)
+      .orderBy("source")
+      .select("source", "avail_tokens", "weight", "target_tokens",
+        "alloc_tokens", "deficit_tokens")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("srcA", 200L, 1L, 102L, 102L, 0L),
+      ("srcB", 30L, 3L, 307L, 30L, 277L),   // cannot fill: deficit 277
+      ("srcC", 1000L, 2L, 205L, 205L, 0L)), got.toString)
+  }
+
+  test("heavy hitters: exact top-k ranks known corpus, CMS booleans hold") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha beta beta gamma"),
+      (2L, "alpha beta delta delta"),
+      (3L, "alpha epsilon")
+    ).toDF("doc_id", "text")
+    val got = graft.text.HeavyHitters.topTokensWithSketchCheck(docs, "text", k = 3)
+      .orderBy("rank")
+      .select("rank", "token", "n", "cms_no_underestimate", "cms_within_eps")
+      .as[(Int, String, Long, Boolean, Boolean)].collect().toSeq
+    // counts: alpha 5, beta 3, delta 2 (gamma/epsilon 1 each)
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      Seq((1, "alpha", 5L), (2, "beta", 3L), (3, "delta", 2L)), got.toString)
+    assert(got.forall(t => t._4 && t._5), s"CMS properties must hold: $got")
+  }
+
   test("q70: buckets cover all docs and shares sum to 1") {
     val out = graft.ops.ScaleOps3.q70Histogram(spark, sf).cache()
     val total = spark.read.parquet(s"$sf/documents.parquet").count()
