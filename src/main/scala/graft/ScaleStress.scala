@@ -229,7 +229,25 @@ object ScaleStress {
       "containment" -> (dir => Dedup.containmentPairs(
         docs(dir), "doc_id", "text", k = 3, threshold = 0.9).count()),
       "tfidf" -> (dir => graft.text.Relevance.tfIdfTopTerms(
-        docs(dir), "doc_id", "text", k = 3).count()))
+        docs(dir), "doc_id", "text", k = 3).count()),
+      // r7 additions — profiling/planning ops. The stress corpora carry
+      // only (doc_id, text), so the inputs q72/q73 take from the real
+      // documents table (n_chars, source) are derived here; the curve
+      // measures the operators' scaling, not the oracle shape.
+      "equidepth" -> (dir => graft.analyze.Analyze.equiDepthHistogram(
+        docs(dir).withColumn("n_chars", length(col("text"))),
+        "n_chars", nBins = 10).count()),
+      "token_budget" -> (dir => graft.pipeline.Packing.tokenBudgetPlan(
+        docs(dir)
+          .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(8))))
+          .withColumn("n_tokens",
+            size(graft.text.TextAnalysis.tokens(col("text"))).cast("long")),
+        "source", "n_tokens",
+        pmod(col("doc_id"), lit(8)).cast("long") + lit(1L)).count()),
+      // includes the exact arm (distinct-token shuffle), the CMS
+      // treeAggregate, and the k driver probes — the full q74 surface
+      "heavy_hitters" -> (dir => graft.text.HeavyHitters
+        .topTokensWithSketchCheck(docs(dir), "text", k = 10).count()))
 
     val opsRun = opFilter match {
       case None => allOps
