@@ -411,6 +411,33 @@ object Dedup {
     inGraph.unionByName(singletons)
   }
 
+  /** Canonical-representative selection — the decision step a dedup pass
+    * runs AFTER cluster formation: within each near-dup cluster
+    * ([[nearDupPairs]] → [[clusterPairs]]), rank members by
+    * (quality DESC, length DESC, id ASC) and keep exactly one. Returns
+    * one row per document: (id, cluster_id, cluster_size, quality,
+    * n_chars, pick_rank, keep). The rank window shuffles on cluster_id —
+    * clusters are near-dup groups (bounded by the capped candidate
+    * engine), never the corpus, so no partition degenerates at scale. */
+  def canonicalKeep(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = nearDupPairs(docs, idCol, textCol, k, threshold)
+    val clusters = clusterPairs(docs, idCol, pairs)
+    val feats = docs.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      TextAnalysis.qualityScore(col(textCol)).as("quality"))
+    val wRank = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("n_chars").desc, col(idCol))
+    val wSize = Window.partitionBy(col("cluster_id"))
+    clusters.join(feats, idCol)
+      .withColumn("cluster_size", count(lit(1)).over(wSize).cast("long"))
+      .withColumn("pick_rank", row_number().over(wRank).cast("int"))
+      .withColumn("keep", col("pick_rank") === 1)
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        col("quality"), col("n_chars"), col("pick_rank"), col("keep"))
+  }
+
   // --- cross-corpus decontamination --------------------------------------
 
   /** Contamination report: which `train` documents leak `test` content —

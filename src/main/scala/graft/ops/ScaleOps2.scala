@@ -235,30 +235,16 @@ object ScaleOps2 {
       .orderBy(col("split"))
   }
 
-  /** DuckDB mirror of q63: the q60 recursive-CTE clustering, then the q51
-    * split-bucket arithmetic applied to the cluster id. */
-  val q63Sql: String =
-    raw"""WITH RECURSIVE toks AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
-      |), sh AS (
-      |  SELECT DISTINCT doc_id, sh FROM (
-      |    SELECT doc_id, unnest(
-      |      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-      |           ELSE list_transform(generate_series(0, len(t) - 3),
-      |                               i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
-      |      END) AS sh
-      |    FROM toks)
-      |), eligible AS (
-      |  SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= ${Dedup.DefaultNearDupMaxDf}
-      |), shc AS (
-      |  SELECT s.doc_id, s.sh FROM sh s JOIN eligible e USING (sh)
-      |), sizes AS (
-      |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-      |), inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
-      |), pairs AS (
+  /** Shared DuckDB CTE chain for near-dup clustering over `documents`:
+    * the capped pair-candidate engine ([[ScaleOps3.cappedPairCtes]] —
+    * same text the q68/q71 mirrors use), Jaccard-thresholded pairs,
+    * undirected edges, then transitive closure. Ends with
+    * `reach(node, lab)` ready for a consuming SELECT. Single source of
+    * truth for the q60/q63/q75 mirrors, so tokenization, the df cap,
+    * the 0.5 threshold, and the closure rule can never diverge. Must be
+    * opened with `WITH RECURSIVE`. */
+  private[ops] val clusterCtes: String =
+    ScaleOps3.cappedPairCtes("documents") + raw""", pairs AS (
       |  SELECT doc_a, doc_b FROM inter
       |  JOIN sizes sa ON doc_a = sa.doc_id
       |  JOIN sizes sb ON doc_b = sb.doc_id
@@ -270,7 +256,12 @@ object ScaleOps2 {
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
-      |), clusters AS (
+      |)""".stripMargin
+
+  /** DuckDB mirror of q63: the q60 recursive-CTE clustering, then the q51
+    * split-bucket arithmetic applied to the cluster id. */
+  val q63Sql: String =
+    "WITH RECURSIVE " + clusterCtes + raw""", clusters AS (
       |  SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
       |), assigned AS (
       |  SELECT doc_id, cluster_id,
@@ -291,39 +282,7 @@ object ScaleOps2 {
     * matching jaccardPairsCapped), then transitive closure via a
     * recursive CTE — label of a node = MIN over all reachable ids. */
   val q60Sql: String =
-    raw"""WITH RECURSIVE toks AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
-      |), sh AS (
-      |  SELECT DISTINCT doc_id, sh FROM (
-      |    SELECT doc_id, unnest(
-      |      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-      |           ELSE list_transform(generate_series(0, len(t) - 3),
-      |                               i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
-      |      END) AS sh
-      |    FROM toks)
-      |), eligible AS (
-      |  SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= ${Dedup.DefaultNearDupMaxDf}
-      |), shc AS (
-      |  SELECT s.doc_id, s.sh FROM sh s JOIN eligible e USING (sh)
-      |), sizes AS (
-      |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-      |), inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
-      |), pairs AS (
-      |  SELECT doc_a, doc_b FROM inter
-      |  JOIN sizes sa ON doc_a = sa.doc_id
-      |  JOIN sizes sb ON doc_b = sb.doc_id
-      |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
-      |), edges AS (
-      |  SELECT doc_a AS a, doc_b AS b FROM pairs
-      |  UNION SELECT doc_b, doc_a FROM pairs
-      |), reach(node, lab) AS (
-      |  SELECT doc_id, doc_id FROM documents
-      |  UNION
-      |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
-      |)
+    "WITH RECURSIVE " + clusterCtes + raw"""
       |SELECT node AS doc_id, MIN(lab) AS cluster_id
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 }

@@ -247,7 +247,7 @@ object ScaleOps3 {
     * `srcRel`. Single source of truth for the q68 and q71 mirrors, so
     * tokenization, the df cap, and the short-doc degenerate rule can
     * never diverge between them. */
-  private def cappedPairCtes(srcRel: String): String =
+  private[ops] def cappedPairCtes(srcRel: String): String =
     raw"""toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM $srcRel
       |), sh AS (

@@ -112,4 +112,52 @@ object ScaleOps4 {
       |  true AS cms_within_eps
       |FROM ranked CROSS JOIN tot
       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
+  // --- canonical document selection (q75) ---------------------------------
+
+  /** q75: canonical-representative selection — the decision step a real
+    * dedup pass runs AFTER q60's cluster formation: within each near-dup
+    * cluster, rank documents by (quality DESC, length DESC, doc_id ASC)
+    * and keep exactly one. Composes two already-hash-exact mirrors (the
+    * q60 clustering chain and the q17 quality arithmetic), so the DOUBLE
+    * ordering key is bit-identical across engines; ties fall through to
+    * the exact keys. The rank window shuffles on cluster_id — clusters
+    * are near-dup groups (bounded by the capped pair engine), never the
+    * corpus, so no partition can degenerate at scale. */
+  def q75Canonical(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.canonicalKeep(
+      Relational.fanOut(t(s, dir, "documents")), "doc_id", "text",
+      k = 3, threshold = 0.5)
+      .orderBy(col("doc_id"))
+
+  /** Mirror = q60's shared clustering chain + q17's quality arithmetic
+    * (copied expression-for-expression so the doubles agree bitwise) +
+    * the same two windows. */
+  val q75Sql: String = {
+    val en = graft.text.TextAnalysis.Stopwords("en")
+      .map(w => s"'$w'").mkString(", ")
+    "WITH RECURSIVE " + ScaleOps2.clusterCtes + raw""", clusters AS (
+      |  SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+      |), m AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+      |    CAST(len(list_filter(t, s -> s IN ($en))) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS stop_ratio,
+      |    CAST(length(text) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS avg_word_len
+      |  FROM toks JOIN documents USING (doc_id)
+      |), q AS (
+      |  SELECT doc_id, n_chars,
+      |    0.4 * alpha_ratio + 0.3 * least(stop_ratio * 4.0, 1.0) + 0.3 * least(avg_word_len / 8.0, 1.0) AS quality
+      |  FROM m
+      |)
+      |SELECT c.doc_id, c.cluster_id,
+      |  CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size,
+      |  q.quality, q.n_chars,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+      |    ORDER BY q.quality DESC, q.n_chars DESC, c.doc_id) AS INT) AS pick_rank,
+      |  (ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+      |    ORDER BY q.quality DESC, q.n_chars DESC, c.doc_id) = 1) AS keep
+      |FROM clusters c JOIN q ON c.doc_id = q.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+  }
 }

@@ -329,6 +329,31 @@ class ScaleOps3Spec extends GraftSuite {
     out.unpersist()
   }
 
+  test("canonicalKeep: quality beats length, full ties fall to id, one keeper per cluster") {
+    val docs = Seq(
+      // 1 and 2: same char multiset ("cat"/"dog" swapped at the tail) so
+      // quality AND n_chars tie exactly -> keeper is the lower id.
+      // Shingle overlap 6 of 9 each side -> jaccard 6/12 = 0.5, clustered.
+      (1L, "one two three four five six seven eight nine cat dog"),
+      (2L, "one two three four five six seven eight nine dog cat"),
+      (3L, "completely unrelated standalone document text"),
+      // 4 and 5: 5 is LONGER but its junk tokens sink alpha_ratio ->
+      // quality picks 4 over the longer 5.
+      (4L, "red green blue yellow purple orange pink black white gray silver"),
+      (5L, "red green blue yellow purple orange pink black white gray silver %%%%% #####")
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.canonicalKeep(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "cluster_id", "cluster_size", "pick_rank", "keep")
+      .as[(Long, Long, Long, Int, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L, 1, true),
+      (2L, 1L, 2L, 2, false),
+      (3L, 3L, 1L, 1, true),
+      (4L, 4L, 2L, 1, true),
+      (5L, 4L, 2L, 2, false)), got.toString)
+  }
+
   test("q67: catches every planted cross-batch duplicate") {
     val got = graft.ops.ScaleOps3.q67BloomDedup(spark, sf)
       .select("n_new", "n_true_dup", "bloom_caught_all_dups", "fpr_within_bound")
