@@ -85,6 +85,7 @@ object SparkEntry {
     "q73_token_budget"    -> (graft.ops.ScaleOps4.q73TokenBudget _),
     "q74_heavy_hitters"   -> (graft.ops.ScaleOps4.q74HeavyHitters _),
     "q75_canonical"       -> (graft.ops.ScaleOps4.q75Canonical _),
+    "q76_source_profile"  -> (graft.ops.ScaleOps4.q76SourceProfile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -184,6 +185,7 @@ object SparkEntry {
     "q73_token_budget"    -> graft.ops.ScaleOps4.q73Sql,
     "q74_heavy_hitters"   -> graft.ops.ScaleOps4.q74Sql,
     "q75_canonical"       -> graft.ops.ScaleOps4.q75Sql,
+    "q76_source_profile"  -> graft.ops.ScaleOps4.q76Sql,
     // q21-q24 carry full DuckDB mirrors: FNV-1a signature arithmetic for
     // q21-q23 (ScaleOps.duckFnv) and the inlined ±1 hyperplane sign
     // matrix + list_inner_product double accumulation for q24

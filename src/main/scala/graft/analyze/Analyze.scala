@@ -159,6 +159,36 @@ object Analyze {
       .select(col("bin"), col("n"), col("min_v"), col("max_v"), col("share"))
   }
 
+  /** Per-stratum corpus profile: document counts plus exact length and
+    * quality percentiles for each value of `strataCol` — the measurement
+    * behind data-driven curation thresholds
+    * ([[graft.pipeline.Curation.Params.production]] was derived from
+    * exactly this: corpus percentiles, not folklore constants). One
+    * partial-aggregated shuffle on the stratum key. The exact
+    * `percentile` agg buffers each group's values, so at true corpus
+    * scale run it on a profiling sample (or swap `approx_percentile`'s
+    * t-digest, the q37 pattern) — the exact arm is what the DuckDB
+    * oracle can mirror bit-for-bit (quantile_cont shares Spark's
+    * linear-interpolation definition; the q34/q72 precedent). */
+  def sourceProfile(docs: DataFrame, strataCol: String, textCol: String)
+      : DataFrame = {
+    val toks = graft.text.TextAnalysis.tokens(col(textCol))
+    val base = docs.select(col(strataCol),
+      length(col(textCol)).cast("double").as("__chars"),
+      graft.text.TextAnalysis.qualityScoreOf(col(textCol), toks).as("__q"))
+    base.groupBy(col(strataCol)).agg(
+        count(lit(1)).as("n_docs"),
+        percentile(col("__chars"), typedLit(Seq(0.25, 0.5, 0.9, 0.99))).as("__pc"),
+        percentile(col("__q"), typedLit(Seq(0.5, 0.9))).as("__pq"),
+        min(col("__chars")).cast("long").as("min_chars"),
+        max(col("__chars")).cast("long").as("max_chars"))
+      .select(col(strataCol), col("n_docs"),
+        col("__pc")(0).as("p25_chars"), col("__pc")(1).as("p50_chars"),
+        col("__pc")(2).as("p90_chars"), col("__pc")(3).as("p99_chars"),
+        col("__pq")(0).as("p50_quality"), col("__pq")(1).as("p90_quality"),
+        col("min_chars"), col("max_chars"))
+  }
+
   /** 10 retained sample values per column (reference :732) — optional audit
     * companion to `profile`; one small limit-collect. */
   def sampleValues(df: DataFrame, n: Int = 10): Map[String, Seq[String]] = {

@@ -160,4 +160,40 @@ object ScaleOps4 {
       |FROM clusters c JOIN q ON c.doc_id = q.doc_id
       |ORDER BY c.doc_id""".stripMargin
   }
+
+  // --- per-source corpus profile (q76) ------------------------------------
+
+  /** q76: per-source document counts + exact length/quality percentiles
+    * ([[graft.analyze.Analyze.sourceProfile]]) — the measurement a
+    * curation-threshold decision reads (Curation.Params.production came
+    * from exactly this query shape). */
+  def q76SourceProfile(s: SparkSession, dir: String): DataFrame =
+    graft.analyze.Analyze.sourceProfile(
+      Relational.fanOut(t(s, dir, "documents")), "source", "text")
+      .orderBy(col("source"))
+
+  val q76Sql: String = {
+    val en = graft.text.TextAnalysis.Stopwords("en")
+      .map(w => s"'$w'").mkString(", ")
+    raw"""WITH base AS (
+      |  SELECT source, text, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), m AS (
+      |  SELECT source,
+      |    CAST(length(text) AS DOUBLE) AS chars,
+      |    0.4 * (CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))
+      |      + 0.3 * least((CAST(len(list_filter(t, s -> s IN ($en))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 4.0, 1.0)
+      |      + 0.3 * least((CAST(length(text) AS DOUBLE) / CAST(len(t) AS DOUBLE)) / 8.0, 1.0) AS q
+      |  FROM base
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  quantile_cont(chars, 0.25) AS p25_chars,
+      |  quantile_cont(chars, 0.5)  AS p50_chars,
+      |  quantile_cont(chars, 0.9)  AS p90_chars,
+      |  quantile_cont(chars, 0.99) AS p99_chars,
+      |  quantile_cont(q, 0.5) AS p50_quality,
+      |  quantile_cont(q, 0.9) AS p90_quality,
+      |  CAST(MIN(chars) AS BIGINT) AS min_chars,
+      |  CAST(MAX(chars) AS BIGINT) AS max_chars
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+  }
 }

@@ -354,6 +354,30 @@ class ScaleOps3Spec extends GraftSuite {
       (5L, 4L, 2L, 2, false)), got.toString)
   }
 
+  test("sourceProfile: hand-computed interpolated percentiles per stratum") {
+    // single-token all-letter texts: quality = 0.4 (alpha 1.0) + 0 (no
+    // stopwords) + 0.3 (avg_word_len/8 capped) = 0.7 for every doc, so the
+    // quality percentiles are flat and the length percentiles carry the
+    // interpolation arithmetic: srcA lengths 10/20/30/40 -> p25 at index
+    // 0.75 = 17.5, p50 = 25, p90 at 2.7 = 37, p99 at 2.97 = 39.7;
+    // srcB lengths 8/16 -> 10, 12, 15.2, 15.92. (39.7 is written as its
+    // actual IEEE value: 30 + 0.97*10 = 39.699999999999996 — the oracle
+    // comparison is over these exact bits, so the spec pins them too.)
+    val docs = Seq(
+      ("srcA", "a" * 10), ("srcA", "a" * 20), ("srcA", "a" * 30), ("srcA", "a" * 40),
+      ("srcB", "b" * 8), ("srcB", "b" * 16)
+    ).toDF("source", "text")
+    val got = graft.analyze.Analyze.sourceProfile(docs, "source", "text")
+      .orderBy("source")
+      .select("source", "n_docs", "p25_chars", "p50_chars", "p90_chars",
+        "p99_chars", "p50_quality", "min_chars", "max_chars")
+      .as[(String, Long, Double, Double, Double, Double, Double, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("srcA", 4L, 17.5, 25.0, 37.0, 39.699999999999996, 0.7, 10L, 40L),
+      ("srcB", 2L, 10.0, 12.0, 15.2, 15.92, 0.7, 8L, 16L)), got.toString)
+  }
+
   test("q67: catches every planted cross-batch duplicate") {
     val got = graft.ops.ScaleOps3.q67BloomDedup(spark, sf)
       .select("n_new", "n_true_dup", "bloom_caught_all_dups", "fpr_within_bound")
