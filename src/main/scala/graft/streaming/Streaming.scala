@@ -215,6 +215,69 @@ object Streaming {
       }
   }
 
+  // --- custom state: streaming heavy hitters ----------------------------
+
+  final case class HeavyHitterCandidate(shard: Int, token: String,
+      count_lb: Long, count_ub: Long, shard_tokens: Long)
+  final case class MgState(counts: Map[String, Long], decrements: Long,
+      n: Long)
+
+  /** Streaming heavy hitters with BOUNDED state — the continuous
+    * complement of the batch CMS arm ([[graft.text.HeavyHitters]]).
+    * Tokens are sharded by hash, so each token lives in exactly ONE
+    * shard and per-shard summaries merge disjointly; each shard keeps a
+    * Misra-Gries summary of `capacity` counters. Total state is
+    * nShards × capacity counters REGARDLESS of vocabulary size — a
+    * naive streaming `groupBy(token).count()` would grow state with the
+    * vocabulary, which is exactly what a 100 TB stream cannot afford.
+    *
+    * After each micro-batch a shard re-emits its surviving candidates
+    * with the classic MG deterministic bounds:
+    * `count_lb ≤ true count ≤ count_ub`, and any token whose true
+    * frequency exceeds `decrements` (≤ shard_tokens/(capacity+1)) is
+    * guaranteed present. Update-mode output — the latest emission per
+    * token (largest `shard_tokens`) supersedes earlier ones. */
+  def heavyHittersStream(docs: DataFrame, textCol: String,
+      nShards: Int = 32, capacity: Int = 64)
+      : Dataset[HeavyHitterCandidate] = {
+    require(nShards > 0 && capacity > 0, s"bad shape $nShards/$capacity")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(explode(graft.text.TextAnalysis.tokens(col(textCol))).as("token"))
+      .select(col("token"),
+        pmod(xxhash64(col("token")), lit(nShards)).cast("int").as("shard"))
+      .as[(String, Int)]
+    toks.groupByKey(_._2)
+      .flatMapGroupsWithState[MgState, HeavyHitterCandidate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[(String, Int)],
+            state: GroupState[MgState]) =>
+          var counts = state.getOption.map(_.counts)
+            .getOrElse(Map.empty[String, Long])
+          var dec = state.getOption.map(_.decrements).getOrElse(0L)
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          rows.foreach { case (token, _) =>
+            n += 1
+            counts.get(token) match {
+              case Some(c) => counts = counts.updated(token, c + 1)
+              case None if counts.size < capacity =>
+                counts = counts.updated(token, 1L)
+              case None =>
+                // decrement-all: every stored count absorbs one unit of
+                // the unmatched token; zeroed counters free their slot
+                dec += 1
+                counts = counts.flatMap { case (t, c) =>
+                  if (c > 1) Some(t -> (c - 1)) else None }
+            }
+          }
+          state.update(MgState(counts, dec, n))
+          counts.iterator.map { case (t, c) =>
+            HeavyHitterCandidate(shard, t, c, c + dec, n)
+          }
+      }
+  }
+
   /** Batch reference implementation of gap sessionization (same semantics,
     * pure SQL window functions) — used to cross-check the stateful stream
     * and as the backfill path: new-session flag = gap > threshold, session

@@ -247,6 +247,61 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("heavy hitters stream: MG bounds hold vs exact counts, state bounded, resumes across batches") {
+    val in = tempDir("stream_hh_in"); val ckpt = tempDir("stream_hh_ckpt")
+    // skewed corpus with vocabulary >> capacity so decrements really fire:
+    // "hot" x50, "warm" x20, 100 unique fillers
+    val batch1 = (Seq.fill(50)("hot") ++ Seq.fill(20)("warm") ++
+      (0 until 100).map(i => s"filler$i")).zipWithIndex
+      .map { case (tok, i) => (i.toLong, tok) }
+    batch1.toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(in.toString)
+
+    val sink = tempDir("stream_hh_sink")
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .parquet(in.toString)
+      val out = Streaming.heavyHittersStream(stream, "text",
+        nShards = 2, capacity = 4)
+      // foreachBatch (not the memory sink): the restart half of this test
+      // needs checkpoint recovery, which the memory sink refuses
+      val q = out.writeStream
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[Streaming.HeavyHitterCandidate], _: Long) =>
+          ds.write.mode("append").parquet(sink.toString); () }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // latest emission per (shard, token) = the one with the largest
+    // shard_tokens (n is monotone per shard)
+    def latest() = spark.read.parquet(sink.toString)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"shard", $"token").orderBy($"shard_tokens".desc)))
+      .filter($"rk" === 1).drop("rk")
+    val got1 = latest().as[Streaming.HeavyHitterCandidate].collect()
+    val hot1 = got1.find(_.token == "hot").get
+    assert(hot1.count_lb <= 50L && 50L <= hot1.count_ub,
+      s"MG bounds must bracket the exact count: $hot1")
+    assert(got1.count(_.token == "warm") == 1, "freq > dec bound => guaranteed present")
+    // bounded state: no shard ever holds more than `capacity` candidates
+    val perShard = got1.groupBy(_.shard).view.mapValues(_.length)
+    assert(perShard.values.forall(_ <= 4), perShard.toMap.toString)
+
+    // second batch lands, query restarts from the checkpoint: MG state
+    // must resume, not reset — "hot" grows to a cumulative 80
+    (0 until 30).map(i => (1000L + i, "hot")).toDF("doc_id", "text")
+      .repartition(1).write.mode("append").parquet(in.toString)
+    run()
+    val hot2 = latest().as[Streaming.HeavyHitterCandidate]
+      .collect().find(_.token == "hot").get
+    assert(hot2.count_lb <= 80L && 80L <= hot2.count_ub, s"cumulative: $hot2")
+    assert(hot2.count_lb > hot1.count_lb, s"state resumed: $hot1 -> $hot2")
+  }
+
   test("bloom dedup stream: drops rows already in the historical corpus, stateless") {
     val in = tempDir("stream_bl_in"); val ckpt = tempDir("stream_bl_ckpt")
     Seq(
