@@ -247,7 +247,16 @@ object ScaleStress {
       // includes the exact arm (distinct-token shuffle), the CMS
       // treeAggregate, and the k driver probes — the full q74 surface
       "heavy_hitters" -> (dir => graft.text.HeavyHitters
-        .topTokensWithSketchCheck(docs(dir), "text", k = 10).count()))
+        .topTokensWithSketchCheck(docs(dir), "text", k = 10).count()),
+      // canonical = the dedup_clusters pair graph + CC, plus the quality
+      // features and two cluster-partitioned windows — its curve should
+      // track dedup_clusters' with a near-constant window overhead
+      "canonical" -> (dir => graft.dedup.Dedup.canonicalKeep(
+        docs(dir), "doc_id", "text").count()),
+      "source_profile" -> (dir => graft.analyze.Analyze.sourceProfile(
+        docs(dir).withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(8)))),
+        "source", "text").count()))
 
     val opsRun = opFilter match {
       case None => allOps

@@ -86,6 +86,7 @@ object SparkEntry {
     "q74_heavy_hitters"   -> (graft.ops.ScaleOps4.q74HeavyHitters _),
     "q75_canonical"       -> (graft.ops.ScaleOps4.q75Canonical _),
     "q76_source_profile"  -> (graft.ops.ScaleOps4.q76SourceProfile _),
+    "q77_boilerplate"     -> (graft.ops.ScaleOps4.q77Boilerplate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -186,6 +187,7 @@ object SparkEntry {
     "q74_heavy_hitters"   -> graft.ops.ScaleOps4.q74Sql,
     "q75_canonical"       -> graft.ops.ScaleOps4.q75Sql,
     "q76_source_profile"  -> graft.ops.ScaleOps4.q76Sql,
+    "q77_boilerplate"     -> graft.ops.ScaleOps4.q77Sql,
     // q21-q24 carry full DuckDB mirrors: FNV-1a signature arithmetic for
     // q21-q23 (ScaleOps.duckFnv) and the inlined ±1 hyperplane sign
     // matrix + list_inner_product double accumulation for q24

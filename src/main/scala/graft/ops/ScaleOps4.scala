@@ -196,4 +196,38 @@ object ScaleOps4 {
       |  CAST(MAX(chars) AS BIGINT) AS max_chars
       |FROM m GROUP BY source ORDER BY source""".stripMargin
   }
+
+  // --- per-document boilerplate share (q77) --------------------------------
+
+  /** q77: phrase-level boilerplate share per document
+    * ([[graft.text.Relevance.boilerplateShare]]); commonDf=2 fits the
+    * sf corpora (max shingle df ≈ 10 at sf0.01 — measured, not guessed). */
+  def q77Boilerplate(s: SparkSession, dir: String): DataFrame =
+    graft.text.Relevance.boilerplateShare(
+      t(s, dir, "documents"), "doc_id", "text", k = 3, commonDf = 2L)
+      .orderBy(col("doc_id"))
+
+  /** Mirror reuses the shared toks/sh text-shingle CTEs (the q19/q60
+    * equivalence between the hashed and literal shingle tables). */
+  val q77Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(
+      |      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |           ELSE list_transform(generate_series(0, len(t) - 3),
+      |                               i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+      |      END) AS sh
+      |    FROM toks)
+      |), dfreq AS (
+      |  SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
+      |)
+      |SELECT s.doc_id,
+      |  COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN d.df > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+      |  CAST(SUM(CASE WHEN d.df > 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS boilerplate_share
+      |FROM sh s JOIN dfreq d USING (sh)
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
 }

@@ -50,4 +50,30 @@ object Relevance {
       .select(col("doc_id"), col("rank"), col("term"),
         col("tf"), col("df"), col("score"))
   }
+
+  /** Per-document boilerplate share: the fraction of a document's
+    * distinct k-shingles that are corpus-COMMON (document frequency >
+    * `commonDf`) — the phrase-level "how much of this doc is template
+    * text" signal (license headers, navigation chrome, form letters)
+    * that complements [[TextAnalysis]]'s WITHIN-document repetition
+    * score and tf-idf's per-term relevance. High share + low repetition
+    * = a doc that looks clean alone but is template sludge at corpus
+    * level — exactly what a curation gate wants to rank down.
+    *
+    * Plan: the [[graft.dedup.Dedup.shingleTable]] hash table (no text
+    * shuffled), one partial-agg groupBy for df, an equi-join back on the
+    * shingle hash, one per-doc partial-agg rollup. All counts integer;
+    * the share is a single final IEEE division — engine-portable. */
+  def boilerplateShare(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, commonDf: Long = 10L): DataFrame = {
+    val sh = graft.dedup.Dedup.shingleTable(df, idCol, textCol, k)
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "sh")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > commonDf, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc").as(idCol), col("n_shingles"), col("n_common"),
+        (col("n_common").cast("double") / col("n_shingles").cast("double"))
+          .as("boilerplate_share"))
+  }
 }

@@ -150,6 +150,34 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q72: equi-depth bin assignment is a broadcast pure map (no shuffle before the bin agg)") {
+    // the 1-row boundary table must reach the scan side via broadcast —
+    // a hash-partitioned join here would shuffle the whole corpus just to
+    // attach 9 doubles
+    val p = plan(graft.ops.ScaleOps4.q72EquiDepth(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // percentile boundaries + 10-bin agg: partial aggregation everywhere
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q73/q76: per-source planning/profiling aggregate partially before their one shuffle") {
+    for (df <- Seq(graft.ops.ScaleOps4.q73TokenBudget(spark, sf),
+        graft.ops.ScaleOps4.q76SourceProfile(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("partial_"), p)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("q74: the exact heavy-hitter arm shuffles distinct tokens, not occurrences") {
+    // partial_count before the token exchange = the map-side combine that
+    // keeps the shuffle at vocabulary size
+    val p = plan(graft.text.HeavyHitters.topTokens(
+      graft.ops.Relational.t(spark, sf, "documents"), "text", 10))
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q67: bloom probe is a map-side filter — no exchange between scan and probe") {
     // the probe expression must sit in the same codegen stage as the new-
     // batch scan: assert the filter references bloom_might_contain and the

@@ -378,6 +378,28 @@ class ScaleOps3Spec extends GraftSuite {
       ("srcB", 2L, 10.0, 12.0, 15.2, 15.92, 0.7, 8L, 16L)), got.toString)
   }
 
+  test("boilerplateShare: shared template prefix counted common, unique docs score zero") {
+    // docs 1-3 share a 5-token boilerplate prefix -> its three interior
+    // 3-shingles have df=3 (> commonDf=2); every other shingle is unique.
+    // 9 tokens -> 7 shingles/doc, 3 common -> share 3/7.
+    val docs = Seq(
+      (1L, "this document is provided under alpha beta gamma delta"),
+      (2L, "this document is provided under one two three four"),
+      (3L, "this document is provided under red green blue yellow"),
+      (4L, "totally unique content nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val got = graft.text.Relevance.boilerplateShare(
+        docs, "doc_id", "text", k = 3, commonDf = 2L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_common", "boilerplate_share")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 7L, 3L, 3.0 / 7.0),
+      (2L, 7L, 3L, 3.0 / 7.0),
+      (3L, 7L, 3L, 3.0 / 7.0),
+      (4L, 6L, 0L, 0.0)), got.toString)
+  }
+
   test("q67: catches every planted cross-batch duplicate") {
     val got = graft.ops.ScaleOps3.q67BloomDedup(spark, sf)
       .select("n_new", "n_true_dup", "bloom_caught_all_dups", "fpr_within_bound")
