@@ -100,6 +100,28 @@ object Curation {
       .filter(col("top_bigram_frac") <= params.maxTopBigramFrac)
   }
 
+  /** Cluster-exact curation variant: resolves near-duplicates with
+    * [[Dedup.canonicalKeep]] — one survivor per CONNECTED COMPONENT,
+    * chosen by (quality DESC, length DESC, id ASC) — before the
+    * quality/lang/repetition gates, instead of [[curate]]'s pair-greedy
+    * keep-lower-id drop. Differences a production run cares about:
+    * transitive closure (a chain A~B~C keeps ONE doc, where pair-greedy
+    * keeps A and can keep C), and the survivor is the cluster's BEST
+    * document, not its lowest id. The trade: canonicalKeep's connected
+    * components iterate with their own actions, so this is not the
+    * single-lazy-Catalyst-plan contract curate() keeps — use curate()
+    * when plan laziness matters, this when dedup quality does. */
+  def curateCanonical(docs: DataFrame, idCol: String, textCol: String,
+      params: Params = Params.production): DataFrame = {
+    val keepers = Dedup.canonicalKeep(docs, idCol, textCol,
+        k = 3, threshold = params.nearDupThreshold.getOrElse(0.8))
+      .filter(col("keep")).select(col(idCol))
+    // exact dups collapse inside canonicalKeep too (identical text =>
+    // jaccard 1.0 pairs), so the downstream near-dup stage is disabled
+    curate(docs.join(keepers, Seq(idCol)), idCol, textCol,
+      params.copy(nearDupThreshold = None))
+  }
+
   /** Aggregate curation report per predicted language. */
   def report(curated: DataFrame): DataFrame =
     curated.groupBy(col("lang_pred"))

@@ -761,6 +761,32 @@ class CurationSpec extends GraftSuite {
     assert(on == Set(1L, 3L), s"got $on") // doc 2 dropped, keeper is the lower id
   }
 
+  test("curateCanonical: transitive closure keeps ONE best-quality doc where pair-greedy keeps lowest id") {
+    // chain 1~2~3 (hub doc 2): tails keep 1-vs-3 below threshold, so
+    // pair-greedy sees pairs (1,2),(2,3), drops b-side {2,3}, keeps 1 —
+    // the junk-tailed WORST doc. Cluster-exact keeps the quality argmax.
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val docs = Seq(
+      (1L, base + " %% ## @@ !! ;; ::"),                       // junk tail: worst quality
+      (2L, base),
+      (3L, base + " calm waters flow gently through valleys")
+    ).toDF("doc_id", "text")
+    val loose = graft.pipeline.Curation.Params(minQuality = 0.0, minTokens = 1,
+      keepLangs = Seq("en", "es", "de", "fr", "und"),
+      nearDupThreshold = Some(0.5))
+    val greedy = graft.pipeline.Curation.curate(docs, "doc_id", "text", loose)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(greedy == Set(1L), s"pair-greedy keeps the lowest id: $greedy")
+    val canonical = graft.pipeline.Curation.curateCanonical(docs, "doc_id", "text", loose)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bestByQuality = docs
+      .select($"doc_id", graft.text.TextAnalysis.qualityScore($"text").as("q"))
+      .orderBy($"q".desc, $"doc_id").limit(1)
+      .collect().head.getLong(0)
+    assert(canonical == Set(bestByQuality) && bestByQuality != 1L,
+      s"cluster-exact keeps the quality argmax, not the junk doc: $canonical (best=$bestByQuality)")
+  }
+
   test("repetition gates drop template spam when tightened, pass-all by default") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs to the river"),
