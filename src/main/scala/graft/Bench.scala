@@ -42,7 +42,12 @@ object Bench {
     // summary line uses 4-decimal values to stay compact at any query
     // count (the r6 full-precision 71-query line outgrew the driver's tail
     // buffer and the round lost its machine-readable record).
-    def fmt(v: Double): String = f"$v%.4f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma decimal separator (de_DE etc.) would corrupt these
+    // machine-parsed JSON lines — the exact failure this format exists to
+    // prevent
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

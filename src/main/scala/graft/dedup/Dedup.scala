@@ -33,18 +33,28 @@ object Dedup {
 
   private def cacheTracked(df: DataFrame): DataFrame = {
     val cached = df.cache()
-    candidateCaches
-      .computeIfAbsent(cached.sparkSession,
-        _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
-      .add(cached)
+    val q = candidateCaches.computeIfAbsent(cached.sparkSession,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+    // opportunistic sweep: entries something else already uncached
+    // (spark.catalog.clearCache()) hold no storage — drop them so a
+    // clearCache-only session's queue doesn't grow without bound
+    val it = q.iterator()
+    while (it.hasNext)
+      if (it.next().storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        it.remove()
+    q.add(cached)
     cached
   }
 
   /** Unpersist every intermediate cached by a pair-candidate builder on
     * this session since the last call. Safe at any point: an unpersisted
-    * intermediate recomputes if its plan is consumed again. */
+    * intermediate recomputes if its plan is consumed again. The queue is
+    * drained IN PLACE (never removed from the registry) so a builder
+    * registering concurrently can never strand its entry in a
+    * discarded queue — a racing add is either drained now or kept for
+    * the next free, both correct. */
   def freeCandidateCaches(spark: SparkSession, blocking: Boolean = false): Unit = {
-    val q = candidateCaches.remove(spark)
+    val q = candidateCaches.get(spark)
     if (q != null) {
       var df = q.poll()
       while (df != null) { df.unpersist(blocking); df = q.poll() }
@@ -420,9 +430,10 @@ object Dedup {
     * clusters are near-dup groups (bounded by the capped candidate
     * engine), never the corpus, so no partition degenerates at scale. */
   def canonicalKeep(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+      k: Int = 3, threshold: Double = 0.5,
+      maxDf: Int = DefaultNearDupMaxDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = nearDupPairs(docs, idCol, textCol, k, threshold)
+    val pairs = nearDupPairs(docs, idCol, textCol, k, threshold, maxDf)
     val clusters = clusterPairs(docs, idCol, pairs)
     val feats = docs.select(col(idCol),
       length(col(textCol)).cast("long").as("n_chars"),

@@ -114,7 +114,8 @@ object Curation {
   def curateCanonical(docs: DataFrame, idCol: String, textCol: String,
       params: Params = Params.production): DataFrame = {
     val keepers = Dedup.canonicalKeep(docs, idCol, textCol,
-        k = 3, threshold = params.nearDupThreshold.getOrElse(0.8))
+        k = 3, threshold = params.nearDupThreshold.getOrElse(0.8),
+        maxDf = params.nearDupMaxDf)
       .filter(col("keep")).select(col(idCol))
     // exact dups collapse inside canonicalKeep too (identical text =>
     // jaccard 1.0 pairs), so the downstream near-dup stage is disabled

@@ -146,9 +146,18 @@ object Ivf {
     else {
       val in = fs.open(p)
       try {
-        val buf = new Array[Byte](32) // a decimal row count fits easily
-        val n = in.read(buf)
-        new String(buf, 0, math.max(0, n), "UTF-8").trim.toLong
+        // loop to EOF: a single read() may legally return a short count
+        // (remote/chunked streams), which would silently truncate the
+        // decimal and yield a wrong-but-plausible row count
+        val buf = new Array[Byte](64)
+        var total = 0
+        var n = in.read(buf, total, buf.length - total)
+        while (n > 0 && total + n < buf.length) {
+          total += n
+          n = in.read(buf, total, buf.length - total)
+        }
+        if (n > 0) total += n
+        new String(buf, 0, total, "UTF-8").trim.toLong
       } finally in.close()
     }
   }
@@ -170,12 +179,17 @@ object Ivf {
   def addToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       newVecs: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): Long = {
-    val before = indexRows(spark, path)
+    // an index persisted before stamping existed has no _rows file;
+    // count its lists once so the contract (rows ADDED) holds there too
+    // instead of returning the whole index size
+    val before = indexRows(spark, path) match {
+      case -1L => spark.read.parquet(s"$path/lists").count()
+      case n => n
+    }
     assign(newVecs, idCol, vecCol, loadIndex(spark, path).centroids)
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$path/lists")
-    val after = stampIndex(spark, path)
-    if (before >= 0) after - before else after
+    stampIndex(spark, path) - before
   }
 
   /** Reopen a persisted index. The lists DataFrame is the partitioned

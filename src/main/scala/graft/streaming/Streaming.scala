@@ -236,7 +236,12 @@ object Streaming {
     * `count_lb ≤ true count ≤ count_ub`, and any token whose true
     * frequency exceeds `decrements` (≤ shard_tokens/(capacity+1)) is
     * guaranteed present. Update-mode output — the latest emission per
-    * token (largest `shard_tokens`) supersedes earlier ones. */
+    * token (largest `shard_tokens`) supersedes earlier ones. A token
+    * EVICTED during a batch gets an explicit retraction row
+    * (`count_lb = 0, count_ub = decrements` — the MG bound for any
+    * untracked token), so the latest-emission read rule stays sound:
+    * without it, a consumer would keep the token's stale pre-eviction
+    * `count_ub` as current while the true count kept growing past it. */
   def heavyHittersStream(docs: DataFrame, textCol: String,
       nShards: Int = 32, capacity: Int = 64)
       : Dataset[HeavyHitterCandidate] = {
@@ -253,8 +258,9 @@ object Streaming {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (shard: Int, rows: Iterator[(String, Int)],
             state: GroupState[MgState]) =>
-          var counts = state.getOption.map(_.counts)
+          val before = state.getOption.map(_.counts)
             .getOrElse(Map.empty[String, Long])
+          var counts = before
           var dec = state.getOption.map(_.decrements).getOrElse(0L)
           var n = state.getOption.map(_.n).getOrElse(0L)
           rows.foreach { case (token, _) =>
@@ -272,9 +278,13 @@ object Streaming {
             }
           }
           state.update(MgState(counts, dec, n))
+          // retractions for tokens this batch evicted: their bound is the
+          // untracked-token bound [0, dec], not their stale last emission
+          val evicted = (before.keySet -- counts.keySet).iterator
+            .map(t => HeavyHitterCandidate(shard, t, 0L, dec, n))
           counts.iterator.map { case (t, c) =>
             HeavyHitterCandidate(shard, t, c, c + dec, n)
-          }
+          } ++ evicted
       }
   }
 

@@ -20,16 +20,23 @@ import org.apache.spark.util.sketch.CountMinSketch
   * mirrors the exact arm + literal true. */
 object HeavyHitters {
 
-  /** Exact top-k tokens by frequency — (count DESC, token ASC) ties. */
-  def topTokens(docs: DataFrame, textCol: String, k: Int): DataFrame = {
-    val toks = graft.ops.Relational.fanOut(docs.select(col(textCol).as("__text")))
+  /** Per-token exact counts — the shared aggregate [[topTokens]] ranks
+    * and [[topTokensWithSketchCheck]] also sums for the corpus total (so
+    * the total costs a vocabulary-sized aggregate, not a third corpus
+    * scan). */
+  private def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    graft.ops.Relational.fanOut(docs.select(col(textCol).as("__text")))
       .select(explode(TextAnalysis.tokens(col("__text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
+
+  /** Exact top-k tokens by frequency — (count DESC, token ASC) ties. */
+  def topTokens(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("token"))
     // the window input is the per-token AGGREGATE (distinct tokens), not
     // the corpus; for true web-scale vocabularies swap in GroupedTopK
-    toks.withColumn("rank", row_number().over(w).cast("int"))
+    tokenCounts(docs, textCol)
+      .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
   }
 
@@ -53,22 +60,35 @@ object HeavyHitters {
       eps: Double = 0.0001, confidence: Double = 0.999): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val top = topTokens(docs, textCol, k)
-    val totalN = docs.select(
-        sum(size(TextAnalysis.tokens(col(textCol)))).cast("long"))
-      .collect()(0).getLong(0)
-    val cms = tokenSketch(docs, textCol, eps, confidence)
-    val bound = math.max(10.0, eps * totalN)
-    val rows = top.collect().map { r =>
-      val token = r.getAs[String]("token")
-      val exact = r.getAs[Long]("n")
-      val est = cms.estimateCount(token)
-      (r.getAs[Int]("rank"), token, exact,
-        exact.toDouble / totalN.toDouble,
-        est >= exact,                    // CMS never underestimates
-        est <= exact + bound)            // overestimate within eps*N (+floor)
-    }
-    rows.toSeq.toDF("rank", "token", "n", "share",
-      "cms_no_underestimate", "cms_within_eps")
+    // ONE counts aggregate feeds both the ranked top-k and the corpus
+    // total (sum over the vocabulary-sized table) — a separate
+    // corpus-scan sum here would tokenize 100 TB a third time for one long
+    val counts = tokenCounts(docs, textCol).cache()
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token"))
+      val top = counts.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= k)
+      // null on an empty/all-null corpus — no tokens means no hitters
+      val totalRow = counts.agg(sum(col("n")).cast("long")).collect()(0)
+      if (totalRow.isNullAt(0))
+        return Seq.empty[(Int, String, Long, Double, Boolean, Boolean)]
+          .toDF("rank", "token", "n", "share",
+            "cms_no_underestimate", "cms_within_eps")
+      val totalN = totalRow.getLong(0)
+      val cms = tokenSketch(docs, textCol, eps, confidence)
+      val bound = math.max(10.0, eps * totalN)
+      val rows = top.collect().map { r =>
+        val token = r.getAs[String]("token")
+        val exact = r.getAs[Long]("n")
+        val est = cms.estimateCount(token)
+        (r.getAs[Int]("rank"), token, exact,
+          exact.toDouble / totalN.toDouble,
+          est >= exact,                  // CMS never underestimates
+          est <= exact + bound)          // overestimate within eps*N (+floor)
+      }
+      rows.toSeq.toDF("rank", "token", "n", "share",
+        "cms_no_underestimate", "cms_within_eps")
+    } finally counts.unpersist(blocking = false)
   }
 }

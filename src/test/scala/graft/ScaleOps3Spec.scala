@@ -400,6 +400,14 @@ class ScaleOps3Spec extends GraftSuite {
       (4L, 6L, 0L, 0.0)), got.toString)
   }
 
+  test("heavy hitters: empty corpus returns an empty frame, not an NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = graft.text.HeavyHitters.topTokensWithSketchCheck(empty, "text", k = 3)
+    assert(got.count() == 0L)
+    assert(got.columns.toSeq == Seq("rank", "token", "n", "share",
+      "cms_no_underestimate", "cms_within_eps"))
+  }
+
   test("q67: catches every planted cross-batch duplicate") {
     val got = graft.ops.ScaleOps3.q67BloomDedup(spark, sf)
       .select("n_new", "n_true_dup", "bloom_caught_all_dups", "fpr_within_bound")

@@ -722,6 +722,21 @@ class IvfSpec extends GraftSuite {
     val recall = (exact & got).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall after add $recall")
   }
+
+  test("incremental add to a pre-stamp index still returns rows ADDED, not index size") {
+    val base = corpus.filter($"vec_id" < 40)
+    val added = corpus.filter($"vec_id" >= 40)
+    val path = tempDir("ivf_add_nostamp").toString
+    graft.sim.Ivf.writeIndex(graft.sim.Ivf.build(base, k = 8, iters = 4,
+      cache = false), path)
+    // simulate an index persisted before stamping existed
+    val stampFile = new java.io.File(s"$path/_rows")
+    assert(stampFile.delete(), "fixture: stamp must exist to delete")
+    val nAdded = graft.sim.Ivf.addToIndex(spark, path, added)
+    assert(nAdded == added.count(),
+      s"contract is rows added, got $nAdded (index total would be ${corpus.count()})")
+    assert(graft.sim.Ivf.indexRows(spark, path) == corpus.count())
+  }
 }
 
 class CurationSpec extends GraftSuite {

@@ -302,6 +302,44 @@ class StreamingSpec extends GraftSuite {
     assert(hot2.count_lb > hot1.count_lb, s"state resumed: $hot1 -> $hot2")
   }
 
+  test("heavy hitters stream: evicted tokens get a retraction row, not a stale bound") {
+    val in = tempDir("stream_hhr_in"); val ckpt = tempDir("stream_hhr_ckpt")
+    val sink = tempDir("stream_hhr_sink")
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .parquet(in.toString)
+      val out = Streaming.heavyHittersStream(stream, "text",
+        nShards = 1, capacity = 2)
+      val q = out.writeStream
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[Streaming.HeavyHitterCandidate], _: Long) =>
+          ds.write.mode("append").parquet(sink.toString); () }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 1: "aa" tracked with count 2 and emitted
+    Seq((1L, "aa aa bb")).toDF("doc_id", "text")
+      .repartition(1).write.mode("overwrite").parquet(in.toString)
+    run()
+    val first = spark.read.parquet(sink.toString)
+      .filter($"token" === "aa").as[Streaming.HeavyHitterCandidate]
+      .collect().head
+    assert(first.count_lb == 2L, first.toString)
+    // batch 2: a flood of unique tokens decrements "aa" to zero — it must
+    // be RETRACTED (lb=0, ub=decrements), else a latest-emission reader
+    // would keep ub=2 as current while the true count can keep growing
+    Seq((2L, "c1 c2 c3 c4 c5 c6 c7 c8")).toDF("doc_id", "text")
+      .repartition(1).write.mode("append").parquet(in.toString)
+    run()
+    val latestAa = spark.read.parquet(sink.toString)
+      .filter($"token" === "aa").as[Streaming.HeavyHitterCandidate]
+      .collect().maxBy(_.shard_tokens)
+    assert(latestAa.count_lb == 0L && latestAa.count_ub > 0L,
+      s"eviction must retract the bound: $latestAa")
+  }
+
   test("bloom dedup stream: drops rows already in the historical corpus, stateless") {
     val in = tempDir("stream_bl_in"); val ckpt = tempDir("stream_bl_ckpt")
     Seq(
