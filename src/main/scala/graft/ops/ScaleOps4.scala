@@ -230,4 +230,68 @@ object ScaleOps4 {
       |    / CAST(COUNT(*) AS DOUBLE) AS boilerplate_share
       |FROM sh s JOIN dfreq d USING (sh)
       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  // --- per-source dedup savings (q78) --------------------------------------
+
+  /** q78: the governance rollup a dedup DECISION needs — per source, how
+    * many documents and tokens canonical near-dup resolution
+    * ([[graft.dedup.Dedup.canonicalKeep]], the q75 machinery) would
+    * remove. This is the "is corpus X worth deduping before we pay for
+    * tokenizing it" report: integer doc/token counts plus one final IEEE
+    * division for the savings rate. */
+  def q78DedupSavings(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val decided = graft.dedup.Dedup.canonicalKeep(
+      docs, "doc_id", "text", k = 3, threshold = 0.5)
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    toks.join(decided.select(col("doc_id"), col("keep")), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(when(col("keep"), 0L).otherwise(col("n_tokens"))).as("tokens_dropped"))
+      .withColumn("token_savings_rate",
+        col("tokens_dropped").cast("double") / col("tokens_total").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  /** Mirror = the shared q60/q75 clustering chain + the same
+    * quality-ranked keeper window, rolled up per source with
+    * HUGEINT-safe integer sums. */
+  val q78Sql: String = {
+    val en = graft.text.TextAnalysis.Stopwords("en")
+      .map(w => s"'$w'").mkString(", ")
+    "WITH RECURSIVE " + ScaleOps2.clusterCtes + raw""", clusters AS (
+      |  SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+      |), m AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+      |    CAST(len(list_filter(t, s -> s IN ($en))) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS stop_ratio,
+      |    CAST(length(text) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS avg_word_len,
+      |    CAST(len(t) AS BIGINT) AS n_tokens
+      |  FROM toks JOIN documents USING (doc_id)
+      |), q AS (
+      |  SELECT doc_id, n_chars, n_tokens,
+      |    0.4 * alpha_ratio + 0.3 * least(stop_ratio * 4.0, 1.0) + 0.3 * least(avg_word_len / 8.0, 1.0) AS quality
+      |  FROM m
+      |), decided AS (
+      |  SELECT c.doc_id,
+      |    (ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+      |      ORDER BY q.quality DESC, q.n_chars DESC, c.doc_id) = 1) AS keep,
+      |    q.n_tokens
+      |  FROM clusters c JOIN q ON c.doc_id = q.doc_id
+      |)
+      |SELECT d.source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+      |  CAST(SUM(CASE WHEN keep THEN 0 ELSE n_tokens END) AS BIGINT) AS tokens_dropped,
+      |  CAST(SUM(CASE WHEN keep THEN 0 ELSE n_tokens END) AS DOUBLE)
+      |    / CAST(SUM(n_tokens) AS DOUBLE) AS token_savings_rate
+      |FROM decided JOIN documents d USING (doc_id)
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
 }

@@ -408,6 +408,23 @@ class ScaleOps3Spec extends GraftSuite {
       "cms_no_underestimate", "cms_within_eps"))
   }
 
+  test("q78: savings rollup is consistent with canonicalKeep's decisions") {
+    val out = graft.ops.ScaleOps4.q78DedupSavings(spark, sf).cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(out.agg(sum("n_docs")).as[Long].head() == docs.count(),
+      "every document lands in exactly one source row")
+    val dropped = graft.dedup.Dedup.canonicalKeep(
+        docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .filter(!col("keep")).count()
+    assert(out.agg(sum("n_dropped")).as[Long].head() == dropped,
+      "rollup drop count == the keeper decisions it is built from")
+    out.collect().foreach { r =>
+      assert(r.getAs[Long]("tokens_dropped") <= r.getAs[Long]("tokens_total"), r.toString)
+      assert(r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_docs"), r.toString)
+    }
+    out.unpersist()
+  }
+
   test("q67: catches every planted cross-batch duplicate") {
     val got = graft.ops.ScaleOps3.q67BloomDedup(spark, sf)
       .select("n_new", "n_true_dup", "bloom_caught_all_dups", "fpr_within_bound")
