@@ -131,10 +131,15 @@ object Analyze {
   /** Equi-DEPTH histogram (quantile bins — the profiling companion to the
     * fixed-width [[histogram]]): bin boundaries are the exact i/nBins
     * percentiles, then every row map-side counts how many boundaries it
-    * exceeds. Scale shape: ONE percentile aggregation (no global sort —
-    * Spark's exact `percentile` is a distributed sort-based agg), the
-    * 1-row boundary array broadcast to a pure-map bin assignment, one
-    * partial-agg groupBy on the bin id. Engine-portable because Spark
+    * exceeds. Scale shape: TWO scans of the input (the percentile pass,
+    * then the bin-assignment pass — cache `df` upstream if the source scan
+    * is expensive), a 1-row boundary array broadcast to a pure-map bin
+    * assignment, one partial-agg groupBy on the bin id. The exact
+    * `percentile` agg buffers a value→count map per partition, so on
+    * high-cardinality double columns at true corpus scale run it on a
+    * profiling sample or swap `approx_percentile`'s t-digest (the same
+    * caveat as [[sourceProfile]]) — the exact arm is what the DuckDB
+    * oracle mirrors bit-for-bit. Engine-portable because Spark
     * `percentile` and DuckDB `quantile_cont` share the
     * linear-interpolation definition (the q34 precedent) and the
     * value-vs-boundary comparison runs in double on both. */

@@ -73,13 +73,28 @@ object Packing {
     * double division. deficit > 0 flags a source that cannot fill its
     * allocation (the signal to re-weight or up-sample elsewhere).
     * Scale shape: one partial-agg groupBy on source + windows over the
-    * driver-small per-source table. */
+    * driver-small per-source table.
+    *
+    * `weight` must be functionally dependent on `sourceCol` (one weight
+    * per source — a literal map lookup, a join-in column, a CASE on the
+    * source). This is ENFORCED, not assumed: the aggregate takes
+    * max(weight) and asserts countDistinct(weight)==1 per source, so a
+    * non-dependent weight fails the job loudly instead of producing a
+    * silently run-to-run-nondeterministic plan (the `first(weight)`
+    * failure mode). */
   def tokenBudgetPlan(docs: DataFrame, sourceCol: String, nTokensCol: String,
       weight: Column, budgetNum: Long = 1L, budgetDen: Long = 2L): DataFrame = {
     require(budgetNum >= 0 && budgetDen > 0, s"bad budget $budgetNum/$budgetDen")
     val perSource = docs.groupBy(col(sourceCol))
       .agg(sum(col(nTokensCol)).cast("long").as("avail_tokens"),
-        first(weight).cast("long").as("weight"))
+        max(weight).cast("long").as("weight"),
+        countDistinct(weight).as("__w_card"))
+      // assert_true inside the filter so column pruning cannot drop the
+      // check; passing rows see NULL → isNull → kept unchanged
+      .filter(assert_true(col("__w_card") === 1,
+        concat(lit(s"tokenBudgetPlan: weight is not functionally dependent on '$sourceCol' for source value "),
+          col(sourceCol).cast("string"))).isNull)
+      .drop("__w_card")
     val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     perSource
       .withColumn("__num", col("weight") * sum(col("avail_tokens")).over(w) * lit(budgetNum))

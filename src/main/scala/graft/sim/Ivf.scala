@@ -175,7 +175,19 @@ object Ivf {
     * Search over (build + add) is therefore IDENTICAL to search over a
     * rebuild that assigns the union against the same centroids (asserted
     * in spec), and the nProbe recall bound holds for added vectors
-    * exactly as for originals. Re-stamps the index; returns rows added. */
+    * exactly as for originals. Re-stamps the index; returns rows added.
+    *
+    * SINGLE-WRITER CONTRACT (also applies to [[writeIndex]]): at most one
+    * writer may mutate an index path at a time — the lists append and the
+    * `_rows` re-stamp are two separate filesystem operations with no
+    * transaction around them. Two concurrent adds race the stamp (a
+    * returned "rows added" may include another writer's rows), and a crash
+    * between append and stamp leaves `_rows` stale. Both failure modes are
+    * SAFE but lossy-of-evidence: [[indexRows]] consumers observe a count
+    * smaller than the lists, which reads as "mutated outside the API" and
+    * forces the documented recovery — recount (`spark.read.parquet(lists)
+    * .count()`) or rebuild. Serialize adds externally (one ingest job per
+    * index path, the same discipline any parquet append requires). */
   def addToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       newVecs: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): Long = {
