@@ -31,35 +31,52 @@ object Dedup {
   private val candidateCaches =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.Queue[DataFrame]]()
 
+  /** Test probe: number of sessions currently holding a registry entry.
+    * [[freeCandidateCaches]] must leave this at zero for a drained session
+    * — the entry-retention leak this asserts against is driver-side and
+    * invisible to the storage-level checks the specs otherwise use. */
+  private[graft] def trackedCacheSessions: Int = candidateCaches.size()
+
   private def cacheTracked(df: DataFrame): DataFrame = {
     val cached = df.cache()
-    val q = candidateCaches.computeIfAbsent(cached.sparkSession,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
-    // opportunistic sweep: entries something else already uncached
-    // (spark.catalog.clearCache()) hold no storage — drop them so a
-    // clearCache-only session's queue doesn't grow without bound
-    val it = q.iterator()
-    while (it.hasNext)
-      if (it.next().storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        it.remove()
-    q.add(cached)
+    // The add runs inside compute() so it is atomic with freeCandidateCaches'
+    // removal of a drained entry (ConcurrentHashMap serializes remapping
+    // functions per key): a racing register either lands before the drain
+    // (freed now) or re-creates the entry after removal (freed next call) —
+    // it can never strand a cached plan in a discarded queue.
+    candidateCaches.compute(cached.sparkSession, (_, q0) => {
+      val q = if (q0 == null)
+        new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]() else q0
+      // opportunistic sweep: entries something else already uncached
+      // (spark.catalog.clearCache()) hold no storage — drop them so a
+      // clearCache-only session's queue doesn't grow without bound
+      val it = q.iterator()
+      while (it.hasNext)
+        if (it.next().storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          it.remove()
+      q.add(cached)
+      q
+    })
     cached
   }
 
   /** Unpersist every intermediate cached by a pair-candidate builder on
-    * this session since the last call. Safe at any point: an unpersisted
-    * intermediate recomputes if its plan is consumed again. The queue is
-    * drained IN PLACE (never removed from the registry) so a builder
-    * registering concurrently can never strand its entry in a
-    * discarded queue — a racing add is either drained now or kept for
-    * the next free, both correct. */
-  def freeCandidateCaches(spark: SparkSession, blocking: Boolean = false): Unit = {
-    val q = candidateCaches.get(spark)
-    if (q != null) {
+    * this session since the last call, and REMOVE the session's registry
+    * entry once drained (returning null from computeIfPresent) — so a
+    * stopped session's key, queue, and plan references are not retained
+    * for the JVM lifetime in long-lived multi-session drivers. Safe at any
+    * point: an unpersisted intermediate recomputes if its plan is consumed
+    * again. Registration and drain serialize on the map entry (both run
+    * under compute*), so a concurrent builder can never strand its plan in
+    * a removed queue. The per-key lock is held across the unpersist calls;
+    * contention is only with this session's own builders, and driver-side
+    * unpersist(blocking=false) is cheap. */
+  def freeCandidateCaches(spark: SparkSession, blocking: Boolean = false): Unit =
+    candidateCaches.computeIfPresent(spark, (_, q) => {
       var df = q.poll()
       while (df != null) { df.unpersist(blocking); df = q.poll() }
-    }
-  }
+      null // drained: drop the entry so the session key is not retained
+    })
 
   // --- exact -------------------------------------------------------------
 
@@ -176,8 +193,15 @@ object Dedup {
     * (doc_a, doc_b, n_common, n_a, n_b) for every pair sharing ≥1
     * df-eligible shingle. Set sizes always come from the UNCAPPED table
     * (capped n_common is a lower bound; sizes stay exact). */
+  /** Test probe: how many times the shared pair-candidate engine (the
+    * shingle self-join behind Jaccard/containment) has been INSTANTIATED
+    * since JVM start. Specs assert on deltas that a pipeline configured
+    * for pair-graph reuse really plans the graph once per run. */
+  private[graft] val pairEngineRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def overlapTable(df: DataFrame, idCol: String, textCol: String,
       k: Int, maxDf: Option[Int]): DataFrame = {
+    pairEngineRuns.incrementAndGet()
     // the shingle table feeds three plan branches (both join sides + the
     // size agg) — materialize it once; registered for freeCandidateCaches
     val shAll = cacheTracked(shingleTable(df, idCol, textCol, k))
@@ -432,9 +456,25 @@ object Dedup {
   def canonicalKeep(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5,
       maxDf: Int = DefaultNearDupMaxDf): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pairs = nearDupPairs(docs, idCol, textCol, k, threshold, maxDf)
     val clusters = clusterPairs(docs, idCol, pairs)
+    canonicalKeepFromClusters(docs, clusters, idCol, textCol)
+  }
+
+  /** Precomputed-clusters overload of [[canonicalKeep]]: rank + keeper
+    * selection over a cluster assignment the caller already built
+    * ((idCol, cluster_id) rows — [[clusterPairs]]' output shape). This is
+    * the reuse API for a real pipeline: the pair graph + connected
+    * components are the expensive 70% of a dedup pass, and a run that
+    * needs canonical selection AND a savings report AND a cluster-keyed
+    * split should compute them ONCE and fan the cheap decision queries
+    * out from the shared assignment, instead of re-deriving the graph per
+    * consumer (which the single-argument overload does, correctly but
+    * redundantly). `clusters` must cover every `docs` id exactly once
+    * (singletons included, as clusterPairs emits them). */
+  def canonicalKeepFromClusters(docs: DataFrame, clusters: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val feats = docs.select(col(idCol),
       length(col(textCol)).cast("long").as("n_chars"),
       TextAnalysis.qualityScore(col(textCol)).as("quality"))

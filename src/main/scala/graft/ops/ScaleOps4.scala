@@ -87,7 +87,9 @@ object ScaleOps4 {
     * booleans ([[graft.text.HeavyHitters.topTokensWithSketchCheck]]) —
     * the sketch is the no-shuffle production path for vocabularies that
     * don't fit a shuffle; the exact arm plus never-underestimates /
-    * within-eps·N booleans is the q37/q67 oracle pattern. */
+    * within-5·eps·N booleans is the q37/q67 oracle pattern (5× margin so
+    * the literal-true mirror's flake probability is ~1e-8 per probe, not
+    * the ~1e-3 the raw eps·N bound leaves open). */
   def q74HeavyHitters(s: SparkSession, dir: String): DataFrame =
     graft.text.HeavyHitters.topTokensWithSketchCheck(
       t(s, dir, "documents"), "text", k = 10)
@@ -243,10 +245,22 @@ object ScaleOps4 {
     val docs = Relational.fanOut(t(s, dir, "documents"))
     val decided = graft.dedup.Dedup.canonicalKeep(
       docs, "doc_id", "text", k = 3, threshold = 0.5)
-    val toks = docs.select(col("doc_id"), col("source"),
-      size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-    toks.join(decided.select(col("doc_id"), col("keep")), "doc_id")
-      .groupBy(col("source"))
+    dedupSavings(docs, decided, "source", "doc_id", "text")
+  }
+
+  /** Precomputed-decision form of the savings rollup — the reuse API
+    * matching [[graft.dedup.Dedup.canonicalKeepFromClusters]]: `decided`
+    * is any (idCol, keep) assignment the pipeline already built (q78
+    * feeds it canonicalKeep's output; a composed run feeds the SAME
+    * decision frame to curation, this report, and the ledger, paying for
+    * the pair graph + CC once). Pure rollup: one partial-agg groupBy on
+    * source after an equi-join on the doc id. */
+  def dedupSavings(docs: DataFrame, decided: DataFrame, sourceCol: String,
+      idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), col(sourceCol),
+      size(graft.text.TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+    toks.join(decided.select(col(idCol), col("keep")), idCol)
+      .groupBy(col(sourceCol))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
@@ -254,7 +268,7 @@ object ScaleOps4 {
         sum(when(col("keep"), 0L).otherwise(col("n_tokens"))).as("tokens_dropped"))
       .withColumn("token_savings_rate",
         col("tokens_dropped").cast("double") / col("tokens_total").cast("double"))
-      .orderBy(col("source"))
+      .orderBy(col(sourceCol))
   }
 
   /** Mirror = the shared q60/q75 clustering chain + the same

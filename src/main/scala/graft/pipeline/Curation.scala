@@ -80,6 +80,47 @@ object Curation {
           .select(col("doc_b").as(idCol)).distinct()
         exactDeduped.join(drops, Seq(idCol), "left_anti")
     }
+    profileAndGate(deduped, idCol, textCol, params)
+  }
+
+  /** Precomputed-pairs variant of [[curate]] — the reuse API for a
+    * composed pipeline that needs the SAME near-dup pair graph more than
+    * once (curation drop here, cluster-keyed split later): pass the
+    * [[Dedup.nearDupPairs]] output (its `jaccard` column is required)
+    * computed ONCE at the lowest threshold any consumer needs, and this
+    * stage filters it to `params.nearDupThreshold` instead of re-running
+    * the shingle self-join. Pairs are restricted to the exact-dedup
+    * survivors on BOTH endpoints first, which reproduces the
+    * pairs-over-survivors graph exactly: an exact-dup copy's pairs are
+    * mirrored by its kept twin (identical text ⇒ identical shingle set ⇒
+    * identical jaccard), so dropping the non-surviving endpoints loses
+    * nothing. The ONE semantic delta vs [[curate]] is the df-cap corpus:
+    * `maxDf` eligibility inside the supplied graph was decided on the
+    * corpus the CALLER ran nearDupPairs over, not on this stage's exact-
+    * deduped survivors — a shingle over-cap there but under-cap here
+    * contributes no candidates (recall-only loss, boilerplate shingles
+    * only; the same lower-bound contract as [[Dedup.jaccardPairsCapped]]).
+    * With `nearDupThreshold` unset the pairs are ignored entirely. */
+  def curateWithPairs(docs: DataFrame, idCol: String, textCol: String,
+      params: Params, pairs: DataFrame): DataFrame = {
+    val exactDeduped = Dedup.exactDedup(docs, idCol, textCol)
+    val deduped = params.nearDupThreshold match {
+      case None => exactDeduped
+      case Some(th) =>
+        val ids = exactDeduped.select(col(idCol))
+        val drops = pairs.filter(col("jaccard") >= th)
+          .join(ids.select(col(idCol).as("doc_a")), Seq("doc_a"))
+          .join(ids.select(col(idCol).as("doc_b")), Seq("doc_b"))
+          .select(col("doc_b").as(idCol)).distinct()
+        exactDeduped.join(drops, Seq(idCol), "left_anti")
+    }
+    profileAndGate(deduped, idCol, textCol, params)
+  }
+
+  /** Shared back half of [[curate]]/[[curateWithPairs]]: per-document
+    * profiling kernels + the quality/length/lang/repetition gates. */
+  private def profileAndGate(deduped: DataFrame, idCol: String,
+      textCol: String, params: Params): DataFrame = {
     val profiled = graft.ops.Relational.fanOut(deduped)
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       // both repetition gates from ONE kernel pass (RepetitionStats) —

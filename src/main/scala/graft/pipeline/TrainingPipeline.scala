@@ -38,7 +38,22 @@ object TrainingPipeline {
       /** near-dup threshold for the split's cluster graph. */
       splitThreshold: Double = 0.5,
       ctxTokens: Long = 2048L,
-      reliableCheckpoints: Boolean = false)
+      reliableCheckpoints: Boolean = false,
+      /** Build the near-dup PAIR GRAPH once and share it between the
+        * curation drop and the split's cluster formation, instead of
+        * running the shingle self-join per stage (the graph is the
+        * expensive 70% of both). The one graph is computed over the
+        * exact-deduped input at min(curation threshold, splitThreshold)
+        * and each consumer filters to its own threshold and restricts to
+        * its own corpus — exact per-pair semantics (jaccard is
+        * pair-local), with ONE documented delta: df-cap eligibility is
+        * decided on the exact-deduped input, not per-stage survivors, so
+        * a boilerplate shingle over-cap globally but under-cap among a
+        * later stage's survivors contributes no candidates there
+        * (recall-only, boilerplate-only — [[graft.dedup.Dedup.jaccardPairsCapped]]'s
+        * lower-bound contract). Set false to re-derive the graph per
+        * stage (cap decided on each stage's own corpus). */
+      reusePairGraph: Boolean = true)
 
   final case class StageCount(stage: String, rowsIn: Long, rowsOut: Long)
 
@@ -92,12 +107,30 @@ object TrainingPipeline {
 
     val nDocs = docs.count()
 
+    // 0. shared pair graph (cfg.reusePairGraph): ONE shingle self-join at
+    //    the lowest threshold any consumer needs; curation and the split
+    //    each filter/restrict it instead of re-deriving it. Checkpointed —
+    //    two downstream consumers would otherwise each re-execute the
+    //    self-join through the lazy plan, which is the cost being saved.
+    val basePairs: Option[DataFrame] =
+      if (cfg.reusePairGraph && cfg.splitThreshold > 0) {
+        val thMin = math.min(cfg.splitThreshold,
+          cfg.curation.nearDupThreshold.getOrElse(cfg.splitThreshold))
+        val p = ckpt(Dedup.nearDupPairs(
+          Dedup.exactDedup(docs, idCol, textCol), idCol, textCol,
+          k = 3, threshold = thMin, maxDf = cfg.curation.nearDupMaxDf))
+        Dedup.freeCandidateCaches(spark)
+        Some(p)
+      } else None
+
     // 1. curation (q36 semantics): dedup + quality/lang/repetition gates;
     //    re-attach the source column curate() projects away
     var t0 = System.currentTimeMillis()
     val curated = ckpt(
-      Curation.curate(docs, idCol, textCol, cfg.curation)
-        .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol)))
+      (basePairs match {
+        case Some(p) => Curation.curateWithPairs(docs, idCol, textCol, cfg.curation, p)
+        case None => Curation.curate(docs, idCol, textCol, cfg.curation)
+      }).join(docs.select(col(idCol), col(sourceCol)), Seq(idCol)))
     val nCurated = curated.count()
     Dedup.freeCandidateCaches(spark) // the near-dup stage's shingle cache
     record("curation", nDocs, nCurated, t0)
@@ -129,8 +162,19 @@ object TrainingPipeline {
     // 4. leakage-safe split (q63): near-dup clusters over the SURVIVING
     //    corpus, split keyed on cluster_id so components never straddle
     t0 = System.currentTimeMillis()
-    val pairs = Dedup.nearDupPairs(mixed, idCol, textCol,
-      k = 3, threshold = cfg.splitThreshold)
+    val pairs = basePairs match {
+      case Some(p) =>
+        // restrict the shared graph to the mixed survivors (both
+        // endpoints) at the split threshold — pairs-over-survivors
+        // exactly, modulo the df-cap delta documented on reusePairGraph
+        val ids = mixed.select(col(idCol))
+        p.filter(col("jaccard") >= cfg.splitThreshold)
+          .join(ids.select(col(idCol).as("doc_a")), Seq("doc_a"))
+          .join(ids.select(col(idCol).as("doc_b")), Seq("doc_b"))
+      case None =>
+        Dedup.nearDupPairs(mixed, idCol, textCol,
+          k = 3, threshold = cfg.splitThreshold)
+    }
     val clusters = Dedup.clusterPairs(mixed, idCol, pairs,
       reliableCheckpoints = cfg.reliableCheckpoints)
     val split = ckpt(mixed.join(
@@ -138,6 +182,7 @@ object TrainingPipeline {
       Seq(idCol)))
     val nSplit = split.count()
     Dedup.freeCandidateCaches(spark)
+    basePairs.foreach(free)
     free(mixed)
     record("split", nMixed, nSplit, t0)
 

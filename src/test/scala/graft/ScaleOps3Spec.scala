@@ -354,6 +354,35 @@ class ScaleOps3Spec extends GraftSuite {
       (5L, 4L, 2L, 2, false)), got.toString)
   }
 
+  test("precomputed-clusters reuse: keep + savings from ONE pair graph match the one-shot forms") {
+    // the reuse contract the composed pipeline relies on: compute
+    // nearDupPairs + clusterPairs ONCE, then canonicalKeepFromClusters
+    // and dedupSavings fan out from the shared assignment bit-identically
+    // to the self-contained overloads that re-derive the graph
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"source")
+    val oneShot = graft.dedup.Dedup.canonicalKeep(docs, "doc_id", "text",
+      k = 3, threshold = 0.5)
+    val runsBefore = graft.dedup.Dedup.pairEngineRuns.get()
+    val pairs = graft.dedup.Dedup.nearDupPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.5)
+    val clusters = graft.dedup.Dedup.clusterPairs(docs, "doc_id", pairs)
+    val decided = graft.dedup.Dedup.canonicalKeepFromClusters(
+      docs, clusters, "doc_id", "text")
+    val savings = graft.ops.ScaleOps4.dedupSavings(
+      docs, decided, "source", "doc_id", "text")
+    assert(graft.dedup.Dedup.pairEngineRuns.get() - runsBefore == 1L,
+      "keep + savings from shared clusters must plan the pair engine once")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().toSeq
+    assert(rows(decided) == rows(oneShot),
+      "canonicalKeepFromClusters diverged from the one-shot canonicalKeep")
+    val viaOneShot = graft.ops.ScaleOps4.dedupSavings(
+      docs, oneShot, "source", "doc_id", "text")
+    assert(savings.collect().toSeq == viaOneShot.collect().toSeq)
+    graft.dedup.Dedup.freeCandidateCaches(spark)
+  }
+
   test("sourceProfile: hand-computed interpolated percentiles per stratum") {
     // single-token all-letter texts: quality = 0.4 (alpha 1.0) + 0 (no
     // stopwords) + 0.3 (avg_word_len/8 capped) = 0.7 for every doc, so the
