@@ -288,6 +288,33 @@ object Streaming {
       }
   }
 
+  /** Consumer-side merged "current top-k" over [[heavyHittersStream]]
+    * emissions — the read-path companion the stream's update-mode contract
+    * implies: a token's CURRENT bound is its LATEST emission (largest
+    * `shard_tokens` — n is monotone per shard and a token lives in exactly
+    * one shard), retracted tokens (count_lb = 0) drop out, and the live
+    * candidates rank globally by (count_lb DESC, token ASC) — the q74
+    * rollup shape, so the stream view and the batch
+    * [[graft.text.HeavyHitters.topTokens]] agree positionally whenever MG
+    * had no decrements (capacity ≥ shard vocabulary), and otherwise agree
+    * up to the MG bound (spec'd both ways). Scale shape: both windows run
+    * over the CANDIDATE table — at most nShards×capacity live tokens plus
+    * their retraction history, never the stream — so the global rank
+    * window's single-partition sort is over a sketch-sized input by
+    * construction (same argument as q74's O(k) driver probes). */
+  def currentTopK(emissions: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = Window.partitionBy(col("shard"), col("token"))
+      .orderBy(col("shard_tokens").desc)
+    val rankW = Window.orderBy(col("count_lb").desc, col("token"))
+    emissions
+      .withColumn("__latest", row_number().over(latest))
+      .filter(col("__latest") === 1 && col("count_lb") > 0)
+      .withColumn("rank", row_number().over(rankW).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("token"), col("count_lb"), col("count_ub"))
+  }
+
   /** Batch reference implementation of gap sessionization (same semantics,
     * pure SQL window functions) — used to cross-check the stateful stream
     * and as the backfill path: new-session flag = gap > threshold, session

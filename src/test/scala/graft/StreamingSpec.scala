@@ -340,6 +340,57 @@ class StreamingSpec extends GraftSuite {
       s"eviction must retract the bound: $latestAa")
   }
 
+  test("currentTopK: merged stream view == batch topTokens when capacity covers the vocabulary; MG bounds otherwise") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    val in = tempDir("stream_topk_in")
+    docs.repartition(1).write.mode("overwrite").parquet(in.toString)
+    def emissions(name: String, nShards: Int, capacity: Int) = {
+      val stream = spark.readStream.schema(docs.schema).parquet(in.toString)
+      val out = Streaming.heavyHittersStream(stream, "text", nShards, capacity)
+      val q = out.toDF.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+    }
+    // arm 1: capacity ≥ the whole vocabulary → MG never decrements, so
+    // lb = ub = exact count and the merged view must equal the batch
+    // rollup POSITIONALLY — rank, token, count, tie-break and all
+    val vocab = docs.select(explode(
+      graft.text.TextAnalysis.tokens($"text")).as("t"))
+      .distinct().count().toInt
+    val exactView = Streaming.currentTopK(
+        emissions("hh_topk_exact", 4, vocab), 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("token"),
+        r.getAs[Long]("count_lb"), r.getAs[Long]("count_ub")))
+    val batch = graft.text.HeavyHitters.topTokens(docs, "text", 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("token"),
+        r.getAs[Long]("n")))
+    assert(exactView.length == batch.length)
+    exactView.zip(batch).foreach { case ((vr, vt, lb, ub), (br, bt, bn)) =>
+      assert(vr == br && vt == bt && lb == bn && ub == bn,
+        s"stream ($vr,$vt,$lb,$ub) != batch ($br,$bt,$bn)")
+    }
+    // arm 2: capacity << vocabulary → decrements fire; every reported
+    // candidate's [lb, ub] must still bracket the true count
+    val exactCounts = docs.select(explode(
+        graft.text.TextAnalysis.tokens($"text")).as("t"))
+      .groupBy($"t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val boundedView = Streaming.currentTopK(
+      emissions("hh_topk_bounded", 2, 8), 10).collect()
+    assert(boundedView.nonEmpty)
+    boundedView.foreach { r =>
+      val t = r.getAs[String]("token")
+      val n = exactCounts(t)
+      assert(r.getAs[Long]("count_lb") <= n && n <= r.getAs[Long]("count_ub"),
+        s"bounds must bracket exact: token=$t n=$n row=$r")
+    }
+  }
+
   test("bloom dedup stream: drops rows already in the historical corpus, stateless") {
     val in = tempDir("stream_bl_in"); val ckpt = tempDir("stream_bl_ckpt")
     Seq(
