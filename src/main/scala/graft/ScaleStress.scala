@@ -256,7 +256,28 @@ object ScaleStress {
       "source_profile" -> (dir => graft.analyze.Analyze.sourceProfile(
         docs(dir).withColumn("source",
           concat(lit("src"), pmod(col("doc_id"), lit(8)))),
-        "source", "text").count()))
+        "source", "text").count()),
+      // dedup_savings = the canonical CC chain + one partial-agg rollup
+      // per source (q78) — expected to track canonical/dedup_clusters'
+      // exponent band with a near-constant rollup overhead
+      "dedup_savings" -> (dir => {
+        val d = docs(dir).withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(8))))
+        val decided = graft.dedup.Dedup.canonicalKeep(d, "doc_id", "text")
+        graft.ops.ScaleOps4.dedupSavings(
+          d, decided, "source", "doc_id", "text").count()
+      }),
+      // wav_decode = the q79 pure-map codec kernel (fixture bytes built
+      // in-plan, then genuinely parsed back) — expected flat-to-linear
+      // with zero shuffles
+      "wav_decode" -> (dir => {
+        import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+        val media = docs(dir).select(
+          col("doc_id").cast("long").as("media_id"),
+          column(graft.multimodal.WavFixture(
+            expression(col("doc_id").cast("long")))).as("content"))
+        graft.multimodal.Multimodal.decodeWavFeatures(media).count()
+      }))
 
     val opsRun = opFilter match {
       case None => allOps

@@ -35,6 +35,35 @@ object DecodeKernels {
   }
 
   def ppmFixture(id: Long): Array[Byte] = Ppm.fixtureBytes(id)
+
+  /** REAL WAV decode to a (channels, sample_rate, bits_per_sample,
+    * n_frames, duration_ms, peak_abs, mean_abs) row; null when the bytes
+    * are not a well-formed RIFF/WAVE PCM file. Stats are exact integer
+    * arithmetic with ONE final double division (mean_abs = Σ|s| / nSamples
+    * — the order the q79 oracle mirrors bit-exactly); an empty data chunk
+    * yields peak 0 / mean 0.0, not a 0/0 NaN. */
+  def wavDecodeRow(bytes: Array[Byte]): InternalRow = {
+    val a = Wav.decode(bytes)
+    if (a == null) null
+    else {
+      var peak = 0
+      var sumAbs = 0L
+      var j = 0
+      while (j < a.samples.length) {
+        val v = math.abs(a.samples(j))
+        if (v > peak) peak = v
+        sumAbs += v
+        j += 1
+      }
+      val meanAbs =
+        if (a.samples.length == 0) 0.0
+        else sumAbs.toDouble / a.samples.length.toDouble
+      new GenericInternalRow(Array[Any](a.channels, a.sampleRate,
+        a.bitsPerSample, a.nFrames, a.durationMs, peak, meanAbs))
+    }
+  }
+
+  def wavFixture(id: Long): Array[Byte] = Wav.fixtureBytes(id)
 }
 
 /** feat = decode(content, w x h); empty array input decodes like the
@@ -89,6 +118,49 @@ case class PpmDecode(child: Expression, cellW: Int, cellH: Int) extends UnaryExp
     """)
   }
   override protected def withNewChildInternal(c: Expression): PpmDecode =
+    copy(child = c)
+}
+
+/** audio = wav_decode(content): REAL RIFF/WAVE PCM parse + sample stats
+  * in one codegen kernel. NULL (not an exception) for malformed bytes, so
+  * a corrupt blob in a 100 TB scan costs one null row, not the job. */
+case class WavDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("n_frames", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("duration_ms", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("peak_abs", IntegerType, nullable = false),
+    StructField("mean_abs", org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_decode"
+  override def nullSafeEval(c: Any): Any =
+    DecodeKernels.wavDecodeRow(c.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $kn.wavDecodeRow($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): WavDecode =
+    copy(child = c)
+}
+
+/** content = wav_fixture(id): deterministic complete RIFF/WAVE PCM bytes
+  * (see Wav.fixtureBytes) — the corpus-from-nothing generator for audio
+  * tests, q79, and StressGen media corpora. */
+case class WavFixture(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_fixture"
+  override def nullSafeEval(id: Any): Any =
+    DecodeKernels.wavFixture(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$kn.wavFixture($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): WavFixture =
     copy(child = c)
 }
 

@@ -110,6 +110,29 @@ object Multimodal {
         col("__img.feat").as("feat"))
   }
 
+  /** REAL audio decode path: parse each `content` blob as RIFF/WAVE PCM
+    * and emit the parsed format fields plus exact integer sample stats —
+    * decode and feature-extract in ONE codegen kernel, same plan shape as
+    * [[decodePpmFeatures]]. Rows whose bytes are not well-formed PCM WAV
+    * get NULLs (never an exception). */
+  def decodeWavFeatures(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    media
+      .select(
+        col("media_id"),
+        length(col("content")).cast("long").as("n_bytes"),
+        column(WavDecode(expression(col("content")))).as("__audio"))
+      .select(
+        col("media_id"), col("n_bytes"),
+        col("__audio.channels").as("channels"),
+        col("__audio.sample_rate").as("sample_rate"),
+        col("__audio.bits_per_sample").as("bits_per_sample"),
+        col("__audio.n_frames").as("n_frames"),
+        col("__audio.duration_ms").as("duration_ms"),
+        col("__audio.peak_abs").as("peak_abs"),
+        col("__audio.mean_abs").as("mean_abs"))
+  }
+
   /** Frame sampling for video-typed rows: emit one (media_id, frame_idx,
     * frame_feat) row per sampled frame — pure plan-side explode over a
     * deterministic frame index sequence, decode stubbed per frame. */

@@ -271,6 +271,69 @@ object ScaleOps4 {
       .orderBy(col(sourceCol))
   }
 
+  // --- WAV audio decode (q79) ----------------------------------------------
+
+  /** q79: REAL RIFF/WAVE PCM decode over fixture audio — the audio twin
+    * of q26's image path. The payload is a complete PCM WAV file built by
+    * [[graft.multimodal.Wav.fixtureBytes]] from doc_id alone; the Spark
+    * side genuinely PARSES those bytes back (container grammar, chunk
+    * walk, fmt validation, 8/16-bit raster) into format fields + exact
+    * integer sample stats. A header/raster/sign-extension bug breaks the
+    * hash against the oracle's arithmetic re-derivation. */
+  def q79WavDecode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val media = docs.select(
+      col("doc_id").cast("long").as("media_id"),
+      column(graft.multimodal.WavFixture(
+        expression(col("doc_id").cast("long")))).as("content"))
+    graft.multimodal.Multimodal.decodeWavFeatures(media)
+      .orderBy(col("media_id"))
+  }
+
+  /** DuckDB mirror of q79: the fixture is deterministic in doc_id
+    * (channels = 1 + id%2, bits = 8 iff id%3=0, rate = 8000 + (id%4)·2000,
+    * frames = 4 + id%5, sample j = ((id·37 + j·11) mod 2^bits) −
+    * 2^(bits−1)), so every output re-derives arithmetically without
+    * touching bytes: n_bytes = 44-byte canonical header + data + RIFF pad
+    * byte on an odd data size; duration_ms is floor integer division;
+    * mean_abs is exact integer Σ|s| with ONE final double division —
+    * matching DecodeKernels.wavDecodeRow's order exactly. The sample
+    * expansion is a 16-row-per-doc bounded cross join (max frames×channels
+    * = 16), j < n_samples pruning the rest. */
+  val q79Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |    1 + doc_id % 2 AS ch,
+      |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+      |    8000 + (doc_id % 4) * 2000 AS sr,
+      |    4 + doc_id % 5 AS nf
+      |  FROM documents
+      |), dd AS (
+      |  SELECT *, nf * ch AS ns,
+      |    CASE WHEN bits = 8 THEN 1 ELSE 2 END AS bps
+      |  FROM d
+      |), s AS (
+      |  SELECT media_id, j,
+      |    abs(CASE WHEN bits = 8 THEN ((media_id * 37 + j * 11) % 256) - 128
+      |         ELSE ((media_id * 37 + j * 11) % 65536) - 32768 END) AS av
+      |  FROM dd CROSS JOIN range(0, 16) AS r(j)
+      |  WHERE j < ns
+      |), agg AS (
+      |  SELECT media_id, MAX(av) AS peak_abs, SUM(av) AS sum_abs
+      |  FROM s GROUP BY media_id
+      |)
+      |SELECT dd.media_id,
+      |  CAST(44 + ns * bps + (ns * bps) % 2 AS BIGINT) AS n_bytes,
+      |  CAST(ch AS INTEGER) AS channels,
+      |  CAST(sr AS INTEGER) AS sample_rate,
+      |  CAST(bits AS INTEGER) AS bits_per_sample,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(nf * 1000 // sr AS BIGINT) AS duration_ms,
+      |  CAST(agg.peak_abs AS INTEGER) AS peak_abs,
+      |  CAST(agg.sum_abs AS DOUBLE) / CAST(ns AS DOUBLE) AS mean_abs
+      |FROM dd JOIN agg USING (media_id) ORDER BY media_id""".stripMargin
+
   /** Mirror = the shared q60/q75 clustering chain + the same
     * quality-ranked keeper window, rolled up per source with
     * HUGEINT-safe integer sums. */

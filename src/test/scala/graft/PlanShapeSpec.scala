@@ -189,4 +189,41 @@ class PlanShapeSpec extends GraftSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 2, s"expected <=2 hash exchanges (hist distinct + final agg), got $exchanges\n$p")
   }
+
+  test("q75/q78: keeper windows share ONE cluster_id exchange; clusters are bounded groups, never the corpus") {
+    // canonicalKeep's two windows (size + rank) both partition on
+    // cluster_id — they must ride a single hash exchange, and nothing in
+    // the decision layer may degenerate to a cartesian or an
+    // unpartitioned window (the corpus-wide single-partition failure)
+    for (df <- Seq(graft.ops.ScaleOps4.q75Canonical(spark, sf),
+        graft.ops.ScaleOps4.q78DedupSavings(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("Window"), p)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      val clusterExchanges = "Exchange hashpartitioning\\(cluster_id".r.findAllIn(p).length
+      assert(clusterExchanges == 1,
+        s"expected the two keeper windows to share 1 cluster_id exchange, got $clusterExchanges\n$p")
+      // every WindowExec must carry a partition spec (no global window)
+      p.linesIterator.filter(_.trim.startsWith("Window ")).foreach { l =>
+        assert(l.contains("cluster_id"), s"unpartitioned window in plan line: $l")
+      }
+    }
+  }
+
+  test("q77: boilerplate share is equi-join only with partial aggregation (no pair blowup path)") {
+    val p = plan(graft.ops.ScaleOps4.q77Boilerplate(spark, sf))
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q79: WAV decode is a pure map — codegen kernel in the scan stage, no hash exchange, no join") {
+    val p = plan(graft.ops.ScaleOps4.q79WavDecode(spark, sf))
+    assert(p.contains("wav_decode"), p)
+    assert(!p.contains("Join"), p)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 0,
+      s"decode must not shuffle — only the final order-by range exchange; got $hashExchanges\n$p")
+  }
 }

@@ -561,6 +561,90 @@ class MultimodalSpec extends GraftSuite {
     assert(out(3).getLong(1) == "not an image at all".getBytes.length.toLong)
   }
 
+  test("Wav.decode parses a hand-built PCM file: chunk walk, fmt fields, sign extension") {
+    // 16-bit stereo, 2 frames, with an unknown LIST chunk (odd size -> pad
+    // byte) BETWEEN fmt and data — the chunk walk must skip it correctly
+    val samples = Array[Int](1000, -1000, 32767, -32768)
+    val canonical = graft.multimodal.Wav.encode(2, 16000, 16, samples)
+    // splice in an odd-sized junk chunk after fmt (offset 36)
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](7, 8, 9, 0) // size 3 + pad
+    val spliced = canonical.take(36) ++ junk ++ canonical.drop(36)
+    // patch the RIFF size for the extra 12 bytes
+    val riffSize = (spliced.length - 8).toLong
+    spliced(4) = riffSize.toByte; spliced(5) = (riffSize >>> 8).toByte
+    spliced(6) = (riffSize >>> 16).toByte; spliced(7) = (riffSize >>> 24).toByte
+    val a = graft.multimodal.Wav.decode(spliced)
+    assert(a != null, "chunk walk must skip unknown odd-sized chunks")
+    assert(a.channels == 2 && a.sampleRate == 16000 && a.bitsPerSample == 16)
+    assert(a.samples.toSeq == samples.toSeq, "sign extension must be exact")
+    assert(a.nFrames == 2L && a.durationMs == 2 * 1000L / 16000)
+  }
+
+  test("Wav.decode rejects malformed bytes with null, never an exception") {
+    import graft.multimodal.Wav
+    val good = Wav.encode(1, 8000, 8, Array(0, 10, -10))
+    assert(Wav.decode(good) != null)
+    def corrupt(mutate: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); mutate(b); b
+    }
+    assert(Wav.decode(null) == null)
+    assert(Wav.decode(Array.emptyByteArray) == null)
+    assert(Wav.decode(corrupt(_(0) = 'X')) == null)              // bad RIFF magic
+    assert(Wav.decode(corrupt(_(8) = 'X')) == null)              // bad WAVE tag
+    assert(Wav.decode(corrupt(_(20) = 2)) == null)               // non-PCM codec id
+    assert(Wav.decode(corrupt(_(34) = 24)) == null)              // unsupported width
+    assert(Wav.decode(corrupt(_(32) = 9)) == null)               // blockAlign mismatch
+    assert(Wav.decode(good.dropRight(1)) == null)                // truncated data
+    assert(Wav.decode(good.take(36)) == null)                    // no data chunk
+  }
+
+  test("Wav encode/decode round-trips both widths, fixtures are real parseable PCM files") {
+    import graft.multimodal.Wav
+    val s16 = Array.tabulate(6)(j => j * 1000 - 3000)
+    val rt16 = Wav.decode(Wav.encode(2, 44100, 16, s16))
+    assert(rt16 != null && rt16.samples.toSeq == s16.toSeq && rt16.channels == 2)
+    val s8 = Array.tabulate(5)(j => j * 50 - 128) // odd data size -> pad byte
+    val enc8 = Wav.encode(1, 8000, 8, s8)
+    assert(enc8.length % 2 == 0, "odd data chunk must carry a RIFF pad byte")
+    val rt8 = Wav.decode(enc8)
+    assert(rt8 != null && rt8.samples.toSeq == s8.toSeq)
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 123456L)) {
+      val a = Wav.decode(Wav.fixtureBytes(id))
+      assert(a != null, s"fixture $id must parse")
+      assert(a.channels == 1 + (id % 2) && a.nFrames == 4 + (id % 5),
+        s"fixture $id shape: $a")
+      val bits = if (id % 3 == 0) 8 else 16
+      assert(a.bitsPerSample == bits)
+      val mod = if (bits == 8) 256L else 65536L
+      assert(a.samples(0) == ((id * 37) % mod - mod / 2).toInt)
+    }
+  }
+
+  test("decodeWavFeatures: real decode in-plan, malformed rows go NULL not boom") {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val ids = Seq(1L, 2L, 3L).toDF("media_id")
+    val good = ids.select(col("media_id"),
+      column(graft.multimodal.WavFixture(expression(col("media_id")))).as("content"))
+    val bad = Seq((99L, "not audio at all".getBytes)).toDF("media_id", "content")
+    val out = Multimodal.decodeWavFeatures(good.unionByName(bad))
+      .orderBy("media_id").collect()
+    assert(out.length == 4)
+    // id 1: stereo 16-bit, 8000+2000 Hz, 5 frames
+    assert(out(0).getInt(2) == 2 && out(0).getInt(3) == 10000 &&
+      out(0).getInt(4) == 16 && out(0).getLong(5) == 5L)
+    // id 3: channels/width from the fixture law (1 + 3%2 = 2; 3%3=0 -> 8-bit)
+    assert(out(2).getInt(2) == (1 + 3 % 2) && out(2).getInt(4) == 8)
+    // mean_abs is exact integer sum / count in double
+    val a1 = graft.multimodal.Wav.decode(graft.multimodal.Wav.fixtureBytes(1L))
+    val expMean = a1.samples.map(v => math.abs(v).toLong).sum.toDouble /
+      a1.samples.length.toDouble
+    assert(out(0).getDouble(8) == expMean)
+    // the malformed row survives as NULLs
+    assert(out(3).isNullAt(2) && out(3).isNullAt(8))
+    assert(out(3).getLong(1) == "not audio at all".getBytes.length.toLong)
+  }
+
   test("sampleFrames emits one row per sampled frame for video rows") {
     val vids = Seq((7L, "video-bytes-here")).toDF("id", "data")
     val media = Multimodal.asMediaTable(vids, "id", "data", "video", "mp4")
