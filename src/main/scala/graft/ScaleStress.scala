@@ -58,7 +58,53 @@ object ScaleStress {
     case Some("single") => single(args(1),
       args.lift(2).getOrElse("/root/testdata/sf0.1"),
       args.lift(3).map(_.toInt).getOrElse(5))
+    case Some("pipeline") => pipelineStress(args.lift(1).getOrElse("/tmp/stress_r6/x100"))
     case _ => facts(args.headOption.getOrElse("/tmp/sfbig"))
+  }
+
+  /** Stress the COMPOSED one-call training pipeline on a StressGen corpus
+    * (the x100 run is the point: 500k docs through curation →
+    * decontamination → mixing → cluster-keyed split → packing in one
+    * call). Prints per-stage counts and wall clock plus PEAK block-manager
+    * storage (memory + disk) sampled concurrently — the number that
+    * validates the per-stage free discipline: peak must track TWO adjacent
+    * stages, not the whole chain. Decontamination runs against a small
+    * planted test set so that stage does real work. */
+  def pipelineStress(dir: String): Unit = {
+    val spark = session()
+    @volatile var peak = 0L
+    @volatile var stop = false
+    val monitor = new Thread(() => {
+      while (!stop) {
+        val infos = spark.sparkContext.getRDDStorageInfo
+        val used = infos.map(i => i.memSize + i.diskSize).sum
+        if (used > peak) peak = used
+        Thread.sleep(100)
+      }
+    })
+    monitor.setDaemon(true)
+    monitor.start()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(8))))
+    val testSet = docs.orderBy(col("doc_id")).limit(50)
+      .select(col("doc_id"), col("text"))
+    val t0 = System.nanoTime()
+    val r = graft.pipeline.TrainingPipeline.curateToTraining(
+      spark, docs, Some(testSet),
+      cfg = graft.pipeline.TrainingPipeline.Config(
+        curation = graft.pipeline.Curation.Params.production
+          .copy(minQuality = 0.0, minTokens = 1,
+            keepLangs = Seq("en", "es", "de", "fr", "und")),
+        mixRates = Map("src0" -> 0.5)),
+      ledger = false)
+    val total = (System.nanoTime() - t0) / 1e9
+    stop = true
+    r.stages.foreach(s =>
+      println(f"PIPELINE stage=${s.stage}%-16s in=${s.rowsIn} out=${s.rowsOut}"))
+    println(f"PIPELINE total=${total}%.1fs peak_storage=${peak / (1 << 20)}MiB " +
+      f"packed=${r.stages.last.rowsOut}")
+    r.free()
+    spark.stop()
   }
 
   /** Repeat ONE registered query in a fresh JVM: isolates a bench outlier

@@ -12,9 +12,12 @@ import org.apache.spark.sql.types._
   * The IMAGE path is a REAL decoder: PPM (P6) — header grammar, comments,
   * raster bounds, 1/2-byte samples — parsed end-to-end in a codegen
   * kernel ([[Ppm]], [[decodePpmFeatures]]), with malformed bytes
-  * degrading to a NULL row instead of an exception. Formats that require
-  * a native codec library NOT present in this container (jpeg, wav, mp4)
-  * remain behind the clearly-marked `StubCodec` below; swapping it for a
+  * degrading to a NULL row instead of an exception. The AUDIO path is a
+  * REAL decoder too: RIFF/WAVE PCM ([[Wav]], [[decodeWavFeatures]]) —
+  * container chunk walk, fmt validation, 8/16-bit rasters. Formats that
+  * require a native codec library NOT present in this container (jpeg,
+  * mp3, mp4) remain behind the clearly-marked `StubCodec` below;
+  * swapping it for a
   * JNI/FFI codec (or a `mapInPandas`/`mapInArrow` Python worker with
   * PIL/torchaudio on a PySpark front end) changes no plan shape.
   */
@@ -50,9 +53,10 @@ object Multimodal {
 
   // ======================================================================
   // STUB CODEC — deterministic fake for formats whose codec libraries are
-  // not in this container (jpeg, wav, mp4). The PPM image path above is a
-  // REAL decoder; real deployment replaces this decode() with the actual
-  // codec call — the iterator/batch shape and schemas stay identical.
+  // not in this container (jpeg, mp3, mp4). The PPM image and WAV audio
+  // paths above are REAL decoders; real deployment replaces this decode()
+  // with the actual codec call — the iterator/batch shape and schemas
+  // stay identical.
   // ======================================================================
   object StubCodec {
     /** Library-backed codec goes here in production — deterministic fake
