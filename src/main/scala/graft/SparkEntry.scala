@@ -89,6 +89,7 @@ object SparkEntry {
     "q77_boilerplate"     -> (graft.ops.ScaleOps4.q77Boilerplate _),
     "q78_dedup_savings"   -> (graft.ops.ScaleOps4.q78DedupSavings _),
     "q79_wav_decode"      -> (graft.ops.ScaleOps4.q79WavDecode _),
+    "q80_audio_stats"     -> (graft.ops.ScaleOps4.q80AudioStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -192,6 +193,7 @@ object SparkEntry {
     "q77_boilerplate"     -> graft.ops.ScaleOps4.q77Sql,
     "q78_dedup_savings"   -> graft.ops.ScaleOps4.q78Sql,
     "q79_wav_decode"      -> graft.ops.ScaleOps4.q79Sql,
+    "q80_audio_stats"     -> graft.ops.ScaleOps4.q80Sql,
     // q21-q24 carry full DuckDB mirrors: FNV-1a signature arithmetic for
     // q21-q23 (ScaleOps.duckFnv) and the inlined ±1 hyperplane sign
     // matrix + list_inner_product double accumulation for q24

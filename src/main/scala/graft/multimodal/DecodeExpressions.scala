@@ -64,6 +64,37 @@ object DecodeKernels {
   }
 
   def wavFixture(id: Long): Array[Byte] = Wav.fixtureBytes(id)
+
+  /** WAV sample ANALYSIS row — the audio feature-extract step past q79's
+    * format/stats surface: zero crossings (per channel, sample j vs
+    * j−channels over the interleaved raster), silence count (|s| below 1%
+    * of full scale, integer threshold 2^(bits−1)/100), and RMS energy
+    * (exact integer Σs², ONE double division, then sqrt — IEEE-exact in
+    * any engine). Null for malformed bytes; an empty data chunk yields
+    * zero counts and 0.0 ratios, not NaN. */
+  def wavAnalyzeRow(bytes: Array[Byte]): InternalRow = {
+    val a = Wav.decode(bytes)
+    if (a == null) null
+    else {
+      val s = a.samples
+      val n = s.length
+      val thr = (1 << (a.bitsPerSample - 1)) / 100
+      var zc = 0L
+      var silent = 0L
+      var sumSq = 0L
+      var j = 0
+      while (j < n) {
+        val v = s(j)
+        if (math.abs(v) < thr) silent += 1
+        sumSq += v.toLong * v
+        if (j >= a.channels && (v >= 0) != (s(j - a.channels) >= 0)) zc += 1
+        j += 1
+      }
+      val silenceRatio = if (n == 0) 0.0 else silent.toDouble / n.toDouble
+      val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n.toDouble)
+      new GenericInternalRow(Array[Any](n.toLong, zc, silent, silenceRatio, rms))
+    }
+  }
 }
 
 /** feat = decode(content, w x h); empty array input decodes like the
@@ -145,6 +176,31 @@ case class WavDecode(child: Expression) extends UnaryExpression {
     """)
   }
   override protected def withNewChildInternal(c: Expression): WavDecode =
+    copy(child = c)
+}
+
+/** audio_stats = wav_analyze(content): REAL WAV parse + sample analysis
+  * (zero crossings, silence, RMS) in one codegen kernel; NULL degradation
+  * for malformed bytes, same contract as WavDecode. */
+case class WavAnalyze(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_samples", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("zero_crossings", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("n_silent", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("silence_ratio", org.apache.spark.sql.types.DoubleType, nullable = false),
+    StructField("rms", org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_analyze"
+  override def nullSafeEval(c: Any): Any =
+    DecodeKernels.wavAnalyzeRow(c.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $kn.wavAnalyzeRow($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): WavAnalyze =
     copy(child = c)
 }
 

@@ -137,6 +137,29 @@ object Multimodal {
         col("__audio.mean_abs").as("mean_abs"))
   }
 
+  /** Audio ANALYSIS path past [[decodeWavFeatures]]'s format surface:
+    * zero-crossing count, silence count/ratio (|s| under 1% of full
+    * scale), and RMS energy — decode + analyze in ONE codegen kernel
+    * (parse once, never materializing the raster as a column), NULL
+    * degradation on malformed bytes. The training-data use: silence_ratio
+    * and rms are the audio quality gates (dead-air / clipped-noise
+    * filtering), zero-crossing rate a crude voicing feature — the audio
+    * analog of the text quality/repetition kernels. */
+  def analyzeWavSamples(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    media
+      .select(
+        col("media_id"),
+        column(WavAnalyze(expression(col("content")))).as("__st"))
+      .select(
+        col("media_id"),
+        col("__st.n_samples").as("n_samples"),
+        col("__st.zero_crossings").as("zero_crossings"),
+        col("__st.n_silent").as("n_silent"),
+        col("__st.silence_ratio").as("silence_ratio"),
+        col("__st.rms").as("rms"))
+  }
+
   /** Frame sampling for video-typed rows: emit one (media_id, frame_idx,
     * frame_feat) row per sampled frame — pure plan-side explode over a
     * deterministic frame index sequence, decode stubbed per frame. */

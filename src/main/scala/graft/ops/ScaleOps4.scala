@@ -334,6 +334,65 @@ object ScaleOps4 {
       |  CAST(agg.sum_abs AS DOUBLE) / CAST(ns AS DOUBLE) AS mean_abs
       |FROM dd JOIN agg USING (media_id) ORDER BY media_id""".stripMargin
 
+  /** q80: audio sample ANALYSIS over the real WAV decoder — zero
+    * crossings, silence ratio, RMS energy per document (the audio quality
+    * gates a multimodal curation pass filters on, past q79's format
+    * surface). Pure map like q79: fixture bytes built in-plan, genuinely
+    * re-parsed, analyzed in the same codegen kernel pass. */
+  def q80AudioStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val media = docs.select(
+      col("doc_id").cast("long").as("media_id"),
+      column(graft.multimodal.WavFixture(
+        expression(col("doc_id").cast("long")))).as("content"))
+    graft.multimodal.Multimodal.analyzeWavSamples(media)
+      .orderBy(col("media_id"))
+  }
+
+  /** DuckDB mirror of q80: the q79 fixture law expanded to raw signed
+    * samples; zero crossings join sample j with j−channels (the
+    * interleaved per-channel neighbor), silence threshold is the integer
+    * 2^(bits−1)/100 (327 for 16-bit, 1 for 8-bit), and rms is exact
+    * integer Σs² with one double division then sqrt — both engines'
+    * sqrt is IEEE-correctly-rounded so the bits match. */
+  val q80Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |    1 + doc_id % 2 AS ch,
+      |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+      |    4 + doc_id % 5 AS nf
+      |  FROM documents
+      |), dd AS (
+      |  SELECT *, nf * ch AS ns,
+      |    CASE WHEN bits = 8 THEN 1 ELSE 327 END AS thr
+      |  FROM d
+      |), s AS (
+      |  SELECT media_id, ch, thr, j,
+      |    CASE WHEN bits = 8 THEN ((media_id * 37 + j * 11) % 256) - 128
+      |         ELSE ((media_id * 37 + j * 11) % 65536) - 32768 END AS v
+      |  FROM dd CROSS JOIN range(0, 16) AS r(j)
+      |  WHERE j < ns
+      |), agg AS (
+      |  SELECT media_id,
+      |    COUNT(*) AS n_samples,
+      |    SUM(CASE WHEN abs(v) < thr THEN 1 ELSE 0 END) AS n_silent,
+      |    SUM(CAST(v AS BIGINT) * CAST(v AS BIGINT)) AS sum_sq
+      |  FROM s GROUP BY media_id
+      |), zc AS (
+      |  SELECT a.media_id,
+      |    SUM(CASE WHEN (a.v >= 0) <> (b.v >= 0) THEN 1 ELSE 0 END) AS nzc
+      |  FROM s a JOIN s b ON a.media_id = b.media_id AND a.j = b.j + a.ch
+      |  GROUP BY a.media_id
+      |)
+      |SELECT agg.media_id,
+      |  CAST(n_samples AS BIGINT) AS n_samples,
+      |  CAST(COALESCE(nzc, 0) AS BIGINT) AS zero_crossings,
+      |  CAST(n_silent AS BIGINT) AS n_silent,
+      |  CAST(n_silent AS DOUBLE) / CAST(n_samples AS DOUBLE) AS silence_ratio,
+      |  sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms
+      |FROM agg LEFT JOIN zc USING (media_id) ORDER BY agg.media_id""".stripMargin
+
   /** Mirror = the shared q60/q75 clustering chain + the same
     * quality-ranked keeper window, rolled up per source with
     * HUGEINT-safe integer sums. */

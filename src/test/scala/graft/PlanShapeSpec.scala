@@ -218,12 +218,16 @@ class PlanShapeSpec extends GraftSuite {
       || p.contains("ShuffledHashJoin"), p)
   }
 
-  test("q79: WAV decode is a pure map — codegen kernel in the scan stage, no hash exchange, no join") {
-    val p = plan(graft.ops.ScaleOps4.q79WavDecode(spark, sf))
-    assert(p.contains("wav_decode"), p)
-    assert(!p.contains("Join"), p)
-    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(hashExchanges == 0,
-      s"decode must not shuffle — only the final order-by range exchange; got $hashExchanges\n$p")
+  test("q79/q80: WAV decode/analyze are pure maps — codegen kernel in the scan stage, no hash exchange, no join") {
+    for ((df, kernel) <- Seq(
+        (graft.ops.ScaleOps4.q79WavDecode(spark, sf), "wav_decode"),
+        (graft.ops.ScaleOps4.q80AudioStats(spark, sf), "wav_analyze"))) {
+      val p = plan(df)
+      assert(p.contains(kernel), p)
+      assert(!p.contains("Join"), p)
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashExchanges == 0,
+        s"decode must not shuffle — only the final order-by range exchange; got $hashExchanges\n$p")
+    }
   }
 }

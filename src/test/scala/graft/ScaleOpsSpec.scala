@@ -645,6 +645,27 @@ class MultimodalSpec extends GraftSuite {
     assert(out(3).getLong(1) == "not audio at all".getBytes.length.toLong)
   }
 
+  test("analyzeWavSamples: hand-computed zero crossings, silence, rms; per-channel neighbors; malformed -> NULL") {
+    import graft.multimodal.Wav
+    // mono 16-bit: crossings at j=1,2,4; |v|<327 silent for 4 of 5;
+    // rms = sqrt((100^2+200^2+300^2+0+400^2)/5) = sqrt(60000)
+    val mono = Wav.encode(1, 8000, 16, Array(100, -200, 300, 0, -400))
+    // stereo: neighbor is j-2 (same channel), both pairs cross
+    val stereo = Wav.encode(2, 8000, 16, Array(10, -10, -20, 20))
+    val bad = "not audio".getBytes
+    val media = Seq((1L, mono), (2L, stereo), (3L, bad))
+      .toDF("media_id", "content")
+    val out = Multimodal.analyzeWavSamples(media).orderBy("media_id").collect()
+    val m = out(0)
+    assert(m.getLong(1) == 5L && m.getLong(2) == 3L && m.getLong(3) == 4L,
+      s"mono n/zc/silent: $m")
+    assert(m.getDouble(4) == 4.0 / 5.0)
+    assert(m.getDouble(5) == math.sqrt(300000.0 / 5.0), s"rms: $m")
+    val st = out(1)
+    assert(st.getLong(1) == 4L && st.getLong(2) == 2L, s"stereo zc: $st")
+    assert(out(2).isNullAt(1) && out(2).isNullAt(5), "malformed must be NULL")
+  }
+
   test("sampleFrames emits one row per sampled frame for video rows") {
     val vids = Seq((7L, "video-bytes-here")).toDF("id", "data")
     val media = Multimodal.asMediaTable(vids, "id", "data", "video", "mp4")
