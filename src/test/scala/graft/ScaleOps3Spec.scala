@@ -292,6 +292,22 @@ class ScaleOps3Spec extends GraftSuite {
       ("srcC", 1000L, 2L, 205L, 205L, 0L)), got.toString)
   }
 
+  test("tokenBudgetPlan: a weight NOT functionally dependent on source fails loudly, not silently") {
+    // two rows of srcA with different weights — the first(weight) form
+    // this assert replaced would nondeterministically pick one; the
+    // min==max dependence check must throw instead
+    val docs = Seq(("srcA", 10L, 1L), ("srcA", 20L, 2L), ("srcB", 5L, 7L))
+      .toDF("source", "n_tokens", "w")
+    val ex = intercept[Exception] {
+      graft.pipeline.Packing.tokenBudgetPlan(
+        docs, "source", "n_tokens", $"w").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("functionally dependent")),
+      s"expected the dependence assert, got: $ex")
+  }
+
   test("heavy hitters: exact top-k ranks known corpus, CMS booleans hold") {
     val docs = Seq(
       (1L, "alpha alpha alpha beta beta gamma"),
