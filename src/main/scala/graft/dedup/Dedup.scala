@@ -151,6 +151,20 @@ object Dedup {
     * documents would otherwise detonate the pair space to (0.3·N)². */
   val DefaultNearDupMaxDf = 1000
 
+  /** Restrict a [[nearDupPairs]] output to a corpus subset: keep pairs at
+    * `jaccard ≥ threshold` whose BOTH endpoints appear in `ids` — the
+    * single point of truth for the pair-graph-restriction contract the
+    * reuse APIs ([[graft.pipeline.Curation.curateWithPairs]], the
+    * pipeline's shared split graph) rely on. Restriction is EXACT
+    * per-pair (jaccard is pair-local); the only reuse caveat is the
+    * df-cap corpus documented at each call site. `ids` must be distinct
+    * on `idCol` (the inner joins would otherwise duplicate pairs). */
+  def restrictPairs(pairs: DataFrame, ids: DataFrame, idCol: String,
+      threshold: Double): DataFrame =
+    pairs.filter(col("jaccard") >= threshold)
+      .join(ids.select(col(idCol).as("doc_a")), Seq("doc_a"))
+      .join(ids.select(col(idCol).as("doc_b")), Seq("doc_b"))
+
   /** PRODUCTION near-dup entry point — the path `Curation` and any
     * pipeline caller should use. Routes to [[jaccardPairsCapped]] with the
     * stopword-level [[DefaultNearDupMaxDf]]: candidate generation is

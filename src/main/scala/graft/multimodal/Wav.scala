@@ -104,6 +104,16 @@ object Wav {
     require(bitsPerSample == 8 || bitsPerSample == 16, s"bad bits $bitsPerSample")
     require(samples.length % channels == 0,
       s"${samples.length} samples not a whole number of $channels-channel frames")
+    // range-check every sample: silent two's-complement wrap-around would
+    // break the decode-inverse contract without an error
+    val lo = if (bitsPerSample == 8) -128 else -32768
+    val hi = if (bitsPerSample == 8) 127 else 32767
+    var chk = 0
+    while (chk < samples.length) {
+      require(samples(chk) >= lo && samples(chk) <= hi,
+        s"sample $chk (${samples(chk)}) out of $bitsPerSample-bit range [$lo, $hi]")
+      chk += 1
+    }
     val bps = bitsPerSample / 8
     val dataSize = samples.length * bps
     val pad = dataSize & 1

@@ -102,15 +102,21 @@ object Curation {
     * only; the same lower-bound contract as [[Dedup.jaccardPairsCapped]]).
     * With `nearDupThreshold` unset the pairs are ignored entirely. */
   def curateWithPairs(docs: DataFrame, idCol: String, textCol: String,
-      params: Params, pairs: DataFrame): DataFrame = {
-    val exactDeduped = Dedup.exactDedup(docs, idCol, textCol)
+      params: Params, pairs: DataFrame): DataFrame =
+    curateExactWithPairs(Dedup.exactDedup(docs, idCol, textCol),
+      idCol, textCol, params, pairs)
+
+  /** [[curateWithPairs]] over an ALREADY exact-deduped corpus — the
+    * pipeline runner computes exactDedup once (it also feeds the shared
+    * pair-graph build) and must not pay the md5 groupBy twice. */
+  private[pipeline] def curateExactWithPairs(exactDeduped: DataFrame,
+      idCol: String, textCol: String, params: Params,
+      pairs: DataFrame): DataFrame = {
     val deduped = params.nearDupThreshold match {
       case None => exactDeduped
       case Some(th) =>
-        val ids = exactDeduped.select(col(idCol))
-        val drops = pairs.filter(col("jaccard") >= th)
-          .join(ids.select(col(idCol).as("doc_a")), Seq("doc_a"))
-          .join(ids.select(col(idCol).as("doc_b")), Seq("doc_b"))
+        val drops = Dedup.restrictPairs(
+            pairs, exactDeduped.select(col(idCol)), idCol, th)
           .select(col("doc_b").as(idCol)).distinct()
         exactDeduped.join(drops, Seq(idCol), "left_anti")
     }

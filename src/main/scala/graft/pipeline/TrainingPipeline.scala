@@ -37,6 +37,12 @@ object TrainingPipeline {
       defaultMixRate: Double = 1.0,
       /** near-dup threshold for the split's cluster graph. */
       splitThreshold: Double = 0.5,
+      /** df cap for the split's cluster graph (the per-stage path's
+        * explicit cap — it was always [[Dedup.DefaultNearDupMaxDf]]
+        * implicitly; surfaced so the shared-graph mode can require the
+        * two consumers agree instead of silently imposing one stage's
+        * cap on the other). */
+      splitMaxDf: Int = Dedup.DefaultNearDupMaxDf,
       ctxTokens: Long = 2048L,
       reliableCheckpoints: Boolean = false,
       /** Build the near-dup PAIR GRAPH once and share it between the
@@ -51,8 +57,12 @@ object TrainingPipeline {
         * a boilerplate shingle over-cap globally but under-cap among a
         * later stage's survivors contributes no candidates there
         * (recall-only, boilerplate-only — [[graft.dedup.Dedup.jaccardPairsCapped]]'s
-        * lower-bound contract). Set false to re-derive the graph per
-        * stage (cap decided on each stage's own corpus). */
+        * lower-bound contract). Because the ONE graph carries ONE df cap,
+        * sharing is only in effect when `splitMaxDf ==
+        * curation.nearDupMaxDf` (the default) — with differing caps the
+        * runner silently falls back to per-stage derivation so neither
+        * stage's cap semantics change underneath it. Set false to always
+        * re-derive per stage. */
       reusePairGraph: Boolean = true)
 
   final case class StageCount(stage: String, rowsIn: Long, rowsOut: Long)
@@ -105,34 +115,52 @@ object TrainingPipeline {
       }
     }
 
-    val nDocs = docs.count()
-
-    // 0. shared pair graph (cfg.reusePairGraph): ONE shingle self-join at
-    //    the lowest threshold any consumer needs; curation and the split
-    //    each filter/restrict it instead of re-deriving it. Checkpointed —
-    //    two downstream consumers would otherwise each re-execute the
-    //    self-join through the lazy plan, which is the cost being saved.
-    val basePairs: Option[DataFrame] =
-      if (cfg.reusePairGraph && cfg.splitThreshold > 0) {
+    // 0. shared pair graph (cfg.reusePairGraph): ONE exact-dedup pass +
+    //    ONE shingle self-join at the lowest threshold any consumer
+    //    needs; curation and the split each filter/restrict the graph
+    //    instead of re-deriving it. Both are checkpointed — the two
+    //    downstream consumers would otherwise each re-execute the work
+    //    through the lazy plan, which is the cost being saved. Sharing
+    //    requires the stage caps to AGREE (see Config.reusePairGraph);
+    //    the build is ledger-recorded as its own stage so per-stage
+    //    durations still sum to the pipeline wall clock.
+    var t0 = System.currentTimeMillis()
+    val shared: Option[(DataFrame, DataFrame)] =
+      if (cfg.reusePairGraph && cfg.splitThreshold > 0 &&
+          cfg.splitMaxDf == cfg.curation.nearDupMaxDf) {
+        val exactDeduped = ckpt(Dedup.exactDedup(docs, idCol, textCol))
         val thMin = math.min(cfg.splitThreshold,
           cfg.curation.nearDupThreshold.getOrElse(cfg.splitThreshold))
-        val p = ckpt(Dedup.nearDupPairs(
-          Dedup.exactDedup(docs, idCol, textCol), idCol, textCol,
+        val p = ckpt(Dedup.nearDupPairs(exactDeduped, idCol, textCol,
           k = 3, threshold = thMin, maxDf = cfg.curation.nearDupMaxDf))
         Dedup.freeCandidateCaches(spark)
-        Some(p)
+        Some((exactDeduped, p))
       } else None
+    val nDocs = if (shared.isDefined) {
+      // corpus rows pass through the graph stage unchanged (the pairs are
+      // a side artifact) — in/out both the doc count keeps the stage
+      // chain's rowsOut==rowsIn invariant intact for consumers
+      val n = docs.count()
+      record("pair_graph", n, n, t0)
+      n
+    } else docs.count()
 
     // 1. curation (q36 semantics): dedup + quality/lang/repetition gates;
     //    re-attach the source column curate() projects away
-    var t0 = System.currentTimeMillis()
+    t0 = System.currentTimeMillis()
     val curated = ckpt(
-      (basePairs match {
-        case Some(p) => Curation.curateWithPairs(docs, idCol, textCol, cfg.curation, p)
+      (shared match {
+        case Some((exactDeduped, p)) =>
+          Curation.curateExactWithPairs(exactDeduped, idCol, textCol,
+            cfg.curation, p)
         case None => Curation.curate(docs, idCol, textCol, cfg.curation)
       }).join(docs.select(col(idCol), col(sourceCol)), Seq(idCol)))
     val nCurated = curated.count()
     Dedup.freeCandidateCaches(spark) // the near-dup stage's shingle cache
+    // the exact-deduped frame fed the graph build and the curation stage;
+    // both are materialized now (the pair graph still is not — it serves
+    // the split)
+    shared.foreach { case (exactDeduped, _) => free(exactDeduped) }
     record("curation", nDocs, nCurated, t0)
 
     // 2. decontamination (q58): drop train docs leaking test content
@@ -162,18 +190,16 @@ object TrainingPipeline {
     // 4. leakage-safe split (q63): near-dup clusters over the SURVIVING
     //    corpus, split keyed on cluster_id so components never straddle
     t0 = System.currentTimeMillis()
-    val pairs = basePairs match {
-      case Some(p) =>
+    val pairs = shared match {
+      case Some((_, p)) =>
         // restrict the shared graph to the mixed survivors (both
         // endpoints) at the split threshold — pairs-over-survivors
         // exactly, modulo the df-cap delta documented on reusePairGraph
-        val ids = mixed.select(col(idCol))
-        p.filter(col("jaccard") >= cfg.splitThreshold)
-          .join(ids.select(col(idCol).as("doc_a")), Seq("doc_a"))
-          .join(ids.select(col(idCol).as("doc_b")), Seq("doc_b"))
+        Dedup.restrictPairs(p, mixed.select(col(idCol)), idCol,
+          cfg.splitThreshold)
       case None =>
         Dedup.nearDupPairs(mixed, idCol, textCol,
-          k = 3, threshold = cfg.splitThreshold)
+          k = 3, threshold = cfg.splitThreshold, maxDf = cfg.splitMaxDf)
     }
     val clusters = Dedup.clusterPairs(mixed, idCol, pairs,
       reliableCheckpoints = cfg.reliableCheckpoints)
@@ -182,7 +208,7 @@ object TrainingPipeline {
       Seq(idCol)))
     val nSplit = split.count()
     Dedup.freeCandidateCaches(spark)
-    basePairs.foreach(free)
+    shared.foreach { case (_, p) => free(p) }
     free(mixed)
     record("split", nMixed, nSplit, t0)
 

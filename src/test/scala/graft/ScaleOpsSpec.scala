@@ -609,6 +609,10 @@ class MultimodalSpec extends GraftSuite {
     assert(enc8.length % 2 == 0, "odd data chunk must carry a RIFF pad byte")
     val rt8 = Wav.decode(enc8)
     assert(rt8 != null && rt8.samples.toSeq == s8.toSeq)
+    // out-of-range samples fail loudly instead of silently wrapping
+    // through two's complement (the decode-inverse contract)
+    intercept[IllegalArgumentException](Wav.encode(1, 8000, 16, Array(40000)))
+    intercept[IllegalArgumentException](Wav.encode(1, 8000, 8, Array(200)))
     for (id <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 123456L)) {
       val a = Wav.decode(Wav.fixtureBytes(id))
       assert(a != null, s"fixture $id must parse")
@@ -941,9 +945,11 @@ class CurationSpec extends GraftSuite {
         keepLangs = Seq("en", "es", "de", "fr", "und")),
       mixRates = Map("src0" -> 0.5), defaultMixRate = 1.0)
     val r = TrainingPipeline.curateToTraining(spark, docs, Some(testSet), cfg = cfg)
-    // 5 stages, chained counts: each stage's input is the previous output
+    // 6 stages (shared pair graph is ledger-attributed as its own stage so
+    // durations sum to the wall clock), chained counts: each stage's
+    // input is the previous output
     assert(r.stages.map(_.stage) ==
-      Seq("curation", "decontamination", "mixing", "split", "packing"))
+      Seq("pair_graph", "curation", "decontamination", "mixing", "split", "packing"))
     r.stages.sliding(2).foreach { case Seq(a, b) =>
       assert(a.rowsOut == b.rowsIn, s"${a.stage} -> ${b.stage} count mismatch: $a $b")
     }
@@ -970,7 +976,7 @@ class CurationSpec extends GraftSuite {
     // the ledger carries one row per stage under this run id
     val ledger = graft.ledger.Ledger.jobStats(spark)
       .filter($"BatchJobID" === r.runId)
-    assert(ledger.count() == 5, "one ledger row per stage")
+    assert(ledger.count() == 6, "one ledger row per stage incl. pair_graph")
     val packedLedger = ledger.filter($"SourceFile" === "pipeline:packing").head()
     assert(packedLedger.getAs[Long]("RowsInserted") ==
       r.stages.last.rowsOut)
@@ -1009,8 +1015,23 @@ class CurationSpec extends GraftSuite {
       .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSet
     assert(key(shared) == key(rederived),
       "shared-graph decisions diverged from per-stage derivation")
-    assert(shared.stages == rederived.stages, "stage counts diverged")
+    // identical stage counts apart from the shared run's extra
+    // pair_graph accounting stage
+    assert(shared.stages.filterNot(_.stage == "pair_graph") == rederived.stages,
+      "stage counts diverged")
+    assert(shared.stages.exists(_.stage == "pair_graph") &&
+      !rederived.stages.exists(_.stage == "pair_graph"))
     shared.free(); rederived.free()
+    // differing stage caps CANNOT share one graph (it carries one cap):
+    // the runner must fall back to per-stage derivation, not silently
+    // impose curation's cap on the split
+    val beforeMismatch = Dedup.pairEngineRuns.get()
+    val mismatch = TrainingPipeline.curateToTraining(spark, docs, None,
+      cfg = cfg.copy(splitMaxDf = 500), ledger = false)
+    assert(!mismatch.stages.exists(_.stage == "pair_graph"),
+      "cap mismatch must disable graph sharing")
+    assert(Dedup.pairEngineRuns.get() - beforeMismatch == 2L)
+    mismatch.free()
   }
 
   test("Params.production: near-dup + repetition gates on, real corpus mostly survives") {
