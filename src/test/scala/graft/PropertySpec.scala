@@ -111,4 +111,71 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // --- binary codec laws (pure functions, driverless) ----------------------
+
+  test("Wav: decode ∘ encode is the identity for every valid shape and sample set") {
+    val gen = for {
+      ch <- Gen.choose(1, 4)
+      rate <- Gen.choose(1, 192000)
+      bits <- Gen.oneOf(8, 16)
+      nFrames <- Gen.choose(0, 24)
+      lo = if (bits == 8) -128 else -32768
+      hi = if (bits == 8) 127 else 32767
+      samples <- Gen.listOfN(nFrames * ch, Gen.choose(lo, hi))
+    } yield (ch, rate, bits, samples.toArray)
+    forAll(gen) { case (ch, rate, bits, s) =>
+      val a = graft.multimodal.Wav.decode(
+        graft.multimodal.Wav.encode(ch, rate, bits, s))
+      assert(a != null, s"roundtrip lost ${s.length} samples at $ch/$rate/$bits")
+      assert(a.channels == ch && a.sampleRate == rate && a.bitsPerSample == bits)
+      assert(a.samples.toSeq == s.toSeq)
+    }
+  }
+
+  test("Ppm: decode ∘ encode is the identity across dims and both sample widths") {
+    val gen = for {
+      w <- Gen.choose(1, 8); h <- Gen.choose(1, 8)
+      maxval <- Gen.oneOf(255, 65535)
+      samples <- Gen.listOfN(w * h * 3, Gen.choose(0, maxval))
+    } yield (w, h, maxval, samples.toArray)
+    forAll(gen) { case (w, h, mv, s) =>
+      val img = graft.multimodal.Ppm.decode(
+        graft.multimodal.Ppm.encode(w, h, mv, s))
+      assert(img != null && img.width == w && img.height == h && img.maxval == mv)
+      assert(img.samples.toSeq == s.toSeq)
+    }
+  }
+
+  test("codec totality: decode NEVER throws — random bytes, every 1-byte mutation, every truncation") {
+    // the 100 TB contract both kernels document: one corrupt blob costs
+    // one NULL row, never an exception. Exercise three corruption
+    // families exhaustively / generatively; result validity is not
+    // asserted (null or parsed both fine) — NOT THROWING is the law.
+    val rndBytes = for {
+      n <- Gen.choose(0, 200)
+      bs <- Gen.listOfN(n, Gen.choose(0, 255).map(_.toByte))
+    } yield bs.toArray
+    forAll(rndBytes) { bytes =>
+      graft.multimodal.Wav.decode(bytes)
+      graft.multimodal.Ppm.decode(bytes)
+      graft.multimodal.Wav.decode("RIFF".getBytes("US-ASCII") ++ bytes)
+      graft.multimodal.Ppm.decode("P6\n".getBytes("US-ASCII") ++ bytes)
+      ()
+    }
+    // exhaustive sweeps over real fixture files (headers included):
+    // every single-byte XOR mutation and every truncation point
+    val wav = graft.multimodal.Wav.fixtureBytes(7L)
+    for (i <- wav.indices) {
+      val b = wav.clone(); b(i) = (b(i) ^ 0x5a).toByte
+      graft.multimodal.Wav.decode(b)
+    }
+    for (i <- 0 to wav.length) graft.multimodal.Wav.decode(wav.take(i))
+    val ppm = graft.multimodal.Ppm.fixtureBytes(7L)
+    for (i <- ppm.indices) {
+      val b = ppm.clone(); b(i) = (b(i) ^ 0x5a).toByte
+      graft.multimodal.Ppm.decode(b)
+    }
+    for (i <- 0 to ppm.length) graft.multimodal.Ppm.decode(ppm.take(i))
+  }
 }
