@@ -65,6 +65,19 @@ object DecodeKernels {
 
   def wavFixture(id: Long): Array[Byte] = Wav.fixtureBytes(id)
 
+  /** MP4 CONTAINER parse row — box-tree walk + mvhd extraction
+    * ([[Mp4.decode]]); null for malformed bytes. duration_ms is floor
+    * integer division (ticks·1000/timescale), the q14 convention. */
+  def mp4DecodeRow(bytes: Array[Byte]): InternalRow = {
+    val m = Mp4.decode(bytes)
+    if (m == null) null
+    else new GenericInternalRow(Array[Any](
+      org.apache.spark.unsafe.types.UTF8String.fromString(m.majorBrand),
+      m.timescale, m.duration, m.durationMs, m.nTopBoxes))
+  }
+
+  def mp4Fixture(id: Long): Array[Byte] = Mp4.fixtureBytes(id)
+
   /** WAV sample ANALYSIS row — the audio feature-extract step past q79's
     * format/stats surface: zero crossings (per channel, sample j vs
     * j−channels over the interleaved raster), silence count (|s| below 1%
@@ -201,6 +214,47 @@ case class WavAnalyze(child: Expression) extends UnaryExpression {
     """)
   }
   override protected def withNewChildInternal(c: Expression): WavAnalyze =
+    copy(child = c)
+}
+
+/** meta = mp4_probe(content): REAL ISO-BMFF box-tree walk + mvhd movie
+  * header extraction in one codegen kernel. NULL (not an exception) for
+  * malformed bytes, same contract as PpmDecode/WavDecode. */
+case class Mp4Probe(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("major_brand", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("duration_ms", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("n_top_boxes", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp4_probe"
+  override def nullSafeEval(c: Any): Any =
+    DecodeKernels.mp4DecodeRow(c.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $kn.mp4DecodeRow($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): Mp4Probe =
+    copy(child = c)
+}
+
+/** content = mp4_fixture(id): deterministic complete minimal ISO-BMFF
+  * containers (see Mp4.fixtureBytes) — the corpus-from-nothing generator
+  * for video-container tests, q81, and StressGen media corpora. */
+case class Mp4Fixture(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "mp4_fixture"
+  override def nullSafeEval(id: Any): Any =
+    DecodeKernels.mp4Fixture(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$kn.mp4Fixture($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Mp4Fixture =
     copy(child = c)
 }
 

@@ -160,6 +160,54 @@ object Multimodal {
         col("__st.rms").as("rms"))
   }
 
+  /** REAL video CONTAINER path: walk each `content` blob's ISO-BMFF box
+    * tree and emit the ftyp brand, mvhd timescale/duration, the derived
+    * duration_ms, and the top-level box count — container structure and
+    * metadata parse for real ([[Mp4]]), while SAMPLE decode (h264 etc.)
+    * honestly needs a codec library and stays stubbed. The parsed
+    * duration_ms is exactly what [[sampleFrames]]' meta column wants —
+    * [[probeAndSampleFrames]] composes the two. NULL degradation on
+    * malformed bytes, same contract as the image/audio kernels. */
+  def probeMp4(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    media
+      .select(
+        col("media_id"),
+        length(col("content")).cast("long").as("n_bytes"),
+        column(Mp4Probe(expression(col("content")))).as("__m"))
+      .select(
+        col("media_id"), col("n_bytes"),
+        col("__m.major_brand").as("major_brand"),
+        col("__m.timescale").as("timescale"),
+        col("__m.duration").as("duration"),
+        col("__m.duration_ms").as("duration_ms"),
+        col("__m.n_top_boxes").as("n_top_boxes"))
+  }
+
+  /** Frame sampling driven by the REAL parsed container duration instead
+    * of caller-supplied metadata: probe the box tree, then emit one row
+    * per sampled frame at `everyMs` over the mvhd-derived duration
+    * (frame decode itself remains the documented stub). Unparseable
+    * containers contribute no frames (null duration drops out of the
+    * sequence), never an error. */
+  def probeAndSampleFrames(media: DataFrame, everyMs: Long = 1000L,
+      cellW: Int = 4, cellH: Int = 4): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val probed = media
+      .select(col("media_id"), col("content"),
+        column(Mp4Probe(expression(col("content"))))
+          .getField("duration_ms").as("__dur"))
+      .filter(col("__dur").isNotNull)
+    val withFrames = probed.select(col("media_id"), col("content"),
+      explode(sequence(lit(0L),
+        (col("__dur") / lit(everyMs)).cast("long"))).as("frame_idx"))
+    val content = coalesce(col("content"), lit(Array.emptyByteArray))
+    withFrames.select(
+      col("media_id"), col("frame_idx"),
+      column(StubFrameDecode(expression(content), expression(col("frame_idx")),
+        cellW, cellH)).as("frame_feat"))
+  }
+
   /** Frame sampling for video-typed rows: emit one (media_id, frame_idx,
     * frame_feat) row per sampled frame — pure plan-side explode over a
     * deterministic frame index sequence, decode stubbed per frame. */

@@ -393,6 +393,41 @@ object ScaleOps4 {
       |  sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms
       |FROM agg LEFT JOIN zc USING (media_id) ORDER BY agg.media_id""".stripMargin
 
+  /** q81: REAL ISO-BMFF (MP4) container probe over fixture video — the
+    * box-tree walk + mvhd movie-header extraction that completes the
+    * multimodal triad (image decode REAL, audio decode REAL, video
+    * CONTAINER REAL; frame decode honestly stays stubbed behind a codec
+    * boundary). The Spark side genuinely WALKS the box tree it built —
+    * a size-arithmetic, nesting, or big-endian bug breaks the hash. */
+  def q81Mp4Probe(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val media = docs.select(
+      col("doc_id").cast("long").as("media_id"),
+      column(graft.multimodal.Mp4Fixture(
+        expression(col("doc_id").cast("long")))).as("content"))
+    graft.multimodal.Multimodal.probeMp4(media)
+      .orderBy(col("media_id"))
+  }
+
+  /** DuckDB mirror of q81: the fixture law is pure id arithmetic
+    * (brand "isom", timescale = 600 + (id%3)·400, duration = 1200 +
+    * (id%5)·700, mdat payload = 1 + id%9 bytes), so every output
+    * re-derives without touching bytes: n_bytes = 16-byte ftyp +
+    * 116-byte moov (8 + the spec-complete 108-byte v0 mvhd) + 8-byte
+    * mdat header + payload = 141 + id%9; duration_ms is floor integer
+    * division ticks·1000/timescale. */
+  val q81Sql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(141 + doc_id % 9 AS BIGINT) AS n_bytes,
+      |  'isom' AS major_brand,
+      |  CAST(600 + (doc_id % 3) * 400 AS INTEGER) AS timescale,
+      |  CAST(1200 + (doc_id % 5) * 700 AS BIGINT) AS duration,
+      |  CAST((1200 + (doc_id % 5) * 700) * 1000
+      |    // (600 + (doc_id % 3) * 400) AS BIGINT) AS duration_ms,
+      |  3 AS n_top_boxes
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** Mirror = the shared q60/q75 clustering chain + the same
     * quality-ranked keeper window, rolled up per source with
     * HUGEINT-safe integer sums. */

@@ -221,7 +221,8 @@ class PlanShapeSpec extends GraftSuite {
   test("q79/q80: WAV decode/analyze are pure maps — codegen kernel in the scan stage, no hash exchange, no join") {
     for ((df, kernel) <- Seq(
         (graft.ops.ScaleOps4.q79WavDecode(spark, sf), "wav_decode"),
-        (graft.ops.ScaleOps4.q80AudioStats(spark, sf), "wav_analyze"))) {
+        (graft.ops.ScaleOps4.q80AudioStats(spark, sf), "wav_analyze"),
+        (graft.ops.ScaleOps4.q81Mp4Probe(spark, sf), "mp4_probe"))) {
       val p = plan(df)
       assert(p.contains(kernel), p)
       assert(!p.contains("Join"), p)

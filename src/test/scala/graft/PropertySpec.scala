@@ -159,6 +159,7 @@ class PropertySpec extends AnyFunSuite {
     forAll(rndBytes) { bytes =>
       graft.multimodal.Wav.decode(bytes)
       graft.multimodal.Ppm.decode(bytes)
+      graft.multimodal.Mp4.decode(bytes)
       graft.multimodal.Wav.decode("RIFF".getBytes("US-ASCII") ++ bytes)
       graft.multimodal.Ppm.decode("P6\n".getBytes("US-ASCII") ++ bytes)
       ()
@@ -177,5 +178,27 @@ class PropertySpec extends AnyFunSuite {
       graft.multimodal.Ppm.decode(b)
     }
     for (i <- 0 to ppm.length) graft.multimodal.Ppm.decode(ppm.take(i))
+    val mp4 = graft.multimodal.Mp4.fixtureBytes(7L)
+    for (i <- mp4.indices) {
+      val b = mp4.clone(); b(i) = (b(i) ^ 0x5a).toByte
+      graft.multimodal.Mp4.decode(b)
+    }
+    for (i <- 0 to mp4.length) graft.multimodal.Mp4.decode(mp4.take(i))
+  }
+
+  test("Mp4: probe ∘ encode preserves the metadata for every valid shape") {
+    val gen = for {
+      ts <- Gen.choose(1, 1000000)
+      dur <- Gen.choose(0L, 0xffffffffL)
+      nPayload <- Gen.choose(0, 64)
+      payload <- Gen.listOfN(nPayload, Gen.choose(0, 255).map(_.toByte))
+      brand <- Gen.listOfN(4, Gen.alphaChar).map(_.mkString)
+    } yield (brand, ts, dur, payload.toArray)
+    forAll(gen) { case (brand, ts, dur, payload) =>
+      val m = graft.multimodal.Mp4.decode(
+        graft.multimodal.Mp4.encode(brand, ts, dur, payload))
+      assert(m != null && m.majorBrand == brand && m.timescale == ts &&
+        m.duration == dur && m.nTopBoxes == 3)
+    }
   }
 }

@@ -670,6 +670,80 @@ class MultimodalSpec extends GraftSuite {
     assert(out(2).isNullAt(1) && out(2).isNullAt(5), "malformed must be NULL")
   }
 
+  test("Mp4.decode walks a hand-built box tree: ftyp/moov/mvhd, unknown boxes, largesize, v1 header") {
+    import graft.multimodal.Mp4
+    // canonical encode → decode round-trip carries the metadata
+    val m = Mp4.decode(Mp4.encode("isom", 1000, 2500L, Array[Byte](1, 2, 3)))
+    assert(m != null && m.majorBrand == "isom" && m.timescale == 1000 &&
+      m.duration == 2500L && m.nTopBoxes == 3)
+    assert(m.durationMs == 2500L * 1000 / 1000)
+    // splice an unknown top-level box between ftyp and moov: still parses,
+    // top-level box count grows by one
+    val base = Mp4.encode("mp42", 600, 1200L, Array.emptyByteArray)
+    def be32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val junk = be32(12) ++ "free".getBytes("US-ASCII") ++ Array[Byte](9, 9, 9, 9)
+    val spliced = base.take(16) ++ junk ++ base.drop(16)
+    val ms = Mp4.decode(spliced)
+    assert(ms != null && ms.majorBrand == "mp42" && ms.nTopBoxes == 4, s"$ms")
+    // 64-bit largesize on the mdat box: size field 1 + 8-byte largesize
+    val mdatLarge = be32(1) ++ "mdat".getBytes("US-ASCII") ++
+      Array.fill[Byte](4)(0) ++ be32(16 + 2) ++ Array[Byte](7, 8)
+    val withLarge = Mp4.decode(base.dropRight(8) ++ mdatLarge)
+    assert(withLarge != null && withLarge.nTopBoxes == 3, s"$withLarge")
+    // version-1 mvhd (64-bit times/duration) parses through the v1 layout
+    val v1payload = Array[Byte](1, 0, 0, 0) ++ // version 1 + flags
+      Array.fill[Byte](16)(0) ++               // ctime + mtime (8 each)
+      be32(90000) ++                           // timescale
+      be32(0) ++ be32(123456)                  // duration hi/lo
+    val v1mvhd = be32(8 + v1payload.length) ++ "mvhd".getBytes("US-ASCII") ++ v1payload
+    val v1moov = be32(8 + v1mvhd.length) ++ "moov".getBytes("US-ASCII") ++ v1mvhd
+    val v1file = base.take(16) ++ v1moov
+    val mv1 = Mp4.decode(v1file)
+    assert(mv1 != null && mv1.timescale == 90000 && mv1.duration == 123456L, s"$mv1")
+  }
+
+  test("Mp4.decode rejects malformed containers with null, never an exception") {
+    import graft.multimodal.Mp4
+    val good = Mp4.encode("isom", 600, 1200L, Array[Byte](1))
+    assert(Mp4.decode(good) != null)
+    assert(Mp4.decode(null) == null)
+    assert(Mp4.decode(Array.emptyByteArray) == null)
+    assert(Mp4.decode(good.take(20)) == null)          // truncated mid-box
+    assert(Mp4.decode(good.dropRight(1)) == null)      // mdat short one byte
+    def corrupt(mutate: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); mutate(b); b
+    }
+    assert(Mp4.decode(corrupt(_(3) = 4)) == null)      // box size < header size
+    // mvhd timescale lives at bytes 44..47 (BE): zero its low half -> 0
+    assert(Mp4.decode(corrupt(b => { b(46) = 0; b(47) = 0 })) == null)
+    // a file with boxes but no moov/mvhd carries no duration -> null
+    assert(Mp4.decode(good.take(16)) == null)          // ftyp only
+  }
+
+  test("probeMp4 + probeAndSampleFrames: real container metadata drives frame sampling in-plan") {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val ids = Seq(1L, 2L).toDF("media_id")
+    val good = ids.select(col("media_id"),
+      column(graft.multimodal.Mp4Fixture(expression(col("media_id")))).as("content"))
+    val bad = Seq((99L, "not a container".getBytes)).toDF("media_id", "content")
+    val probed = Multimodal.probeMp4(good.unionByName(bad))
+      .orderBy("media_id").collect()
+    assert(probed.length == 3)
+    // id 1: ts = 1000, dur = 1200 + 700 = 1900 ticks -> 1900 ms
+    assert(probed(0).getString(2) == "isom" && probed(0).getInt(3) == 1000 &&
+      probed(0).getLong(4) == 1900L && probed(0).getLong(5) == 1900L)
+    assert(probed(0).getInt(6) == 3)
+    assert(probed(2).isNullAt(2), "malformed row must be NULL")
+    // frame sampling over the PARSED duration: id 1 -> 1900 ms and id 2 ->
+    // 2600·1000/1400 = 1857 ms, both sampling frames at 0/1000 ms = 2
+    // rows each; the malformed row contributes none
+    val frames = Multimodal.probeAndSampleFrames(good.unionByName(bad))
+      .groupBy($"media_id").count().orderBy($"media_id").collect()
+    assert(frames.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 2L)), frames.mkString(","))
+  }
+
   test("sampleFrames emits one row per sampled frame for video rows") {
     val vids = Seq((7L, "video-bytes-here")).toDF("id", "data")
     val media = Multimodal.asMediaTable(vids, "id", "data", "video", "mp4")
