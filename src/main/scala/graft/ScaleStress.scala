@@ -58,7 +58,8 @@ object ScaleStress {
     case Some("single") => single(args(1),
       args.lift(2).getOrElse("/root/testdata/sf0.1"),
       args.lift(3).map(_.toInt).getOrElse(5))
-    case Some("pipeline") => pipelineStress(args.lift(1).getOrElse("/tmp/stress_r6/x100"))
+    case Some("pipeline") => pipelineStress(args.lift(1).getOrElse("/tmp/stress_r6/x100"),
+      reuse = !args.lift(2).contains("noreuse"))
     case _ => facts(args.headOption.getOrElse("/tmp/sfbig"))
   }
 
@@ -70,7 +71,7 @@ object ScaleStress {
     * validates the per-stage free discipline: peak must track TWO adjacent
     * stages, not the whole chain. Decontamination runs against a small
     * planted test set so that stage does real work. */
-  def pipelineStress(dir: String): Unit = {
+  def pipelineStress(dir: String, reuse: Boolean = true): Unit = {
     val spark = session()
     @volatile var peak = 0L
     @volatile var stop = false
@@ -95,7 +96,8 @@ object ScaleStress {
         curation = graft.pipeline.Curation.Params.production
           .copy(minQuality = 0.0, minTokens = 1,
             keepLangs = Seq("en", "es", "de", "fr", "und")),
-        mixRates = Map("src0" -> 0.5)),
+        mixRates = Map("src0" -> 0.5),
+        reusePairGraph = reuse),
       ledger = false)
     val total = (System.nanoTime() - t0) / 1e9
     stop = true
