@@ -48,13 +48,28 @@ object Bench {
     // prevent
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    // A thrown query must NEVER masquerade as a fast one: the r8 driver
+    // bench recorded 10 broken queries at 54–92 ms because the error path
+    // was timed like a success. Failures record value -1 with an explicit
+    // "err" field, and are excluded from the total.
+    def errMsg(e: Throwable): String = {
+      val m = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+      m.take(160).map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)
+    }
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val outcome = try { fn(spark, sfDir).count(); None }
+                    catch { case e: Throwable => Some(e) }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      println(s"""{"metric":"query","name":"$name","value":${fmt(dt)},"unit":"sec"}""")
-      name -> dt
+      outcome match {
+        case None =>
+          println(s"""{"metric":"query","name":"$name","value":${fmt(dt)},"unit":"sec"}""")
+          name -> dt
+        case Some(e) =>
+          println(s"""{"metric":"query","name":"$name","value":-1,"unit":"sec","err":"${errMsg(e)}"}""")
+          name -> -1.0
+      }
     }
     // The driver records only a bounded TAIL of this process's stdout
     // (~2.2 KB at r7): a summary line keyed by full query names outgrew it
@@ -72,13 +87,18 @@ object Bench {
     // names are qNN_label with unique NN) rather than silently dropping data.
     val useShort = keys.distinct.size == results.size
     results.foreach { case (name, dt) =>
-      println(s"""{"metric":"query","name":"$name","value":${fmt(dt)},"unit":"sec"}""")
+      val v = if (dt < 0) "-1" else fmt(dt)
+      println(s"""{"metric":"query","name":"$name","value":$v,"unit":"sec"}""")
     }
     val qs = results.map { case (k, v) =>
-      "\"" + (if (useShort) shortKey(k) else k) + "\":" + fmt(v)
+      "\"" + (if (useShort) shortKey(k) else k) + "\":" + (if (v < 0) "-1" else fmt(v))
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Failed queries (value -1) are excluded from the total and counted
+    // explicitly — a partially-broken run can never read as a fast one.
+    val ok = results.collect { case (_, v) if v >= 0 => v }
+    val nErr = results.size - ok.size
+    val total = if (ok.nonEmpty) ok.sum else 0.0
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,11 +15,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Schema-drift canary FIRST: if the driver's tables changed shape under
+    // the engine (the r8 events regression), say so in one pointed line per
+    // drift before any query failure noise.
+    val drift = Schemas.check(spark, sfDir) ++ Schemas.checkEmbeddingDim(spark, sfDir)
+    drift.foreach(d => System.err.println(s"[verify][SCHEMA DRIFT] $d"))
+    // A failed dump must not let the correctness surface SHRINK silently
+    // (r8: 10 queries vanished from the driver's file with only stderr
+    // noise). Every failure lands in _failed.json and forces exit 1.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(300)
       }
       // the dedup-family queries register cached candidate intermediates
       // (the freeCandidateCaches contract); free per query like Bench's
@@ -45,6 +55,13 @@ object Verify {
     val json = SparkEntry.oracleSqlFor(sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failed.nonEmpty) {
+      val fj = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/_failed.json"), fj)
+      System.err.println(s"[verify] ${failed.size} of ${SparkEntry.queries.size} dumps FAILED: ${failed.keys.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

@@ -65,20 +65,39 @@ object Relational {
     }
   }
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark's vectorized reader rejects; read nanos as long and truncate to
-    * micros with integer arithmetic (ns ≈ 1.7e18 overflows double's exact
-    * range, so no FP division). DuckDB truncates ns→us identically. */
+  /** Schema-adaptive events reader. The driver has shipped the events
+    * table under two physical encodings across refreshes:
+    *   - TIMESTAMP(NANOS) parquet timestamps, which Spark's vectorized
+    *     reader rejects — read nanos as long (`nanosAsLong=true`) and
+    *     truncate to micros with integer arithmetic (ns ≈ 1.7e18 overflows
+    *     double's exact range, so no FP division; DuckDB truncates ns→us
+    *     identically);
+    *   - native timestamp[us] (isAdjustedToUTC=false ⇒ TIMESTAMP_NTZ in
+    *     Spark) — pass through, cast to session-local TimestampType so
+    *     every downstream consumer sees the same type either way (session
+    *     TZ is UTC everywhere in this library, so the cast is
+    *     value-preserving and matches what DuckDB reads).
+    * Branching on the *read-time* dtype of `ts` (not a hardcoded encoding)
+    * is what a production ingest layer owes its callers: both worlds read
+    * correctly with no caller-visible difference. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // nanosAsLong is only consulted at schema-inference time (the
-    // spark.read call below), so set-read-restore leaves no lasting
+    // spark.read call below) and only affects NANOS-typed columns, so
+    // set-read-restore is harmless on native-µs data and leaves no lasting
     // session-conf mutation for library users (verified by test).
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "true")
     try {
-      fanOut(t(spark, dir, "events"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = fanOut(t(spark, dir, "events"))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case _ => // TIMESTAMP_NTZ (µs/ms parquet, isAdjustedToUTC=false)
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
     } finally {
       prior match {
         case Some(v) => spark.conf.set(key, v)
