@@ -78,6 +78,22 @@ object DecodeKernels {
 
   def mp4Fixture(id: Long): Array[Byte] = Mp4.fixtureBytes(id)
 
+  /** Per-track metadata rows — one InternalRow per moov>trak, null for a
+    * structurally malformed container (the decodeTracks contract); a
+    * well-formed container with no tracks yields an EMPTY array, which
+    * explode() then drops — malformation and tracklessness stay
+    * distinguishable at the expression layer. */
+  def mp4TracksRow(bytes: Array[Byte]): ArrayData = {
+    val ts = Mp4.decodeTracks(bytes)
+    if (ts == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ts.map(t => new GenericInternalRow(Array[Any](
+        t.trackId, t.timescale, t.duration, t.nSamples,
+        t.durationMs)): Any))
+  }
+
+  def mp4FixtureTracks(id: Long): Array[Byte] = Mp4.fixtureBytesWithTracks(id)
+
   /** WAV sample ANALYSIS row — the audio feature-extract step past q79's
     * format/stats surface: zero crossings (per channel, sample j vs
     * j−channels over the interleaved raster), silence count (|s| below 1%
@@ -255,6 +271,51 @@ case class Mp4Fixture(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"$kn.mp4Fixture($c)")
   }
   override protected def withNewChildInternal(c: Expression): Mp4Fixture =
+    copy(child = c)
+}
+
+/** tracks = mp4_tracks(content): REAL ISO-BMFF TRACK-layer walk — one
+  * struct per moov>trak with the tkhd track id, mdhd media timescale and
+  * duration (v0+v1), the stts-derived sample/frame count, and the
+  * floor-div duration_ms. NULL (not an exception) for malformed bytes,
+  * same contract as Mp4Probe; an empty array for trackless containers. */
+case class Mp4Tracks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("track_id", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("n_samples", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("duration_ms", org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp4_tracks"
+  override def nullSafeEval(c: Any): Any =
+    DecodeKernels.mp4TracksRow(c.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $kn.mp4TracksRow($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): Mp4Tracks =
+    copy(child = c)
+}
+
+/** content = mp4_fixture_tracks(id): deterministic complete ISO-BMFF
+  * containers WITH real trak/tkhd/mdhd/stts structure (see
+  * Mp4.fixtureBytesWithTracks) — the corpus generator for the track
+  * layer, q82, and per-track frame sampling. */
+case class Mp4FixtureTracks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "mp4_fixture_tracks"
+  override def nullSafeEval(id: Any): Any =
+    DecodeKernels.mp4FixtureTracks(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$kn.mp4FixtureTracks($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Mp4FixtureTracks =
     copy(child = c)
 }
 

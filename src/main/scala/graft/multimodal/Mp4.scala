@@ -5,11 +5,16 @@ package graft.multimodal
   * `largesize` when size==1, size==0 meaning to-end-of-file, unknown
   * boxes skipped, `moov` recursed into for the `mvhd` movie header
   * (version 0 and 1 layouts) that carries the movie timescale and
-  * duration. This is the video analog of [[Wav]]'s RIFF move: the
-  * container STRUCTURE and metadata parse end-to-end without any codec
+  * duration — and, since r9, the TRACK layer: `trak > tkhd` (track id),
+  * `trak > mdia > mdhd` (media timescale/duration, v0 and v1) and
+  * `trak > mdia > minf > stbl > stts` (the time-to-sample table whose
+  * run-length entries carry the real per-track sample/frame count).
+  * This is the video analog of [[Wav]]'s RIFF move: the container
+  * STRUCTURE and metadata parse end-to-end without any codec
   * library — sample/frame DECODE (h264 etc.) genuinely needs one and
   * stays behind the clearly-marked stub in [[Multimodal]] (the
-  * frame-sampling plumbing consumes the REAL duration parsed here).
+  * frame-sampling plumbing consumes the REAL durations and stts sample
+  * counts parsed here).
   *
   * Reference semantics (capability parity, not code): the reference
   * pipeline has no media handling at all — this layer is part of the
@@ -25,6 +30,26 @@ object Mp4 {
     def durationMs: Long = duration * 1000L / timescale
   }
 
+  /** Parsed per-track metadata: tkhd track id, mdhd MEDIA timescale and
+    * duration (track time is expressed in its own timescale, not the
+    * movie's — the spec's one big trap), and the stts-derived sample
+    * count (Σ entry sample_counts — for video tracks this IS the frame
+    * count). */
+  final case class Track(trackId: Long, timescale: Int, duration: Long,
+      nSamples: Long) {
+    def durationMs: Long = duration * 1000L / timescale
+  }
+
+  /** Encoding spec for one track: the stts run-length entries
+    * (sampleCount, sampleDelta). Media duration is their exact integral:
+    * Σ count·delta — encode derives it so the mdhd and stts layers can
+    * never disagree in an encoded container. */
+  final case class TrackSpec(trackId: Long, timescale: Int,
+      stts: Seq[(Long, Long)]) {
+    def duration: Long = stts.iterator.map { case (c, d) => c * d }.sum
+    def nSamples: Long = stts.iterator.map(_._1).sum
+  }
+
   private def be32(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
       ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
@@ -32,6 +57,27 @@ object Mp4 {
     (be32(b, i) << 32) | be32(b, i + 4)
   private def fourcc(b: Array[Byte], i: Int): String =
     new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "US-ASCII")
+
+  /** Walk one box at `i` within `[i, end)`: (type, payloadStart,
+    * payloadEnd, nextBox), or null on structural malformation (header
+    * short of 8 bytes, largesize without room, size smaller than its own
+    * header, box overrunning its enclosing scope). Shared by the movie-
+    * and track-level walks so both enforce identical structure rules. */
+  private def boxAt(bytes: Array[Byte], i: Int, end: Int): (String, Int, Int, Int) = {
+    if (i + 8 > end) return null
+    val size32 = be32(bytes, i)
+    val typ = fourcc(bytes, i + 4)
+    var payload = i + 8
+    val boxEnd: Long =
+      if (size32 == 0L) end.toLong // to end of enclosing scope
+      else if (size32 == 1L) {
+        if (i + 16 > end) return null
+        payload = i + 16
+        i + be64(bytes, i + 8) // largesize counts from the box start
+      } else i + size32
+    if (boxEnd < payload || boxEnd > end) return null
+    (typ, payload, boxEnd.toInt, boxEnd.toInt)
+  }
 
   /** Parse the container; null on ANY malformation (header short of 8
     * bytes, size smaller than its own header, truncated box, missing or
@@ -46,23 +92,6 @@ object Mp4 {
     var timescale = 0
     var duration = -1L
     var nTop = 0
-    // walk one box level: returns (type, payloadStart, payloadEnd, nextBox)
-    // or null on structural malformation
-    def boxAt(i: Int, end: Int): (String, Int, Int, Int) = {
-      if (i + 8 > end) return null
-      val size32 = be32(bytes, i)
-      val typ = fourcc(bytes, i + 4)
-      var payload = i + 8
-      val boxEnd: Long =
-        if (size32 == 0L) end.toLong // to end of enclosing scope
-        else if (size32 == 1L) {
-          if (i + 16 > end) return null
-          payload = i + 16
-          i + be64(bytes, i + 8) // largesize counts from the box start
-        } else i + size32
-      if (boxEnd < payload || boxEnd > end) return null
-      (typ, payload, boxEnd.toInt, boxEnd.toInt)
-    }
     def parseMvhd(start: Int, end: Int): Boolean = {
       if (start >= end) return false
       val version = bytes(start) & 0xff
@@ -81,7 +110,7 @@ object Mp4 {
     }
     var i = 0
     while (i < n) {
-      val box = boxAt(i, n)
+      val box = boxAt(bytes, i, n)
       if (box == null) return null
       val (typ, payload, boxEnd, next) = box
       nTop += 1
@@ -93,7 +122,7 @@ object Mp4 {
           // second level: find mvhd among moov's children
           var j = payload
           while (j < boxEnd) {
-            val child = boxAt(j, boxEnd)
+            val child = boxAt(bytes, j, boxEnd)
             if (child == null) return null
             val (ctyp, cpay, cend, cnext) = child
             if (ctyp == "mvhd" && !parseMvhd(cpay, cend)) return null
@@ -107,23 +136,162 @@ object Mp4 {
     Meta(brand, timescale, duration, nTop)
   }
 
+  /** Parse the TRACK layer: one [[Track]] per `moov > trak`, in file
+    * order. Same totality contract as [[decode]]: null on any structural
+    * malformation — including a trak missing its tkhd, mdhd, or stts
+    * (all three are mandatory in the spec; their absence means the
+    * container is broken, not "a track with defaults") — and an EMPTY
+    * array for a well-formed container with no tracks (metadata-only
+    * files exist). Unknown siblings at every level (edts, udta, hdlr,
+    * vmhd, stsd, stsz, stco, …) are skipped by declared size. */
+  def decodeTracks(bytes: Array[Byte]): Array[Track] = {
+    if (bytes == null || bytes.length < 8) return null
+    val n = bytes.length
+    val out = scala.collection.mutable.ArrayBuffer[Track]()
+    // returns false on malformation
+    def parseTrak(start: Int, end: Int): Boolean = {
+      var trackId = -1L
+      var timescale = 0
+      var duration = -1L
+      var nSamples = -1L
+      def parseTkhd(s: Int, e: Int): Boolean = {
+        if (s >= e) return false
+        val v = bytes(s) & 0xff
+        // v0: ver/flags(4) ctime(4) mtime(4) track_id(4)
+        // v1: ver/flags(4) ctime(8) mtime(8) track_id(4)
+        if (v == 0) { if (s + 16 > e) return false; trackId = be32(bytes, s + 12) }
+        else if (v == 1) { if (s + 24 > e) return false; trackId = be32(bytes, s + 20) }
+        else return false
+        trackId > 0 // 0 is reserved/invalid per spec
+      }
+      def parseMdhd(s: Int, e: Int): Boolean = {
+        if (s >= e) return false
+        val v = bytes(s) & 0xff
+        // layouts mirror mvhd exactly
+        if (v == 0) {
+          if (s + 20 > e) return false
+          timescale = be32(bytes, s + 12).toInt
+          duration = be32(bytes, s + 16)
+        } else if (v == 1) {
+          if (s + 32 > e) return false
+          timescale = be32(bytes, s + 20).toInt
+          duration = be64(bytes, s + 24)
+        } else return false
+        timescale > 0 && duration >= 0
+      }
+      def parseStts(s: Int, e: Int): Boolean = {
+        // ver/flags(4) entry_count(4) then (sample_count, sample_delta)×n
+        if (s + 8 > e) return false
+        if ((bytes(s) & 0xff) != 0) return false // only version 0 exists
+        val entries = be32(bytes, s + 4)
+        if (s + 8 + entries * 8 > e) return false
+        var total = 0L
+        var k = 0L
+        while (k < entries) {
+          total += be32(bytes, s + 8 + (k * 8).toInt)
+          k += 1
+        }
+        nSamples = total
+        true
+      }
+      // walk a container box's children looking for one named target,
+      // recursing through the given path: trak > {tkhd, mdia > {mdhd,
+      // minf > stbl > stts}}
+      def walk(s: Int, e: Int, handle: ((String, Int, Int)) => Boolean): Boolean = {
+        var j = s
+        while (j < e) {
+          val child = boxAt(bytes, j, e)
+          if (child == null) return false
+          val (typ, pay, pend, next) = child
+          if (!handle((typ, pay, pend))) return false
+          j = next
+        }
+        true
+      }
+      val ok = walk(start, end, {
+        case ("tkhd", s, e) => parseTkhd(s, e)
+        case ("mdia", ms, me) => walk(ms, me, {
+          case ("mdhd", s, e) => parseMdhd(s, e)
+          case ("minf", fs, fe) => walk(fs, fe, {
+            case ("stbl", bs, be) => walk(bs, be, {
+              case ("stts", s, e) => parseStts(s, e)
+              case _ => true // stsd, stsz, stco, … skipped
+            })
+            case _ => true // vmhd, smhd, dinf, … skipped
+          })
+          case _ => true // hdlr, elng, … skipped
+        })
+        case _ => true // edts, udta, … skipped
+      })
+      if (!ok || trackId < 0 || timescale <= 0 || duration < 0 || nSamples < 0)
+        return false // mandatory box absent or malformed
+      out += Track(trackId, timescale, duration, nSamples)
+      true
+    }
+    var i = 0
+    while (i < n) {
+      val box = boxAt(bytes, i, n)
+      if (box == null) return null
+      val (typ, payload, boxEnd, next) = box
+      if (typ == "moov") {
+        var j = payload
+        while (j < boxEnd) {
+          val child = boxAt(bytes, j, boxEnd)
+          if (child == null) return null
+          val (ctyp, cpay, cend, cnext) = child
+          if (ctyp == "trak" && !parseTrak(cpay, cend)) return null
+          j = cnext
+        }
+      }
+      i = next
+    }
+    out.toArray
+  }
+
   /** Serialize a canonical minimal container: `ftyp` (major brand +
     * minor version only), `moov` holding one spec-complete version-0
     * `mvhd` (108 bytes), and an `mdat` with the given payload. Inverse
     * of [[decode]] for the metadata it carries. */
   def encode(majorBrand: String, timescale: Int, duration: Long,
-      mdat: Array[Byte]): Array[Byte] = {
+      mdat: Array[Byte]): Array[Byte] =
+    encodeWithTracks(majorBrand, timescale, duration, Nil, mdat)
+
+  /** Serialize a canonical container with real track structure: each
+    * [[TrackSpec]] becomes `trak > tkhd` (v0, 92-byte box) + `mdia >
+    * mdhd` (v0, 32-byte box, language 'und') + `mdia > minf > stbl >
+    * stts` with the spec's run-length entries; the mdhd duration is the
+    * exact stts integral. Inverse of [[decodeTracks]]. */
+  def encodeWithTracks(majorBrand: String, timescale: Int, duration: Long,
+      tracks: Seq[TrackSpec], mdat: Array[Byte]): Array[Byte] = {
     require(majorBrand.length == 4, s"brand must be a 4cc: '$majorBrand'")
     require(timescale > 0, s"bad timescale $timescale")
     require(duration >= 0 && duration <= 0xffffffffL,
       s"v0 mvhd duration out of 32-bit range: $duration")
-    val out = java.nio.ByteBuffer.allocate(16 + 116 + 8 + mdat.length)
+    tracks.foreach { t =>
+      require(t.trackId > 0 && t.trackId <= 0xffffffffL, s"bad track id ${t.trackId}")
+      require(t.timescale > 0, s"bad track timescale ${t.timescale}")
+      require(t.duration <= 0xffffffffL,
+        s"v0 mdhd duration out of 32-bit range: ${t.duration}")
+      t.stts.foreach { case (c, d) =>
+        require(c >= 0 && c <= 0xffffffffL && d >= 0 && d <= 0xffffffffL,
+          s"stts entry out of 32-bit range: ($c, $d)")
+      }
+    }
+    def trakSize(t: TrackSpec): Int = {
+      val stts = 16 + 8 * t.stts.length
+      val stbl = 8 + stts
+      val minf = 8 + stbl
+      val mdia = 8 + 32 + minf
+      8 + 92 + mdia
+    }
+    val moovSize = 8 + 108 + tracks.map(trakSize).sum
+    val out = java.nio.ByteBuffer.allocate(16 + moovSize + 8 + mdat.length)
     def put32(v: Long): Unit = out.putInt((v & 0xffffffffL).toInt)
     // ftyp
     put32(16); out.put("ftyp".getBytes("US-ASCII"))
     out.put(majorBrand.getBytes("US-ASCII")); put32(0) // minor version
     // moov > mvhd (v0, 108 bytes: 8 header + 100 payload)
-    put32(116); out.put("moov".getBytes("US-ASCII"))
+    put32(moovSize); out.put("moov".getBytes("US-ASCII"))
     put32(108); out.put("mvhd".getBytes("US-ASCII"))
     put32(0)          // version 0 + flags
     put32(0); put32(0) // creation/modification time
@@ -137,6 +305,45 @@ object Mp4 {
     put32(0); put32(0); put32(0x40000000L)
     for (_ <- 0 until 6) put32(0) // pre_defined
     put32(0)          // next_track_id
+    // moov > trak per spec'd track
+    tracks.foreach { t =>
+      val sttsBox = 16 + 8 * t.stts.length
+      val stblBox = 8 + sttsBox
+      val minfBox = 8 + stblBox
+      val mdiaBox = 8 + 32 + minfBox
+      put32(8 + 92 + mdiaBox); out.put("trak".getBytes("US-ASCII"))
+      // tkhd v0 (92-byte box): the one field the track layer keys on is
+      // track_id; duration here is in MOVIE timescale per spec (floor-
+      // rescaled from media time), layer/volume/matrix canonical zeros.
+      put32(92); out.put("tkhd".getBytes("US-ASCII"))
+      put32(7)           // version 0 + flags (enabled | in movie | in preview)
+      put32(0); put32(0) // creation/modification time
+      put32(t.trackId)
+      put32(0)           // reserved
+      put32(t.duration * timescale / t.timescale) // movie-timescale duration
+      put32(0); put32(0) // reserved
+      out.putShort(0); out.putShort(0) // layer, alternate_group
+      out.putShort(0); out.putShort(0) // volume (0 for video), reserved
+      put32(0x00010000L); put32(0); put32(0)
+      put32(0); put32(0x00010000L); put32(0)
+      put32(0); put32(0); put32(0x40000000L)
+      put32(0); put32(0)  // width, height (fixed-point; 0 = non-visual)
+      // mdia > mdhd v0 (32-byte box)
+      put32(mdiaBox); out.put("mdia".getBytes("US-ASCII"))
+      put32(32); out.put("mdhd".getBytes("US-ASCII"))
+      put32(0)           // version 0 + flags
+      put32(0); put32(0) // creation/modification time
+      put32(t.timescale); put32(t.duration)
+      out.putShort(0x55c4.toShort) // language 'und' (5-bit packed)
+      out.putShort(0)    // pre_defined
+      // mdia > minf > stbl > stts
+      put32(minfBox); out.put("minf".getBytes("US-ASCII"))
+      put32(stblBox); out.put("stbl".getBytes("US-ASCII"))
+      put32(sttsBox); out.put("stts".getBytes("US-ASCII"))
+      put32(0)           // version 0 + flags
+      put32(t.stts.length)
+      t.stts.foreach { case (c, d) => put32(c); put32(d) }
+    }
     // mdat
     put32(8L + mdat.length); out.put("mdat".getBytes("US-ASCII"))
     out.put(mdat)
@@ -161,5 +368,33 @@ object Mp4 {
       j += 1
     }
     encode("isom", ts, dur, payload)
+  }
+
+  /** Deterministic fixture with REAL track structure — [[fixtureBytes]]'
+    * movie-level laws plus, for track k (0-based, of 1 + id mod 2):
+    *   track_id        = k + 1
+    *   media timescale = 1000 + ((id + k) mod 4)·500
+    *   stts            = [(3 + (id + k) mod 5, 100), (1 + (id + k) mod 3, 250)]
+    *   ⇒ n_samples     = n1 + n2,   media duration = n1·100 + n2·250
+    * — pure id arithmetic end-to-end, so the track layer gets the same
+    * full-arithmetic DuckDB oracle treatment as the movie layer. */
+  def fixtureBytesWithTracks(id: Long): Array[Byte] = {
+    val ts = (600 + java.lang.Math.floorMod(id, 3L) * 400).toInt
+    val dur = 1200 + java.lang.Math.floorMod(id, 5L) * 700
+    val nPayload = (1 + java.lang.Math.floorMod(id, 9L)).toInt
+    val payload = new Array[Byte](nPayload)
+    var j = 0
+    while (j < nPayload) {
+      payload(j) = java.lang.Math.floorMod(id * 13 + j * 17L, 256L).toByte
+      j += 1
+    }
+    val nTracks = (1 + java.lang.Math.floorMod(id, 2L)).toInt
+    val tracks = (0 until nTracks).map { k =>
+      val n1 = 3 + java.lang.Math.floorMod(id + k, 5L)
+      val n2 = 1 + java.lang.Math.floorMod(id + k, 3L)
+      TrackSpec(k + 1L, (1000 + java.lang.Math.floorMod(id + k, 4L) * 500).toInt,
+        Seq((n1, 100L), (n2, 250L)))
+    }
+    encodeWithTracks("isom", ts, dur, tracks, payload)
   }
 }

@@ -184,6 +184,55 @@ object Multimodal {
         col("__m.n_top_boxes").as("n_top_boxes"))
   }
 
+  /** REAL video TRACK path: walk each container's moov>trak boxes and
+    * emit one row per track — tkhd track id, mdhd media timescale and
+    * duration (track time is in the track's OWN timescale, the spec's
+    * classic trap), the stts-derived sample/frame count, floor-div
+    * duration_ms, and the derived mean sample rate. Malformed containers
+    * yield no rows (null array never explodes); trackless containers
+    * yield no rows (empty array) — both degrade, never error. */
+  def probeTracks(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    media
+      .select(
+        col("media_id"),
+        explode(column(Mp4Tracks(expression(col("content"))))).as("__t"))
+      .select(
+        col("media_id"),
+        col("__t.track_id").as("track_id"),
+        col("__t.timescale").as("track_timescale"),
+        col("__t.duration").as("track_duration"),
+        col("__t.n_samples").as("n_samples"),
+        col("__t.duration_ms").as("duration_ms"),
+        (col("__t.n_samples").cast("double") * col("__t.timescale")
+          / col("__t.duration")).as("sample_rate"))
+  }
+
+  /** Frame sampling driven by the REAL parsed sample tables: one row per
+    * (track, sample index) where the index range is the track's OWN stts
+    * sample count — not a caller guess, not a fixed rate. Tracks with
+    * zero samples contribute no rows; malformed containers degrade to no
+    * rows. Frame DECODE stays the documented stub behind the codec
+    * boundary — the sampling PLUMBING (which track, how many frames,
+    * which index) is what's real here. */
+  def probeAndSampleFramesByTrack(media: DataFrame, cellW: Int = 4,
+      cellH: Int = 4): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val tracks = media
+      .select(col("media_id"), col("content"),
+        explode(column(Mp4Tracks(expression(col("content"))))).as("__t"))
+      .filter(col("__t.n_samples") > 0)
+    val withSamples = tracks.select(
+      col("media_id"), col("content"),
+      col("__t.track_id").as("track_id"),
+      explode(sequence(lit(0L), col("__t.n_samples") - 1)).as("sample_idx"))
+    val content = coalesce(col("content"), lit(Array.emptyByteArray))
+    withSamples.select(
+      col("media_id"), col("track_id"), col("sample_idx"),
+      column(StubFrameDecode(expression(content), expression(col("sample_idx")),
+        cellW, cellH)).as("frame_feat"))
+  }
+
   /** Frame sampling driven by the REAL parsed container duration instead
     * of caller-supplied metadata: probe the box tree, then emit one row
     * per sampled frame at `everyMs` over the mvhd-derived duration

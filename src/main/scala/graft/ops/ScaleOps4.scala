@@ -428,6 +428,52 @@ object ScaleOps4 {
       |  3 AS n_top_boxes
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** q82: REAL ISO-BMFF TRACK-layer probe — the r9 depth step past q81's
+    * movie header: per-track tkhd/mdhd/stts extraction over fixture
+    * containers that carry real trak box trees. The Spark side walks
+    * four nesting levels (moov>trak>mdia>minf>stbl>stts) and sums the
+    * stts run-lengths; a size, nesting, or big-endian bug at ANY level
+    * breaks the hash. Explode of a kernel-produced array — still
+    * shuffle-free up to the final order-by. */
+  def q82TrackStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val media = docs.select(
+      col("doc_id").cast("long").as("media_id"),
+      column(graft.multimodal.Mp4FixtureTracks(
+        expression(col("doc_id").cast("long")))).as("content"))
+    graft.multimodal.Multimodal.probeTracks(media)
+      .orderBy(col("media_id"), col("track_id"))
+  }
+
+  /** DuckDB mirror of q82: the track fixture law is pure id arithmetic
+    * (1 + id%2 tracks; track k has timescale 1000 + ((id+k)%4)·500 and
+    * stts [(3+(id+k)%5, 100), (1+(id+k)%3, 250)]), so media duration
+    * (= the stts integral), sample count, floor-div duration_ms, and
+    * the mean sample rate all re-derive without touching bytes. The
+    * double math mirrors Spark's op order exactly: CAST(n AS DOUBLE) ·
+    * timescale / duration. */
+  val q82Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |    1 + doc_id % 2 AS ntracks
+      |  FROM documents
+      |), t AS (
+      |  SELECT media_id, k + 1 AS track_id,
+      |    CAST(1000 + ((media_id + k) % 4) * 500 AS INTEGER) AS track_timescale,
+      |    3 + (media_id + k) % 5 AS n1,
+      |    1 + (media_id + k) % 3 AS n2
+      |  FROM d CROSS JOIN range(0, 2) AS r(k) WHERE k < ntracks
+      |)
+      |SELECT media_id,
+      |  CAST(track_id AS BIGINT) AS track_id,
+      |  track_timescale,
+      |  CAST(n1 * 100 + n2 * 250 AS BIGINT) AS track_duration,
+      |  CAST(n1 + n2 AS BIGINT) AS n_samples,
+      |  CAST((n1 * 100 + n2 * 250) * 1000 // track_timescale AS BIGINT) AS duration_ms,
+      |  CAST(n1 + n2 AS DOUBLE) * track_timescale / (n1 * 100 + n2 * 250) AS sample_rate
+      |FROM t ORDER BY media_id, track_id""".stripMargin
+
   /** Mirror = the shared q60/q75 clustering chain + the same
     * quality-ranked keeper window, rolled up per source with
     * HUGEINT-safe integer sums. */

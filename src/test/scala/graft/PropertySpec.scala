@@ -201,4 +201,43 @@ class PropertySpec extends AnyFunSuite {
         m.duration == dur && m.nTopBoxes == 3)
     }
   }
+
+  test("Mp4 track layer: decodeTracks total on fixture prefixes and random bytes") {
+    import graft.multimodal.Mp4
+    val fx = Mp4.fixtureBytesWithTracks(11L)
+    for (i <- 0 to fx.length) Mp4.decodeTracks(fx.take(i)) // no throw
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val b = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(b)
+      Mp4.decodeTracks(b) // no throw
+    }
+  }
+
+  test("Mp4 track layer: decodeTracks ∘ encodeWithTracks is identity for every valid shape") {
+    import graft.multimodal.Mp4
+    import graft.multimodal.Mp4.TrackSpec
+    val gen = for {
+      n <- Gen.choose(1, 3)
+      specs <- Gen.listOfN(n, for {
+        ts <- Gen.choose(1, 1000000)
+        entries <- Gen.choose(0, 4)
+        stts <- Gen.listOfN(entries, for {
+          c <- Gen.choose(0L, 1000L)
+          d <- Gen.choose(0L, 5000L)
+        } yield (c, d))
+      } yield (ts, stts))
+    } yield specs.zipWithIndex.map { case ((ts, stts), k) =>
+      TrackSpec(k + 1L, ts, stts)
+    }
+    forAll(gen) { tracks =>
+      val got = Mp4.decodeTracks(Mp4.encodeWithTracks(
+        "isom", 600, 1200L, tracks, Array[Byte](1, 2)))
+      assert(got != null && got.length == tracks.length)
+      tracks.zip(got).foreach { case (spec, t) =>
+        assert(t == Mp4.Track(spec.trackId, spec.timescale, spec.duration,
+          spec.nSamples), s"spec $spec -> $t")
+      }
+    }
+  }
 }

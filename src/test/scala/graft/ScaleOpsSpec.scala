@@ -754,6 +754,116 @@ class MultimodalSpec extends GraftSuite {
     assert(frames.count() == 4) // frames at 0,1000,2000,3000 ms
     assert(frames.schema("frame_feat").dataType.typeName == "array")
   }
+
+  test("Mp4.decodeTracks walks trak/tkhd/mdhd/stts: round trip, multi-track, v1 mdhd, empty stts") {
+    import graft.multimodal.Mp4
+    import graft.multimodal.Mp4.TrackSpec
+    // two tracks, multi-entry stts; round trip carries every field
+    val tracks = Seq(
+      TrackSpec(1L, 1000, Seq((3L, 100L), (2L, 250L))),
+      TrackSpec(2L, 90000, Seq((30L, 3000L))))
+    val bytes = Mp4.encodeWithTracks("isom", 600, 1200L, tracks, Array[Byte](5))
+    // the movie layer still parses (and counts 3 top boxes)
+    val meta = Mp4.decode(bytes)
+    assert(meta != null && meta.majorBrand == "isom" && meta.nTopBoxes == 3)
+    val ts = Mp4.decodeTracks(bytes)
+    assert(ts != null && ts.length == 2, s"tracks: ${ts.mkString(",")}")
+    assert(ts(0) == Mp4.Track(1L, 1000, 3L * 100 + 2L * 250, 5L))
+    assert(ts(1) == Mp4.Track(2L, 90000, 90000L, 30L))
+    assert(ts(1).durationMs == 1000L)
+    // trackless container: EMPTY array (not null) — metadata-only files
+    assert(Mp4.decodeTracks(Mp4.encode("isom", 600, 1200L, Array[Byte](1)))
+      .sameElements(Array.empty[Mp4.Track]))
+    // zero-entry stts: a track with no samples is well-formed
+    val empty = Mp4.encodeWithTracks("isom", 600, 0L,
+      Seq(TrackSpec(7L, 48000, Nil)), Array.emptyByteArray)
+    val et = Mp4.decodeTracks(empty)
+    assert(et != null && et.length == 1 && et(0).nSamples == 0L && et(0).duration == 0L)
+    // version-1 tkhd/mdhd (64-bit times) parse through the v1 layouts:
+    // splice a hand-built v1 trak into a trackless container
+    def be32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val tkhd = be32(32) ++ "tkhd".getBytes("US-ASCII") ++
+      Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](16)(0) ++ be32(9L) // v1: id after 8+8
+    val stts = be32(24) ++ "stts".getBytes("US-ASCII") ++ be32(0) ++
+      be32(1) ++ be32(4) ++ be32(500)
+    val mdhdV1 = be32(40) ++ "mdhd".getBytes("US-ASCII") ++
+      Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](16)(0) ++
+      be32(1000) ++ be32(0) ++ be32(2000) // v1: ts then 64-bit duration
+    val stbl = be32(8 + stts.length) ++ "stbl".getBytes("US-ASCII") ++ stts
+    val minf = be32(8 + stbl.length) ++ "minf".getBytes("US-ASCII") ++ stbl
+    val mdia = be32(8 + mdhdV1.length + minf.length) ++ "mdia".getBytes("US-ASCII") ++ mdhdV1 ++ minf
+    val trak = be32(8 + tkhd.length + mdia.length) ++ "trak".getBytes("US-ASCII") ++ tkhd ++ mdia
+    val base = Mp4.encode("mp42", 600, 1200L, Array.emptyByteArray)
+    // grow the moov box (at offset 16, size 116) to include the trak
+    val newMoovSize = 116 + trak.length
+    val spliced = base.take(16) ++ be32(newMoovSize) ++
+      base.slice(20, 132) ++ trak ++ base.drop(132)
+    val v1t = Mp4.decodeTracks(spliced)
+    assert(v1t != null && v1t.length == 1 &&
+      v1t(0) == Mp4.Track(9L, 1000, 2000L, 4L), s"v1: ${v1t.mkString(",")}")
+  }
+
+  test("Mp4.decodeTracks rejects malformed track layers with null, never an exception") {
+    import graft.multimodal.Mp4
+    import graft.multimodal.Mp4.TrackSpec
+    val good = Mp4.encodeWithTracks("isom", 600, 1200L,
+      Seq(TrackSpec(1L, 1000, Seq((3L, 100L)))), Array[Byte](1))
+    assert(Mp4.decodeTracks(good) != null)
+    assert(Mp4.decodeTracks(null) == null)
+    assert(Mp4.decodeTracks(good.take(30)) == null)   // truncated mid-moov
+    def corrupt(mutate: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); mutate(b); b
+    }
+    // layout of `good`: ftyp 0..15 | moov@16 (hdr 16..23, mvhd 24..131,
+    // trak@132: hdr ..139, tkhd@140 (payload 148: verflags 4, ctime 4,
+    // mtime 4 -> track_id 160..163), mdia@232: hdr ..239, mdhd@240
+    // (payload 248 -> timescale 260..263), minf@272, stbl@280, stts@288
+    // (payload 296: verflags ..299, entry_count 300..303)) | mdat@312
+    assert(Mp4.decodeTracks(corrupt(b => b(163) = 0)) == null) // track_id 0
+    assert(Mp4.decodeTracks(corrupt(b => {
+      b(260) = 0; b(261) = 0; b(262) = 0; b(263) = 0 })) == null) // mdhd ts 0
+    assert(Mp4.decodeTracks(corrupt(b => b(303) = 99.toByte)) == null) // stts count overruns box
+    // truncation INSIDE the stts entries: the enclosing moov overruns the
+    // buffer end -> structural null
+    assert(Mp4.decodeTracks(good.take(308)) == null)
+  }
+
+  test("q82 track stats matches the fixture law computed independently (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.ops.ScaleOps4.q82TrackStats(spark, sf).collect()
+    // row count: Σ over doc_id of (1 + id%2)
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").as[Long].collect()
+    assert(out.length == ids.map(id => 1 + (id % 2)).sum)
+    val byKey = out.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    for (id <- ids.take(20); k <- 0L until (1 + id % 2)) {
+      val r = byKey((id, k + 1))
+      val n1 = 3 + (id + k) % 5
+      val n2 = 1 + (id + k) % 3
+      val ts = (1000 + ((id + k) % 4) * 500).toInt
+      val dur = n1 * 100 + n2 * 250
+      assert(r.getInt(2) == ts && r.getLong(3) == dur &&
+        r.getLong(4) == n1 + n2 && r.getLong(5) == dur * 1000 / ts, s"$r")
+      assert(r.getDouble(6) == (n1 + n2).toDouble * ts / dur, s"$r")
+    }
+  }
+
+  test("probeAndSampleFramesByTrack: stts sample counts drive per-track frame rows") {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val ids = Seq(2L, 3L).toDF("media_id")
+    val withTracks = ids.select(col("media_id"),
+      column(graft.multimodal.Mp4FixtureTracks(expression(col("media_id")))).as("content"))
+    val badRow = Seq((99L, "junk".getBytes)).toDF("media_id", "content")
+    val perTrack = Multimodal
+      .probeAndSampleFramesByTrack(withTracks.unionByName(badRow))
+      .groupBy("media_id", "track_id").count()
+      .orderBy("media_id", "track_id").collect()
+    // id 2: 1 track (k=0): n = 3+(2%5) + 1+(2%3) = 5+3 = 8
+    // id 3: 2 tracks: k=0 -> 3+3 + 1+0 = 7; k=1 -> 3+4 + 1+1 = 9
+    assert(perTrack.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((2L, 1L, 8L), (3L, 1L, 7L), (3L, 2L, 9L)), perTrack.mkString(","))
+  }
 }
 
 class TextAnalysisSpec extends GraftSuite {
