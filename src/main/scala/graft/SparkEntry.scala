@@ -92,6 +92,7 @@ object SparkEntry {
     "q80_audio_stats"     -> (graft.ops.ScaleOps4.q80AudioStats _),
     "q81_mp4_probe"       -> (graft.ops.ScaleOps4.q81Mp4Probe _),
     "q82_mp4_tracks"      -> (graft.ops.ScaleOps4.q82TrackStats _),
+    "q83_mp3_scan"        -> (graft.ops.ScaleOps4.q83Mp3Scan _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -198,6 +199,7 @@ object SparkEntry {
     "q80_audio_stats"     -> graft.ops.ScaleOps4.q80Sql,
     "q81_mp4_probe"       -> graft.ops.ScaleOps4.q81Sql,
     "q82_mp4_tracks"      -> graft.ops.ScaleOps4.q82Sql,
+    "q83_mp3_scan"        -> graft.ops.ScaleOps4.q83Sql,
     // q21-q24 carry full DuckDB mirrors: FNV-1a signature arithmetic for
     // q21-q23 (ScaleOps.duckFnv) and the inlined ±1 hyperplane sign
     // matrix + list_inner_product double accumulation for q24

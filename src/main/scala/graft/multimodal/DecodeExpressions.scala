@@ -94,6 +94,19 @@ object DecodeKernels {
 
   def mp4FixtureTracks(id: Long): Array[Byte] = Mp4.fixtureBytesWithTracks(id)
 
+  /** MP3 stream facts row — the frame-walk surface: sampling rate, frame
+    * count, exact sample count and floor-div duration, and the exact
+    * Σ per-frame bitrate (averaging derives outside, in plan space).
+    * Null for malformed/unsupported bytes (decode contract). */
+  def mp3ScanRow(bytes: Array[Byte]): InternalRow = {
+    val a = Mp3.decode(bytes)
+    if (a == null) null
+    else new GenericInternalRow(Array[Any](
+      a.sampleRate, a.nFrames, a.nSamples, a.durationMs, a.sumBitrateKbps))
+  }
+
+  def mp3Fixture(id: Long): Array[Byte] = Mp3.fixtureBytes(id)
+
   /** WAV sample ANALYSIS row — the audio feature-extract step past q79's
     * format/stats surface: zero crossings (per channel, sample j vs
     * j−channels over the interleaved raster), silence count (|s| below 1%
@@ -316,6 +329,49 @@ case class Mp4FixtureTracks(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"$kn.mp4FixtureTracks($c)")
   }
   override protected def withNewChildInternal(c: Expression): Mp4FixtureTracks =
+    copy(child = c)
+}
+
+/** facts = mp3_scan(content): REAL MPEG-1 Layer III frame walk — ID3v2
+  * skip (synchsafe size), per-frame header decode (sync, version/layer,
+  * bitrate and sampling-rate indices, padding), spec-exact frame-length
+  * stepping. NULL (not an exception) for malformed or unsupported
+  * bytes, same contract as WavDecode/Mp4Probe. */
+case class Mp3Scan(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_frames", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("n_samples", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("duration_ms", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("sum_kbps", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp3_scan"
+  override def nullSafeEval(c: Any): Any =
+    DecodeKernels.mp3ScanRow(c.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $kn.mp3ScanRow($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): Mp3Scan =
+    copy(child = c)
+}
+
+/** content = mp3_fixture(id): deterministic spec-exact MPEG-1 Layer III
+  * streams with per-frame-varying bitrates (see Mp3.fixtureBytes) — the
+  * corpus generator for the MP3 layer and q83. */
+case class Mp3Fixture(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "mp3_fixture"
+  override def nullSafeEval(id: Any): Any =
+    DecodeKernels.mp3Fixture(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$kn.mp3Fixture($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Mp3Fixture =
     copy(child = c)
 }
 

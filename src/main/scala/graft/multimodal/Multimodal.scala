@@ -160,6 +160,28 @@ object Multimodal {
         col("__st.rms").as("rms"))
   }
 
+  /** REAL MP3 path: walk each `content` blob's MPEG-1 Layer III frames
+    * (ID3v2-aware) and emit the sampling rate, frame/sample counts,
+    * floor-div duration, and the exact mean bitrate — elementary-stream
+    * structure parses for real ([[Mp3]]); sample decode stays behind the
+    * codec stub. NULL degradation on malformed/unsupported bytes. */
+  def scanMp3(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    media
+      .select(
+        col("media_id"),
+        length(col("content")).cast("long").as("n_bytes"),
+        column(Mp3Scan(expression(col("content")))).as("__m"))
+      .select(
+        col("media_id"), col("n_bytes"),
+        col("__m.sample_rate").as("sample_rate"),
+        col("__m.n_frames").as("n_frames"),
+        col("__m.n_samples").as("n_samples"),
+        col("__m.duration_ms").as("duration_ms"),
+        (col("__m.sum_kbps").cast("double")
+          / col("__m.n_frames").cast("double")).as("avg_kbps"))
+  }
+
   /** REAL video CONTAINER path: walk each `content` blob's ISO-BMFF box
     * tree and emit the ftyp brand, mvhd timescale/duration, the derived
     * duration_ms, and the top-level box count — container structure and

@@ -474,6 +474,56 @@ object ScaleOps4 {
       |  CAST(n1 + n2 AS DOUBLE) * track_timescale / (n1 * 100 + n2 * 250) AS sample_rate
       |FROM t ORDER BY media_id, track_id""".stripMargin
 
+  /** q83: REAL MPEG-1 Layer III frame walk over fixture audio streams —
+    * the third audio surface past q79/q80's RIFF/WAVE: an
+    * elementary-stream format where frame N+1's position is only
+    * knowable by sizing frame N correctly (sync stepping), with ID3v2
+    * tags on a quarter of the corpus. Per-frame bitrates VARY, so the
+    * byte total, frame count, and bitrate sum all prove the walk. */
+  def q83Mp3Scan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val media = docs.select(
+      col("doc_id").cast("long").as("media_id"),
+      column(graft.multimodal.Mp3Fixture(
+        expression(col("doc_id").cast("long")))).as("content"))
+    graft.multimodal.Multimodal.scanMp3(media)
+      .orderBy(col("media_id"))
+  }
+
+  /** DuckDB mirror of q83: the fixture law is pure id arithmetic
+    * (rate = [44100,48000,32000][id%3]; 2 + id%5 frames; frame j has
+    * bitrate [128,160,192][(id+j)%3] and padding (id+j)%2; ID3v2 of
+    * 10 + id%7 bytes iff id%4=0), so the spec frame-length formula
+    * floor(144000·kbps/rate) + pad re-derives every total without
+    * touching bytes. */
+  val q83Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |    2 + doc_id % 5 AS nf,
+      |    CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS rate
+      |  FROM documents
+      |), f AS (
+      |  SELECT media_id, rate, nf, j,
+      |    CASE (media_id + j) % 3 WHEN 0 THEN 128 WHEN 1 THEN 160 ELSE 192 END AS kbps,
+      |    (media_id + j) % 2 AS pad
+      |  FROM d CROSS JOIN range(0, 7) AS r(j) WHERE j < nf
+      |), agg AS (
+      |  SELECT media_id, rate, nf,
+      |    SUM(144000 * kbps // rate + pad) AS audio_bytes,
+      |    SUM(kbps) AS sum_kbps
+      |  FROM f GROUP BY media_id, rate, nf
+      |)
+      |SELECT media_id,
+      |  CAST(CASE WHEN media_id % 4 = 0 THEN 10 + media_id % 7 ELSE 0 END
+      |    + audio_bytes AS BIGINT) AS n_bytes,
+      |  rate AS sample_rate,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(nf * 1152 AS BIGINT) AS n_samples,
+      |  CAST(nf * 1152 * 1000 // rate AS BIGINT) AS duration_ms,
+      |  CAST(sum_kbps AS DOUBLE) / CAST(nf AS DOUBLE) AS avg_kbps
+      |FROM agg ORDER BY media_id""".stripMargin
+
   /** Mirror = the shared q60/q75 clustering chain + the same
     * quality-ranked keeper window, rolled up per source with
     * HUGEINT-safe integer sums. */

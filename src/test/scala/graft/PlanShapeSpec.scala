@@ -223,7 +223,8 @@ class PlanShapeSpec extends GraftSuite {
         (graft.ops.ScaleOps4.q79WavDecode(spark, sf), "wav_decode"),
         (graft.ops.ScaleOps4.q80AudioStats(spark, sf), "wav_analyze"),
         (graft.ops.ScaleOps4.q81Mp4Probe(spark, sf), "mp4_probe"),
-        (graft.ops.ScaleOps4.q82TrackStats(spark, sf), "mp4_tracks"))) {
+        (graft.ops.ScaleOps4.q82TrackStats(spark, sf), "mp4_tracks"),
+        (graft.ops.ScaleOps4.q83Mp3Scan(spark, sf), "mp3_scan"))) {
       val p = plan(df)
       assert(p.contains(kernel), p)
       assert(!p.contains("Join"), p)

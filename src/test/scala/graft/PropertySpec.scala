@@ -240,4 +240,37 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Mp3: decode ∘ encode is the identity for every valid shape") {
+    import graft.multimodal.Mp3
+    val gen = for {
+      sr <- Gen.choose(0, 2)
+      n <- Gen.choose(1, 8)
+      frames <- Gen.listOfN(n, for {
+        br <- Gen.choose(1, 14)
+        pad <- Gen.choose(0, 1)
+      } yield (br, pad))
+      id3 <- Gen.oneOf(Gen.const(-1), Gen.choose(0, 300))
+    } yield (sr, frames, id3)
+    forAll(gen) { case (sr, frames, id3) =>
+      val bytes = Mp3.encode(sr, frames, id3)
+      val a = Mp3.decode(bytes)
+      assert(a != null && a.sampleRate == Mp3.SampleRateHz(sr) &&
+        a.nFrames == frames.length &&
+        a.sumBitrateKbps == frames.map(f => Mp3.BitrateKbps(f._1).toLong).sum &&
+        a.nBytes == bytes.length, s"($sr, $frames, $id3) -> $a")
+    }
+  }
+
+  test("Mp3: decode total on fixture prefixes and random bytes") {
+    import graft.multimodal.Mp3
+    val fx = Mp3.fixtureBytes(12L) // id%4=0 -> the ID3-tagged arm
+    for (i <- 0 to fx.length) Mp3.decode(fx.take(i)) // no throw
+    val rnd = new scala.util.Random(43)
+    for (_ <- 1 to 200) {
+      val b = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(b)
+      Mp3.decode(b) // no throw
+    }
+  }
 }

@@ -755,6 +755,83 @@ class MultimodalSpec extends GraftSuite {
     assert(frames.schema("frame_feat").dataType.typeName == "array")
   }
 
+  test("Mp3.decode walks frames by spec-exact lengths: round trip, ID3v2 skip, varying bitrates") {
+    import graft.multimodal.Mp3
+    // three frames, distinct bitrates and paddings, 48 kHz
+    val bytes = Mp3.encode(1, Seq((9, 0), (11, 1), (10, 0)))
+    val a = Mp3.decode(bytes)
+    assert(a != null && a.sampleRate == 48000 && a.nFrames == 3 &&
+      a.sumBitrateKbps == 128 + 192 + 160 && a.nBytes == bytes.length, s"$a")
+    assert(a.nSamples == 3 * 1152 && a.durationMs == 3L * 1152 * 1000 / 48000)
+    // frame lengths are the spec formula: 144000·kbps/rate + pad
+    assert(bytes.length == 144000 * 128 / 48000 + 0 +
+      144000 * 192 / 48000 + 1 + 144000 * 160 / 48000 + 0)
+    // ID3v2 tag (synchsafe size) skips whole; facts unchanged except bytes
+    val tagged = Mp3.decode(Mp3.encode(1, Seq((9, 0), (11, 1), (10, 0)), id3Payload = 200))
+    assert(tagged != null && tagged.nFrames == 3 && tagged.sumBitrateKbps == a.sumBitrateKbps)
+    assert(tagged.nBytes == a.nBytes + 210)
+    // empty ID3 payload is legal
+    assert(Mp3.decode(Mp3.encode(0, Seq((9, 0)), id3Payload = 0)) != null)
+  }
+
+  test("Mp3.decode rejects malformed/unsupported streams with null, never an exception") {
+    import graft.multimodal.Mp3
+    val good = Mp3.encode(0, Seq((9, 1), (10, 0)))
+    assert(Mp3.decode(good) != null)
+    assert(Mp3.decode(null) == null)
+    assert(Mp3.decode(Array.emptyByteArray) == null)
+    assert(Mp3.decode(good.dropRight(1)) == null)  // truncated final frame
+    assert(Mp3.decode(good.take(2)) == null)       // shorter than a header
+    def corrupt(mutate: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); mutate(b); b
+    }
+    assert(Mp3.decode(corrupt(_(0) = 0)) == null)  // broken sync
+    // version bits -> MPEG-2 (clear bit 19 of the header = bit 3 of byte 1)
+    assert(Mp3.decode(corrupt(b => b(1) = (b(1) & ~0x08).toByte)) == null)
+    // layer bits -> Layer I (set bits 2-1 of byte 1 to 11)
+    assert(Mp3.decode(corrupt(b => b(1) = (b(1) | 0x06).toByte)) == null)
+    // protection bit 0 = CRC frame: unsupported
+    assert(Mp3.decode(corrupt(b => b(1) = (b(1) & ~0x01).toByte)) == null)
+    // bitrate index 15 (bad)
+    assert(Mp3.decode(corrupt(b => b(2) = (b(2) | 0xf0).toByte)) == null)
+    // sampling-rate index 3 (reserved)
+    assert(Mp3.decode(corrupt(b => b(2) = (b(2) | 0x0c).toByte)) == null)
+    // sampling rate changing mid-stream: concat a 44.1 kHz and a 48 kHz stream
+    assert(Mp3.decode(Mp3.encode(0, Seq((9, 0))) ++ Mp3.encode(1, Seq((9, 0)))) == null)
+    // ID3 size overrunning the buffer
+    val tagged = Mp3.encode(0, Seq((9, 0)), id3Payload = 50)
+    assert(Mp3.decode(tagged.take(30)) == null)
+    // ID3-only stream carries zero frames
+    assert(Mp3.decode(tagged.take(60)) == null)
+    // desync: a one-byte insertion mid-stream shifts every later sync word
+    val desync = good.take(20) ++ Array[Byte](0) ++ good.drop(20)
+    assert(Mp3.decode(desync) == null)
+  }
+
+  test("q83 mp3 scan matches the fixture law computed independently (sf0.001)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = graft.ops.ScaleOps4.q83Mp3Scan(spark, sfDir).collect()
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").as[Long].collect()
+    assert(out.length == ids.length)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    val rates = Array(44100, 48000, 32000)
+    val kbpss = Array(128, 160, 192)
+    for (id <- ids.take(25)) {
+      val r = byId(id)
+      val rate = rates((id % 3).toInt)
+      val nf = (2 + id % 5).toInt
+      val frames = (0 until nf).map(j => (kbpss(((id + j) % 3).toInt), ((id + j) % 2).toInt))
+      val audio = frames.map { case (k, p) => 144000 * k / rate + p }.sum
+      val id3 = if (id % 4 == 0) 10 + (id % 7) else 0
+      assert(r.getLong(1) == id3 + audio, s"n_bytes $r")
+      assert(r.getInt(2) == rate && r.getLong(3) == nf, s"$r")
+      assert(r.getLong(4) == nf * 1152L &&
+        r.getLong(5) == nf * 1152L * 1000 / rate, s"$r")
+      assert(r.getDouble(6) == frames.map(_._1).sum.toDouble / nf, s"$r")
+    }
+  }
+
   test("Mp4.decodeTracks walks trak/tkhd/mdhd/stts: round trip, multi-track, v1 mdhd, empty stts") {
     import graft.multimodal.Mp4
     import graft.multimodal.Mp4.TrackSpec
