@@ -93,6 +93,7 @@ object SparkEntry {
     "q81_mp4_probe"       -> (graft.ops.ScaleOps4.q81Mp4Probe _),
     "q82_mp4_tracks"      -> (graft.ops.ScaleOps4.q82TrackStats _),
     "q83_mp3_scan"        -> (graft.ops.ScaleOps4.q83Mp3Scan _),
+    "q84_mp4_samples"     -> (graft.ops.ScaleOps4.q84Mp4Samples _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -200,6 +201,7 @@ object SparkEntry {
     "q81_mp4_probe"       -> graft.ops.ScaleOps4.q81Sql,
     "q82_mp4_tracks"      -> graft.ops.ScaleOps4.q82Sql,
     "q83_mp3_scan"        -> graft.ops.ScaleOps4.q83Sql,
+    "q84_mp4_samples"     -> graft.ops.ScaleOps4.q84Sql,
     // q21-q24 carry full DuckDB mirrors: FNV-1a signature arithmetic for
     // q21-q23 (ScaleOps.duckFnv) and the inlined ±1 hyperplane sign
     // matrix + list_inner_product double accumulation for q24

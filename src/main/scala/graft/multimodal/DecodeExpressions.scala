@@ -107,6 +107,27 @@ object DecodeKernels {
 
   def mp3Fixture(id: Long): Array[Byte] = Mp3.fixtureBytes(id)
 
+  /** Resolved-and-extracted sample rows: one per (track, sample) with the
+    * size and a checksum (Σ unsigned bytes) computed over the bytes the
+    * stsz/stsc/stco resolution actually extracted from mdat — the
+    * checksum is only right if the whole chain (sizes, chunk runs,
+    * offsets, intra-chunk accumulation) is. Null on malformation. */
+  def mp4SamplesRow(bytes: Array[Byte]): ArrayData = {
+    val refs = Mp4.sampleRefs(bytes)
+    if (refs == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      refs.map { r =>
+        var sum = 0L
+        var i = r.offset.toInt
+        val end = i + r.size
+        while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+        new GenericInternalRow(Array[Any](
+          r.trackId, r.sampleIdx, r.size, sum)): Any
+      })
+  }
+
+  def mp4FixtureSamples(id: Long): Array[Byte] = Mp4.fixtureBytesWithSamples(id)
+
   /** WAV sample ANALYSIS row — the audio feature-extract step past q79's
     * format/stats surface: zero crossings (per channel, sample j vs
     * j−channels over the interleaved raster), silence count (|s| below 1%
@@ -329,6 +350,49 @@ case class Mp4FixtureTracks(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"$kn.mp4FixtureTracks($c)")
   }
   override protected def withNewChildInternal(c: Expression): Mp4FixtureTracks =
+    copy(child = c)
+}
+
+/** samples = mp4_samples(content): REAL ISO-BMFF SAMPLE-TABLE resolution
+  * — stsz sizes, stsc run-length sample-to-chunk mapping, stco/co64
+  * chunk offsets — then per-sample byte EXTRACTION from mdat, emitting
+  * (track_id, sample_idx, size, checksum-of-extracted-bytes). Zero codec
+  * involvement; NULL for malformed bytes, empty array for trackless. */
+case class Mp4Samples(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("track_id", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("sample_idx", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("size", IntegerType, nullable = false),
+    StructField("checksum", org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp4_samples"
+  override def nullSafeEval(c: Any): Any =
+    DecodeKernels.mp4SamplesRow(c.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $kn.mp4SamplesRow($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): Mp4Samples =
+    copy(child = c)
+}
+
+/** content = mp4_fixture_samples(id): deterministic containers with FULL
+  * sample tables and interleaved mdat chunks (see
+  * Mp4.fixtureBytesWithSamples) — the corpus generator for q84. */
+case class Mp4FixtureSamples(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "mp4_fixture_samples"
+  override def nullSafeEval(id: Any): Any =
+    DecodeKernels.mp4FixtureSamples(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$kn.mp4FixtureSamples($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Mp4FixtureSamples =
     copy(child = c)
 }
 

@@ -397,4 +397,366 @@ object Mp4 {
     }
     encodeWithTracks("isom", ts, dur, tracks, payload)
   }
+
+  // ----------------------------------------------------------------------
+  // SAMPLE TABLES — the stsz/stsc/stco(/co64) machinery that maps a
+  // sample index to its exact byte range in mdat. With it, per-sample
+  // byte EXTRACTION is real with zero codec involvement: only the
+  // DECODE of those bytes (h264/aac) stays behind the codec stub.
+
+  /** One sample's resolved location: which track, which index within the
+    * track, and the absolute byte range in the file. */
+  final case class SampleRef(trackId: Long, sampleIdx: Long, offset: Long,
+      size: Int)
+
+  /** Encoding spec for a track WITH sample data: stts runs as in
+    * [[TrackSpec]], the per-sample byte payloads, and the chunk layout
+    * (samples per chunk, summing to the sample count — real files chunk
+    * their samples, and the encoder interleaves chunks across tracks so
+    * stco/stsc genuinely matter). stts total sample count must equal
+    * `samples.length`. */
+  final case class SampledTrack(trackId: Long, timescale: Int,
+      stts: Seq[(Long, Long)], samples: Seq[Array[Byte]],
+      samplesPerChunk: Seq[Int]) {
+    def duration: Long = stts.iterator.map { case (c, d) => c * d }.sum
+    def nSamples: Int = samples.length
+    require(stts.iterator.map(_._1).sum == samples.length,
+      s"stts sample count != ${samples.length}")
+    require(samplesPerChunk.sum == samples.length && samplesPerChunk.forall(_ > 0),
+      s"chunk layout ${samplesPerChunk} must partition ${samples.length} samples")
+  }
+
+  /** Resolve EVERY sample of every track to its absolute byte range —
+    * the full spec algorithm: stsz (uniform or per-sample sizes), stsc
+    * run-length sample-to-chunk mapping, stco/co64 chunk offsets; sample
+    * j's offset is its chunk's offset plus the sizes of the samples
+    * before it in that chunk. Null on ANY malformation: missing or
+    * inconsistent tables (stsz count ≠ stts count, stsc runs not
+    * covering the chunks, samples overrunning the chunk count or the
+    * file end). Empty array for a trackless container. */
+  def sampleRefs(bytes: Array[Byte]): Array[SampleRef] = {
+    if (bytes == null || bytes.length < 8) return null
+    val n = bytes.length
+    val out = scala.collection.mutable.ArrayBuffer[SampleRef]()
+    def parseTrak(start: Int, end: Int): Boolean = {
+      var trackId = -1L
+      var sttsCount = -1L
+      var sizes: Array[Int] = null        // per-sample sizes (expanded)
+      var stscRuns: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
+      var chunkOffs: Array[Long] = null
+      def parseTkhd(s: Int, e: Int): Boolean = {
+        if (s >= e) return false
+        val v = bytes(s) & 0xff
+        if (v == 0) { if (s + 16 > e) return false; trackId = be32(bytes, s + 12) }
+        else if (v == 1) { if (s + 24 > e) return false; trackId = be32(bytes, s + 20) }
+        else return false
+        trackId > 0
+      }
+      def parseStts(s: Int, e: Int): Boolean = {
+        if (s + 8 > e || (bytes(s) & 0xff) != 0) return false
+        val entries = be32(bytes, s + 4)
+        if (s + 8 + entries * 8 > e) return false
+        var total = 0L
+        var k = 0L
+        while (k < entries) { total += be32(bytes, s + 8 + (k * 8).toInt); k += 1 }
+        sttsCount = total
+        true
+      }
+      def parseStsz(s: Int, e: Int): Boolean = {
+        // ver/flags(4) sample_size(4) sample_count(4) [sizes if size==0]
+        if (s + 12 > e || (bytes(s) & 0xff) != 0) return false
+        val uniform = be32(bytes, s + 4)
+        val count = be32(bytes, s + 8)
+        if (count > Int.MaxValue) return false
+        if (uniform != 0L) {
+          if (uniform > Int.MaxValue) return false
+          // a uniform table is tiny on disk, so bound the EXPANSION by the
+          // file itself (count samples of uniform>=1 bytes must fit) —
+          // otherwise a hostile header allocates gigabytes before any
+          // validity check can fail it
+          if (count > n || uniform * count > n) return false
+          sizes = Array.fill(count.toInt)(uniform.toInt)
+        } else {
+          if (s + 12 + count * 4 > e) return false
+          sizes = new Array[Int](count.toInt)
+          var k = 0
+          while (k < sizes.length) {
+            val v = be32(bytes, s + 12 + k * 4)
+            if (v > Int.MaxValue) return false
+            sizes(k) = v.toInt
+            k += 1
+          }
+        }
+        true
+      }
+      def parseStsc(s: Int, e: Int): Boolean = {
+        // ver/flags(4) entry_count(4) then (first_chunk, samples_per_chunk,
+        // sample_description_index) triples
+        if (s + 8 > e || (bytes(s) & 0xff) != 0) return false
+        val entries = be32(bytes, s + 4)
+        if (s + 8 + entries * 12 > e) return false
+        val runs = new Array[(Long, Long)](entries.toInt)
+        var k = 0
+        var prevFirst = 0L
+        while (k < runs.length) {
+          val first = be32(bytes, s + 8 + k * 12)
+          val spc = be32(bytes, s + 12 + k * 12)
+          if (first <= prevFirst || spc <= 0) return false // strictly ascending
+          runs(k) = (first, spc)
+          prevFirst = first
+          k += 1
+        }
+        stscRuns = runs
+        true
+      }
+      def parseStco(s: Int, e: Int, wide: Boolean): Boolean = {
+        if (s + 8 > e || (bytes(s) & 0xff) != 0) return false
+        val entries = be32(bytes, s + 4)
+        val w = if (wide) 8 else 4
+        if (s + 8 + entries * w > e) return false
+        chunkOffs = new Array[Long](entries.toInt)
+        var k = 0
+        while (k < chunkOffs.length) {
+          chunkOffs(k) = if (wide) be64(bytes, s + 8 + k * 8)
+                         else be32(bytes, s + 8 + k * 4)
+          k += 1
+        }
+        true
+      }
+      def walk(s: Int, e: Int, handle: ((String, Int, Int)) => Boolean): Boolean = {
+        var j = s
+        while (j < e) {
+          val child = boxAt(bytes, j, e)
+          if (child == null) return false
+          val (typ, pay, pend, next) = child
+          if (!handle((typ, pay, pend))) return false
+          j = next
+        }
+        true
+      }
+      val ok = walk(start, end, {
+        case ("tkhd", s, e) => parseTkhd(s, e)
+        case ("mdia", ms, me) => walk(ms, me, {
+          case ("minf", fs, fe) => walk(fs, fe, {
+            case ("stbl", bs, be) => walk(bs, be, {
+              case ("stts", s, e) => parseStts(s, e)
+              case ("stsz", s, e) => parseStsz(s, e)
+              case ("stsc", s, e) => parseStsc(s, e)
+              case ("stco", s, e) => parseStco(s, e, wide = false)
+              case ("co64", s, e) => parseStco(s, e, wide = true)
+              case _ => true
+            })
+            case _ => true
+          })
+          case _ => true
+        })
+        case _ => true
+      })
+      if (!ok || trackId < 0 || sttsCount < 0 || sizes == null ||
+        stscRuns == null || chunkOffs == null) return false
+      if (sizes.length.toLong != sttsCount) return false // stsz vs stts
+      // expand the stsc runs across the stco chunk list and resolve every
+      // sample: run r applies from first_chunk(r) to first_chunk(r+1)-1
+      var sample = 0
+      var run = 0
+      var chunk = 0 // 0-based; spec chunks are 1-based
+      while (chunk < chunkOffs.length && sample < sizes.length) {
+        if (run + 1 < stscRuns.length && chunk + 1 >= stscRuns(run + 1)._1) run += 1
+        if (chunk + 1 < stscRuns(run)._1) return false // chunk before first run
+        val inChunk = stscRuns(run)._2
+        var off = chunkOffs(chunk)
+        var k = 0L
+        while (k < inChunk && sample < sizes.length) {
+          val sz = sizes(sample)
+          if (off < 0 || off + sz > n) return false // sample outside the file
+          out += SampleRef(trackId, sample.toLong, off, sz)
+          off += sz
+          sample += 1
+          k += 1
+        }
+        chunk += 1
+      }
+      if (sample != sizes.length) return false // chunks did not cover samples
+      true
+    }
+    var i = 0
+    while (i < n) {
+      val box = boxAt(bytes, i, n)
+      if (box == null) return null
+      val (typ, payload, boxEnd, next) = box
+      if (typ == "moov") {
+        var j = payload
+        while (j < boxEnd) {
+          val child = boxAt(bytes, j, boxEnd)
+          if (child == null) return null
+          val (ctyp, cpay, cend, cnext) = child
+          if (ctyp == "trak" && !parseTrak(cpay, cend)) return null
+          j = cnext
+        }
+      }
+      i = next
+    }
+    out.toArray
+  }
+
+  /** Extract one sample's actual bytes — the codec-free "frame
+    * extraction" a training pipeline wants before decode. Null when the
+    * container is malformed or the (trackId, sampleIdx) doesn't exist. */
+  def sampleBytes(bytes: Array[Byte], trackId: Long, sampleIdx: Long): Array[Byte] = {
+    val refs = sampleRefs(bytes)
+    if (refs == null) return null
+    refs.find(r => r.trackId == trackId && r.sampleIdx == sampleIdx) match {
+      case Some(r) => java.util.Arrays.copyOfRange(bytes, r.offset.toInt,
+        (r.offset + r.size).toInt)
+      case None => null
+    }
+  }
+
+  /** Serialize a container with FULL sample tables: per track stts +
+    * stsz (per-sample sizes) + stsc (run-length chunk layout) + stco,
+    * with the mdat chunks INTERLEAVED round-robin across tracks (chunk 0
+    * of every track, then chunk 1 of every track, …) the way real muxers
+    * interleave audio/video — so the chunk-offset table is load-bearing,
+    * not decorative. Inverse of [[sampleRefs]]/[[sampleBytes]]. */
+  def encodeWithSampleTables(majorBrand: String, timescale: Int,
+      duration: Long, tracks: Seq[SampledTrack]): Array[Byte] = {
+    require(majorBrand.length == 4, s"brand must be a 4cc: '$majorBrand'")
+    require(timescale > 0 && duration >= 0 && duration <= 0xffffffffL)
+    tracks.foreach { t =>
+      require(t.trackId > 0 && t.timescale > 0 && t.duration <= 0xffffffffL)
+    }
+    def stscRuns(spc: Seq[Int]): Seq[(Int, Int)] = {
+      // compress consecutive equal samples-per-chunk into spec runs
+      val runs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      spc.zipWithIndex.foreach { case (c, i) =>
+        if (runs.isEmpty || runs.last._2 != c) runs += ((i + 1, c))
+      }
+      runs.toSeq
+    }
+    def boxSizes(t: SampledTrack): (Int, Int, Int, Int, Int) = {
+      val stts = 16 + 8 * t.stts.length
+      val stsz = 20 + 4 * t.nSamples
+      val stsc = 16 + 12 * stscRuns(t.samplesPerChunk).length
+      val stco = 16 + 4 * t.samplesPerChunk.length
+      val stbl = 8 + stts + stsz + stsc + stco
+      (stts, stsz, stsc, stco, stbl)
+    }
+    def trakSize(t: SampledTrack): Int = {
+      val (_, _, _, _, stbl) = boxSizes(t)
+      8 + 92 + (8 + 32 + (8 + stbl))
+    }
+    val moovSize = 8 + 108 + tracks.map(trakSize).sum
+    val mdatPayload = tracks.map(_.samples.map(_.length).sum).sum
+    // chunk offsets: walk the interleaved mdat layout first
+    val mdatStart = 16 + moovSize + 8
+    val nChunks = tracks.map(_.samplesPerChunk.length)
+    val chunkOffsets = Array.fill(tracks.length)(
+      scala.collection.mutable.ArrayBuffer[Long]())
+    var cursor = mdatStart.toLong
+    val maxChunks = if (nChunks.isEmpty) 0 else nChunks.max
+    for (c <- 0 until maxChunks; ti <- tracks.indices) {
+      val t = tracks(ti)
+      if (c < t.samplesPerChunk.length) {
+        chunkOffsets(ti) += cursor
+        val firstSample = t.samplesPerChunk.take(c).sum
+        val inChunk = t.samplesPerChunk(c)
+        cursor += t.samples.slice(firstSample, firstSample + inChunk)
+          .map(_.length).sum
+      }
+    }
+    val out = java.nio.ByteBuffer.allocate(16 + moovSize + 8 + mdatPayload)
+    def put32(v: Long): Unit = out.putInt((v & 0xffffffffL).toInt)
+    put32(16); out.put("ftyp".getBytes("US-ASCII"))
+    out.put(majorBrand.getBytes("US-ASCII")); put32(0)
+    put32(moovSize); out.put("moov".getBytes("US-ASCII"))
+    put32(108); out.put("mvhd".getBytes("US-ASCII"))
+    put32(0); put32(0); put32(0)
+    put32(timescale); put32(duration)
+    put32(0x00010000L)
+    out.putShort(0x0100.toShort); out.putShort(0)
+    put32(0); put32(0)
+    put32(0x00010000L); put32(0); put32(0)
+    put32(0); put32(0x00010000L); put32(0)
+    put32(0); put32(0); put32(0x40000000L)
+    for (_ <- 0 until 6) put32(0)
+    put32(0)
+    tracks.zipWithIndex.foreach { case (t, ti) =>
+      val (sttsB, stszB, stscB, stcoB, stblB) = boxSizes(t)
+      val minfB = 8 + stblB
+      val mdiaB = 8 + 32 + minfB
+      put32(8 + 92 + mdiaB); out.put("trak".getBytes("US-ASCII"))
+      put32(92); out.put("tkhd".getBytes("US-ASCII"))
+      put32(7); put32(0); put32(0)
+      put32(t.trackId); put32(0)
+      put32(t.duration * timescale / t.timescale)
+      put32(0); put32(0)
+      out.putShort(0); out.putShort(0); out.putShort(0); out.putShort(0)
+      put32(0x00010000L); put32(0); put32(0)
+      put32(0); put32(0x00010000L); put32(0)
+      put32(0); put32(0); put32(0x40000000L)
+      put32(0); put32(0)
+      put32(mdiaB); out.put("mdia".getBytes("US-ASCII"))
+      put32(32); out.put("mdhd".getBytes("US-ASCII"))
+      put32(0); put32(0); put32(0)
+      put32(t.timescale); put32(t.duration)
+      out.putShort(0x55c4.toShort); out.putShort(0)
+      put32(minfB); out.put("minf".getBytes("US-ASCII"))
+      put32(stblB); out.put("stbl".getBytes("US-ASCII"))
+      put32(sttsB); out.put("stts".getBytes("US-ASCII"))
+      put32(0); put32(t.stts.length)
+      t.stts.foreach { case (c, d) => put32(c); put32(d) }
+      put32(stszB); out.put("stsz".getBytes("US-ASCII"))
+      put32(0); put32(0) // per-sample sizes follow
+      put32(t.nSamples)
+      t.samples.foreach(s => put32(s.length))
+      put32(stscB); out.put("stsc".getBytes("US-ASCII"))
+      val runs = stscRuns(t.samplesPerChunk)
+      put32(0); put32(runs.length)
+      runs.foreach { case (first, spc) => put32(first); put32(spc); put32(1) }
+      put32(stcoB); out.put("stco".getBytes("US-ASCII"))
+      put32(0); put32(chunkOffsets(ti).length)
+      chunkOffsets(ti).foreach(put32)
+    }
+    put32(8L + mdatPayload); out.put("mdat".getBytes("US-ASCII"))
+    // interleaved chunk data, same walk as the offset pass
+    for (c <- 0 until maxChunks; ti <- tracks.indices) {
+      val t = tracks(ti)
+      if (c < t.samplesPerChunk.length) {
+        val firstSample = t.samplesPerChunk.take(c).sum
+        t.samples.slice(firstSample, firstSample + t.samplesPerChunk(c))
+          .foreach(out.put)
+      }
+    }
+    out.array()
+  }
+
+  /** Deterministic fixture with FULL sample tables — track laws of
+    * [[fixtureBytesWithTracks]] plus, for track k, sample j of
+    * n = n1 + n2 samples:
+    *   size  = 2 + (id + k + j) mod 5          (2..6 bytes)
+    *   byte t = (id·31 + k·7 + j·13 + t·3) mod 256
+    *   chunks = [2, n − 2]                      (n ≥ 4 always)
+    * with mdat chunks interleaved across tracks. Pure id arithmetic
+    * end-to-end: the q84 oracle re-derives every size and checksum
+    * without touching bytes, yet only a correct stsz/stsc/stco
+    * resolution reproduces them from the file. */
+  def fixtureBytesWithSamples(id: Long): Array[Byte] = {
+    val ts = (600 + java.lang.Math.floorMod(id, 3L) * 400).toInt
+    val dur = 1200 + java.lang.Math.floorMod(id, 5L) * 700
+    val nTracks = (1 + java.lang.Math.floorMod(id, 2L)).toInt
+    val tracks = (0 until nTracks).map { k =>
+      val n1 = 3 + java.lang.Math.floorMod(id + k, 5L)
+      val n2 = 1 + java.lang.Math.floorMod(id + k, 3L)
+      val nS = (n1 + n2).toInt
+      val samples = (0 until nS).map { j =>
+        val size = (2 + java.lang.Math.floorMod(id + k + j, 5L)).toInt
+        Array.tabulate[Byte](size)(t =>
+          java.lang.Math.floorMod(id * 31 + k * 7 + j * 13 + t * 3L, 256L).toByte)
+      }
+      SampledTrack(k + 1L,
+        (1000 + java.lang.Math.floorMod(id + k, 4L) * 500).toInt,
+        Seq((n1, 100L), (n2, 250L)), samples, Seq(2, nS - 2))
+    }
+    encodeWithSampleTables("isom", ts, dur, tracks)
+  }
 }

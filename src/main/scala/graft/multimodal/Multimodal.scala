@@ -230,6 +230,26 @@ object Multimodal {
           / col("__t.duration")).as("sample_rate"))
   }
 
+  /** REAL sample EXTRACTION path: resolve every sample's byte range via
+    * the full stsz/stsc/stco(/co64) machinery and extract it from mdat —
+    * one row per (track, sample) with the size and a checksum over the
+    * extracted bytes. This is codec-free "frame extraction": the bytes
+    * are real; only their DECODE (h264/aac) needs a codec and stays
+    * behind the stub. Malformed containers degrade to no rows. */
+  def extractSamples(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    media
+      .select(
+        col("media_id"),
+        explode(column(Mp4Samples(expression(col("content"))))).as("__s"))
+      .select(
+        col("media_id"),
+        col("__s.track_id").as("track_id"),
+        col("__s.sample_idx").as("sample_idx"),
+        col("__s.size").as("size"),
+        col("__s.checksum").as("checksum"))
+  }
+
   /** Frame sampling driven by the REAL parsed sample tables: one row per
     * (track, sample index) where the index range is the track's OWN stts
     * sample count — not a caller guess, not a fixed rate. Tracks with

@@ -524,6 +524,54 @@ object ScaleOps4 {
       |  CAST(sum_kbps AS DOUBLE) / CAST(nf AS DOUBLE) AS avg_kbps
       |FROM agg ORDER BY media_id""".stripMargin
 
+  /** q84: REAL ISO-BMFF SAMPLE extraction — the r9 endpoint of the video
+    * surface: resolve stsz sizes, stsc chunk runs, and stco offsets over
+    * containers whose mdat chunks are INTERLEAVED across tracks, extract
+    * every sample's actual bytes, and checksum them. The checksum only
+    * comes out right if the entire table resolution and the byte copy
+    * do; the oracle re-derives it from the fixture byte law without
+    * touching the file. */
+  def q84Mp4Samples(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val media = docs.select(
+      col("doc_id").cast("long").as("media_id"),
+      column(graft.multimodal.Mp4FixtureSamples(
+        expression(col("doc_id").cast("long")))).as("content"))
+    graft.multimodal.Multimodal.extractSamples(media)
+      .orderBy(col("media_id"), col("track_id"), col("sample_idx"))
+  }
+
+  /** DuckDB mirror of q84: the sample fixture law is pure id arithmetic
+    * (1 + id%2 tracks; track k has n = (3+(id+k)%5) + (1+(id+k)%3)
+    * samples; sample j has size 2 + (id+k+j)%5 and byte t =
+    * (id·31 + k·7 + j·13 + t·3) mod 256), so sizes and byte checksums
+    * re-derive entirely in SQL. */
+  val q84Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |    1 + doc_id % 2 AS ntracks
+      |  FROM documents
+      |), tr AS (
+      |  SELECT media_id, k,
+      |    (3 + (media_id + k) % 5) + (1 + (media_id + k) % 3) AS n
+      |  FROM d CROSS JOIN range(0, 2) AS r(k) WHERE k < ntracks
+      |), s AS (
+      |  SELECT media_id, k, j, 2 + (media_id + k + j) % 5 AS size
+      |  FROM tr CROSS JOIN range(0, 10) AS rj(j) WHERE j < n
+      |), b AS (
+      |  SELECT media_id, k, j, size,
+      |    SUM((media_id * 31 + k * 7 + j * 13 + tb * 3) % 256) AS checksum
+      |  FROM s CROSS JOIN range(0, 6) AS rb(tb) WHERE tb < size
+      |  GROUP BY media_id, k, j, size
+      |)
+      |SELECT media_id,
+      |  CAST(k + 1 AS BIGINT) AS track_id,
+      |  CAST(j AS BIGINT) AS sample_idx,
+      |  CAST(size AS INTEGER) AS size,
+      |  CAST(checksum AS BIGINT) AS checksum
+      |FROM b ORDER BY media_id, track_id, sample_idx""".stripMargin
+
   /** Mirror = the shared q60/q75 clustering chain + the same
     * quality-ranked keeper window, rolled up per source with
     * HUGEINT-safe integer sums. */

@@ -224,7 +224,8 @@ class PlanShapeSpec extends GraftSuite {
         (graft.ops.ScaleOps4.q80AudioStats(spark, sf), "wav_analyze"),
         (graft.ops.ScaleOps4.q81Mp4Probe(spark, sf), "mp4_probe"),
         (graft.ops.ScaleOps4.q82TrackStats(spark, sf), "mp4_tracks"),
-        (graft.ops.ScaleOps4.q83Mp3Scan(spark, sf), "mp3_scan"))) {
+        (graft.ops.ScaleOps4.q83Mp3Scan(spark, sf), "mp3_scan"),
+        (graft.ops.ScaleOps4.q84Mp4Samples(spark, sf), "mp4_samples"))) {
       val p = plan(df)
       assert(p.contains(kernel), p)
       assert(!p.contains("Join"), p)

@@ -241,6 +241,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Mp4 sample tables: extraction ∘ encode is the identity for every layout") {
+    import graft.multimodal.Mp4
+    import graft.multimodal.Mp4.SampledTrack
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 40) {
+      val nTracks = 1 + rnd.nextInt(3)
+      val tracks = (1 to nTracks).map { tid =>
+        val n = 1 + rnd.nextInt(8)
+        val samples = (0 until n).map { _ =>
+          val b = new Array[Byte](rnd.nextInt(9))
+          rnd.nextBytes(b); b
+        }
+        // random partition of n samples into chunks
+        val chunks = scala.collection.mutable.ArrayBuffer[Int]()
+        var left = n
+        while (left > 0) { val c = 1 + rnd.nextInt(left); chunks += c; left -= c }
+        SampledTrack(tid.toLong, 1 + rnd.nextInt(90000),
+          Seq((n.toLong, 100L)), samples, chunks.toSeq)
+      }
+      val bytes = Mp4.encodeWithSampleTables("isom", 600, 1200L, tracks)
+      val refs = Mp4.sampleRefs(bytes)
+      assert(refs != null && refs.length == tracks.map(_.nSamples).sum)
+      for (t <- tracks; j <- t.samples.indices) {
+        val got = Mp4.sampleBytes(bytes, t.trackId, j)
+        assert(got != null && got.sameElements(t.samples(j)),
+          s"track ${t.trackId} sample $j of ${t.samplesPerChunk}")
+      }
+    }
+  }
+
+  test("Mp4 sample tables: sampleRefs total on fixture prefixes and random bytes") {
+    import graft.multimodal.Mp4
+    val fx = Mp4.fixtureBytesWithSamples(13L)
+    for (i <- 0 to fx.length) Mp4.sampleRefs(fx.take(i)) // no throw
+    val rnd = new scala.util.Random(44)
+    for (_ <- 1 to 200) {
+      val b = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(b)
+      Mp4.sampleRefs(b) // no throw
+    }
+  }
+
   test("Mp3: decode ∘ encode is the identity for every valid shape") {
     import graft.multimodal.Mp3
     val gen = for {

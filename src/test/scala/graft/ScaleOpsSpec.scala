@@ -755,6 +755,135 @@ class MultimodalSpec extends GraftSuite {
     assert(frames.schema("frame_feat").dataType.typeName == "array")
   }
 
+  test("Mp4.sampleRefs resolves stsz/stsc/stco over interleaved chunks; sampleBytes extracts") {
+    import graft.multimodal.Mp4
+    import graft.multimodal.Mp4.{SampledTrack, SampleRef}
+    // two tracks, distinct sizes, chunks interleaved in mdat (t1c0 t2c0 t1c1 t2c1)
+    val t1 = SampledTrack(1L, 1000, Seq((4L, 100L)),
+      Seq(Array[Byte](1), Array[Byte](2, 3), Array[Byte](4, 5, 6), Array[Byte](7)),
+      samplesPerChunk = Seq(2, 2))
+    val t2 = SampledTrack(2L, 48000, Seq((3L, 1600L)),
+      Seq(Array[Byte](9, 9), Array[Byte](8), Array[Byte](7, 7, 7)),
+      samplesPerChunk = Seq(1, 2))
+    val bytes = Mp4.encodeWithSampleTables("isom", 600, 1200L, Seq(t1, t2))
+    // the movie and track layers still parse over the richer stbl
+    assert(Mp4.decode(bytes) != null)
+    val tracks = Mp4.decodeTracks(bytes)
+    assert(tracks != null && tracks.map(_.nSamples).toSeq == Seq(4L, 3L))
+    val refs = Mp4.sampleRefs(bytes)
+    assert(refs != null && refs.length == 7, s"${refs.mkString(",")}")
+    // every extracted sample equals its source payload — across the
+    // interleaved layout, so stco/stsc resolution is load-bearing
+    for ((t, spec) <- Seq((1L, t1), (2L, t2)); j <- spec.samples.indices) {
+      val got = Mp4.sampleBytes(bytes, t, j)
+      assert(got != null && got.sameElements(spec.samples(j)),
+        s"track $t sample $j: ${got.mkString(",")}")
+    }
+    // refs are bytewise consistent: sizes match and offsets are disjoint
+    assert(refs.map(_.size).sum == 1 + 2 + 3 + 1 + 2 + 1 + 3)
+    val ranges = refs.map(r => (r.offset, r.offset + r.size)).sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, e1), (s2, _)) => assert(e1 <= s2) }
+    // absent (track, sample) -> null, not an exception
+    assert(Mp4.sampleBytes(bytes, 3L, 0L) == null)
+    assert(Mp4.sampleBytes(bytes, 1L, 99L) == null)
+  }
+
+  test("Mp4.sampleRefs: uniform stsz and co64 arms; malformation -> null") {
+    import graft.multimodal.Mp4
+    import graft.multimodal.Mp4.SampledTrack
+    // uniform stsz: all sizes equal, then patch the stsz sample_size field
+    // in place (spec: a nonzero sample_size means the table is unused)
+    val uni = SampledTrack(1L, 1000, Seq((3L, 100L)),
+      Seq(Array[Byte](1, 2), Array[Byte](3, 4), Array[Byte](5, 6)),
+      samplesPerChunk = Seq(3))
+    val ub = Mp4.encodeWithSampleTables("isom", 600, 1200L, Seq(uni))
+    val before = Mp4.sampleRefs(ub)
+    def find4cc(b: Array[Byte], cc: String): Int = {
+      val pat = cc.getBytes("US-ASCII")
+      (0 until b.length - 3).find(i => b(i) == pat(0) && b(i + 1) == pat(1) &&
+        b(i + 2) == pat(2) && b(i + 3) == pat(3)).get
+    }
+    val stszAt = find4cc(ub, "stsz") - 4 // box start
+    val patched = ub.clone()
+    patched(stszAt + 12 + 3) = 2 // sample_size := 2 (was 0)
+    val after = Mp4.sampleRefs(patched)
+    assert(after != null && after.toSeq == before.toSeq,
+      "uniform stsz must resolve identically to the explicit table")
+    // co64 (64-bit offsets): hand-built single-track container
+    def be32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val base = Mp4.encode("isom", 600, 1200L, Array.emptyByteArray)
+    val mvhd = base.slice(24, 132)
+    val tkhd = be32(92) ++ "tkhd".getBytes("US-ASCII") ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(5) ++ Array.fill[Byte](68)(0)
+    val mdhd = be32(32) ++ "mdhd".getBytes("US-ASCII") ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(1000) ++ be32(800) ++ be32(0x55c40000L)
+    val stts = be32(24) ++ "stts".getBytes("US-ASCII") ++ be32(0) ++ be32(1) ++
+      be32(2) ++ be32(400)
+    val stsz = be32(28) ++ "stsz".getBytes("US-ASCII") ++ be32(0) ++ be32(0) ++
+      be32(2) ++ be32(3) ++ be32(4)
+    val stsc = be32(28) ++ "stsc".getBytes("US-ASCII") ++ be32(0) ++ be32(1) ++
+      be32(1) ++ be32(2) ++ be32(1)
+    // moov size: 8 + mvhd(108) + trak(8 + 92 + mdia(8 + 32 + minf(8 + stbl(8
+    // + 24 + 28 + 28 + co64(24)))))
+    val stblLen = 8 + 24 + 28 + 28 + 24
+    val minfLen = 8 + stblLen
+    val mdiaLen = 8 + 32 + minfLen
+    val trakLen = 8 + 92 + mdiaLen
+    val moovLen = 8 + 108 + trakLen
+    val mdatPayloadAt = 16 + moovLen + 8
+    val co64 = be32(24) ++ "co64".getBytes("US-ASCII") ++ be32(0) ++ be32(1) ++
+      be32(0) ++ be32(mdatPayloadAt)
+    val stbl = be32(stblLen) ++ "stbl".getBytes("US-ASCII") ++ stts ++ stsz ++ stsc ++ co64
+    val minf = be32(minfLen) ++ "minf".getBytes("US-ASCII") ++ stbl
+    val mdia = be32(mdiaLen) ++ "mdia".getBytes("US-ASCII") ++ mdhd ++ minf
+    val trak = be32(trakLen) ++ "trak".getBytes("US-ASCII") ++ tkhd ++ mdia
+    val moov = be32(moovLen) ++ "moov".getBytes("US-ASCII") ++ mvhd ++ trak
+    val payload = Array[Byte](10, 20, 30, 40, 50, 60, 70)
+    val mdat = be32(8 + 7) ++ "mdat".getBytes("US-ASCII") ++ payload
+    val file = base.take(16) ++ moov ++ mdat
+    val refs = Mp4.sampleRefs(file)
+    assert(refs != null && refs.length == 2, s"co64: ${String.valueOf(refs)}")
+    assert(Mp4.sampleBytes(file, 5L, 0L).sameElements(Array[Byte](10, 20, 30)))
+    assert(Mp4.sampleBytes(file, 5L, 1L).sameElements(Array[Byte](40, 50, 60, 70)))
+    // malformation: stsz count disagreeing with stts -> null
+    val badCount = file.clone()
+    val stszIdx = find4cc(badCount, "stsz") - 4
+    badCount(stszIdx + 16 + 3) = 9 // sample_count := 9 (stts says 2)
+    assert(Mp4.sampleRefs(badCount) == null)
+    // malformation: chunk offset pointing past the file end -> null
+    val badOff = file.clone()
+    val co64Idx = find4cc(badOff, "co64") - 4
+    badOff(co64Idx + 16 + 4 + 2) = 0x7f // offset high byte -> way past end
+    assert(Mp4.sampleRefs(badOff) == null)
+    // truncation anywhere never throws
+    for (i <- 0 to file.length by 7) Mp4.sampleRefs(file.take(i))
+    // a trackless container has no samples: empty, not null
+    assert(Mp4.sampleRefs(base).sameElements(Array.empty[Mp4.SampleRef]))
+  }
+
+  test("q84 sample extraction matches the fixture byte law computed independently (sf0.001)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = graft.ops.ScaleOps4.q84Mp4Samples(spark, sfDir).collect()
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").as[Long].collect()
+    // row count: Σ over (doc, track) of that track's sample count
+    val expectRows = ids.map { id =>
+      (0L until (1 + id % 2)).map(k => (3 + (id + k) % 5) + (1 + (id + k) % 3)).sum
+    }.sum
+    assert(out.length == expectRows)
+    val byKey = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r).toMap
+    for (id <- ids.take(15); k <- 0L until (1 + id % 2)) {
+      val nS = (3 + (id + k) % 5) + (1 + (id + k) % 3)
+      for (j <- 0L until nS) {
+        val r = byKey((id, k + 1, j))
+        val size = (2 + (id + k + j) % 5).toInt
+        val checksum = (0 until size).map(t => (id * 31 + k * 7 + j * 13 + t * 3) % 256).sum
+        assert(r.getInt(3) == size && r.getLong(4) == checksum, s"$r")
+      }
+    }
+  }
+
   test("Mp3.decode walks frames by spec-exact lengths: round trip, ID3v2 skip, varying bitrates") {
     import graft.multimodal.Mp3
     // three frames, distinct bitrates and paddings, 48 kHz
