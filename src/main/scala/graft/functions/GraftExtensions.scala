@@ -72,7 +72,35 @@ object GraftExtensions {
         val key = if (exprs(0).dataType == DoubleType) exprs(0) else Cast(exprs(0), DoubleType)
         val id = if (exprs(1).dataType == LongType) exprs(1) else Cast(exprs(1), LongType)
         GroupedTopK(key, id, k)
-      }))
+      }),
+    // --- the media kernels: the same decode surface the DataFrame API
+    // exposes via graft.multimodal, for SQL callers. All share the NULL-
+    // on-malformation contract — a corrupt blob yields a NULL row, never
+    // a failed query.
+    (FunctionIdentifier("wav_decode"),
+      info("wav_decode",
+        "wav_decode(bytes) - RIFF/WAVE PCM parse: format fields + exact integer sample stats"),
+      (exprs: Seq[Expression]) => graft.multimodal.WavDecode(exprs.head)),
+    (FunctionIdentifier("wav_analyze"),
+      info("wav_analyze",
+        "wav_analyze(bytes) - WAV sample analysis: zero crossings, silence, RMS"),
+      (exprs: Seq[Expression]) => graft.multimodal.WavAnalyze(exprs.head)),
+    (FunctionIdentifier("mp4_probe"),
+      info("mp4_probe",
+        "mp4_probe(bytes) - ISO-BMFF movie header: brand, timescale, duration, box count"),
+      (exprs: Seq[Expression]) => graft.multimodal.Mp4Probe(exprs.head)),
+    (FunctionIdentifier("mp4_tracks"),
+      info("mp4_tracks",
+        "mp4_tracks(bytes) - ISO-BMFF track layer: per-track id, timescale, duration, stts sample count"),
+      (exprs: Seq[Expression]) => graft.multimodal.Mp4Tracks(exprs.head)),
+    (FunctionIdentifier("mp4_samples"),
+      info("mp4_samples",
+        "mp4_samples(bytes) - stsz/stsc/stco resolution + per-sample byte extraction (size, checksum)"),
+      (exprs: Seq[Expression]) => graft.multimodal.Mp4Samples(exprs.head)),
+    (FunctionIdentifier("mp3_scan"),
+      info("mp3_scan",
+        "mp3_scan(bytes) - MPEG-1 Layer III frame walk: rate, frames, duration, bitrate sum"),
+      (exprs: Seq[Expression]) => graft.multimodal.Mp3Scan(exprs.head)))
 
   /** Install into an already-built session (extensions only run at session
     * construction). */

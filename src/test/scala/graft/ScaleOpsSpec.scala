@@ -884,6 +884,39 @@ class MultimodalSpec extends GraftSuite {
     }
   }
 
+  test("SQL registration: the media kernels are callable from spark.sql") {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    graft.functions.GraftExtensions.registerAll(spark)
+    Seq(3L, 4L).toDF("media_id")
+      .select(col("media_id"),
+        column(graft.multimodal.WavFixture(expression(col("media_id")))).as("wav"),
+        column(graft.multimodal.Mp4FixtureSamples(expression(col("media_id")))).as("mp4"),
+        column(graft.multimodal.Mp3Fixture(expression(col("media_id")))).as("mp3"))
+      .createOrReplaceTempView("media_sql_in")
+    val r = spark.sql(
+      """SELECT media_id,
+        |  wav_decode(wav).n_frames AS wav_n,
+        |  wav_analyze(wav).rms AS wav_rms,
+        |  mp4_probe(mp4).timescale AS movie_ts,
+        |  size(mp4_tracks(mp4)) AS n_tracks,
+        |  size(mp4_samples(mp4)) AS n_samples,
+        |  mp3_scan(mp3).n_frames AS mp3_frames
+        |FROM media_sql_in ORDER BY media_id""".stripMargin).collect()
+    // parity with the direct laws: id 3 -> movie ts 600 + (3%3)*400 = 600,
+    // 2 tracks of 7 + 9 samples; id 4 -> ts 1000, 1 track of 9 samples;
+    // mp3 frames 2 + id%5
+    assert(r(0).getInt(3) == 600 && r(1).getInt(3) == 1000, s"${r(0)} ${r(1)}")
+    assert(r(0).getInt(4) == 2 && r(0).getInt(5) == 16, s"${r(0)}")
+    assert(r(1).getInt(4) == 1 && r(1).getInt(5) == 9, s"${r(1)}")
+    assert(r(0).getLong(6) == 5L && r(1).getLong(6) == 6L, s"mp3 frames")
+    // the WAV columns agree with the column API
+    val c = Seq(3L).toDF("media_id")
+      .select(column(graft.multimodal.WavFixture(expression(col("media_id")))).as("w"))
+      .select(column(graft.multimodal.WavDecode(expression(col("w"))))
+        .getField("n_frames").as("n")).head()
+    assert(r(0).getLong(1) == c.getLong(0))
+  }
+
   test("Mp3.decode walks frames by spec-exact lengths: round trip, ID3v2 skip, varying bitrates") {
     import graft.multimodal.Mp3
     // three frames, distinct bitrates and paddings, 48 kHz
