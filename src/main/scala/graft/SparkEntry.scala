@@ -94,6 +94,7 @@ object SparkEntry {
     "q82_mp4_tracks"      -> (graft.ops.ScaleOps4.q82TrackStats _),
     "q83_mp3_scan"        -> (graft.ops.ScaleOps4.q83Mp3Scan _),
     "q84_mp4_samples"     -> (graft.ops.ScaleOps4.q84Mp4Samples _),
+    "q85_dup_spans"       -> (graft.ops.ScaleOps4.q85DupSpans _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -202,6 +203,7 @@ object SparkEntry {
     "q82_mp4_tracks"      -> graft.ops.ScaleOps4.q82Sql,
     "q83_mp3_scan"        -> graft.ops.ScaleOps4.q83Sql,
     "q84_mp4_samples"     -> graft.ops.ScaleOps4.q84Sql,
+    "q85_dup_spans"       -> graft.ops.ScaleOps4.q85Sql,
     // q21-q24 carry full DuckDB mirrors: FNV-1a signature arithmetic for
     // q21-q23 (ScaleOps.duckFnv) and the inlined ±1 hyperplane sign
     // matrix + list_inner_product double accumulation for q24

@@ -113,6 +113,26 @@ case class ChunkHashes(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): ChunkHashes = copy(child = c)
 }
 
+/** POSITIONAL sliding k-shingle hashes: fnv1a64 of tokens[i..i+k-1] for
+  * every start position i (stride 1, FULL windows only — a window
+  * shorter than k is not a k-shingle), in position order, duplicates
+  * preserved. The per-position stream the exact-substring duplication
+  * signal (q85) needs: [[ShingleHashSet]] deduplicates (Jaccard wants a
+  * set), [[ChunkHashes]] strides by k (chunk dedup wants alignment);
+  * span detection wants every position. Shingle strings never leave the
+  * expression — downstream exchanges carry longs. */
+case class SlidingShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sliding_shingle_hashes"
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.slidingShingleHashes(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = TextHashKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, a => s"$kn.slidingShingleHashes($a, $k)")
+  }
+  override protected def withNewChildInternal(c: Expression): SlidingShingleHashes = copy(child = c)
+}
+
 /** Count of the most frequent adjacent token 2-gram (0 for < 2 tokens) —
   * the exact integer core of the Gopher-style top-2-gram repetition
   * signal; the fraction is derived in column space so the kernel output
@@ -203,6 +223,24 @@ object TextHashKernels {
     val it = seen.iterator()
     var o = 0
     while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Per-position fnv1a64(shingle) for FULL sliding k-token windows (see
+    * [[SlidingShingleHashes]]); n tokens ⇒ max(n − k + 1, 0) hashes. */
+  def slidingShingleHashes(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val nShingles = math.max(n - k + 1, 0)
+    val out = new Array[Long](nShingles)
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < nShingles) {
+      val parts = new Array[UTF8String](k)
+      var j = i
+      while (j < i + k) { parts(j - i) = tokens.getUTF8String(j); j += 1 }
+      out(i) = fnv1a64(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
     new GenericArrayData(out)
   }
 

@@ -572,6 +572,106 @@ object ScaleOps4 {
       |  CAST(checksum AS BIGINT) AS checksum
       |FROM b ORDER BY media_id, track_id, sample_idx""".stripMargin
 
+  /** q85: EXACT-SUBSTRING duplication signal — the sliding-window
+    * variant of q64's aligned chunk dedup, the scalable analog of
+    * suffix-array substring dedup from the public training-data-dedup
+    * literature: hash EVERY k-token window (k=8, stride 1,
+    * [[graft.functions.SlidingShingleHashes]] — strings never leave the
+    * kernel, exchanges carry longs), mark positions whose shingle occurs
+    * in ≥2 distinct documents, and merge adjacent duplicated positions
+    * into maximal spans per doc. Emits per doc: window count, duplicated
+    * window count, the duplicated fraction (the filter signal), and the
+    * span count.
+    *
+    * Scale notes: two hash exchanges on the 8-byte shingle hash (the
+    * distinct-doc-frequency aggregate and the join back) + one doc-keyed
+    * window/aggregate — all equi-key, no pair blowup: cost is linear in
+    * token count. Boilerplate mega-shingles concentrate on single keys;
+    * at 100 TB the same df-cap discipline as the near-dup candidate
+    * engine applies (cap the docs-per-shingle list; a shingle in >cap
+    * docs is duplicated regardless, so capping changes no verdict —
+    * count-distinct here already reduces per-key state to a counter). */
+  def q85DupSpans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val toks = docs.select(col("doc_id"),
+      graft.text.TextAnalysis.tokens(col("text")).as("t"))
+    val ph = toks.select(col("doc_id"),
+      posexplode(column(graft.functions.SlidingShingleHashes(
+        expression(col("t")), k))).as(Seq("pos", "h")))
+    val dupHashes = ph.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val dup = ph.join(dupHashes, "h")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dup
+      .withColumn("lagp", lag(col("pos"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_dup_positions"),
+        sum(when(col("lagp").isNull || col("pos") - col("lagp") > 1, 1L)
+          .otherwise(0L)).as("n_spans"))
+    toks.select(col("doc_id"),
+        greatest(size(col("t")) - lit(k - 1), lit(0)).cast("long").as("n_positions"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_positions"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+        when(col("n_positions") === 0, lit(0.0))
+          .otherwise(coalesce(col("n_dup_positions"), lit(0L)).cast("double")
+            / col("n_positions").cast("double")).as("dup_fraction"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q85: the same FNV-1a-64 arithmetic as the q21–q23
+    * mirrors (HUGEINT = exact mod-2^64), applied to each sliding 8-token
+    * window string, then the identical distinct-doc-frequency /
+    * adjacency-merge pipeline in SQL. */
+  val q85Sql: String = {
+    val fnvScalar =
+      """list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        [ord(substr(s, i, 1))::HUGEINT FOR i IN range(1, length(s) + 1)]),
+        |      (acc, b) -> (xor(acc, b) * 1099511628211) % 18446744073709551616::HUGEINT)""".stripMargin
+    raw"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), pos AS (
+      |  SELECT doc_id, unnest(range(0, greatest(len(t) - 7, 0))) AS p, t FROM toks
+      |), ph AS (
+      |  SELECT doc_id, p, $fnvScalar AS hv
+      |  FROM (SELECT doc_id, p, array_to_string(t[p + 1 : p + 8], ' ') AS s FROM pos)
+      |), phs AS (
+      |  SELECT doc_id, p,
+      |    CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+      |              THEN hv - 18446744073709551616::HUGEINT ELSE hv END AS BIGINT) AS h
+      |  FROM ph
+      |), duph AS (
+      |  SELECT h FROM phs GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+      |), lagged AS (
+      |  SELECT doc_id, p, LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS lagp
+      |  FROM phs JOIN duph USING (h)
+      |), spans AS (
+      |  SELECT doc_id, COUNT(*) AS n_dup,
+      |    SUM(CASE WHEN lagp IS NULL OR p - lagp > 1 THEN 1 ELSE 0 END) AS n_spans
+      |  FROM lagged GROUP BY doc_id
+      |), tot AS (
+      |  SELECT doc_id, greatest(len(t) - 7, 0) AS n_pos FROM toks
+      |)
+      |SELECT tot.doc_id,
+      |  CAST(n_pos AS BIGINT) AS n_positions,
+      |  CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_positions,
+      |  CASE WHEN n_pos = 0 THEN 0.0
+      |       ELSE CAST(COALESCE(n_dup, 0) AS DOUBLE) / CAST(n_pos AS DOUBLE)
+      |  END AS dup_fraction,
+      |  CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans
+      |FROM tot LEFT JOIN spans USING (doc_id) ORDER BY tot.doc_id""".stripMargin
+  }
+
   /** Mirror = the shared q60/q75 clustering chain + the same
     * quality-ranked keeper window, rolled up per source with
     * HUGEINT-safe integer sums. */

@@ -150,6 +150,17 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q85: sliding-window dup spans is equi-join only — shingle strings never leave the kernel") {
+    val p = plan(graft.ops.ScaleOps4.q85DupSpans(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-position stream is hashed in the kernel: exchanges carry the
+    // 8-byte shingle hash, never shingle strings
+    assert(p.contains("sliding_shingle_hashes"), p)
+    // the distinct-doc-frequency aggregate partial-aggregates before its
+    // shuffle (count-distinct two-phase)
+    assert(p.contains("partial_"), p)
+  }
+
   test("q72: equi-depth bin assignment is a broadcast pure map (no shuffle before the bin agg)") {
     // the 1-row boundary table must reach the scan side via broadcast —
     // a hash-partitioned join here would shuffle the whole corpus just to

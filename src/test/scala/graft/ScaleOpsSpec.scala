@@ -1105,6 +1105,75 @@ class MultimodalSpec extends GraftSuite {
   }
 }
 
+class DupSpansSpec extends GraftSuite {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("slidingShingleHashes: positional, full-windows-only, order-preserving") {
+    import graft.functions.TextHashKernels
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ts: String*) = new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any])
+    val hs = TextHashKernels.slidingShingleHashes(arr("a", "b", "c", "d"), 3)
+    assert(hs.numElements() == 2)
+    assert(hs.getLong(0) == TextHashKernels.fnv1a64(UTF8String.fromString("a b c")))
+    assert(hs.getLong(1) == TextHashKernels.fnv1a64(UTF8String.fromString("b c d")))
+    // shorter than k: NO partial windows (unlike shingleHashSet)
+    assert(TextHashKernels.slidingShingleHashes(arr("a", "b"), 3).numElements() == 0)
+    // duplicates preserved positionally
+    val rep = TextHashKernels.slidingShingleHashes(arr("x", "x", "x", "x"), 2)
+    assert(rep.numElements() == 3 &&
+      rep.getLong(0) == rep.getLong(1) && rep.getLong(1) == rep.getLong(2))
+  }
+
+  test("q85 dup spans: hand-built corpus with a planted shared run") {
+    val dir = tempDir("dupspans")
+    Seq(
+      (1L, "a b c d e f g h i j k l"),              // 12 tokens, 5 windows, all shared with doc 2
+      (2L, "z z a b c d e f g h i j k l"),          // 14 tokens, 7 windows, 5 shared (p=2..6)
+      (3L, "completely different tokens here nothing shared at all okay"), // 9 tokens, 2 windows, unique
+      (4L, "tiny doc")                               // < 8 tokens: zero windows
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.ScaleOps4.q85DupSpans(spark, dir.toString).collect()
+    val m = out.map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) == 5L && m(1L).getLong(2) == 5L &&
+      m(1L).getDouble(3) == 1.0 && m(1L).getLong(4) == 1L, s"${m(1L)}")
+    assert(m(2L).getLong(1) == 7L && m(2L).getLong(2) == 5L &&
+      m(2L).getDouble(3) == 5.0 / 7.0 && m(2L).getLong(4) == 1L, s"${m(2L)}")
+    assert(m(3L).getLong(1) == 2L && m(3L).getLong(2) == 0L &&
+      m(3L).getDouble(3) == 0.0 && m(3L).getLong(4) == 0L, s"${m(3L)}")
+    assert(m(4L).getLong(1) == 0L && m(4L).getLong(2) == 0L &&
+      m(4L).getDouble(3) == 0.0 && m(4L).getLong(4) == 0L, s"${m(4L)}")
+  }
+
+  test("q85 dup spans: two disjoint shared runs merge into two spans, not one") {
+    val dir = tempDir("dupspans2")
+    // doc 1 shares tokens 0..8 (run A) and 20..28 (run B) with docs 2/3;
+    // the middle is unique, so doc 1 must report exactly TWO spans
+    val runA = (1 to 9).map(i => s"a$i").mkString(" ")
+    val runB = (1 to 9).map(i => s"b$i").mkString(" ")
+    val mid = (1 to 10).map(i => s"m$i").mkString(" ")
+    Seq(
+      (1L, s"$runA $mid $runB"),
+      (2L, s"x0 $runA x1 x2 x3 x4 x5 x6 x7"),
+      (3L, s"y0 y1 y2 y3 y4 y5 y6 y7 $runB y8")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.ScaleOps4.q85DupSpans(spark, dir.toString).collect()
+    val m = out.map(r => r.getLong(0) -> r).toMap
+    // doc 1: 28 tokens -> 21 windows; windows fully inside runA: p=0,1
+    // (9-token run, 8-window); fully inside runB: p=19,20 -> 4 dup
+    // positions in 2 disjoint spans
+    assert(m(1L).getLong(2) == 4L && m(1L).getLong(4) == 2L, s"${m(1L)}")
+    assert(m(2L).getLong(4) == 1L && m(3L).getLong(4) == 1L)
+  }
+}
+
 class TextAnalysisSpec extends GraftSuite {
   import spark.implicits._
 
