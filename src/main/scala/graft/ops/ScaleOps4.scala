@@ -672,6 +672,106 @@ object ScaleOps4 {
       |FROM tot LEFT JOIN spans USING (doc_id) ORDER BY tot.doc_id""".stripMargin
   }
 
+  /** q86: EXACT-SUBSTRING dedup as a TRANSFORM — q85's signal applied:
+    * remove from each document every token covered by a duplicated
+    * 8-token window whose canonical owner (MIN doc_id over the documents
+    * containing that shingle) is another document; the owner keeps its
+    * copy. Emits the cleaned text (tokens re-joined in order) plus
+    * before/after token counts — the per-doc string itself is part of
+    * the oracle surface, so the whole mask-and-rebuild transform is
+    * hash-checked, not just its counts.
+    *
+    * Scale: q85's two equi-exchanges plus one covered-position
+    * anti-join and one doc-keyed ordered rebuild — all equi-key, linear
+    * in token count. The rebuild aggregates (position, token) pairs per
+    * doc: group state is one document's tokens, the same bounded-group
+    * contract as the q75 keeper windows. */
+  def q86DedupClean(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val k = 8
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val toks = docs.select(col("doc_id"),
+      graft.text.TextAnalysis.tokens(col("text")).as("t"))
+    val ph = toks.select(col("doc_id"),
+      posexplode(column(graft.functions.SlidingShingleHashes(
+        expression(col("t")), k))).as(Seq("pos", "h")))
+    // duplicated shingles with their canonical owner in ONE aggregate
+    val duph = ph.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), col("owner"))
+    // token positions covered by a non-owned duplicated window
+    val covered = ph.join(duph, "h")
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("i"))
+      .distinct()
+    // enumerate tokens, drop covered positions, rebuild in order
+    val indexed = toks.select(col("doc_id"),
+      posexplode(col("t")).as(Seq("i", "tok")))
+    val kept = indexed.join(covered, Seq("doc_id", "i"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+          x => x.getField("tok")), " ").as("cleaned_text"))
+    toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q86: q85's shingle/frequency chain, plus the owner
+    * (MIN doc_id per duplicated shingle), the covered-position expansion,
+    * and the identical order-preserving token rebuild via
+    * string_agg(... ORDER BY position). */
+  val q86Sql: String = {
+    val fnvScalar =
+      """list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        [ord(substr(s, i, 1))::HUGEINT FOR i IN range(1, length(s) + 1)]),
+        |      (acc, b) -> (xor(acc, b) * 1099511628211) % 18446744073709551616::HUGEINT)""".stripMargin
+    raw"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), pos AS (
+      |  SELECT doc_id, unnest(range(0, greatest(len(t) - 7, 0))) AS p, t FROM toks
+      |), ph AS (
+      |  SELECT doc_id, p, $fnvScalar AS hv
+      |  FROM (SELECT doc_id, p, array_to_string(t[p + 1 : p + 8], ' ') AS s FROM pos)
+      |), phs AS (
+      |  SELECT doc_id, p,
+      |    CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+      |              THEN hv - 18446744073709551616::HUGEINT ELSE hv END AS BIGINT) AS h
+      |  FROM ph
+      |), duph AS (
+      |  SELECT h, MIN(doc_id) AS owner FROM phs
+      |  GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+      |), cov AS (
+      |  SELECT DISTINCT phs.doc_id, p + u AS i
+      |  FROM phs JOIN duph USING (h) CROSS JOIN range(0, 8) AS r(u)
+      |  WHERE phs.doc_id <> duph.owner
+      |), idx AS (
+      |  SELECT doc_id, unnest(t) AS tok,
+      |    unnest(range(0, len(t))) AS i
+      |  FROM toks
+      |), kept AS (
+      |  SELECT idx.doc_id, idx.i, idx.tok FROM idx
+      |  LEFT JOIN cov ON idx.doc_id = cov.doc_id AND idx.i = cov.i
+      |  WHERE cov.doc_id IS NULL
+      |), rebuilt AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY i) AS cleaned_text
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT toks.doc_id,
+      |  CAST(len(t) AS BIGINT) AS n_tokens,
+      |  CAST(len(t) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+      |  COALESCE(cleaned_text, '') AS cleaned_text
+      |FROM toks LEFT JOIN rebuilt USING (doc_id) ORDER BY toks.doc_id""".stripMargin
+  }
+
   /** Mirror = the shared q60/q75 clustering chain + the same
     * quality-ranked keeper window, rolled up per source with
     * HUGEINT-safe integer sums. */

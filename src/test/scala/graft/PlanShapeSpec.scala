@@ -150,9 +150,14 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("partial_count"), p)
   }
 
-  test("q85: sliding-window dup spans is equi-join only — shingle strings never leave the kernel") {
+  test("q85/q86: sliding-window dup ops are equi-join only — shingle strings never leave the kernel") {
+    for (df <- Seq(graft.ops.ScaleOps4.q85DupSpans(spark, sf),
+        graft.ops.ScaleOps4.q86DedupClean(spark, sf))) {
+      val p2 = plan(df)
+      assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"), p2)
+      assert(p2.contains("sliding_shingle_hashes"), p2)
+    }
     val p = plan(graft.ops.ScaleOps4.q85DupSpans(spark, sf))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     // the per-position stream is hashed in the kernel: exchanges carry the
     // 8-byte shingle hash, never shingle strings
     assert(p.contains("sliding_shingle_hashes"), p)

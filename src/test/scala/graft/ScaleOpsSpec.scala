@@ -1149,6 +1149,30 @@ class DupSpansSpec extends GraftSuite {
       m(4L).getDouble(3) == 0.0 && m(4L).getLong(4) == 0L, s"${m(4L)}")
   }
 
+  test("q86 dedup clean: the canonical owner keeps its copy; later docs lose covered tokens") {
+    val dir = tempDir("dedupclean")
+    // doc 1 (min id) owns the shared run and must keep ALL tokens; doc 2
+    // loses exactly the tokens covered by shared windows; doc 3 untouched
+    Seq(
+      (1L, "a b c d e f g h i j k l"),      // owner of every shared shingle
+      (2L, "z z a b c d e f g h i j k l"),  // run copy at positions 2..13
+      (3L, "totally unrelated words that no other document here contains ok")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.ScaleOps4.q86DedupClean(spark, dir.toString).collect()
+    val m = out.map(r => r.getLong(0) -> r).toMap
+    // owner: nothing removed, text intact (lowercased token join)
+    assert(m(1L).getLong(2) == 0L &&
+      m(1L).getString(3) == "a b c d e f g h i j k l", s"${m(1L)}")
+    // doc 2: dup windows p=2..6 cover token positions 2..13 -> 12 removed,
+    // the leading "z z" survives
+    assert(m(2L).getLong(1) == 14L && m(2L).getLong(2) == 12L &&
+      m(2L).getString(3) == "z z", s"${m(2L)}")
+    assert(m(3L).getLong(2) == 0L, s"${m(3L)}")
+  }
+
   test("q85 dup spans: two disjoint shared runs merge into two spans, not one") {
     val dir = tempDir("dupspans2")
     // doc 1 shares tokens 0..8 (run A) and 20..28 (run B) with docs 2/3;
