@@ -96,6 +96,7 @@ object SparkEntry {
     "q84_mp4_samples"     -> (graft.ops.ScaleOps4.q84Mp4Samples _),
     "q85_dup_spans"       -> (graft.ops.ScaleOps4.q85DupSpans _),
     "q86_dedup_clean"     -> (graft.ops.ScaleOps4.q86DedupClean _),
+    "q87_token_rarity"    -> (graft.ops.ScaleOps4.q87TokenRarity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -206,6 +207,7 @@ object SparkEntry {
     "q84_mp4_samples"     -> graft.ops.ScaleOps4.q84Sql,
     "q85_dup_spans"       -> graft.ops.ScaleOps4.q85Sql,
     "q86_dedup_clean"     -> graft.ops.ScaleOps4.q86Sql,
+    "q87_token_rarity"    -> graft.ops.ScaleOps4.q87Sql,
     // q21-q24 carry full DuckDB mirrors: FNV-1a signature arithmetic for
     // q21-q23 (ScaleOps.duckFnv) and the inlined ±1 hyperplane sign
     // matrix + list_inner_product double accumulation for q24

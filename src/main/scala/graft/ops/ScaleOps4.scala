@@ -772,6 +772,59 @@ object ScaleOps4 {
       |FROM toks LEFT JOIN rebuilt USING (doc_id) ORDER BY toks.doc_id""".stripMargin
   }
 
+  /** q87: corpus-relative TOKEN RARITY scoring — a cheap, exact proxy
+    * for LM-filter quality signals: each token scores its integer
+    * inverse corpus frequency floor(T / count) (T = total corpus
+    * tokens), and a document reports the mean and max over its tokens.
+    * Common-boilerplate docs score low, rare-token-heavy docs score
+    * high — the corpus-relative outlier axis the per-doc q17 heuristics
+    * cannot see. All arithmetic is exact integers until one final
+    * double division, so the oracle is bit-exact (no transcendentals —
+    * ln/log2 are NOT identically rounded across engines and would break
+    * the hash contract).
+    *
+    * Scale: one token-keyed count (partial-agg before its exchange),
+    * one equi-join of the token stream against the count table (both
+    * sides token-partitioned — vocab is far too large to broadcast at
+    * 100 TB), a 1-row total broadcast, one doc-keyed rollup. Linear,
+    * skew-bounded: the hottest token key carries a counter, not a
+    * token list. */
+  def q87TokenRarity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val tk = docs.select(col("doc_id"),
+      explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+    val counts = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("T")) // 1 row
+    tk.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), expr("T div cnt").as("ifreq"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(col("ifreq")).cast("double") / count(lit(1))).as("mean_inv_freq"),
+        max(col("ifreq")).as("max_inv_freq"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q87: identical count/total/floor-div/rollup chain;
+    * the only double op is the final mean division, mirrored exactly. */
+  val q87Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), tk AS (
+      |  SELECT doc_id, unnest(t) AS tok FROM toks
+      |), counts AS (
+      |  SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok
+      |), tot AS (
+      |  SELECT SUM(cnt) AS T FROM counts
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(T // cnt) AS DOUBLE) / COUNT(*) AS mean_inv_freq,
+      |  CAST(MAX(T // cnt) AS BIGINT) AS max_inv_freq
+      |FROM tk JOIN counts USING (tok) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Mirror = the shared q60/q75 clustering chain + the same
     * quality-ranked keeper window, rolled up per source with
     * HUGEINT-safe integer sums. */

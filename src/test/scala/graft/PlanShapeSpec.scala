@@ -166,6 +166,16 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("q87: token rarity joins token-partitioned count table; only the 1-row total broadcasts") {
+    val p = plan(graft.ops.ScaleOps4.q87TokenRarity(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row total joins as a broadcast nested loop (it has no key);
+    // the vocab join must be an equi hash/sort-merge join, never a
+    // broadcast of the token stream
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q72: equi-depth bin assignment is a broadcast pure map (no shuffle before the bin agg)") {
     // the 1-row boundary table must reach the scan side via broadcast —
     // a hash-partitioned join here would shuffle the whole corpus just to

@@ -1173,6 +1173,21 @@ class DupSpansSpec extends GraftSuite {
     assert(m(3L).getLong(2) == 0L, s"${m(3L)}")
   }
 
+  test("q87 token rarity: exact integer inverse-frequency law on a hand corpus") {
+    val dir = tempDir("rarity")
+    // corpus: a x3, b x1, c x1 -> T = 5; ifreq(a) = 5 div 3 = 1, b/c = 5
+    Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.ScaleOps4.q87TokenRarity(spark, dir.toString).collect()
+    val m = out.map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) == 3L && m(1L).getDouble(2) == 7.0 / 3.0 &&
+      m(1L).getLong(3) == 5L, s"${m(1L)}")
+    assert(m(2L).getLong(1) == 2L && m(2L).getDouble(2) == 3.0 &&
+      m(2L).getLong(3) == 5L, s"${m(2L)}")
+  }
+
   test("q85 dup spans: two disjoint shared runs merge into two spans, not one") {
     val dir = tempDir("dupspans2")
     // doc 1 shares tokens 0..8 (run A) and 20..28 (run B) with docs 2/3;
