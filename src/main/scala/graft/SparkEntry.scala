@@ -97,6 +97,9 @@ object SparkEntry {
     "q85_dup_spans"       -> (graft.ops.ScaleOps4.q85DupSpans _),
     "q86_dedup_clean"     -> (graft.ops.ScaleOps4.q86DedupClean _),
     "q87_token_rarity"    -> (graft.ops.ScaleOps4.q87TokenRarity _),
+    "q88_fuzzy_join"      -> (graft.ops.ScaleOps5.q88FuzzyJoin _),
+    "q89_bigram_lm"       -> (graft.ops.ScaleOps5.q89BigramLm _),
+    "q90_pq_ann"          -> (graft.ops.ScaleOps5.q90PqAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -111,16 +114,18 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     staticOracleSql ++
     ScaleOps.q35SqlOpt.map("q35_ann_ivf" -> _) ++
-    graft.ops.ScaleOps3.q66SqlOpt.map("q66_semdedup" -> _)
+    graft.ops.ScaleOps3.q66SqlOpt.map("q66_semdedup" -> _) ++
+    graft.ops.ScaleOps5.q90SqlOpt.map("q90_pq_ann" -> _)
 
   /** Dir-keyed oracle set: identical to [[oracleSql]] except the
-    * data-dependent q35/q66 mirrors are built from the centroids trained
-    * on exactly `dir` (absent if that corpus has not been trained in this
-    * JVM). */
+    * data-dependent q35/q66/q90 mirrors are built from the centroids /
+    * codebooks trained on exactly `dir` (absent if that corpus has not
+    * been trained in this JVM). */
   def oracleSqlFor(dir: String): Map[String, String] =
     staticOracleSql ++
     ScaleOps.q35SqlFor(dir).map("q35_ann_ivf" -> _) ++
-    graft.ops.ScaleOps3.q66SqlFor(dir).map("q66_semdedup" -> _)
+    graft.ops.ScaleOps3.q66SqlFor(dir).map("q66_semdedup" -> _) ++
+    graft.ops.ScaleOps5.q90SqlFor(dir).map("q90_pq_ann" -> _)
 
   private def staticOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> Relational.q01Sql,
@@ -208,6 +213,8 @@ object SparkEntry {
     "q85_dup_spans"       -> graft.ops.ScaleOps4.q85Sql,
     "q86_dedup_clean"     -> graft.ops.ScaleOps4.q86Sql,
     "q87_token_rarity"    -> graft.ops.ScaleOps4.q87Sql,
+    "q88_fuzzy_join"      -> graft.ops.ScaleOps5.q88Sql,
+    "q89_bigram_lm"       -> graft.ops.ScaleOps5.q89Sql,
     // q21-q24 carry full DuckDB mirrors: FNV-1a signature arithmetic for
     // q21-q23 (ScaleOps.duckFnv) and the inlined ±1 hyperplane sign
     // matrix + list_inner_product double accumulation for q24

@@ -549,7 +549,7 @@ object ScaleOps {
     // joined without margin markers: stripMargin leaves lines that don't
     // start with whitespace+'|' untouched, so the literals pass through
     val values = cents.map { case (i, v) =>
-      s"($i, ${v.map(f => f.toDouble.toString).mkString("[", ", ", "]")}::DOUBLE[])"
+      s"($i, ${v.map(f => ScaleOps5.doubleLit(f.toDouble)).mkString("[", ", ", "]")}::DOUBLE[])"
     }.mkString(",\n")
     raw"""WITH cent(centroid_id, cvec) AS (
       |    VALUES $values

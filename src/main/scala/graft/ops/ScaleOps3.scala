@@ -134,7 +134,7 @@ object ScaleOps3 {
     * has trained on `dir` in this JVM. */
   def q66SqlFor(dir: String): Option[String] = ScaleOps.trainedCentroidsOpt(dir).map { cents =>
     val values = cents.map { case (i, v) =>
-      s"($i, ${v.map(f => f.toDouble.toString).mkString("[", ", ", "]")}::DOUBLE[])"
+      s"($i, ${v.map(f => ScaleOps5.doubleLit(f.toDouble)).mkString("[", ", ", "]")}::DOUBLE[])"
     }.mkString(",\n")
     raw"""WITH cent(centroid_id, cvec) AS (
       |    VALUES $values

@@ -260,4 +260,44 @@ class PlanShapeSpec extends GraftSuite {
         s"decode must not shuffle — only the final order-by range exchange; got $hashExchanges\n$p")
     }
   }
+
+  test("q88: fuzzy linkage pairs only within blocks — distinct-key agg feeds an equi hash join, never a cartesian") {
+    val p = plan(graft.ops.ScaleOps5.q88FuzzyJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the blocking key is an equi join key; levenshtein is only a
+    // post-join filter inside the block
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+    // the corpus collapses to distinct names (two-phase) BEFORE pairing:
+    // pair space is keys x keys-in-block, never rows x rows
+    assert(p.contains("partial_count"), p)
+    // only p_name is read from the scan
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("p_retailprice") && !readSchema.contains("p_partkey"), readSchema)
+  }
+
+  test("q89: bigram LM has the q87 topology — equi-join on the bigram count table, only the 1-row total broadcasts") {
+    val p = plan(graft.ops.ScaleOps5.q89BigramLm(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_count"), p)
+    // the per-doc rollup partial-aggregates before its doc_id shuffle
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q90: PQ encode is a pure-map kernel in the scan stage; ADC scan shuffles once (query_id top-k) with partial group-limit") {
+    val p = plan(graft.ops.ScaleOps5.q90PqAnn(spark, sf))
+    // the corpus side: pq_encode directly over the scan, no exchange
+    // before the candidate join
+    assert(p.contains("pq_encode"), p)
+    // the per-query LUTs arrive as a driver-small broadcast local table —
+    // the corpus float vectors are never joined
+    assert(p.contains("LocalTableScan"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // exactly ONE hash exchange: the query_id window for top-k; the
+    // candidate stream is pre-truncated map-side (partial WindowGroupLimit)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.Pq
+
+/** Ground-truth laws for the round-9 operators: blocked fuzzy linkage
+  * (q88), bigram LM scoring (q89), and product-quantization ANN (q90). */
+class ScaleOps5Spec extends GraftSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // --- q88 fuzzy join ------------------------------------------------------
+
+  test("q88 fuzzy join: blocked pairs carry exact edit distances and name counts") {
+    val dir = tempDir("fuzzy")
+    // two blocks; within 'widget': lev(cold,gold)=1, lev(cold,colt)=1,
+    // lev(gold,colt)=2; 'bolt' block has one name -> no pairs; cross-block
+    // pairs (e.g. cold widget vs cold bolt) must NOT appear even though
+    // their distance is small
+    val rows = Seq.fill(3)("cold widget") ++ Seq.fill(2)("gold widget") ++
+      Seq("colt widget") ++ Seq.fill(4)("cold bolt")
+    rows.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = graft.ops.ScaleOps5.q88FuzzyJoin(spark, dir.toString).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size == 3, out.toString)
+    assert(out(("cold widget", "colt widget")) == (1L, 3L, 1L))
+    assert(out(("cold widget", "gold widget")) == (1L, 3L, 2L))
+    assert(out(("colt widget", "gold widget")) == (2L, 1L, 2L))
+  }
+
+  test("q88 fuzzy join: threshold excludes far pairs within a block") {
+    val dir = tempDir("fuzzythr")
+    Seq((1L, "aaaaaaaa widget"), (2L, "bbbbbbbb widget"))
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // lev = 8 > 4 -> no rows
+    assert(graft.ops.ScaleOps5.q88FuzzyJoin(spark, dir.toString).count() == 0)
+  }
+
+  // --- q89 bigram LM -------------------------------------------------------
+
+  test("q89 bigram LM: exact integer inverse-frequency law on a hand corpus") {
+    val dir = tempDir("bigram")
+    // bigrams: doc1 = (a b), (b a), (a b); doc2 = (a b), (b c)
+    // counts: "a b"=3, "b a"=1, "b c"=1 -> T=5
+    // ifreq: "a b" -> 5 div 3 = 1; others -> 5
+    Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.ScaleOps5.q89BigramLm(spark, dir.toString).collect()
+    val m = out.map(r => r.getLong(0) -> r).toMap
+    // doc 3 has a single token -> no transitions -> absent
+    assert(!m.contains(3L), m.toString)
+    assert(m(1L).getLong(1) == 3L && m(1L).getDouble(2) == 7.0 / 3.0 &&
+      m(1L).getLong(3) == 5L, s"${m(1L)}")
+    assert(m(2L).getLong(1) == 2L && m(2L).getDouble(2) == 3.0 &&
+      m(2L).getLong(3) == 5L, s"${m(2L)}")
+  }
+
+  // --- q90 product quantization -------------------------------------------
+
+  test("PQ: encode of a vector equal to a training seed snaps to a zero-distance code") {
+    // corpus where sub-space structure is exact: 4 distinct 8-dim patterns
+    // tiled over 2 sub-spaces; every vector IS one of the k seeds, so its
+    // per-sub-space distance to its own code is exactly 0
+    val pats = Seq(
+      Array.fill(8)(1.0f), Array.fill(8)(-1.0f),
+      Array.tabulate(8)(i => i.toFloat), Array.tabulate(8)(i => -i.toFloat))
+    // diagonal combinations FIRST: the k training seeds (lowest ids) must
+    // be distinct in EACH sub-space for Lloyd to keep all four patterns
+    val all = for (a <- pats; b <- pats) yield (a ++ b).toSeq
+    val diag = pats.indices.map(i => (pats(i) ++ pats(i)).toSeq)
+    val vecs = diag ++ all.filterNot(diag.contains)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val model = Pq.train(df, "vec_id", "embedding", m = 2, k = 4, iters = 3)
+    assert(model.m == 2 && model.dim == 16)
+    val codes = Pq.encode(df, "vec_id", "embedding", model)
+      .orderBy("corpus_id").collect().map(_.getSeq[Int](1).toArray)
+    // with 16 vectors = all 4x4 pattern combinations and k=4, Lloyd from
+    // 4-seed init converges to the patterns themselves: every vector's
+    // reconstruction must be exact (adc to itself = 0)
+    val cb = model.codebooks
+    vecs.zip(codes).foreach { case (v, c) =>
+      val va = v.toArray
+      val d0 = Pq.dist(java.util.Arrays.copyOfRange(va, 0, 8), cb(0)(c(0)))
+      val d1 = Pq.dist(java.util.Arrays.copyOfRange(va, 8, 16), cb(1)(c(1)))
+      assert(d0 == 0.0 && d1 == 0.0, s"non-exact reconstruction: $d0 $d1")
+    }
+  }
+
+  test("PQ: adc equals the sum of per-sub-space distances to the assigned codes") {
+    val emb = graft.ops.Relational.t(spark, sf, "embeddings")
+    val model = graft.ops.ScaleOps5.trainedPq(emb, sf)
+    val codes = Pq.encode(emb, "vec_id", "embedding", model)
+    val out = Pq.search(codes, emb.filter(col("vec_id") === 3), model, topK = 3)
+      .collect()
+    val q = emb.filter(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val codeMap = codes.filter(col("corpus_id").isin(out.map(_.getLong(2)): _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val st = model.starts
+    out.foreach { r =>
+      val cs = codeMap(r.getLong(2))
+      var expect = 0.0
+      for (mi <- 0 until model.m) {
+        val sub = java.util.Arrays.copyOfRange(q, st(mi), st(mi + 1))
+        expect += Pq.dist(sub, model.codebooks(mi)(cs(mi)))
+      }
+      assert(r.getDouble(3) == expect,
+        s"adc ${r.getDouble(3)} != driver recompute $expect")
+    }
+  }
+
+  test("PQ: recall@5 vs exact L2 clears the measured floor on the shipped corpus") {
+    val emb = graft.ops.Relational.t(spark, sf, "embeddings")
+    val pq = graft.ops.ScaleOps5.q90PqAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    import graft.functions.VectorFunctions._
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+    val d2 = normSq(col("qv")) - lit(2.0) * dot(col("qv"), col("cv")) + normSq(col("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2").asc, col("corpus_id"))
+    val exact = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("d2", d2).withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("corpus_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = pq.keys.toSeq.sorted.map(k => pq(k).intersect(exact(k)).size / 5.0)
+    val mean = recalls.sum / recalls.size
+    // deterministic 0.53 on the shipped sf0.001 corpus (near-random
+    // embeddings — PQ's worst case); 0.30 leaves headroom for a testdata
+    // regeneration while staying 6x above the ~0.05 chance floor
+    assert(mean >= 0.30, s"mean recall@5 $mean (per-query: $recalls)")
+  }
+
+  test("PQ: ranks are 1..k per query, adc non-decreasing, ties broken by corpus_id") {
+    val out = graft.ops.ScaleOps5.q90PqAnn(spark, sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 20)
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5), sorted.mkString(";"))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        val ok = a.getDouble(3) < b.getDouble(3) ||
+          (a.getDouble(3) == b.getDouble(3) && a.getLong(2) < b.getLong(2))
+        assert(ok, s"rank order violated: $a then $b")
+      }
+    }
+  }
+
+  test("PQ: training is deterministic (same corpus -> identical codebooks)") {
+    val emb = graft.ops.Relational.t(spark, sf, "embeddings")
+    val a = Pq.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val b = Pq.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    assert(a.dim == b.dim)
+    for (mi <- 0 until a.m; c <- 0 until a.k)
+      assert(java.util.Arrays.equals(a.codebooks(mi)(c), b.codebooks(mi)(c)))
+  }
+}

@@ -4,12 +4,13 @@ package graft
 class SparkEntrySpec extends GraftSuite {
 
   test("oracle coverage is total: every registered query carries a DuckDB mirror") {
-    // q35's and q66's mirrors are data-dependent (inlined trained
-    // centroids) and appear after the queries have trained — the Verify
-    // main runs every query BEFORE dumping oracleSql, which this test
-    // re-enacts.
+    // q35's, q66's and q90's mirrors are data-dependent (inlined trained
+    // centroids/codebooks) and appear after the queries have trained —
+    // the Verify main runs every query BEFORE dumping oracleSql, which
+    // this test re-enacts.
     graft.ops.ScaleOps.q35AnnIvf(spark, "/root/testdata/sf0.001").count()
     graft.ops.ScaleOps3.q66Semdedup(spark, "/root/testdata/sf0.001").count()
+    graft.ops.ScaleOps5.q90PqAnn(spark, "/root/testdata/sf0.001").count()
     val sql = SparkEntry.oracleSql
     assert(SparkEntry.queries.keySet == sql.keySet,
       s"queries without an oracle: ${SparkEntry.queries.keySet -- sql.keySet}")
@@ -45,7 +46,9 @@ class SparkEntrySpec extends GraftSuite {
     def firstCentroid(dir: String): String = {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val cents = graft.sim.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 3)
-      cents.find(_._1 == 0).get._2.map(f => f.toDouble.toString).mkString("(0, [", ", ", "]")
+      cents.find(_._1 == 0).get._2
+        .map(f => graft.ops.ScaleOps5.doubleLit(f.toDouble))
+        .mkString("(0, [", ", ", "]")
     }
     assert(a35.get.contains(firstCentroid(dirA)), "q35 mirror for A carries A's centroids")
     assert(b35.get.contains(firstCentroid(dirB)), "q35 mirror for B carries B's centroids")
