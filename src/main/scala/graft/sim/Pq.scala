@@ -170,6 +170,63 @@ object Pq {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("adc"))
   }
+
+  /** PQ-encode an IVF-assigned corpus ([[Ivf.assign]] output): each code
+    * row keeps its inverted-list id. This is the composed production
+    * layout — 100 TB of floats becomes m bytes/vector PER LIST, and a
+    * search touches only its probed lists' codes. */
+  def encodeAssigned(assigned: DataFrame, model: PqModel): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val codes: Column = GraftSqlBridge.column(
+      PqEncode(GraftSqlBridge.expression(col("cv")), model.codebooks, model.starts))
+    assigned.select(col("corpus_id"), col("centroid_id"), codes.as("codes"))
+  }
+
+  /** Persist the composed layout with each inverted list as a PARTITION —
+    * the same write-time investment as [[Ivf.writeIndex]], but holding
+    * CODES: a probe-filtered scan becomes plan-time partition pruning
+    * over data that is already 16× smaller than the float lists. */
+  def writeCodes(codesByList: DataFrame, path: String): Unit =
+    codesByList.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** IVF+PQ search: probe selection AND re-rank both use the PQ metric
+    * (three-term L2² — [[dist]]), driver-side per query (probes and LUT
+    * are O(k + m·k) doubles, corpus-independent). The corpus-side scan
+    * filters to the probed lists FIRST (static `isin` — plan-time
+    * partition pruning over a [[writeCodes]] layout), equi-joins the
+    * broadcast (query, probed-list, LUT) table on `centroid_id`, and
+    * ADC-scans codes only. Relative to [[search]]'s exhaustive scan this
+    * reads nProbe/k of the corpus; relative to [[Ivf.search]] it never
+    * touches float vectors after encode. */
+  def searchIvfPq(codesByList: DataFrame, centroids: Array[(Int, Array[Float])],
+      model: PqModel, queries: DataFrame, topK: Int, nProbe: Int = 4,
+      queryId: String = "vec_id", queryVec: String = "embedding"): DataFrame = {
+    val spark = codesByList.sparkSession
+    import spark.implicits._
+    val qRows: Seq[(Long, Seq[Int], Seq[Seq[Double]])] = queries
+      .select(col(queryId).cast("long"), col(queryVec))
+      .collect()
+      .map { r =>
+        val q = r.getSeq[Float](1).toArray
+        val probes = centroids.map { case (cid, cv) => (cid, dist(q, cv)) }
+          .sortBy { case (cid, d) => (d, cid) }.take(nProbe).map(_._1).toSeq
+        (r.getLong(0), probes, lutFor(q, model).map(_.toSeq).toSeq)
+      }.toSeq
+    val lutDf = broadcast(qRows.toDF("query_id", "probes", "lut")
+      .select(col("query_id"), explode(col("probes")).as("centroid_id"), col("lut")))
+    val probedIds = qRows.flatMap(_._2).distinct
+    val cand = codesByList.filter(col("centroid_id").isin(probedIds: _*))
+      .join(lutDf, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("adc", expr(
+        s"aggregate(sequence(0, ${model.m - 1}), cast(0.0 as double), " +
+          "(acc, i) -> acc + lut[i][codes[i]])"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("corpus_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("adc"))
+  }
 }
 
 /** PQ encoder: m sub-space argmin-L2² code indices for one embedding,

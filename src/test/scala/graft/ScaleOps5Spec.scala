@@ -159,6 +159,65 @@ class ScaleOps5Spec extends GraftSuite {
     }
   }
 
+  test("IVF+PQ: composed search == driver-recomputed ADC top-k over exactly the probed lists") {
+    val emb = graft.ops.Relational.t(spark, sf, "embeddings")
+    val model = graft.ops.ScaleOps5.trainedPq(emb, sf)
+    val cents = graft.sim.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val assigned = graft.sim.Ivf.assign(emb, "vec_id", "embedding", cents)
+    val codesByList = Pq.encodeAssigned(assigned, model)
+    val q = emb.filter(col("vec_id") < 5)
+    val out = Pq.searchIvfPq(codesByList, cents, model, q, topK = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // driver-side expectation from first principles: probes by the SAME
+    // three-term L2², candidates = probed lists minus self, adc = LUT sum
+    val codeRows = codesByList.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toArray))
+    val qVecs = q.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val st = model.starts
+    val expect = qVecs.flatMap { case (qid, qv) =>
+      val probes = cents.map { case (cid, cv) => (cid, Pq.dist(qv, cv)) }
+        .sortBy { case (cid, d) => (d, cid) }.take(2).map(_._1).toSet
+      codeRows.filter(cr => probes.contains(cr._2) && cr._1 != qid)
+        .map { case (cid, _, codes) =>
+          var adc = 0.0
+          for (mi <- 0 until model.m)
+            adc += Pq.dist(java.util.Arrays.copyOfRange(qv, st(mi), st(mi + 1)),
+              model.codebooks(mi)(codes(mi)))
+          (cid, adc)
+        }
+        .sortBy { case (cid, adc) => (adc, cid) }.take(3).zipWithIndex
+        .map { case ((cid, adc), i) => (qid, i + 1, cid, adc) }
+    }.toSet
+    assert(out.toSet == expect, s"got ${out.toSet}\nexpected $expect")
+  }
+
+  test("IVF+PQ: persisted code layout prunes to the probed partitions (the 100 TB scan contract)") {
+    val emb = graft.ops.Relational.t(spark, sf, "embeddings")
+    val model = graft.ops.ScaleOps5.trainedPq(emb, sf)
+    val cents = graft.sim.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val codesByList = Pq.encodeAssigned(
+      graft.sim.Ivf.assign(emb, "vec_id", "embedding", cents), model)
+    val path = tempDir("pq_idx").toString
+    Pq.writeCodes(codesByList, path)
+    val loaded = spark.read.parquet(path)
+    val q = emb.filter(col("vec_id") < 5)
+    val disk = Pq.searchIvfPq(loaded, cents, model, q, topK = 3, nProbe = 2)
+    // same answers off disk as in memory
+    def rows(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    assert(rows(disk) == rows(
+      Pq.searchIvfPq(codesByList, cents, model, q, topK = 3, nProbe = 2)))
+    // plan-level proof: the scan carries static PartitionFilters on the
+    // probed centroid set — only nProbe-per-query lists of CODES are read
+    val plan = disk.queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[[^\\]]*centroid_id#\\d+ IN \\(".r
+    assert(pruned.findFirstIn(plan).isDefined, plan)
+    // and the float vectors never appear in the scan schema
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("embedding"), readSchema)
+  }
+
   test("PQ: training is deterministic (same corpus -> identical codebooks)") {
     val emb = graft.ops.Relational.t(spark, sf, "embeddings")
     val a = Pq.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
