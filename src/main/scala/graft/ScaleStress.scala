@@ -218,6 +218,33 @@ object ScaleStress {
       n -> path
     }.toMap
 
+    // PQ (r9): train codebooks + persist the composed centroid-partitioned
+    // code layout once per scale (untimed, stamped+reused like the IVF
+    // indexes): the search curves must measure the SCAN, not the driver
+    // Lloyd trains or the one-time encode pass. Training re-runs even on
+    // stamp reuse — it is deterministic driver work whose VALUES the
+    // search needs, and it is outside the timed region either way.
+    var pqState: Map[Int, (graft.sim.Pq.PqModel, Array[(Int, Array[Float])], String)] =
+      Map.empty
+    def buildPq(): Unit = pqState = scales.map { n =>
+      val dir = s"$base/x$n"
+      val path = s"$base/pq_idx_x$n"
+      val model = graft.sim.Pq.train(emb(dir), "vec_id", "embedding",
+        m = 16, k = 64, iters = 3)
+      val cents = graft.sim.Ivf.train(emb(dir), "vec_id", "embedding",
+        k = 16, iters = 3)
+      val stamp = s"$dir|rows=${emb(dir).count()}|m=16|k=64|ivfk=16"
+      val stampFile = java.nio.file.Paths.get(path, "_stamp")
+      val reusable = java.nio.file.Files.exists(stampFile) &&
+        java.nio.file.Files.readString(stampFile) == stamp
+      if (!reusable) {
+        graft.sim.Pq.writeCodes(graft.sim.Pq.encodeAssigned(
+          graft.sim.Ivf.assign(emb(dir), "vec_id", "embedding", cents), model), path)
+        java.nio.file.Files.writeString(stampFile, stamp)
+      }
+      n -> ((model, cents, path))
+    }.toMap
+
     val allOps: Seq[(String, String => Long)] = Seq(
       "jaccard_capped" -> (dir => Dedup.nearDupPairs(
         docs(dir), "doc_id", "text", k = 3, threshold = 0.5).count()),
@@ -315,6 +342,28 @@ object ScaleStress {
         graft.ops.ScaleOps4.dedupSavings(
           d, decided, "source", "doc_id", "text").count()
       }),
+      // r9 PQ scan paths over the persisted code layouts: pq_adc =
+      // exhaustive codes scan (expected ~linear — every list read, but 16x
+      // fewer bytes than floats); ivfpq_search = probe-pruned partitions
+      // at fixed nProbe=4 of k=16 (expected to hold well under pq_adc's
+      // wall since only probed lists are read)
+      "pq_adc" -> { dir =>
+        val n = scales.find(s => dir.endsWith(s"x$s")).get
+        val (model, _, path) = pqState(n)
+        graft.sim.Pq.search(
+          spark.read.parquet(path).select(col("corpus_id"), col("codes")),
+          emb(dir).filter(col("vec_id") < 20), model, topK = 5).count()
+      },
+      "ivfpq_search" -> { dir =>
+        val n = scales.find(s => dir.endsWith(s"x$s")).get
+        val (model, cents, path) = pqState(n)
+        graft.sim.Pq.searchIvfPq(spark.read.parquet(path), cents, model,
+          emb(dir).filter(col("vec_id") < 20), topK = 5, nProbe = 4).count()
+      },
+      // bigram LM (q89): the token-pair shuffle — expected to track the
+      // other token-exchange ops' linearity
+      "bigram_lm" -> (dir =>
+        graft.ops.ScaleOps5.q89BigramLm(spark, dir).count()),
       // wav_decode = the q79 pure-map codec kernel (fixture bytes built
       // in-plan, then genuinely parsed back) — expected flat-to-linear
       // with zero shuffles
@@ -337,6 +386,7 @@ object ScaleStress {
       s"op filter '${opFilter.getOrElse("")}' matches nothing; " +
         s"available: ${allOps.map(_._1).mkString(", ")}")
     if (opsRun.exists(_._1 == "ivf_search")) buildIndexes()
+    if (opsRun.exists(p => p._1 == "pq_adc" || p._1 == "ivfpq_search")) buildPq()
 
     // warmup (JIT + codegen) on the smallest corpus
     opsRun.foreach { case (_, f) => f(s"$base/x1") }
