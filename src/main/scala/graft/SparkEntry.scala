@@ -100,6 +100,11 @@ object SparkEntry {
     "q88_fuzzy_join"      -> (graft.ops.ScaleOps5.q88FuzzyJoin _),
     "q89_bigram_lm"       -> (graft.ops.ScaleOps5.q89BigramLm _),
     "q90_pq_ann"          -> (graft.ops.ScaleOps5.q90PqAnn _),
+    "q91_bm25"            -> (graft.ops.ScaleOps6.q91Bm25 _),
+    "q92_normalize"       -> (graft.ops.ScaleOps6.q92Normalize _),
+    "q93_scd2"            -> (graft.ops.ScaleOps6.q93Scd2 _),
+    "q94_zorder"          -> (graft.ops.ScaleOps6.q94Zorder _),
+    "q95_char_diversity"  -> (graft.ops.ScaleOps6.q95CharDiversity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -215,6 +220,11 @@ object SparkEntry {
     "q87_token_rarity"    -> graft.ops.ScaleOps4.q87Sql,
     "q88_fuzzy_join"      -> graft.ops.ScaleOps5.q88Sql,
     "q89_bigram_lm"       -> graft.ops.ScaleOps5.q89Sql,
+    "q91_bm25"            -> graft.ops.ScaleOps6.q91Sql,
+    "q92_normalize"       -> graft.ops.ScaleOps6.q92Sql,
+    "q93_scd2"            -> graft.ops.ScaleOps6.q93Sql,
+    "q94_zorder"          -> graft.ops.ScaleOps6.q94Sql,
+    "q95_char_diversity"  -> graft.ops.ScaleOps6.q95Sql,
     // q21-q24 carry full DuckDB mirrors: FNV-1a signature arithmetic for
     // q21-q23 (ScaleOps.duckFnv) and the inlined ±1 hyperplane sign
     // matrix + list_inner_product double accumulation for q24
