@@ -364,6 +364,15 @@ object ScaleStress {
       // other token-exchange ops' linearity
       "bigram_lm" -> (dir =>
         graft.ops.ScaleOps5.q89BigramLm(spark, dir).count()),
+      // BM25 (q91): explode→filter-to-query-terms→tf groupBy; candidate
+      // rows scale with corpus but stay term-bounded — expected linear
+      // with the tf exchange as the only corpus-sized shuffle
+      "bm25" -> (dir =>
+        graft.ops.ScaleOps6.q91Bm25(spark, dir).count()),
+      // char diversity (q95): pure one-pass kernel, zero shuffles —
+      // expected flat-to-linear like the other scan-stage kernels
+      "char_diversity" -> (dir =>
+        graft.ops.ScaleOps6.q95CharDiversity(spark, dir).count()),
       // wav_decode = the q79 pure-map codec kernel (fixture bytes built
       // in-plan, then genuinely parsed back) — expected flat-to-linear
       // with zero shuffles
@@ -463,7 +472,10 @@ object ScaleStress {
       "q18_lang_id", "q19_ngram_jaccard", "q21_minhash_lsh", "q22_simhash",
       "q23_fingerprint", "q57_repetition",
       // r6 text/pipeline additions with linearity claims to check at 100×
-      "q64_chunk_dedup", "q65_tfidf", "q69_stratified_sample")
+      "q64_chunk_dedup", "q65_tfidf", "q69_stratified_sample",
+      // r9 batch-2 fact-table ops: SCD2 (one business-key exchange) and
+      // z-order layout profiling (one zbucket aggregation exchange)
+      "q93_scd2", "q94_zorder")
     qs.foreach { n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count() }
     spark.catalog.clearCache()
     for (rep <- 1 to 2) qs.foreach { n =>

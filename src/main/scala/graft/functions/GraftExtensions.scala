@@ -100,7 +100,22 @@ object GraftExtensions {
     (FunctionIdentifier("mp3_scan"),
       info("mp3_scan",
         "mp3_scan(bytes) - MPEG-1 Layer III frame walk: rate, frames, duration, bitrate sum"),
-      (exprs: Seq[Expression]) => graft.multimodal.Mp3Scan(exprs.head)))
+      (exprs: Seq[Expression]) => graft.multimodal.Mp3Scan(exprs.head)),
+    // --- Unicode normalization + character statistics (q92/q95 kernels)
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(str) - Unicode NFC (canonical composition)"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)),
+    (FunctionIdentifier("nfd_normalize"),
+      info("nfd_normalize", "nfd_normalize(str) - Unicode NFD (canonical decomposition)"),
+      (exprs: Seq[Expression]) => NfdNormalize(exprs.head)),
+    (FunctionIdentifier("strip_accents"),
+      info("strip_accents",
+        "strip_accents(str) - decompose, drop combining marks, recompose"),
+      (exprs: Seq[Expression]) => StripAccents(exprs.head)),
+    (FunctionIdentifier("char_stats"),
+      info("char_stats",
+        "char_stats(str) - one-pass [total, distinct, sum(count^2)] codepoint stats"),
+      (exprs: Seq[Expression]) => CharStats(exprs.head)))
 
   /** Install into an already-built session (extensions only run at session
     * construction). */

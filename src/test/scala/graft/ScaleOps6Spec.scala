@@ -170,6 +170,21 @@ class ScaleOps6Spec extends GraftSuite {
     assert(out(4L) == ((3L, 1L, 0.0)))
   }
 
+  test("SQL registration: normalize/char_stats kernels callable from spark.sql") {
+    graft.functions.GraftExtensions.registerAll(spark)
+    Seq((1L, "thé fást kéy"), (2L, "abab")).toDF("id", "s")
+      .createOrReplaceTempView("norm_sql_in")
+    val r = spark.sql(
+      """SELECT id, strip_accents(s) AS st,
+        |  length(nfd_normalize(s)) AS nfd_len,
+        |  nfc_normalize(nfd_normalize(s)) AS rt,
+        |  char_stats(s) AS cs
+        |FROM norm_sql_in ORDER BY id""".stripMargin).collect()
+    assert(r(0).getString(1) == "the fast key")
+    assert(r(0).getInt(2) == 15 && r(0).getString(3) == "thé fást kéy")
+    assert(r(1).getSeq[Long](4) == Seq(4L, 2L, 8L))
+  }
+
   // --- plan pins for the scan-stage kernels --------------------------------
 
   test("q92/q95 plans: pure per-row kernels — no hash exchange before the sort") {
