@@ -475,7 +475,10 @@ object ScaleStress {
       "q64_chunk_dedup", "q65_tfidf", "q69_stratified_sample",
       // r9 batch-2 fact-table ops: SCD2 (one business-key exchange) and
       // z-order layout profiling (one zbucket aggregation exchange)
-      "q93_scd2", "q94_zorder")
+      "q93_scd2", "q94_zorder",
+      // r9 batch-3: integer PageRank — the Pregel-round join/groupBy pair
+      // over the N×-replicated trade graph
+      "q96_pagerank")
     qs.foreach { n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count() }
     spark.catalog.clearCache()
     for (rep <- 1 to 2) qs.foreach { n =>
