@@ -30,12 +30,19 @@ object ScaleOps7 {
     * rounds are bit-reproducible by the unrolled SQL mirror. Node ids
     * namespace the two key spaces (supplier→2k, customer→2k+1).
     *
-    * Scale shape: the edge list (with degree pre-joined) is built ONCE
-    * and cached — each round is then one equi-join pr⋈edges on src plus
-    * one partial-agg groupBy on dst: the Pregel superstep as two
-    * exchanges over edge-count rows, no driver state, rounds a fixed
-    * constant. At 100 TB the edge table would be bucketed by src so the
-    * per-round join is exchange-free. */
+    * Scale shape: ONE cached, src-partitioned edge table carries its
+    * degree (window count over the src partitioning — same exchange),
+    * and EVERYTHING derives from that cache: the degree/start-rank
+    * table is a partial-agg groupBy that reuses the src partitioning
+    * (no exchange), and each Pregel round is a co-partitioned join
+    * (pr arrives hash(node)-partitioned from the previous round's
+    * groupBy, edges are hash(src)) plus ONE partial-agg groupBy on dst
+    * — so a round costs exactly one edge-sized exchange and the whole
+    * query ≈ 5 hash exchanges regardless of rounds' payload
+    * duplication (the r9 first cut re-derived the graph per reference:
+    * 30 exchanges; the audit caught it). At 100 TB the edge table
+    * would be bucketed by src, making even the round joins
+    * exchange-free on cold storage. */
   def q96Pagerank(s: SparkSession, dir: String): DataFrame = {
     val pairs = Relational.fanOut(t(s, dir, "lineitem"))
       .select(col("l_orderkey"), col("l_suppkey"))
@@ -43,11 +50,13 @@ object ScaleOps7 {
         col("l_orderkey") === col("o_orderkey"))
       .select((col("l_suppkey") * 2).as("s"), (col("o_custkey") * 2 + 1).as("c"))
       .distinct()
+      .persist()
     val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
       .unionByName(pairs.select(col("c").as("src"), col("s").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // degree travels with each edge so a round needs no second join
-    val edgesD = edges.join(deg, Seq("src")).persist()
+    val wSrc = Window.partitionBy(col("src"))
+    val edgesD = edges.withColumn("deg", count(lit(1)).over(wSrc)).persist()
+    // already hash(src)-partitioned by the window: no exchange
+    val deg = edgesD.groupBy(col("src")).agg(max(col("deg")).as("deg"))
     var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to 3) {
       pr = edgesD
