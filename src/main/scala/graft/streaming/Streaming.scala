@@ -215,6 +215,58 @@ object Streaming {
       }
   }
 
+  // --- custom state: streaming conversion funnel ------------------------
+
+  /** Stage times in epoch-millis; -1 = not reached. O(1) per user. */
+  final case class FunnelState(s: Long, v: Long, c: Long, p: Long)
+  final case class FunnelRow(user_id: Long,
+      t_signup: Option[java.sql.Timestamp], t_view: Option[java.sql.Timestamp],
+      t_click: Option[java.sql.Timestamp], t_purchase: Option[java.sql.Timestamp],
+      stage: Long)
+
+  /** Continuous counterpart of the batch funnel (ScaleOps7.q99Funnel):
+    * signup → first view strictly after it → first click after that →
+    * first purchase after that, maintained per user in O(1) state and
+    * re-emitted whenever a stage advances (latest emission per user =
+    * current funnel row; users who never sign up hold no state and emit
+    * nothing — the batch query's stage-0 rows).
+    *
+    * Parity law (spec-checked): when events are delivered in timestamp
+    * order — within a micro-batch the kernel sorts, across batches the
+    * source must not reorder — the greedy first-qualifying-event IS the
+    * batch MIN, so the final emission per user equals the batch row
+    * exactly. Out-of-order delivery degrades the same way any
+    * min-refinement does in an append-only stream: an earlier-qualifying
+    * event arriving late cannot retract an already-advanced stage. */
+  def funnelStream(events: Dataset[Event]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val before = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, -1L))
+          var st = before
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "signup"   if st.s < 0 => st = st.copy(s = t)
+              case "view"     if st.s >= 0 && st.v < 0 && t > st.s => st = st.copy(v = t)
+              case "click"    if st.v >= 0 && st.c < 0 && t > st.v => st = st.copy(c = t)
+              case "purchase" if st.c >= 0 && st.p < 0 && t > st.c => st = st.copy(p = t)
+              case _ =>
+            }
+          }
+          if (st != before) {
+            state.update(st)
+            def o(t: Long) = if (t < 0) None else Some(new java.sql.Timestamp(t))
+            val stage = Seq(st.s, st.v, st.c, st.p).count(_ >= 0).toLong
+            Iterator(FunnelRow(userId, o(st.s), o(st.v), o(st.c), o(st.p), stage))
+          } else Iterator.empty
+      }
+  }
+
   // --- custom state: streaming heavy hitters ----------------------------
 
   final case class HeavyHitterCandidate(shard: Int, token: String,

@@ -420,4 +420,76 @@ class StreamingSpec extends GraftSuite {
         (3L, "genuinely fresh content two")).toDF("doc_id", "text"), "text", bloom)
     assert(defNew.select("doc_id").collect().map(_.getLong(0)).toSet == ids)
   }
+
+  test("streaming funnel: latest emission per user matches the batch funnel") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // the q99 spec fixture: full funnel / pre-signup view / no signup
+    val rows = Seq(
+      (1L, ts("2024-01-02 10:00:00"), 1L, "signup", 0.0),
+      (2L, ts("2024-01-03 10:00:00"), 1L, "view", 0.0),
+      (3L, ts("2024-01-04 10:00:00"), 1L, "click", 0.0),
+      (4L, ts("2024-01-05 10:00:00"), 1L, "purchase", 0.0),
+      (5L, ts("2024-01-02 09:00:00"), 2L, "view", 0.0),
+      (6L, ts("2024-01-02 10:00:00"), 2L, "signup", 0.0),
+      (7L, ts("2024-01-03 10:00:00"), 2L, "click", 0.0),
+      (8L, ts("2024-01-02 10:00:00"), 3L, "purchase", 0.0))
+    val dir = tempDir("funnel_parity")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.ops.ScaleOps7.q99Funnel(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+        Option(r.getTimestamp(3)), Option(r.getTimestamp(4)), r.getLong(5)))).toMap
+
+    val in = tempDir("funnel_in")
+    rows.map(r => Streaming.Event(r._3, r._2, r._4)).toDS
+      .write.mode("overwrite").parquet(in.toString)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streaming.Event]].schema)
+      .parquet(in.toString).as[Streaming.Event]
+    val q = Streaming.funnelStream(stream)
+      .writeStream.format("memory").queryName("funout")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000L)) finally q.stop()
+    val emitted = spark.table("funout").collect()
+      .map(r => r.getLong(0) -> ((Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+        Option(r.getTimestamp(3)), Option(r.getTimestamp(4)), r.getLong(5)))).toMap
+    // users 1 and 2 emit their final funnel rows; user 3 (no signup, batch
+    // stage 0) holds no state and emits nothing
+    assert(emitted.keySet == Set(1L, 2L), emitted.toString)
+    assert(emitted(1L) == batch(1L), s"${emitted(1L)} vs ${batch(1L)}")
+    assert(emitted(2L) == batch(2L), s"${emitted(2L)} vs ${batch(2L)}")
+    assert(batch(3L)._5 == 0L)
+  }
+
+  test("streaming funnel: stage advances across micro-batches from O(1) state") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = tempDir("funnel_batches")
+    val ckpt = tempDir("funnel_ckpt")
+    def write(name: String, evs: Seq[Streaming.Event]): Unit =
+      evs.toDS.coalesce(1).write.parquet(s"$in/$name")
+    write("b1", Seq(
+      Streaming.Event(1L, ts("2024-01-02 10:00:00"), "signup"),
+      Streaming.Event(1L, ts("2024-01-03 10:00:00"), "view")))
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streaming.Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+      .as[Streaming.Event]
+    val q = Streaming.funnelStream(stream)
+      .writeStream.format("memory").queryName("funsteps")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("funsteps").collect().map(_.getLong(5)).toSeq == Seq(2L))
+      // the click+purchase arrive later; state carries t_view across batches
+      write("b2", Seq(
+        Streaming.Event(1L, ts("2024-01-04 10:00:00"), "click"),
+        Streaming.Event(1L, ts("2024-01-05 10:00:00"), "purchase")))
+      q.processAllAvailable()
+      val stages = spark.table("funsteps").collect().map(_.getLong(5)).sorted.toSeq
+      assert(stages == Seq(2L, 4L), stages.toString)
+    } finally q.stop()
+  }
 }
