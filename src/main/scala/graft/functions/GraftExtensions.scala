@@ -101,6 +101,14 @@ object GraftExtensions {
       info("mp3_scan",
         "mp3_scan(bytes) - MPEG-1 Layer III frame walk: rate, frames, duration, bitrate sum"),
       (exprs: Seq[Expression]) => graft.multimodal.Mp3Scan(exprs.head)),
+    (FunctionIdentifier("image_decode"),
+      info("image_decode",
+        "image_decode(bytes) - auto-sniffed PPM/PNG decode (PNG: CRC verify + inflate + unfilter): format, dims, exact pixel stats"),
+      (exprs: Seq[Expression]) => graft.multimodal.ImageDecode(exprs.head)),
+    (FunctionIdentifier("png_fixture"),
+      info("png_fixture",
+        "png_fixture(id) - deterministic complete PNG bytes (real deflate, real CRCs, all five filters)"),
+      (exprs: Seq[Expression]) => graft.multimodal.PngFixture(exprs.head)),
     // --- Unicode normalization + character statistics (q92/q95 kernels)
     (FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(str) - Unicode NFC (canonical composition)"),

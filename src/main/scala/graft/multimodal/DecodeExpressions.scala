@@ -128,6 +128,38 @@ object DecodeKernels {
 
   def mp4FixtureSamples(id: Long): Array[Byte] = Mp4.fixtureBytesWithSamples(id)
 
+  /** Auto-sniffed image decode row — ONE kernel for the whole image
+    * surface: dispatch on the real magic bytes (`P6` ⇒ [[Ppm.decode]];
+    * the 8-byte PNG signature ⇒ [[Png.decode]], a REAL zlib-inflate +
+    * CRC-verify + unfilter decode), then exact integer pixel stats over
+    * the unified RGB raster with ONE final double division (mean =
+    * Σ samples / n — the order the q101 oracle mirrors bit-exactly).
+    * checksum = Σ v_j·(1 + j mod 97) makes sample ORDER load-bearing:
+    * a transposed or mis-unfiltered raster with the right sum still
+    * fails the hash. Null for unknown magic or malformed bytes. */
+  def imageDecodeRow(bytes: Array[Byte]): InternalRow = {
+    val isPpm = bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6'
+    val isPng = bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'
+    val img = if (isPpm) Ppm.decode(bytes) else if (isPng) Png.decode(bytes) else null
+    if (img == null) null
+    else {
+      var sum = 0L
+      var chk = 0L
+      var j = 0
+      while (j < img.samples.length) {
+        sum += img.samples(j)
+        chk += img.samples(j).toLong * (1 + j % 97)
+        j += 1
+      }
+      new GenericInternalRow(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(if (isPpm) "ppm" else "png"),
+        img.width, img.height, img.width * img.height,
+        sum, chk, sum.toDouble / img.samples.length.toDouble))
+    }
+  }
+
+  def pngFixture(id: Long): Array[Byte] = Png.fixtureBytes(id)
+
   /** WAV sample ANALYSIS row — the audio feature-extract step past q79's
     * format/stats surface: zero crossings (per channel, sample j vs
     * j−channels over the interleaved raster), silence count (|s| below 1%
@@ -452,6 +484,51 @@ case class WavFixture(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"$kn.wavFixture($c)")
   }
   override protected def withNewChildInternal(c: Expression): WavFixture =
+    copy(child = c)
+}
+
+/** img = image_decode(content): auto-sniffed REAL image decode — PPM via
+  * the P6 grammar, PNG via chunk walk + CRC-32 verify + zlib inflate +
+  * scanline unfilter — plus exact pixel stats, in ONE codegen kernel.
+  * NULL (not an exception) for unknown magic or malformed bytes, the
+  * shared media contract. */
+case class ImageDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_pixels", IntegerType, nullable = false),
+    StructField("sum_samples", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("checksum", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("mean_sample", org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_decode"
+  override def nullSafeEval(c: Any): Any =
+    DecodeKernels.imageDecodeRow(c.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $kn.imageDecodeRow($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): ImageDecode =
+    copy(child = c)
+}
+
+/** content = png_fixture(id): deterministic complete PNG bytes (see
+  * Png.fixtureBytes — real deflate, real CRCs, every filter type) — the
+  * corpus generator for the PNG layer and q101. */
+case class PngFixture(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "png_fixture"
+  override def nullSafeEval(id: Any): Any =
+    DecodeKernels.pngFixture(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$kn.pngFixture($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): PngFixture =
     copy(child = c)
 }
 

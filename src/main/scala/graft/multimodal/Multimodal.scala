@@ -137,6 +137,33 @@ object Multimodal {
         col("__audio.mean_abs").as("mean_abs"))
   }
 
+  /** Auto-sniffed image decode + stats path: ONE kernel dispatches on
+    * the real magic bytes (PPM's `P6` header vs the PNG signature) and
+    * decodes for real either way — PNG through chunk-CRC verification,
+    * zlib inflate, and the five-predictor unfilter chain ([[Png]]).
+    * Emits the detected format, parsed dims, and exact integer pixel
+    * stats (Σ samples, an order-sensitive checksum, ONE final double
+    * mean). The format-sniffing discipline of `ingest.Detect` applied
+    * at the media layer: a mixed image corpus needs no per-format
+    * routing column. NULLs for unknown magic or malformed bytes. */
+  def decodeImageStats(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    media
+      .select(
+        col("media_id"),
+        length(col("content")).cast("long").as("n_bytes"),
+        column(ImageDecode(expression(col("content")))).as("__img"))
+      .select(
+        col("media_id"), col("n_bytes"),
+        col("__img.format").as("format"),
+        col("__img.width").as("width"),
+        col("__img.height").as("height"),
+        col("__img.n_pixels").as("n_pixels"),
+        col("__img.sum_samples").as("sum_samples"),
+        col("__img.checksum").as("checksum"),
+        col("__img.mean_sample").as("mean_sample"))
+  }
+
   /** Audio ANALYSIS path past [[decodeWavFeatures]]'s format surface:
     * zero-crossing count, silence count/ratio (|s| under 1% of full
     * scale), and RMS energy — decode + analyze in ONE codegen kernel

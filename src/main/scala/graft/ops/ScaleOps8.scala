@@ -1,0 +1,255 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Relational.t
+
+/** Round-9 batch 4: the PNG-capable auto-sniffed image surface (q101)
+  * and three data-quality/behavioral ops — per-source Tukey outlier
+  * fences (q102), event-type Markov transitions (q103), and
+  * integer-exact trailing-window anomaly flags (q104).
+  *
+  * Shared discipline (the ScaleOps7 rules): cross-engine-compared
+  * numbers are exact integers or a SINGLE IEEE operation on exact
+  * int64s; the one double-on-double surface (q102's fences) reuses the
+  * q34/q76-proven percentile equivalence and mirrors the arithmetic
+  * tree verbatim. */
+object ScaleOps8 {
+
+  // --- auto-sniffed image decode over a mixed PPM/PNG corpus (q101) -------
+
+  /** q101: REAL image decode over a MIXED-format corpus — even ids carry
+    * PPM (P6) bytes, odd ids carry PNG bytes ([[graft.multimodal.Png]]:
+    * real zlib DEFLATE, real CRC-32 chunk verification, all five
+    * scanline predictors exercised via the per-row filter law), and ONE
+    * auto-sniffing kernel ([[graft.multimodal.ImageDecode]]) dispatches
+    * on the actual magic bytes — `ingest.Detect`'s format-sniffing
+    * discipline applied at the media layer. The oracle re-derives every
+    * pixel from the two fixture byte laws without touching bytes, so the
+    * stats only hash-match if signature parse, chunk CRCs, inflate, and
+    * the unfilter chain are all exactly right.
+    *
+    * The compressed byte count is deliberately NOT in the output: it is
+    * a deflate-implementation detail, not image semantics.
+    *
+    * Scale shape: pure map — fixture synthesis, decode, and stats in one
+    * WholeStageCodegen projection, no exchange until the presentation
+    * order-by. A corrupt blob degrades to a NULL row, never an error. */
+  def q101ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val media = docs.select(
+      col("doc_id").cast("long").as("media_id"),
+      when(col("doc_id") % 2 === 0,
+        column(graft.multimodal.PpmFixture(
+          expression(col("doc_id").cast("long")))))
+        .otherwise(column(graft.multimodal.PngFixture(
+          expression(col("doc_id").cast("long"))))).as("content"))
+    graft.multimodal.Multimodal.decodeImageStats(media)
+      .drop("n_bytes") // deflate-implementation detail, not image semantics
+      .orderBy(col("media_id"))
+  }
+
+  /** DuckDB mirror of q101: both fixture laws are pure id arithmetic —
+    * dims 3+id%3 x 2+id%2 either way; sample j is (id·31+j·7) mod 256
+    * for the PPM arm (even ids) and (id·37+j·11) mod 256 for the PNG
+    * arm (odd ids) — so Σ samples, the order-sensitive checksum
+    * Σ v·(1+j mod 97), and the single-division mean all re-derive in
+    * SQL. 45 = the max raster (5·3·3 samples). */
+  val q101Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |    3 + doc_id % 3 AS w, 2 + doc_id % 2 AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT media_id, w, h, j,
+      |    CASE WHEN media_id % 2 = 0 THEN (media_id * 31 + j * 7) % 256
+      |         ELSE (media_id * 37 + j * 11) % 256 END AS v
+      |  FROM d CROSS JOIN range(0, 45) AS r(j) WHERE j < w * h * 3
+      |), agg AS (
+      |  SELECT media_id, w, h,
+      |    SUM(v) AS sum_samples,
+      |    SUM(v * (1 + j % 97)) AS checksum
+      |  FROM px GROUP BY media_id, w, h
+      |)
+      |SELECT media_id,
+      |  CASE WHEN media_id % 2 = 0 THEN 'ppm' ELSE 'png' END AS format,
+      |  CAST(w AS INTEGER) AS width,
+      |  CAST(h AS INTEGER) AS height,
+      |  CAST(w * h AS INTEGER) AS n_pixels,
+      |  CAST(sum_samples AS BIGINT) AS sum_samples,
+      |  CAST(checksum AS BIGINT) AS checksum,
+      |  CAST(sum_samples AS DOUBLE) / CAST(w * h * 3 AS DOUBLE) AS mean_sample
+      |FROM agg ORDER BY media_id""".stripMargin
+
+  // --- per-source Tukey outlier fences (q102) ------------------------------
+
+  /** q102: distribution-based outlier detection — the data-profiling op
+    * behind automated quality gates: per source, exact Q1/Q3 of document
+    * length, Tukey fences at 1.5·IQR, and the count/share of documents
+    * outside them. The reference profiles columns (null/len stats); this
+    * is the next profiling step — WHICH rows are anomalous, not just the
+    * moments. Exact `percentile` (the q34/q76-proven quantile_cont
+    * equivalence) keeps the fences bit-identical across engines; the
+    * fence arithmetic tree (q1 − 1.5·iqr, q3 + 1.5·iqr) is mirrored
+    * verbatim so the boundary comparisons agree on every row.
+    *
+    * Scale shape: one partial-agg exchange to the per-source stats table
+    * (sources ≪ docs), broadcast back onto the corpus (never a
+    * doc-sized shuffle), one partial-agg rollup. At 100 TB the exact
+    * percentile swaps for approx_percentile exactly as q76 documents. */
+  def q102OutlierFences(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+      .select(col("source"), col("n_chars"))
+    val stats = docs.groupBy(col("source")).agg(
+      percentile(col("n_chars"), lit(0.25)).as("q1"),
+      percentile(col("n_chars"), lit(0.75)).as("q3"))
+    val fenced = docs.join(broadcast(stats), Seq("source"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+    fenced.groupBy(col("source"), col("q1"), col("q3"), col("lo"), col("hi"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("n_chars") > col("hi"), 1L).otherwise(0L)).as("n_high"))
+      .withColumn("outlier_share",
+        (col("n_low") + col("n_high")).cast("double") / col("n_docs").cast("double"))
+      .select(col("source"), col("n_docs"), col("q1"), col("q3"),
+        col("lo"), col("hi"), col("n_low"), col("n_high"), col("outlier_share"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB mirror of q102: quantile_cont = Spark `percentile` (proven
+    * q34/q76); the fence trees and the share division are written in the
+    * same operation order. */
+  val q102Sql: String =
+    """WITH stats AS (
+      |  SELECT source,
+      |    quantile_cont(n_chars, 0.25) AS q1,
+      |    quantile_cont(n_chars, 0.75) AS q3
+      |  FROM documents GROUP BY source
+      |), fenced AS (
+      |  SELECT d.source, d.n_chars, s.q1, s.q3,
+      |    s.q1 - (s.q3 - s.q1) * 1.5 AS lo,
+      |    s.q3 + (s.q3 - s.q1) * 1.5 AS hi
+      |  FROM documents d JOIN stats s ON d.source = s.source
+      |)
+      |SELECT source,
+      |  COUNT(*) AS n_docs, q1, q3, lo, hi,
+      |  CAST(SUM(CASE WHEN n_chars < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(SUM(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      |  CAST(SUM(CASE WHEN n_chars < lo THEN 1 ELSE 0 END)
+      |     + SUM(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS outlier_share
+      |FROM fenced GROUP BY source, q1, q3, lo, hi
+      |ORDER BY source""".stripMargin
+
+  // --- event-type Markov transition matrix (q103) --------------------------
+
+  /** q103: first-order Markov transitions over per-user event streams —
+    * the behavioral model behind next-action prediction and
+    * funnel-dropoff diagnosis (q99's funnel is one PATH through this
+    * matrix): for each user's time-ordered stream, count (type → next
+    * type) transitions, then the per-from transition probability. The
+    * (ts, event_id) ordering tiebreak is the q09/q27 convention.
+    *
+    * Scale shape: one user-keyed exchange for the lead() window (same
+    * partitioning q27's sessionizer uses), one partial-agg exchange to
+    * the (from, to) count table — at most |types|² rows, so the
+    * probability window over from_type runs on a trivially small
+    * table. No event-sized shuffle after the first. */
+  def q103Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Relational.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("prob", col("n").cast("double") / col("n_from").cast("double"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"), col("prob"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** DuckDB mirror of q103: same lead() window, same tiebreak, same
+    * single int64/int64 division. */
+  val q103Sql: String =
+    """WITH nxt AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events
+      |), c AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM nxt WHERE to_type IS NOT NULL
+      |  GROUP BY from_type, to_type
+      |)
+      |SELECT from_type, to_type, n,
+      |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
+  // --- integer-exact trailing-window anomaly flags (q104) ------------------
+
+  /** q104: time-series anomaly detection on daily event volume with ZERO
+    * floating point — the monitoring op a production ingest ledger
+    * needs (the reference emails failures; a volume collapse or spike
+    * is the failure you can't see row-by-row). Each day compares
+    * against its trailing 7-day window by the 3σ rule with the algebra
+    * cleared of divisions and square roots:
+    *
+    *   |cnt − mean| > 3·stddev   ⇔   (n·cnt − Σ)² > 9·(n·Σx² − Σ²)
+    *
+    * — both sides exact int64, so the flag is bit-reproducible in any
+    * engine (a double-σ formulation would hash-diverge at the
+    * boundary). Warm-up days (fewer than 7 prior days) emit n7 < 7 and
+    * flag=false, distinguishable by the n7 column.
+    *
+    * Scale shape: one partial-agg exchange to the per-day table; the
+    * trailing window then runs on ~days rows — the q08 global-top-k
+    * class (bounded input), where a single-partition window is the
+    * right plan, not a hazard. */
+  def q104VolumeAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Relational.events(s, dir)
+      .select(datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    daily
+      .withColumn("n7", count(col("cnt")).over(w))
+      .withColumn("sum7", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("sumsq7", coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)))
+      .withColumn("is_anomaly",
+        col("n7") === 7 &&
+          (col("n7") * col("cnt") - col("sum7")) * (col("n7") * col("cnt") - col("sum7"))
+            > lit(9L) * (col("n7") * col("sumsq7") - col("sum7") * col("sum7")))
+      .select(col("day"), col("cnt"), col("n7"), col("sum7"), col("sumsq7"),
+        col("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB mirror of q104: same frame (7 PRECEDING AND 1 PRECEDING),
+    * same cleared-integer 3σ inequality. Gaps in the day sequence are
+    * part of the law on both sides (ROWS frame, not RANGE — the window
+    * is "last 7 OBSERVED days", the robust choice when a source can go
+    * dark). */
+  val q104Sql: String =
+    """WITH daily AS (
+      |  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1
+      |), win AS (
+      |  SELECT day, cnt,
+      |    COUNT(cnt) OVER w AS n7,
+      |    CAST(COALESCE(SUM(cnt) OVER w, 0) AS BIGINT) AS sum7,
+      |    CAST(COALESCE(SUM(cnt * cnt) OVER w, 0) AS BIGINT) AS sumsq7
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT CAST(day AS INTEGER) AS day, cnt, n7, sum7, sumsq7,
+      |  n7 = 7 AND
+      |    (n7 * cnt - sum7) * (n7 * cnt - sum7) > 9 * (n7 * sumsq7 - sum7 * sum7)
+      |    AS is_anomaly
+      |FROM win ORDER BY day""".stripMargin
+}

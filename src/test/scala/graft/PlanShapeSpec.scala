@@ -300,4 +300,38 @@ class PlanShapeSpec extends GraftSuite {
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges\n$p")
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("q101: auto-sniffed image decode is a pure map — fixture synthesis + decode in the scan stage, no exchange before the order-by") {
+    val p = plan(graft.ops.ScaleOps8.q101ImageDecode(spark, sf))
+    assert(p.contains("image_decode"), p)
+    assert(!p.contains("Join"), p)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 0,
+      s"decode must not shuffle — only the final order-by range exchange; got $hashExchanges\n$p")
+  }
+
+  test("q102: fence stats BROADCAST back onto the corpus — never a doc-sided shuffle join") {
+    val p = plan(graft.ops.ScaleOps8.q102OutlierFences(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_percentile") || p.contains("HashAggregate"), p)
+  }
+
+  test("q103: transitions shuffle events ONCE (user window); the matrix work runs on the tiny (from,to) table") {
+    val p = plan(graft.ops.ScaleOps8.q103Transitions(spark, sf))
+    assert(!p.contains("Join"), p)
+    // user window + (from,to) partial-agg + from_type prob window = 3
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges <= 3, s"expected ≤3 hash exchanges, got $hashExchanges\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
+
+  test("q104: anomaly flags cost one partial-agg exchange; the trailing window runs on the bounded day table") {
+    val p = plan(graft.ops.ScaleOps8.q104VolumeAnomaly(spark, sf))
+    assert(!p.contains("Join"), p)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange (daily rollup), got $hashExchanges\n$p")
+    // the map-side partial count precedes the shuffle
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
 }

@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import graft.multimodal.{Png, Ppm}
+
+/** Ground-truth laws for the round-9 batch-4 operators: PNG decode +
+  * auto-sniffed image stats (q101), Tukey outlier fences (q102), Markov
+  * transitions (q103), integer anomaly flags (q104). */
+class ScaleOps8Spec extends GraftSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // --- PNG codec laws ------------------------------------------------------
+
+  test("Png: decode ∘ encode is the identity for every filter type, chained rows, both color types") {
+    // every single-filter file, plus a file cycling all five — filters
+    // consume the RECONSTRUCTED previous row, so cycling proves chaining
+    for (filter <- 0 to 4) {
+      val w = 5; val h = 4
+      val samples = Array.tabulate(w * h * 3)(j => (j * 29 + filter * 13) % 256)
+      val img = Png.decode(Png.encode(w, h, samples, _ => filter))
+      assert(img != null, s"filter $filter")
+      assert(img.width == w && img.height == h && img.maxval == 255)
+      assert(img.samples.toSeq == samples.toSeq, s"filter $filter round trip")
+    }
+    val w = 7; val h = 6
+    val samples = Array.tabulate(w * h * 3)(j => (j * 31 + 5) % 256)
+    val img = Png.decode(Png.encode(w, h, samples, r => r % 5))
+    assert(img != null && img.samples.toSeq == samples.toSeq, "cycling filters")
+    // grayscale (color type 0) widens to r=g=b
+    val gray = Array.tabulate(12)(j => (j * 40 + 3) % 256)
+    val gi = Png.decode(Png.encodeGray(4, 3, gray, r => (r + 2) % 5))
+    assert(gi != null && gi.width == 4 && gi.height == 3)
+    for (p <- 0 until 12; ch <- 0 until 3)
+      assert(gi.samples(p * 3 + ch) == gray(p), s"gray pixel $p channel $ch")
+  }
+
+  test("Png: CRC verification is real — corrupting any chunk's data or CRC yields null") {
+    val good = Png.fixtureBytes(7L)
+    assert(Png.decode(good) != null)
+    def corrupt(mut: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); mut(b); b
+    }
+    // flip a byte inside IHDR data (offset 8 sig + 8 len/type = 16)
+    assert(Png.decode(corrupt(_(16) = (good(16) ^ 0x01).toByte)) == null, "IHDR data flip")
+    // flip a byte inside the IDAT payload (IHDR spans 8+25; IDAT data starts at 41+8)
+    assert(Png.decode(corrupt(_(50) = (good(50) ^ 0x40).toByte)) == null, "IDAT data flip")
+    // flip the LAST byte (inside IEND's CRC)
+    assert(Png.decode(corrupt(b => b(b.length - 1) = (good(good.length - 1) ^ 0x01).toByte))
+      == null, "IEND CRC flip")
+  }
+
+  test("Png: unsupported variants degrade to null, never an exception") {
+    assert(Png.decode(null) == null)
+    assert(Png.decode(Array.emptyByteArray) == null)
+    assert(Png.decode("not a png at all".getBytes) == null)
+    val good = Png.fixtureBytes(3L)
+    // every truncation of a valid file
+    for (n <- 0 until good.length)
+      assert(Png.decode(good.take(n)) == null, s"prefix $n")
+    // patch IHDR fields and re-CRC so ONLY the unsupported feature differs:
+    // depth 16, palette color (3), RGBA (6), interlace Adam7
+    def patched(off: Int, value: Byte): Array[Byte] = {
+      val b = good.clone()
+      b(off) = value
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, 12, 4 + 13) // IHDR type + data
+      val v = crc.getValue
+      b(29) = ((v >>> 24) & 0xff).toByte; b(30) = ((v >>> 16) & 0xff).toByte
+      b(31) = ((v >>> 8) & 0xff).toByte; b(32) = (v & 0xff).toByte
+      b
+    }
+    assert(Png.decode(patched(24, 16)) == null, "16-bit depth")
+    assert(Png.decode(patched(25, 3)) == null, "palette")
+    assert(Png.decode(patched(25, 6)) == null, "RGBA")
+    assert(Png.decode(patched(28, 1)) == null, "Adam7 interlace")
+  }
+
+  test("Png: decode is total on random bytes and every 1-byte mutation of a fixture") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 200) {
+      val b = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(b)
+      Png.decode(b) // must not throw
+    }
+    val good = Png.fixtureBytes(11L)
+    for (i <- good.indices) {
+      val b = good.clone()
+      b(i) = (b(i) ^ 0xff).toByte
+      Png.decode(b) // must not throw; null or a still-valid parse both fine
+    }
+  }
+
+  test("Png fixture law: dims, byte law, and per-row filters all reproduce") {
+    for (id <- 0L to 12L) {
+      val img = Png.decode(Png.fixtureBytes(id))
+      assert(img != null, s"id $id")
+      assert(img.width == 3 + (id % 3).toInt && img.height == 2 + (id % 2).toInt)
+      for (j <- img.samples.indices)
+        assert(img.samples(j) == ((id * 37 + j * 11) % 256).toInt, s"id $id sample $j")
+    }
+  }
+
+  // --- q101 image decode ---------------------------------------------------
+
+  test("q101: auto-sniff dispatches on magic — ppm stats for even ids, png for odd, exact law") {
+    val rows = graft.ops.ScaleOps8.q101ImageDecode(spark, sf)
+      .filter(col("media_id") < 6).collect()
+    assert(rows.length == 6)
+    for (r <- rows) {
+      val id = r.getLong(0)
+      val (mul, add) = if (id % 2 == 0) (31L, 7L) else (37L, 11L)
+      assert(r.getString(1) == (if (id % 2 == 0) "ppm" else "png"), s"id $id format")
+      val w = 3 + (id % 3).toInt; val h = 2 + (id % 2).toInt
+      assert(r.getInt(2) == w && r.getInt(3) == h && r.getInt(4) == w * h)
+      val n = w * h * 3
+      val vs = (0 until n).map(j => (id * mul + j * add) % 256)
+      assert(r.getLong(5) == vs.sum, s"id $id sum")
+      assert(r.getLong(6) == vs.zipWithIndex.map { case (v, j) => v * (1 + j % 97) }.sum,
+        s"id $id checksum")
+      assert(r.getDouble(7) == vs.sum.toDouble / n.toDouble, s"id $id mean")
+    }
+  }
+
+  // --- q102 outlier fences -------------------------------------------------
+
+  test("q102: hand corpus — exact quartiles, 1.5·IQR fences, outlier counts") {
+    val dir = tempDir("fences")
+    // source a: lengths 1..8 plus outliers 100 and -50 → q1/q3 interpolated
+    // over the 10 sorted values
+    val docs = ((1 to 8).map(i => (i.toLong, "x", "en", "a", i.toLong)) ++
+      Seq((9L, "x", "en", "a", 100L), (10L, "x", "en", "a", -50L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.ops.ScaleOps8.q102OutlierFences(spark, dir.toString).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    // sorted: -50,1,2,3,4,5,6,7,8,100 ⇒ h25 = 2.25 ⇒ q1 = 2.25; h75 = 6.75 ⇒ q3 = 6.75
+    assert(row.getDouble(2) == 2.25, s"q1 ${row.getDouble(2)}")
+    assert(row.getDouble(3) == 6.75, s"q3 ${row.getDouble(3)}")
+    val iqr = 6.75 - 2.25
+    assert(row.getDouble(4) == 2.25 - 1.5 * iqr)
+    assert(row.getDouble(5) == 6.75 + 1.5 * iqr)
+    assert(row.getLong(1) == 10L)
+    assert(row.getLong(6) == 1L, "n_low: only -50")
+    assert(row.getLong(7) == 1L, "n_high: only 100")
+    assert(row.getDouble(8) == 2.0 / 10.0)
+  }
+
+  // --- q103 Markov transitions ---------------------------------------------
+
+  test("q103: hand stream — per-user ordering, tiebreak, counts and probabilities") {
+    val dir = tempDir("transitions")
+    Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a", 0.0),
+      (2L, ts("2024-01-01 00:01:00"), 1L, "b", 0.0),
+      (3L, ts("2024-01-01 00:02:00"), 1L, "a", 0.0),
+      (4L, ts("2024-01-01 00:03:00"), 1L, "c", 0.0),
+      // user 2: same-ts pair ordered by event_id (5 before 6)
+      (5L, ts("2024-01-01 00:00:00"), 2L, "a", 0.0),
+      (6L, ts("2024-01-01 00:00:00"), 2L, "b", 0.0),
+      // user 3: single event — no transition
+      (7L, ts("2024-01-01 00:00:00"), 3L, "z", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.ops.ScaleOps8.q103Transitions(spark, dir.toString)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getDouble(4)))
+    // transitions: u1 a→b, b→a, a→c; u2 a→b  ⇒ from a: {b:2, c:1}; from b: {a:1}
+    assert(r.toSeq == Seq(
+      ("a", "b", 2L, 3L, 2.0 / 3.0),
+      ("a", "c", 1L, 3L, 1.0 / 3.0),
+      ("b", "a", 1L, 1L, 1.0)), r.toSeq.toString)
+  }
+
+  // --- q104 volume anomaly -------------------------------------------------
+
+  test("q104: integer 3σ law — warm-up days unflagged, planted spike flagged") {
+    val dir = tempDir("anomaly")
+    // 8 quiet days (counts 10,11,10,11,...) then a day with 50 events
+    val rows = (0 until 8).flatMap { d =>
+      val cnt = 10 + d % 2
+      (0 until cnt).map(i =>
+        ((d * 100 + i).toLong, ts(f"2024-01-${d + 1}%02d 01:00:00"), i.toLong, "view", 0.0))
+    } ++ (0 until 50).map(i =>
+      ((900 + i).toLong, ts("2024-01-09 01:00:00"), i.toLong, "view", 0.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.ops.ScaleOps8.q104VolumeAnomaly(spark, dir.toString)
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getBoolean(5)))
+    assert(r.length == 9)
+    // warm-up: days 0-6 have n7 < 7 ⇒ never flagged
+    for (i <- 0 until 7) {
+      assert(r(i)._3 == i.toLong, s"n7 at day $i")
+      assert(!r(i)._4, s"warm-up day $i must not flag")
+    }
+    // day 7 (cnt 11): full window, quiet — (7·11−73)² = 16 ≤ 9·(7·767−5329) = 3240
+    assert(r(7)._3 == 7L && !r(7)._4, "quiet full-window day")
+    // day 8 (cnt 50): (7·50−74)² = 76176 > 9·(7·778−5476) = −270 → wait, recompute in-test
+    val win = Seq(11L, 10L, 11L, 10L, 11L, 10L, 11L) // days 1..7 counts
+    val sum7 = win.sum; val sumsq7 = win.map(x => x * x).sum
+    val dev = 7 * 50 - sum7
+    assert(dev * dev > 9 * (7 * sumsq7 - sum7 * sum7), "law sanity")
+    assert(r(8)._4, "spike day flags")
+  }
+
+  test("q101-q104 match their DuckDB-mirror semantics on real data (row counts + invariants)") {
+    val q101 = graft.ops.ScaleOps8.q101ImageDecode(spark, sf)
+    assert(q101.count() == 500)
+    assert(q101.filter(col("format") === "png").count() == 250)
+    val q102 = graft.ops.ScaleOps8.q102OutlierFences(spark, sf)
+    assert(q102.count() > 0)
+    assert(q102.filter(col("outlier_share") < 0 || col("outlier_share") > 1).count() == 0)
+    val q103 = graft.ops.ScaleOps8.q103Transitions(spark, sf)
+    val probSums = q103.groupBy(col("from_type")).agg(sum(col("prob")).as("p"))
+      .collect().map(_.getDouble(1))
+    probSums.foreach(p => assert(math.abs(p - 1.0) < 1e-9, s"prob rows sum to 1, got $p"))
+    val q104 = graft.ops.ScaleOps8.q104VolumeAnomaly(spark, sf)
+    assert(q104.count() > 0)
+    assert(q104.filter(col("n7") > 7).count() == 0)
+  }
+}
