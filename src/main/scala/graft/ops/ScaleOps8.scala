@@ -252,4 +252,129 @@ object ScaleOps8 {
       |    (n7 * cnt - sum7) * (n7 * cnt - sum7) > 9 * (n7 * sumsq7 - sum7 * sum7)
       |    AS is_anomaly
       |FROM win ORDER BY day""".stripMargin
+  // --- leading-path mining (q105) ------------------------------------------
+
+  /** q105: entry-path mining — each user's first three event types as an
+    * ordered path string, rolled up to path frequencies: the onboarding
+    * diagnosis behind q99's funnel (the funnel asks "did they reach
+    * stage N"; this asks "what did they actually do first"). Ordering
+    * is the (ts, event_id) tiebreak convention; the path string is
+    * assembled from an array SORTED BY RANK, never from collect_list's
+    * arrival order (which is partition-nondeterministic).
+    *
+    * Scale shape: one user-keyed exchange for the rank window (shared
+    * convention with q27/q103), rank≤3 truncation map-side BEFORE the
+    * path rollup, then a partial-agg exchange on the path string — at
+    * most |types|³ distinct paths, a bounded table. */
+  def q105SessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Relational.events(s, dir)
+      .select(col("user_id"), col("event_type"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("rn"),
+        col("event_type")))), x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+  }
+
+  /** DuckDB mirror of q105: string_agg ORDER BY rank is the same
+    * sorted-assembly the engine does with array_sort. */
+  val q105Sql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |), paths AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM ranked WHERE rn <= 3 GROUP BY user_id
+      |)
+      |SELECT path, COUNT(*) AS n_users
+      |FROM paths GROUP BY path
+      |ORDER BY n_users DESC, path""".stripMargin
+
+  // --- integer-exact two-proportion A/B test (q106) ------------------------
+
+  /** q106: experiment readout — two-proportion conversion comparison
+    * with the z-test algebra cleared to pure int64, so "significant" is
+    * a bit-reproducible flag, not a float that may straddle the
+    * threshold differently per engine. Variant assignment is the
+    * deterministic user_id parity split; for each candidate conversion
+    * type, exposure = all distinct users, conversion = users with ≥1
+    * such event, and
+    *
+    *   z² > 4  (the 2σ rule)  ⇔  (c₁n₂ − c₂n₁)²·N > 4·n₁n₂·c·(N−c)
+    *
+    * with N = n₁+n₂, c = c₁+c₂ — both sides exact integers (int64-safe
+    * to ~10⁴ users per arm; beyond that the cleared form moves to
+    * DECIMAL, documented here rather than silently overflowing). z² is
+    * also emitted as ONE division of the two exact sides (·4 removed),
+    * mirrored verbatim.
+    *
+    * Scale shape: distinct (variant, user, converted?) collapses
+    * event-sized data in ONE partial-agg pass per side; everything
+    * after runs on ≤2·|types| rows. */
+  def q106AbTest(s: SparkSession, dir: String): DataFrame = {
+    val events = Relational.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        (col("user_id") % 2).cast("int").as("variant"))
+    val exposed = events.select(col("variant"), col("user_id")).distinct()
+      .groupBy(col("variant")).agg(count(lit(1)).as("n"))
+    val conv = events.filter(col("event_type").isin("signup", "purchase"))
+      .select(col("variant"), col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type"), col("variant")).agg(count(lit(1)).as("c"))
+    val wide = conv.join(broadcast(exposed), Seq("variant"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("variant") === 0, col("n")).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 0, col("c")).otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, col("n")).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 1, col("c")).otherwise(0L)).as("c1"))
+    wide
+      .withColumn("num",
+        (col("c0") * col("n1") - col("c1") * col("n0"))
+          * (col("c0") * col("n1") - col("c1") * col("n0"))
+          * (col("n0") + col("n1")))
+      .withColumn("den",
+        col("n0") * col("n1") * (col("c0") + col("c1"))
+          * (col("n0") + col("n1") - col("c0") - col("c1")))
+      // den = 0 ⇔ zero or total conversion in BOTH arms pooled (c=0 or
+      // c=N), which forces num = 0 as well — the undefined-z² cases are
+      // exactly the no-evidence cases: z² NULL, flag false, both engines.
+      .withColumn("z2",
+        col("num").cast("double") / nullif(col("den"), lit(0L)).cast("double"))
+      .withColumn("significant", col("num") > lit(4L) * col("den"))
+      .select(col("event_type"), col("n0"), col("c0"), col("n1"), col("c1"),
+        col("z2"), col("significant"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB mirror of q106: identical distinct/rollup chain and the same
+    * cleared-integer inequality; the one division is int64/int64. */
+  val q106Sql: String =
+    """WITH exposed AS (
+      |  SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+      |    COUNT(DISTINCT user_id) AS n
+      |  FROM events GROUP BY 1
+      |), conv AS (
+      |  SELECT event_type, CAST(user_id % 2 AS INTEGER) AS variant,
+      |    COUNT(DISTINCT user_id) AS c
+      |  FROM events WHERE event_type IN ('signup', 'purchase')
+      |  GROUP BY 1, 2
+      |), wide AS (
+      |  SELECT conv.event_type,
+      |    CAST(SUM(CASE WHEN conv.variant = 0 THEN exposed.n ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN conv.variant = 0 THEN conv.c ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(SUM(CASE WHEN conv.variant = 1 THEN exposed.n ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN conv.variant = 1 THEN conv.c ELSE 0 END) AS BIGINT) AS c1
+      |  FROM conv JOIN exposed ON conv.variant = exposed.variant
+      |  GROUP BY conv.event_type
+      |)
+      |SELECT event_type, n0, c0, n1, c1,
+      |  CAST((c0*n1 - c1*n0) * (c0*n1 - c1*n0) * (n0+n1) AS DOUBLE)
+      |    / CAST(NULLIF(n0*n1 * (c0+c1) * (n0+n1-c0-c1), 0) AS DOUBLE) AS z2,
+      |  (c0*n1 - c1*n0) * (c0*n1 - c1*n0) * (n0+n1)
+      |    > 4 * n0*n1 * (c0+c1) * (n0+n1-c0-c1) AS significant
+      |FROM wide ORDER BY event_type""".stripMargin
 }

@@ -334,4 +334,20 @@ class PlanShapeSpec extends GraftSuite {
     // the map-side partial count precedes the shuffle
     assert(p.contains("partial_count") || p.contains("partial"), p)
   }
+
+  test("q105: rank≤3 truncation happens BEFORE the path rollup; path agg runs on the bounded path table") {
+    val p = plan(graft.ops.ScaleOps8.q105SessionPaths(spark, sf))
+    assert(!p.contains("Join"), p)
+    // user window + per-user path agg + path-count agg
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges <= 3, s"expected ≤3 hash exchanges, got $hashExchanges\n$p")
+  }
+
+  test("q106: event stream collapses in distinct partial-aggs; the z² algebra runs on ≤2·|types| rows") {
+    val p = plan(graft.ops.ScaleOps8.q106AbTest(spark, sf))
+    // the exposed-side join onto conv is a broadcast of the tiny per-variant table
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

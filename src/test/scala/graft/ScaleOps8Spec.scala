@@ -210,6 +210,57 @@ class ScaleOps8Spec extends GraftSuite {
     assert(r(8)._4, "spike day flags")
   }
 
+  // --- q105 session paths --------------------------------------------------
+
+  test("q105: hand stream — first-3 paths assembled in rank order, short streams keep short paths") {
+    val dir = tempDir("paths")
+    Seq(
+      // user 1: a,b,c,d → path a>b>c (4th event ignored)
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a", 0.0),
+      (2L, ts("2024-01-01 00:01:00"), 1L, "b", 0.0),
+      (3L, ts("2024-01-01 00:02:00"), 1L, "c", 0.0),
+      (4L, ts("2024-01-01 00:03:00"), 1L, "d", 0.0),
+      // user 2: same path a>b>c via an event_id tiebreak on equal ts
+      (5L, ts("2024-01-01 00:00:00"), 2L, "a", 0.0),
+      (6L, ts("2024-01-01 00:00:00"), 2L, "b", 0.0),
+      (7L, ts("2024-01-01 00:01:00"), 2L, "c", 0.0),
+      // user 3: only two events → two-step path
+      (8L, ts("2024-01-01 00:00:00"), 3L, "b", 0.0),
+      (9L, ts("2024-01-01 00:01:00"), 3L, "a", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.ops.ScaleOps8.q105SessionPaths(spark, dir.toString)
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq == Seq(("a>b>c", 2L), ("b>a", 1L)), r.toSeq.toString)
+  }
+
+  // --- q106 A/B test -------------------------------------------------------
+
+  test("q106: cleared-integer z² law — hand-planted conversion gap flags exactly at the 2σ boundary") {
+    val dir = tempDir("abtest")
+    // 8 even users (variant 0), 8 odd (variant 1); all exposed via a view
+    // event; conversions planted: variant 0 → 8/8 signups, variant 1 → 1/8
+    val expose = (0 until 16).map(u =>
+      ((100 + u).toLong, ts("2024-01-01 00:00:00"), u.toLong, "view", 0.0))
+    val convs = (0 until 16).filter(u => u % 2 == 0 || u == 1).map(u =>
+      ((200 + u).toLong, ts("2024-01-01 01:00:00"), u.toLong, "signup", 0.0))
+    (expose ++ convs).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.ops.ScaleOps8.q106AbTest(spark, dir.toString).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getString(0) == "signup")
+    val (n0, c0, n1, c1) = (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    assert((n0, c0, n1, c1) == (8L, 8L, 8L, 1L))
+    // z² = (c0·n1 − c1·n0)²·N / (n0·n1·c·(N−c)) = (64−8)²·16 / (64·9·7)
+    val num = (c0 * n1 - c1 * n0) * (c0 * n1 - c1 * n0) * (n0 + n1)
+    val den = n0 * n1 * (c0 + c1) * (n0 + n1 - c0 - c1)
+    assert(row.getDouble(5) == num.toDouble / den.toDouble)
+    assert(num > 4 * den && row.getBoolean(6), "planted gap must be significant")
+  }
+
   test("q101-q104 match their DuckDB-mirror semantics on real data (row counts + invariants)") {
     val q101 = graft.ops.ScaleOps8.q101ImageDecode(spark, sf)
     assert(q101.count() == 500)
