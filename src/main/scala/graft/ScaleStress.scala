@@ -383,7 +383,32 @@ object ScaleStress {
           column(graft.multimodal.WavFixture(
             expression(col("doc_id").cast("long")))).as("content"))
         graft.multimodal.Multimodal.decodeWavFeatures(media).count()
-      }))
+      }),
+      // image_decode (q101, r9): the mixed PPM/PNG auto-sniff kernel — for
+      // PNG rows a full zlib inflate + CRC verify + unfilter per blob;
+      // expected flat-to-linear like wav_decode (pure map, zero shuffles)
+      "image_decode" -> (dir => {
+        import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+        val media = docs(dir).select(
+          col("doc_id").cast("long").as("media_id"),
+          when(col("doc_id") % 2 === 0,
+            column(graft.multimodal.PpmFixture(
+              expression(col("doc_id").cast("long")))))
+            .otherwise(column(graft.multimodal.PngFixture(
+              expression(col("doc_id").cast("long"))))).as("content"))
+        graft.multimodal.Multimodal.decodeImageStats(media).count()
+      }),
+      // transitions (q103, r9): the user-keyed lead() window over the
+      // replicated events corpus (new users per replica, so the window
+      // exchange scales in key cardinality too) — expected linear, the
+      // one event-sized exchange dominating
+      "transitions" -> (dir =>
+        graft.ops.ScaleOps8.q103Transitions(spark, dir).count()),
+      // ab_test (q106, r9): two distinct-collapse partial-agg passes over
+      // events; everything after runs on a constant-size table — expected
+      // linear with the distinct exchanges, flat tail
+      "ab_test" -> (dir =>
+        graft.ops.ScaleOps8.q106AbTest(spark, dir).count()))
 
     val opsRun = opFilter match {
       case None => allOps

@@ -59,6 +59,21 @@ object StressGen {
   def replicatedDocs(docs: DataFrame, n: Int): DataFrame =
     (0 until n).map(mutateDocs(docs, _)).reduce(_ unionByName _)
 
+  /** Replica r of the events table: event ids offset by r·10⁸, user ids
+    * by r·10⁶ — each replica brings NEW users with the original users'
+    * temporal behavior, so user-keyed ops (transitions, paths, funnels)
+    * scale in both events AND key cardinality, the honest 100× shape
+    * (replicating onto the SAME users would deepen per-user streams
+    * instead, understating the shuffle). Replica 0 is the original. */
+  def mutateEvents(events: DataFrame, r: Int): DataFrame =
+    if (r == 0) events
+    else events
+      .withColumn("event_id", col("event_id") + lit(r * 100000000L))
+      .withColumn("user_id", col("user_id") + lit(r * 1000000L))
+
+  def replicatedEvents(events: DataFrame, n: Int): DataFrame =
+    (0 until n).map(mutateEvents(events, _)).reduce(_ unionByName _)
+
   def replicatedEmb(emb: DataFrame, n: Int): DataFrame =
     (0 until n).map(mutateEmb(emb, _)).reduce(_ unionByName _)
 
@@ -152,6 +167,9 @@ object StressGen {
     val docs = spark.read.parquet(s"$src/documents.parquet")
       .select("doc_id", "text")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    // read through the schema-adaptive reader (events has shipped under
+    // two physical ts encodings); the rewrite normalizes to timestamp[us]
+    val events = graft.ops.Relational.events(spark, src)
 
     val explicit = args.drop(2).flatMap(_.toIntOption).toSeq
     val scales = if (explicit.nonEmpty) explicit else Seq(1, 3, 10)
@@ -167,6 +185,8 @@ object StressGen {
       // — the input for decode-path stress runs
       mediaFixtures(replicatedDocs(docs, n)).repartition(nFiles)
         .write.mode("overwrite").parquet(s"$outBase/x$n/media.parquet")
+      replicatedEvents(events, n).repartition(nFiles)
+        .write.mode("overwrite").parquet(s"$outBase/x$n/events.parquet")
       println(s"[stressgen] wrote $outBase/x$n")
     }
     if (explicit.nonEmpty) { spark.stop(); return }
