@@ -109,6 +109,10 @@ object GraftExtensions {
       info("png_fixture",
         "png_fixture(id) - deterministic complete PNG bytes (real deflate, real CRCs, all five filters)"),
       (exprs: Seq[Expression]) => graft.multimodal.PngFixture(exprs.head)),
+    (FunctionIdentifier("gif_fixture"),
+      info("gif_fixture",
+        "gif_fixture(id) - deterministic complete GIF87a bytes (real variable-width LZW)"),
+      (exprs: Seq[Expression]) => graft.multimodal.GifFixture(exprs.head)),
     // --- Unicode normalization + character statistics (q92/q95 kernels)
     (FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(str) - Unicode NFC (canonical composition)"),

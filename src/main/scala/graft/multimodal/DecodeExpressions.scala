@@ -131,16 +131,24 @@ object DecodeKernels {
   /** Auto-sniffed image decode row — ONE kernel for the whole image
     * surface: dispatch on the real magic bytes (`P6` ⇒ [[Ppm.decode]];
     * the 8-byte PNG signature ⇒ [[Png.decode]], a REAL zlib-inflate +
-    * CRC-verify + unfilter decode), then exact integer pixel stats over
-    * the unified RGB raster with ONE final double division (mean =
-    * Σ samples / n — the order the q101 oracle mirrors bit-exactly).
-    * checksum = Σ v_j·(1 + j mod 97) makes sample ORDER load-bearing:
-    * a transposed or mis-unfiltered raster with the right sum still
-    * fails the hash. Null for unknown magic or malformed bytes. */
+    * CRC-verify + unfilter decode; `GIF8` ⇒ [[Gif.decode]], a REAL
+    * variable-width LZW decompress + palette map), then exact integer
+    * pixel stats over the unified RGB raster with ONE final double
+    * division (mean = Σ samples / n — the order the q101/q107 oracles
+    * mirror bit-exactly). checksum = Σ v_j·(1 + j mod 97) makes sample
+    * ORDER load-bearing: a transposed or mis-unfiltered raster with the
+    * right sum still fails the hash. Null for unknown magic or
+    * malformed bytes. */
   def imageDecodeRow(bytes: Array[Byte]): InternalRow = {
     val isPpm = bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6'
     val isPng = bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'
-    val img = if (isPpm) Ppm.decode(bytes) else if (isPng) Png.decode(bytes) else null
+    val isGif = bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8'
+    val img =
+      if (isPpm) Ppm.decode(bytes)
+      else if (isPng) Png.decode(bytes)
+      else if (isGif) Gif.decode(bytes)
+      else null
     if (img == null) null
     else {
       var sum = 0L
@@ -151,14 +159,17 @@ object DecodeKernels {
         chk += img.samples(j).toLong * (1 + j % 97)
         j += 1
       }
+      val fmt = if (isPpm) "ppm" else if (isPng) "png" else "gif"
       new GenericInternalRow(Array[Any](
-        org.apache.spark.unsafe.types.UTF8String.fromString(if (isPpm) "ppm" else "png"),
+        org.apache.spark.unsafe.types.UTF8String.fromString(fmt),
         img.width, img.height, img.width * img.height,
         sum, chk, sum.toDouble / img.samples.length.toDouble))
     }
   }
 
   def pngFixture(id: Long): Array[Byte] = Png.fixtureBytes(id)
+
+  def gifFixture(id: Long): Array[Byte] = Gif.fixtureBytes(id)
 
   /** WAV sample ANALYSIS row — the audio feature-extract step past q79's
     * format/stats surface: zero crossings (per channel, sample j vs
@@ -529,6 +540,22 @@ case class PngFixture(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"$kn.pngFixture($c)")
   }
   override protected def withNewChildInternal(c: Expression): PngFixture =
+    copy(child = c)
+}
+
+/** content = gif_fixture(id): deterministic complete GIF87a bytes (see
+  * Gif.fixtureBytes — real variable-width LZW compression, 16-entry
+  * palette) — the corpus generator for the GIF layer and q107. */
+case class GifFixture(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "gif_fixture"
+  override def nullSafeEval(id: Any): Any =
+    DecodeKernels.gifFixture(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$kn.gifFixture($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): GifFixture =
     copy(child = c)
 }
 

@@ -377,4 +377,171 @@ object ScaleOps8 {
       |  (c0*n1 - c1*n0) * (c0*n1 - c1*n0) * (n0+n1)
       |    > 4 * n0*n1 * (c0+c1) * (n0+n1-c0-c1) AS significant
       |FROM wide ORDER BY event_type""".stripMargin
+
+  // --- three-format image sniff incl. GIF/LZW (q107) -----------------------
+
+  /** q107: the image surface widened to THREE real codecs in one
+    * auto-sniffed scan — ids cycle PPM (raw P6 raster), PNG (zlib
+    * DEFLATE, [[graft.multimodal.Png]]), and GIF ([[graft.multimodal.Gif]]:
+    * REAL variable-width LZW with dictionary growth, clear/end codes,
+    * sub-block framing, palette mapping — a from-spec implementation of
+    * the second compression ALGORITHM in the engine after DEFLATE).
+    * The GIF arm's oracle re-derives RGB as palette[index] with both
+    * the palette and index laws in pure id arithmetic, so the stats
+    * only match if LZW decompression reconstructs every pixel index
+    * exactly.
+    *
+    * Scale shape: identical to q101 — pure map, decode in the scan
+    * stage, no exchange before the presentation order-by. */
+  def q107GifMixed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val id = col("doc_id").cast("long")
+    val media = docs.select(
+      id.as("media_id"),
+      when(id % 3 === 0, column(graft.multimodal.PpmFixture(expression(id))))
+        .when(id % 3 === 1, column(graft.multimodal.PngFixture(expression(id))))
+        .otherwise(column(graft.multimodal.GifFixture(expression(id))))
+        .as("content"))
+    graft.multimodal.Multimodal.decodeImageStats(media)
+      .drop("n_bytes") // compression-implementation detail (q101 rule)
+      .orderBy(col("media_id"))
+  }
+
+  /** DuckDB mirror of q107: dims 3+id%3 x 2+id%2 for all formats;
+    * sample j is (id·31+j·7) mod 256 for PPM, (id·37+j·11) mod 256 for
+    * PNG, and palette[(id·43+⌊j/3⌋·7) mod 16] for GIF, where palette
+    * channel c is (id·17+c·29) mod 256 — every law pure id arithmetic. */
+  val q107Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |    3 + doc_id % 3 AS w, 2 + doc_id % 2 AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT media_id, w, h, j,
+      |    CASE media_id % 3
+      |      WHEN 0 THEN (media_id * 31 + j * 7) % 256
+      |      WHEN 1 THEN (media_id * 37 + j * 11) % 256
+      |      ELSE (media_id * 17
+      |        + (((media_id * 43 + (j // 3) * 7) % 16) * 3 + j % 3) * 29) % 256
+      |    END AS v
+      |  FROM d CROSS JOIN range(0, 45) AS r(j) WHERE j < w * h * 3
+      |), agg AS (
+      |  SELECT media_id, w, h,
+      |    SUM(v) AS sum_samples,
+      |    SUM(v * (1 + j % 97)) AS checksum
+      |  FROM px GROUP BY media_id, w, h
+      |)
+      |SELECT media_id,
+      |  CASE media_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' ELSE 'gif'
+      |    END AS format,
+      |  CAST(w AS INTEGER) AS width,
+      |  CAST(h AS INTEGER) AS height,
+      |  CAST(w * h AS INTEGER) AS n_pixels,
+      |  CAST(sum_samples AS BIGINT) AS sum_samples,
+      |  CAST(checksum AS BIGINT) AS checksum,
+      |  CAST(sum_samples AS DOUBLE) / CAST(w * h * 3 AS DOUBLE) AS mean_sample
+      |FROM agg ORDER BY media_id""".stripMargin
+
+  // --- 2-D skyline via per-key pre-reduction (q108) ------------------------
+
+  /** q108: the skyline (Pareto-frontier) operator from the OLAP
+    * literature — parts that no other part beats on BOTH size and
+    * retail price (minimize both). The naive formulation is an O(n²)
+    * domination anti-join; the scalable identity used here is that the
+    * 2-D skyline survives per-key pre-reduction: any part that is not
+    * min-price for its size is dominated by the one that is, so the
+    * frontier computes over ≤|sizes| rows — one partial-agg exchange,
+    * then a running-min window on a BOUNDED key domain (the q08/q104
+    * class). A point is on the frontier iff its price is strictly
+    * below every smaller size's min price (ties lose to the smaller
+    * size: equal price + strictly larger size = dominated).
+    *
+    * Emits the frontier with n_candidates at each surviving size —
+    * exact integers + the q34-proven decimal surface only. */
+  def q108Skyline(s: SparkSession, dir: String): DataFrame = {
+    val parts = Relational.fanOut(t(s, dir, "part"))
+      .select(col("p_size"), col("p_retailprice"))
+    val bySize = parts.groupBy(col("p_size"))
+      .agg(min(col("p_retailprice")).as("min_price"),
+        count(lit(1)).as("n_candidates"))
+    val w = Window.orderBy(col("p_size"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bySize
+      .withColumn("prev_best", min(col("min_price")).over(w))
+      .filter(col("prev_best").isNull || col("min_price") < col("prev_best"))
+      .select(col("p_size"), col("min_price"), col("n_candidates"))
+      .orderBy(col("p_size"))
+  }
+
+  /** DuckDB mirror of q108: same pre-reduction + running-min frame. */
+  val q108Sql: String =
+    """WITH by_size AS (
+      |  SELECT p_size, MIN(p_retailprice) AS min_price,
+      |    COUNT(*) AS n_candidates
+      |  FROM part GROUP BY p_size
+      |), sky AS (
+      |  SELECT p_size, min_price, n_candidates,
+      |    MIN(min_price) OVER (ORDER BY p_size
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+      |  FROM by_size
+      |)
+      |SELECT p_size, min_price, n_candidates
+      |FROM sky WHERE prev_best IS NULL OR min_price < prev_best
+      |ORDER BY p_size""".stripMargin
+
+  // --- weighted priority sampling (q109) -----------------------------------
+
+  /** q109: deterministic weighted sampling — the corpus-downsampling
+    * primitive where longer documents should be likelier survivors:
+    * priority = portable_hash(doc_id) div weight (the q51
+    * multiplicative-hash bucket, proven engine-identical), keep the k
+    * smallest priorities per source. Doubling a document's weight
+    * halves its priority scale — weighted priority sampling with ZERO
+    * randomness: the same document survives on any engine, layout, or
+    * run (the q51/q69 determinism discipline, now weight-aware), and
+    * rerunning with a larger k yields a superset.
+    *
+    * Scale shape: the hash+division is a pure map; one source-keyed
+    * exchange for the top-k window with partial WindowGroupLimit
+    * truncation map-side (the q49 pattern). */
+  def q109WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority"), col("doc_id"))
+    Relational.fanOut(t(s, dir, "documents"))
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        graft.ops.Relational3.splitBucket(col("doc_id")).as("bucket"))
+      // `div`, not `/`: Spark's / on integers is DOUBLE division, and a
+      // cast-back truncation is only floor-exact while the quotient's
+      // distance to the next integer (≥ 1/weight) dwarfs the rounding
+      // error — an invariant a wider weight column would silently break
+      .withColumn("priority", expr("bucket div greatest(n_chars, 1L)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"),
+        col("priority"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** DuckDB mirror of q109: the q51 split-halves hash chain verbatim,
+    * then the same floor division and per-source rank. */
+  val q109Sql: String =
+    """WITH h AS (
+      |  SELECT source, doc_id, n_chars, doc_id % 4294967296 AS id32
+      |  FROM documents
+      |), b AS (
+      |  SELECT source, doc_id, n_chars,
+      |    ((((id32 // 65536) * 2654435761) % 65536) * 65536
+      |      + (id32 % 65536) * 2654435761) % 4294967296 AS bucket
+      |  FROM h
+      |), p AS (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(bucket // GREATEST(n_chars, 1) AS BIGINT) AS priority,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY bucket // GREATEST(n_chars, 1), doc_id) AS rank
+      |  FROM b
+      |)
+      |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, n_chars, priority
+      |FROM p WHERE rank <= 5
+      |ORDER BY source, rank""".stripMargin
 }

@@ -335,6 +335,30 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("partial_count") || p.contains("partial"), p)
   }
 
+  test("q107: three-codec sniff is a pure map — LZW/DEFLATE decode in the scan stage, no exchange before the order-by") {
+    val p = plan(graft.ops.ScaleOps8.q107GifMixed(spark, sf))
+    assert(p.contains("image_decode"), p)
+    assert(!p.contains("Join"), p)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 0, s"expected 0 hash exchanges, got $hashExchanges\n$p")
+  }
+
+  test("q108: skyline pre-reduces per size before the frontier window — one partial-agg exchange, bounded window input") {
+    val p = plan(graft.ops.ScaleOps8.q108Skyline(spark, sf))
+    assert(!p.contains("Join"), p)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange (size rollup), got $hashExchanges\n$p")
+    assert(p.contains("partial_min") || p.contains("partial"), p)
+  }
+
+  test("q109: weighted sampling is hash+div in the scan stage; ONE source exchange with partial window-group-limit") {
+    val p = plan(graft.ops.ScaleOps8.q109WeightedSample(spark, sf))
+    assert(!p.contains("Join"), p)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange (source top-k), got $hashExchanges\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q105: rank≤3 truncation happens BEFORE the path rollup; path agg runs on the bounded path table") {
     val p = plan(graft.ops.ScaleOps8.q105SessionPaths(spark, sf))
     assert(!p.contains("Join"), p)

@@ -261,6 +261,161 @@ class ScaleOps8Spec extends GraftSuite {
     assert(num > 4 * den && row.getBoolean(6), "planted gap must be significant")
   }
 
+  // --- GIF codec laws ------------------------------------------------------
+
+  test("Gif: decode ∘ encode is the identity incl. dictionary growth and the KwKwK case") {
+    import graft.multimodal.Gif
+    // run-heavy image: "aaaa..." rows trigger code==dictSize (KwKwK)
+    val pal4 = Array.tabulate(4 * 3)(c => (c * 37 + 5) % 256)
+    val runs = Array.fill(8 * 6)(1)
+    val ri = Gif.decode(Gif.encode(8, 6, pal4, runs))
+    assert(ri != null && ri.width == 8 && ri.height == 6)
+    for (p <- 0 until 48; ch <- 0 until 3)
+      assert(ri.samples(p * 3 + ch) == pal4(1 * 3 + ch), s"run pixel $p")
+    // varied image large enough to force at least one width growth
+    val pal16 = Array.tabulate(16 * 3)(c => (c * 29 + 11) % 256)
+    val idx = Array.tabulate(16 * 16)(j => (j * 7 + j / 5) % 16)
+    val vi = Gif.decode(Gif.encode(16, 16, pal16, idx))
+    assert(vi != null && vi.width == 16 && vi.height == 16)
+    for (p <- idx.indices; ch <- 0 until 3)
+      assert(vi.samples(p * 3 + ch) == pal16(idx(p) * 3 + ch), s"varied pixel $p")
+    // big low-palette image: thousands of codes, forces width growth to
+    // the 12-bit cap and a 4096-entry dictionary RESET mid-stream
+    val big = Array.tabulate(128 * 100)(j => (j * j + j / 3) % 4)
+    val bi = Gif.decode(Gif.encode(128, 100, pal4, big))
+    assert(bi != null, "dictionary-reset round trip")
+    for (p <- big.indices)
+      assert(bi.samples(p * 3) == pal4(big(p) * 3), s"big pixel $p")
+  }
+
+  test("Gif: unsupported variants and corruption degrade to null, never an exception") {
+    import graft.multimodal.Gif
+    val good = Gif.fixtureBytes(5L)
+    assert(Gif.decode(good) != null)
+    assert(Gif.decode(null) == null)
+    assert(Gif.decode(Array.emptyByteArray) == null)
+    assert(Gif.decode("GIF89a then garbage".getBytes) == null)
+    for (n <- 0 until good.length)
+      assert(Gif.decode(good.take(n)) == null, s"prefix $n")
+    def patched(off: Int, f: Byte => Byte): Array[Byte] = {
+      val b = good.clone(); b(off) = f(b(off)); b
+    }
+    // no global color table
+    assert(Gif.decode(patched(10, b => (b & 0x7f).toByte)) == null, "GCT absent")
+    // image descriptor is at 13 + 16*3 = 61; flags byte at 61+9 = 70
+    assert((good(61) & 0xff) == 0x2c, "fixture layout: descriptor at 61")
+    assert(Gif.decode(patched(70, b => (b | 0x80).toByte)) == null, "local color table")
+    assert(Gif.decode(patched(70, b => (b | 0x40).toByte)) == null, "interlace")
+    // random bytes: total, never throws
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 200) {
+      val b = new Array[Byte](rnd.nextInt(150)); rnd.nextBytes(b)
+      Gif.decode(b)
+    }
+    // every 1-byte mutation: total (LZW overruns, bad codes, bad lengths)
+    for (i <- good.indices) {
+      val b = good.clone(); b(i) = (b(i) ^ 0xff).toByte
+      Gif.decode(b)
+    }
+  }
+
+  test("Gif: 89a extension blocks are skipped by their sub-block framing") {
+    import graft.multimodal.Gif
+    val good = Gif.fixtureBytes(3L)
+    // splice a graphic-control extension between the GCT and the image
+    // descriptor, and flip the version to 89a
+    val ext = Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0)
+    val spliced = good.take(61) ++ ext ++ good.drop(61)
+    spliced(4) = '9'
+    val a = Gif.decode(good); val b = Gif.decode(spliced)
+    assert(b != null && a.samples.toSeq == b.samples.toSeq)
+  }
+
+  test("Gif fixture law: palette and index laws reproduce through real LZW") {
+    import graft.multimodal.Gif
+    for (id <- 0L to 12L) {
+      val img = Gif.decode(Gif.fixtureBytes(id))
+      assert(img != null, s"id $id")
+      assert(img.width == 3 + (id % 3).toInt && img.height == 2 + (id % 2).toInt)
+      for (p <- 0 until img.width * img.height; ch <- 0 until 3) {
+        val idx = ((id * 43 + p * 7) % 16).toInt
+        val expect = ((id * 17 + (idx * 3 + ch) * 29) % 256).toInt
+        assert(img.samples(p * 3 + ch) == expect, s"id $id pixel $p ch $ch")
+      }
+    }
+  }
+
+  // --- q107 three-format sniff ---------------------------------------------
+
+  test("q107: three-way sniff — ppm/png/gif stats all match their laws") {
+    val rows = graft.ops.ScaleOps8.q107GifMixed(spark, sf)
+      .filter(col("media_id") < 9).collect()
+    assert(rows.length == 9)
+    for (r <- rows) {
+      val id = r.getLong(0)
+      val expectFmt = (id % 3) match {
+        case 0 => "ppm"; case 1 => "png"; case _ => "gif"
+      }
+      assert(r.getString(1) == expectFmt, s"id $id format")
+      val w = 3 + (id % 3).toInt; val h = 2 + (id % 2).toInt
+      val n = w * h * 3
+      val vs = (0 until n).map { j =>
+        (id % 3) match {
+          case 0 => (id * 31 + j * 7) % 256
+          case 1 => (id * 37 + j * 11) % 256
+          case _ =>
+            val idx = (id * 43 + (j / 3) * 7) % 16
+            (id * 17 + (idx * 3 + j % 3) * 29) % 256
+        }
+      }
+      assert(r.getLong(5) == vs.sum, s"id $id sum")
+      assert(r.getLong(6) == vs.zipWithIndex.map { case (v, j) => v * (1 + j % 97) }.sum,
+        s"id $id checksum")
+    }
+  }
+
+  // --- q108 skyline --------------------------------------------------------
+
+  test("q108: hand corpus — frontier keeps strict improvements only, ties lose to the smaller size") {
+    val dir = tempDir("skyline")
+    // (size, price): frontier should be (1, 50), (3, 30), (7, 10);
+    // (5, 30) ties size-3's price at a larger size → dominated;
+    // (4, 40) is above the running best → dominated
+    Seq((1, 50.0), (1, 90.0), (3, 30.0), (4, 40.0), (5, 30.0), (7, 10.0))
+      .zipWithIndex.map { case ((sz, pr), i) =>
+        (i.toLong, s"part$i", sz, java.math.BigDecimal.valueOf(pr))
+      }
+      .toDF("p_partkey", "p_name", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val r = graft.ops.ScaleOps8.q108Skyline(spark, dir.toString)
+      .collect().map(x => (x.getInt(0), x.getDecimal(1).doubleValue(), x.getLong(2)))
+    assert(r.toSeq == Seq((1, 50.0, 2L), (3, 30.0, 1L), (7, 10.0, 1L)), r.toSeq.toString)
+  }
+
+  // --- q109 weighted sampling ----------------------------------------------
+
+  test("q109: priority follows bucket div weight; heavier docs rank ahead at equal hash") {
+    val r = graft.ops.ScaleOps8.q109WeightedSample(spark, sf).collect()
+    assert(r.nonEmpty)
+    for (row <- r) {
+      val (docId, nChars, priority) = (row.getLong(2), row.getLong(3), row.getLong(4))
+      val a = 2654435761L
+      val id32 = java.lang.Math.floorMod(docId, 4294967296L)
+      val bucket = java.lang.Math.floorMod(
+        java.lang.Math.floorMod((id32 >> 16) * a, 65536L) * 65536L
+          + (id32 % 65536L) * a, 4294967296L)
+      assert(priority == bucket / math.max(nChars, 1L), s"doc $docId priority law")
+    }
+    // exactly 5 per source, ranks 1..5
+    val bySource = r.groupBy(_.getString(0))
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4, 5), s"ranks for $src")
+    }
+    // determinism: a second run yields the identical selection
+    val r2 = graft.ops.ScaleOps8.q109WeightedSample(spark, sf).collect()
+    assert(r.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+  }
+
   test("q101-q104 match their DuckDB-mirror semantics on real data (row counts + invariants)") {
     val q101 = graft.ops.ScaleOps8.q101ImageDecode(spark, sf)
     assert(q101.count() == 500)
