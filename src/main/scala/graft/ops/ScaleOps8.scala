@@ -544,4 +544,93 @@ object ScaleOps8 {
       |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, n_chars, priority
       |FROM p WHERE rank <= 5
       |ORDER BY source, rank""".stripMargin
+
+  // --- distribution-rank window family (q110) ------------------------------
+
+  /** q110: the distribution-rank window family — ntile, percent_rank,
+    * cume_dist — over order values within priority classes, completing
+    * the window surface past q13/q44/q48's running/nav/frame forms.
+    * percent_rank = (rank−1)/(n−1) and cume_dist = peers≤x / n are the
+    * SQL-standard laws in BOTH engines (each ONE division of exact
+    * int64s), and ntile's remainder-to-early-buckets rule is likewise
+    * standard — so the whole family mirrors with no tolerance.
+    *
+    * Scale shape: one hash exchange on the partition key; ties and
+    * bucket boundaries are engine-identical by the standard's
+    * definitions, no arbitrary-order hazard (orderkey tiebreak in the
+    * presentation sort only). */
+  def q110WindowRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+    Relational.fanOut(t(s, dir, "orders"))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+  }
+
+  /** DuckDB mirror of q110: the same standard window functions. */
+  val q110Sql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  NTILE(4) OVER w AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+      |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin
+
+  // --- gaps and islands (q111) ---------------------------------------------
+
+  /** q111: gaps-and-islands over per-user activity days — the classic
+    * sequential-SQL operator behind streak and coverage analysis
+    * (q56's value-streaks generalized to TIME continuity): consecutive
+    * active days group into islands via the day − dense-rank constant,
+    * then per user: island count, longest streak, active days, and the
+    * total gap days inside the active span. All whole-day integer
+    * arithmetic from the q97 epoch convention.
+    *
+    * Scale shape: distinct (user, day) collapses the event table in a
+    * partial agg; ONE user-keyed exchange serves the rank window AND
+    * the per-user rollup (same partitioning). */
+  def q111GapsIslands(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    Relational.events(s, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("day"))
+      .distinct()
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"),
+        max(col("day")).as("end_day"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        max(col("len")).as("longest_streak"),
+        sum(col("len")).as("active_days"),
+        (max(col("end_day")) - min(col("start_day")) + 1 - sum(col("len")))
+          .as("gap_days"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB mirror of q111: same day law, same island constant, same
+    * two-level rollup. */
+  val q111Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+      |  FROM events
+      |), isl AS (
+      |  SELECT user_id, day,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+      |  FROM days
+      |), grp AS (
+      |  SELECT user_id, island, COUNT(*) AS len,
+      |    MIN(day) AS start_day, MAX(day) AS end_day
+      |  FROM isl GROUP BY user_id, island
+      |)
+      |SELECT user_id,
+      |  COUNT(*) AS n_islands,
+      |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+      |  CAST(SUM(len) AS BIGINT) AS active_days,
+      |  CAST(MAX(end_day) - MIN(start_day) + 1 - SUM(len) AS BIGINT) AS gap_days
+      |FROM grp GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -367,6 +367,52 @@ object Streaming {
       .select(col("rank"), col("token"), col("count_lb"), col("count_ub"))
   }
 
+  /** Continuous daily-volume counting — the streaming half of the q104
+    * anomaly detector ([[graft.ops.ScaleOps8.q104VolumeAnomaly]]): a
+    * watermarked tumbling 1-day event-time window count in update mode.
+    * Fully distributed and state-bounded (a day's state drops once the
+    * watermark passes it); per-day counts are MONOTONE across update
+    * emissions, which is what lets [[currentAnomalies]] reconstruct the
+    * current day table from the latest emission per day. */
+  def dailyCountsStream(events: DataFrame, tsCol: String,
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 day"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("date").as("day_date"), col("cnt"))
+
+  /** Consumer-side anomaly view over [[dailyCountsStream]] emissions —
+    * the [[currentTopK]] split applied to monitoring: latest emission
+    * per day (largest cnt — counts only grow), then EXACTLY the q104
+    * integer 3σ law over the trailing 7 observed days:
+    *
+    *   flag ⇔ n7 = 7 ∧ (n7·cnt − Σ)² > 9·(n7·Σx² − Σ²)
+    *
+    * so for fully-ingested days the stream view is bit-identical to the
+    * batch `q104VolumeAnomaly` flags (parity spec). Scale shape: both
+    * windows run over the DAY table — bounded by the time span, never
+    * the stream (the q08/q104 bounded-input argument). `epoch` anchors
+    * the day numbering to the batch convention. */
+  def currentAnomalies(emissions: DataFrame, epoch: String = "2024-01-01"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = Window.partitionBy(col("day_date")).orderBy(col("cnt").desc)
+    val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    emissions
+      .withColumn("__latest", row_number().over(latest))
+      .filter(col("__latest") === 1)
+      .withColumn("day", datediff(col("day_date"), to_date(lit(epoch))))
+      .withColumn("n7", count(col("cnt")).over(w))
+      .withColumn("sum7", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("sumsq7", coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)))
+      .withColumn("is_anomaly",
+        col("n7") === 7 &&
+          (col("n7") * col("cnt") - col("sum7")) * (col("n7") * col("cnt") - col("sum7"))
+            > lit(9L) * (col("n7") * col("sumsq7") - col("sum7") * col("sum7")))
+      .select(col("day"), col("cnt"), col("n7"), col("sum7"), col("sumsq7"),
+        col("is_anomaly"))
+  }
+
   /** Batch reference implementation of gap sessionization (same semantics,
     * pure SQL window functions) — used to cross-check the stateful stream
     * and as the backfill path: new-session flag = gap > threshold, session

@@ -359,6 +359,19 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q110/q111: rank family costs one partition exchange; islands share ONE user exchange for window and rollup") {
+    val p110 = plan(graft.ops.ScaleOps8.q110WindowRanks(spark, sf))
+    assert(!p110.contains("Join"), p110)
+    val he110 = "Exchange hashpartitioning".r.findAllIn(p110).length
+    assert(he110 == 1, s"q110: expected 1 hash exchange, got $he110\n$p110")
+    val p111 = plan(graft.ops.ScaleOps8.q111GapsIslands(spark, sf))
+    assert(!p111.contains("Join"), p111)
+    // distinct partial-agg + user window; the island/user rollups reuse
+    // the user partitioning
+    val he111 = "Exchange hashpartitioning".r.findAllIn(p111).length
+    assert(he111 <= 2, s"q111: expected ≤2 hash exchanges, got $he111\n$p111")
+  }
+
   test("q105: rank≤3 truncation happens BEFORE the path rollup; path agg runs on the bounded path table") {
     val p = plan(graft.ops.ScaleOps8.q105SessionPaths(spark, sf))
     assert(!p.contains("Join"), p)

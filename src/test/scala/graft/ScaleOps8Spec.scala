@@ -416,6 +416,60 @@ class ScaleOps8Spec extends GraftSuite {
     assert(r.map(_.toString).toSeq == r2.map(_.toString).toSeq)
   }
 
+  // --- q110 distribution ranks ---------------------------------------------
+
+  test("q110: ntile remainder rule, percent_rank and cume_dist laws on a hand partition") {
+    val rows = graft.ops.ScaleOps8.q110WindowRanks(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per-partition re-derivation of all three laws
+    rows.groupBy(_.getString(0)).foreach { case (prio, rs) =>
+      val n = rs.length
+      val sorted = rs.sortBy(r => (r.getDouble(2), r.getLong(1)))
+      // ntile: first (n mod 4) buckets get ceil(n/4)
+      val base = n / 4; val rem = n % 4
+      var idx = 0
+      for (b <- 1 to 4) {
+        val size = base + (if (b <= rem) 1 else 0)
+        for (_ <- 0 until size) {
+          assert(sorted(idx).getInt(3) == b, s"$prio ntile at $idx")
+          idx += 1
+        }
+      }
+      // percent_rank/cume_dist with tie groups
+      val prices = sorted.map(_.getDouble(2))
+      for (i <- sorted.indices) {
+        val rank = prices.indexWhere(_ == prices(i)) + 1
+        val peers = prices.count(_ == prices(i))
+        val expectedPr = if (n == 1) 0.0 else (rank - 1).toDouble / (n - 1).toDouble
+        val expectedCd = (rank - 1 + peers).toDouble / n.toDouble
+        assert(sorted(i).getDouble(4) == expectedPr, s"$prio pct_rank at $i")
+        assert(sorted(i).getDouble(5) == expectedCd, s"$prio cume at $i")
+      }
+    }
+  }
+
+  // --- q111 gaps and islands -----------------------------------------------
+
+  test("q111: hand stream — islands merge consecutive days, gaps counted inside the span") {
+    val dir = tempDir("islands")
+    // user 1 active days 0,1,2, 5, 7,8 → islands (3,1,2), longest 3,
+    // active 6, span 9, gaps 3; user 2 single day → 1 island, 0 gaps
+    val days1 = Seq(0, 1, 2, 5, 7, 8)
+    val rows = days1.zipWithIndex.map { case (d, i) =>
+      ((i + 1).toLong, ts(f"2024-01-${d + 1}%02d 09:00:00"), 1L, "view", 0.0)
+    } ++ Seq((99L, ts("2024-01-04 09:00:00"), 2L, "view", 0.0),
+      // duplicate event same day: distinct must collapse it
+      (100L, ts("2024-01-04 17:00:00"), 2L, "click", 0.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.ops.ScaleOps8.q111GapsIslands(spark, dir.toString)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq((1L, 3L, 3L, 6L, 3L), (2L, 1L, 1L, 1L, 0L)),
+      r.toSeq.toString)
+  }
+
   test("q101-q104 match their DuckDB-mirror semantics on real data (row counts + invariants)") {
     val q101 = graft.ops.ScaleOps8.q101ImageDecode(spark, sf)
     assert(q101.count() == 500)

@@ -492,4 +492,57 @@ class StreamingSpec extends GraftSuite {
       assert(stages == Seq(2L, 4L), stages.toString)
     } finally q.stop()
   }
+
+  test("streaming volume anomaly matches the batch q104 flags (multi-batch re-emissions)") {
+    val in = tempDir("anom_in"); val ckpt = tempDir("anom_ckpt")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // the q104 fixture: 8 quiet days then a 50-event spike on day 9 —
+    // INTERLEAVED across three files so days re-emit across micro-batches
+    // and currentAnomalies' latest-per-day reconstruction is load-bearing
+    val all = ((0 until 8).flatMap { d =>
+      (0 until (10 + d % 2)).map(i =>
+        ((d * 100 + i).toLong, t(f"2024-01-${d + 1}%02d 01:00:00"), i.toLong,
+          "view", 0.0))
+    } ++ (0 until 50).map(i =>
+      ((900 + i).toLong, t("2024-01-09 01:00:00"), i.toLong, "view", 0.0)))
+    val parts = all.grouped((all.size + 2) / 3).toSeq
+    parts.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("append").parquet(in.toString)
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString)
+    val daily = Streaming.dailyCountsStream(stream, "ts")
+    val q = daily.writeStream.format("memory").queryName("anomout")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000L), "stream did not drain in time")
+      val emissions = spark.table("anomout")
+      // multi-batch: at least one day must have re-emitted a grown count
+      val multi = emissions.groupBy("day_date").count()
+        .filter(col("count") > 1).count()
+      assert(multi > 0, "interleaved files should force re-emissions")
+      val streamView = Streaming.currentAnomalies(emissions)
+        .orderBy(col("day"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+      // batch reference over the SAME events
+      val dir = tempDir("anom_batch")
+      all.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = graft.ops.ScaleOps8.q104VolumeAnomaly(spark, dir.toString)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+      assert(streamView == batch, s"stream $streamView vs batch $batch")
+      assert(streamView.last._6, "the planted spike must flag in both views")
+    } finally q.stop()
+  }
 }
