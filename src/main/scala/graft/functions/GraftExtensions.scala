@@ -103,7 +103,7 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => graft.multimodal.Mp3Scan(exprs.head)),
     (FunctionIdentifier("image_decode"),
       info("image_decode",
-        "image_decode(bytes) - auto-sniffed PPM/PNG decode (PNG: CRC verify + inflate + unfilter): format, dims, exact pixel stats"),
+        "image_decode(bytes) - auto-sniffed PPM/PNG/GIF/JPEG decode (inflate+unfilter / LZW / Huffman+IDCT): format, dims, exact pixel stats"),
       (exprs: Seq[Expression]) => graft.multimodal.ImageDecode(exprs.head)),
     (FunctionIdentifier("png_fixture"),
       info("png_fixture",
@@ -113,6 +113,10 @@ object GraftExtensions {
       info("gif_fixture",
         "gif_fixture(id) - deterministic complete GIF87a bytes (real variable-width LZW)"),
       (exprs: Seq[Expression]) => graft.multimodal.GifFixture(exprs.head)),
+    (FunctionIdentifier("jpeg_fixture"),
+      info("jpeg_fixture",
+        "jpeg_fixture(id) - deterministic complete baseline JPEG bytes (real FDCT/Huffman, DC-exact blocks)"),
+      (exprs: Seq[Expression]) => graft.multimodal.JpegFixture(exprs.head)),
     // --- Unicode normalization + character statistics (q92/q95 kernels)
     (FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(str) - Unicode NFC (canonical composition)"),

@@ -144,10 +144,13 @@ object DecodeKernels {
     val isPng = bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'
     val isGif = bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == '8'
+    val isJpeg = bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8
     val img =
       if (isPpm) Ppm.decode(bytes)
       else if (isPng) Png.decode(bytes)
       else if (isGif) Gif.decode(bytes)
+      else if (isJpeg) Jpeg.decode(bytes)
       else null
     if (img == null) null
     else {
@@ -159,7 +162,8 @@ object DecodeKernels {
         chk += img.samples(j).toLong * (1 + j % 97)
         j += 1
       }
-      val fmt = if (isPpm) "ppm" else if (isPng) "png" else "gif"
+      val fmt =
+        if (isPpm) "ppm" else if (isPng) "png" else if (isGif) "gif" else "jpeg"
       new GenericInternalRow(Array[Any](
         org.apache.spark.unsafe.types.UTF8String.fromString(fmt),
         img.width, img.height, img.width * img.height,
@@ -170,6 +174,8 @@ object DecodeKernels {
   def pngFixture(id: Long): Array[Byte] = Png.fixtureBytes(id)
 
   def gifFixture(id: Long): Array[Byte] = Gif.fixtureBytes(id)
+
+  def jpegFixture(id: Long): Array[Byte] = Jpeg.fixtureBytes(id)
 
   /** WAV sample ANALYSIS row — the audio feature-extract step past q79's
     * format/stats surface: zero crossings (per channel, sample j vs
@@ -556,6 +562,23 @@ case class GifFixture(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"$kn.gifFixture($c)")
   }
   override protected def withNewChildInternal(c: Expression): GifFixture =
+    copy(child = c)
+}
+
+/** content = jpeg_fixture(id): deterministic complete baseline JPEG bytes
+  * (see Jpeg.fixtureBytes — real FDCT/Huffman encode; per-block-constant
+  * images, the DC-exactness configuration) — the corpus generator for
+  * the JPEG layer and q112. */
+case class JpegFixture(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "jpeg_fixture"
+  override def nullSafeEval(id: Any): Any =
+    DecodeKernels.jpegFixture(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$kn.jpegFixture($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): JpegFixture =
     copy(child = c)
 }
 

@@ -633,4 +633,78 @@ object ScaleOps8 {
       |  CAST(SUM(len) AS BIGINT) AS active_days,
       |  CAST(MAX(end_day) - MIN(start_day) + 1 - SUM(len) AS BIGINT) AS gap_days
       |FROM grp GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --- four-codec image sniff incl. baseline JPEG (q112) -------------------
+
+  /** q112: the image surface at FOUR real codecs — the id%4 corpus adds
+    * baseline JPEG ([[graft.multimodal.Jpeg]]: marker grammar, DHT-driven
+    * canonical Huffman entropy decode over the byte-stuffed stream, DC
+    * prediction, dequantization, 2-D IDCT) to the PPM/PNG/GIF sniff.
+    * JPEG is LOSSY, so its bit-exact oracle rides the DC-exactness
+    * configuration: per-block-CONSTANT fixtures with quant step 8, for
+    * which the entire FDCT→quantize→Huffman→decode chain provably
+    * round-trips exactly (see the Jpeg Scaladoc) while the decoder runs
+    * its fully general baseline path. The JPEG arm's pixels re-derive
+    * from the block-value law — per-pixel block coordinates computed in
+    * SQL — so the hash only matches if entropy decode, prediction,
+    * dequant, and the IDCT all land every pixel.
+    *
+    * Scale shape: q101/q107's pure map — no exchange before the
+    * presentation order-by. */
+  def q112JpegMixed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val id = col("doc_id").cast("long")
+    val media = docs.select(
+      id.as("media_id"),
+      when(id % 4 === 0, column(graft.multimodal.PpmFixture(expression(id))))
+        .when(id % 4 === 1, column(graft.multimodal.PngFixture(expression(id))))
+        .when(id % 4 === 2, column(graft.multimodal.GifFixture(expression(id))))
+        .otherwise(column(graft.multimodal.JpegFixture(expression(id))))
+        .as("content"))
+    graft.multimodal.Multimodal.decodeImageStats(media)
+      .drop("n_bytes") // compression-implementation detail (q101 rule)
+      .orderBy(col("media_id"))
+  }
+
+  /** DuckDB mirror of q112: the q107 laws for the ppm/png/gif arms
+    * (dims 3+id%3 x 2+id%2); the JPEG arm has block dims
+    * (2+id%2)·8 x (1+id%2)·8 and pixel value = the constant of its 8×8
+    * block, v = (id·53 + (by·bw + bx)·19) mod 256 — block coordinates
+    * derived per sample index in SQL. */
+  val q112Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |    CASE WHEN doc_id % 4 = 3 THEN (2 + doc_id % 2) * 8
+      |         ELSE 3 + doc_id % 3 END AS w,
+      |    CASE WHEN doc_id % 4 = 3 THEN (1 + doc_id % 2) * 8
+      |         ELSE 2 + doc_id % 2 END AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT media_id, w, h, j,
+      |    CASE media_id % 4
+      |      WHEN 0 THEN (media_id * 31 + j * 7) % 256
+      |      WHEN 1 THEN (media_id * 37 + j * 11) % 256
+      |      WHEN 2 THEN (media_id * 17
+      |        + (((media_id * 43 + (j // 3) * 7) % 16) * 3 + j % 3) * 29) % 256
+      |      ELSE (media_id * 53
+      |        + ((((j // 3) // w) // 8) * (w // 8) + ((j // 3) % w) // 8) * 19) % 256
+      |    END AS v
+      |  FROM d CROSS JOIN range(0, 1152) AS r(j) WHERE j < w * h * 3
+      |), agg AS (
+      |  SELECT media_id, w, h,
+      |    SUM(v) AS sum_samples,
+      |    SUM(v * (1 + j % 97)) AS checksum
+      |  FROM px GROUP BY media_id, w, h
+      |)
+      |SELECT media_id,
+      |  CASE media_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+      |    WHEN 2 THEN 'gif' ELSE 'jpeg' END AS format,
+      |  CAST(w AS INTEGER) AS width,
+      |  CAST(h AS INTEGER) AS height,
+      |  CAST(w * h AS INTEGER) AS n_pixels,
+      |  CAST(sum_samples AS BIGINT) AS sum_samples,
+      |  CAST(checksum AS BIGINT) AS checksum,
+      |  CAST(sum_samples AS DOUBLE) / CAST(w * h * 3 AS DOUBLE) AS mean_sample
+      |FROM agg ORDER BY media_id""".stripMargin
 }

@@ -335,12 +335,15 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("partial_count") || p.contains("partial"), p)
   }
 
-  test("q107: three-codec sniff is a pure map — LZW/DEFLATE decode in the scan stage, no exchange before the order-by") {
-    val p = plan(graft.ops.ScaleOps8.q107GifMixed(spark, sf))
-    assert(p.contains("image_decode"), p)
-    assert(!p.contains("Join"), p)
-    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(hashExchanges == 0, s"expected 0 hash exchanges, got $hashExchanges\n$p")
+  test("q107/q112: multi-codec sniffs are pure maps — LZW/DEFLATE/Huffman+IDCT decode in the scan stage, no exchange before the order-by") {
+    for (df <- Seq(graft.ops.ScaleOps8.q107GifMixed(spark, sf),
+        graft.ops.ScaleOps8.q112JpegMixed(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("image_decode"), p)
+      assert(!p.contains("Join"), p)
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashExchanges == 0, s"expected 0 hash exchanges, got $hashExchanges\n$p")
+    }
   }
 
   test("q108: skyline pre-reduces per size before the frontier window — one partial-agg exchange, bounded window input") {

@@ -416,6 +416,106 @@ class ScaleOps8Spec extends GraftSuite {
     assert(r.map(_.toString).toSeq == r2.map(_.toString).toSeq)
   }
 
+  // --- JPEG codec laws -----------------------------------------------------
+
+  test("Jpeg: per-block-constant fixtures decode BIT-EXACTLY through the general baseline path") {
+    import graft.multimodal.Jpeg
+    for (id <- 0L to 9L) {
+      val img = Jpeg.decode(Jpeg.fixtureBytes(id))
+      assert(img != null, s"id $id")
+      val bw = (2 + id % 2).toInt; val bh = (1 + id % 2).toInt
+      assert(img.width == bw * 8 && img.height == bh * 8, s"id $id dims")
+      for (by <- 0 until bh; bx <- 0 until bw; y <- 0 until 8; x <- 0 until 8) {
+        val v = ((id * 53 + (by * bw + bx) * 19) % 256).toInt
+        val got = img.samples(((by * 8 + y) * img.width + bx * 8 + x) * 3)
+        assert(got == v, s"id $id block($bx,$by) pixel($x,$y)")
+      }
+    }
+  }
+
+  test("Jpeg: general lossy roundtrip stays within a tight error bound (real FDCT/Huffman/IDCT)") {
+    import graft.multimodal.Jpeg
+    val rnd = new scala.util.Random(5)
+    val w = 16; val h = 16
+    val gray = Array.tabulate(w * h)(_ => rnd.nextInt(256))
+    val img = Jpeg.decode(Jpeg.encode(w, h, gray))
+    assert(img != null)
+    var maxErr = 0
+    for (p <- 0 until w * h)
+      maxErr = math.max(maxErr, math.abs(img.samples(p * 3) - gray(p)))
+    // q=8 uniform quantization: worst-case reconstruction error is small;
+    // a Huffman/zigzag/prediction bug would blow this bound wide open
+    assert(maxErr <= 16, s"max error $maxErr")
+    // smooth gradient: near-exact
+    val grad = Array.tabulate(w * h)(p => (p % w) * 8 + 64)
+    val gi = Jpeg.decode(Jpeg.encode(w, h, grad))
+    var gErr = 0
+    for (p <- 0 until w * h)
+      gErr = math.max(gErr, math.abs(gi.samples(p * 3) - grad(p)))
+    assert(gErr <= 8, s"gradient error $gErr")
+  }
+
+  test("Jpeg: unsupported variants and corruption degrade to null, never an exception") {
+    import graft.multimodal.Jpeg
+    val good = Jpeg.fixtureBytes(4L)
+    assert(Jpeg.decode(good) != null)
+    assert(Jpeg.decode(null) == null)
+    assert(Jpeg.decode(Array.emptyByteArray) == null)
+    assert(Jpeg.decode("not a jpeg".getBytes) == null)
+    for (n <- 0 until good.length)
+      assert(Jpeg.decode(good.take(n)) == null, s"prefix $n")
+    // SOF0 → SOF2 (progressive) must be rejected: find the marker
+    val sofAt = (0 until good.length - 1).find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+    val prog = good.clone(); prog(sofAt + 1) = 0xc2.toByte
+    assert(Jpeg.decode(prog) == null, "progressive")
+    // totality: random bytes and every 1-byte mutation
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 200) {
+      val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b)
+      Jpeg.decode(b)
+    }
+    for (i <- good.indices) {
+      val b = good.clone(); b(i) = (b(i) ^ 0xff).toByte
+      Jpeg.decode(b)
+    }
+  }
+
+  // --- q112 four-codec sniff -----------------------------------------------
+
+  test("q112: four-way sniff — jpeg stats match the block-constant law alongside ppm/png/gif") {
+    val rows = graft.ops.ScaleOps8.q112JpegMixed(spark, sf)
+      .filter(col("media_id") < 12).collect()
+    assert(rows.length == 12)
+    for (r <- rows) {
+      val id = r.getLong(0)
+      val expectFmt = (id % 4) match {
+        case 0 => "ppm"; case 1 => "png"; case 2 => "gif"; case _ => "jpeg"
+      }
+      assert(r.getString(1) == expectFmt, s"id $id format")
+      val (w, h) =
+        if (id % 4 == 3) (((2 + id % 2) * 8).toInt, ((1 + id % 2) * 8).toInt)
+        else ((3 + id % 3).toInt, (2 + id % 2).toInt)
+      assert(r.getInt(2) == w && r.getInt(3) == h, s"id $id dims")
+      val n = w * h * 3
+      val vs = (0 until n).map { j =>
+        (id % 4) match {
+          case 0 => (id * 31 + j * 7) % 256
+          case 1 => (id * 37 + j * 11) % 256
+          case 2 =>
+            val idx = (id * 43 + (j / 3) * 7) % 16
+            (id * 17 + (idx * 3 + j % 3) * 29) % 256
+          case _ =>
+            val p = j / 3; val bx = (p % w) / 8; val by = (p / w) / 8
+            (id * 53 + (by * (w / 8) + bx) * 19) % 256
+        }
+      }
+      assert(r.getLong(5) == vs.sum, s"id $id sum")
+      assert(r.getLong(6) == vs.zipWithIndex.map { case (v, j) => v * (1 + j % 97) }.sum,
+        s"id $id checksum")
+    }
+  }
+
   // --- q110 distribution ranks ---------------------------------------------
 
   test("q110: ntile remainder rule, percent_rank and cume_dist laws on a hand partition") {
