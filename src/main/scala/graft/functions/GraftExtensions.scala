@@ -131,7 +131,11 @@ object GraftExtensions {
     (FunctionIdentifier("char_stats"),
       info("char_stats",
         "char_stats(str) - one-pass [total, distinct, sum(count^2)] codepoint stats"),
-      (exprs: Seq[Expression]) => CharStats(exprs.head)))
+      (exprs: Seq[Expression]) => CharStats(exprs.head)),
+    (FunctionIdentifier("damerau_levenshtein"),
+      info("damerau_levenshtein",
+        "damerau_levenshtein(a, b) - unrestricted Damerau-Levenshtein edit distance over code points"),
+      (exprs: Seq[Expression]) => DamerauLevenshtein(exprs(0), exprs(1))))
 
   /** Install into an already-built session (extensions only run at session
     * construction). */

@@ -37,6 +37,35 @@ case class NormSq(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): NormSq = copy(child = c)
 }
 
+/** Σ aᵢ·bᵢ where `a` is float-typed and `b` double-typed (a raw embedding
+  * scored against a COMPUTED centroid, e.g. q113's Lloyd iteration) —
+  * same in-order double accumulation as [[DotProduct]]. */
+case class DotProductFD(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot_fd"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = VectorKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, (a, b) => s"$k.dotFD($a, $b)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductFD =
+    copy(left = l, right = r)
+}
+
+/** Σ aᵢ² over a DOUBLE-typed array (computed centroids). */
+case class NormSqD(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm_sq_d"
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.normSqD(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = VectorKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, a => s"$k.normSqD($a)")
+  }
+  override protected def withNewChildInternal(c: Expression): NormSqD = copy(child = c)
+}
+
 /** Random-hyperplane LSH bucket id. Hyperplane component (p, d) is the
   * xxhash64 chain hash(d, hash(p, 42)) folded to ±1 — identical to the
   * previous declarative `pmod(xxhash64(lit(p), d), 2)` formulation, so
@@ -61,6 +90,29 @@ object VectorKernels {
     var i = 0
     while (i < n) {
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  def normSqD(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val v = a.getDouble(i)
+      acc += v * v
       i += 1
     }
     acc

@@ -23,6 +23,15 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
+  /** Σ aᵢ·bᵢ with float-typed `a` against a double-typed computed vector
+    * `b` (a centroid); same in-order accumulation law. */
+  def dotFD(a: Column, b: Column): Column =
+    br.column(DotProductFD(br.expression(a), br.expression(b)))
+
+  /** Σ aᵢ² over a double-typed computed vector. */
+  def normSqD(a: Column): Column =
+    br.column(NormSqD(br.expression(a)))
+
   /** cosine(a,b) = dot/(‖a‖·‖b‖); null-safe only in that Spark propagates
     * null arrays to null. */
   def cosine(a: Column, b: Column): Column =
