@@ -103,7 +103,7 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => graft.multimodal.Mp3Scan(exprs.head)),
     (FunctionIdentifier("image_decode"),
       info("image_decode",
-        "image_decode(bytes) - auto-sniffed PPM/PNG/GIF/JPEG decode (inflate+unfilter / LZW / Huffman+IDCT): format, dims, exact pixel stats"),
+        "image_decode(bytes) - auto-sniffed PPM/PNG/GIF/JPEG/BMP decode (inflate+unfilter / LZW / Huffman+IDCT / BGR-flip): format, dims, exact pixel stats"),
       (exprs: Seq[Expression]) => graft.multimodal.ImageDecode(exprs.head)),
     (FunctionIdentifier("png_fixture"),
       info("png_fixture",
@@ -117,6 +117,10 @@ object GraftExtensions {
       info("jpeg_fixture",
         "jpeg_fixture(id) - deterministic complete baseline JPEG bytes (real FDCT/Huffman, DC-exact blocks)"),
       (exprs: Seq[Expression]) => graft.multimodal.JpegFixture(exprs.head)),
+    (FunctionIdentifier("bmp_fixture"),
+      info("bmp_fixture",
+        "bmp_fixture(id) - deterministic complete 24-bit BI_RGB BMP bytes (real BGR/bottom-up/padded layout)"),
+      (exprs: Seq[Expression]) => graft.multimodal.BmpFixture(exprs.head)),
     // --- Unicode normalization + character statistics (q92/q95 kernels)
     (FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(str) - Unicode NFC (canonical composition)"),

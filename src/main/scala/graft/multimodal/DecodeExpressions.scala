@@ -146,11 +146,13 @@ object DecodeKernels {
       bytes(2) == 'F' && bytes(3) == '8'
     val isJpeg = bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8
+    val isBmp = bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M'
     val img =
       if (isPpm) Ppm.decode(bytes)
       else if (isPng) Png.decode(bytes)
       else if (isGif) Gif.decode(bytes)
       else if (isJpeg) Jpeg.decode(bytes)
+      else if (isBmp) Bmp.decode(bytes)
       else null
     if (img == null) null
     else {
@@ -163,7 +165,8 @@ object DecodeKernels {
         j += 1
       }
       val fmt =
-        if (isPpm) "ppm" else if (isPng) "png" else if (isGif) "gif" else "jpeg"
+        if (isPpm) "ppm" else if (isPng) "png" else if (isGif) "gif"
+        else if (isJpeg) "jpeg" else "bmp"
       new GenericInternalRow(Array[Any](
         org.apache.spark.unsafe.types.UTF8String.fromString(fmt),
         img.width, img.height, img.width * img.height,
@@ -176,6 +179,8 @@ object DecodeKernels {
   def gifFixture(id: Long): Array[Byte] = Gif.fixtureBytes(id)
 
   def jpegFixture(id: Long): Array[Byte] = Jpeg.fixtureBytes(id)
+
+  def bmpFixture(id: Long): Array[Byte] = Bmp.fixtureBytes(id)
 
   /** WAV sample ANALYSIS row — the audio feature-extract step past q79's
     * format/stats surface: zero crossings (per channel, sample j vs
@@ -579,6 +584,22 @@ case class JpegFixture(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"$kn.jpegFixture($c)")
   }
   override protected def withNewChildInternal(c: Expression): JpegFixture =
+    copy(child = c)
+}
+
+/** content = bmp_fixture(id): deterministic complete 24-bit BI_RGB BMP
+  * bytes (see Bmp.fixtureBytes — real BGR/bottom-up/padded layout) — the
+  * corpus generator for the BMP layer and q128. */
+case class BmpFixture(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bmp_fixture"
+  override def nullSafeEval(id: Any): Any =
+    DecodeKernels.bmpFixture(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$kn.bmpFixture($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BmpFixture =
     copy(child = c)
 }
 
