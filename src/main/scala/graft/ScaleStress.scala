@@ -408,7 +408,34 @@ object ScaleStress {
       // events; everything after runs on a constant-size table — expected
       // linear with the distinct exchanges, flat tail
       "ab_test" -> (dir =>
-        graft.ops.ScaleOps8.q106AbTest(spark, dir).count()))
+        graft.ops.ScaleOps8.q106AbTest(spark, dir).count()),
+      // sparse_sim (q133, r9): the df-capped 5-gram posting self-join —
+      // the cap is RELATIVE (2% of N), so template grams are dropped at
+      // every decade and the join should stay collision-bounded, not
+      // quadratic; this curve is the evidence
+      "sparse_sim" -> (dir =>
+        graft.ops.ScaleOps12.q133SparseSim(spark, dir).count()),
+      // phrase_search (q130, r9): posexplode + one doc-partitioned window
+      // — expected linear
+      "phrase_search" -> (dir =>
+        graft.ops.ScaleOps11.q130PhraseSearch(spark, dir).count()),
+      // concurrency (q123, r9): sessionize + two-pass sweep; the only
+      // unpartitioned window is over |hours| rows (calendar-bounded), so
+      // the curve should track the sessionize window, ~linear
+      "concurrency" -> (dir =>
+        graft.ops.ScaleOps10.q123Concurrency(spark, dir).count()),
+      // cusum (q129, r9): one (type, day) partial agg then tiny windows —
+      // expected linear with a flat tail
+      "cusum" -> (dir =>
+        graft.ops.ScaleOps11.q129Cusum(spark, dir).count()),
+      // rrf_fusion (q131, r9): 10 broadcast queries × corpus scoring +
+      // two per-query corpus-sized window sorts — expected ~linear·log
+      "rrf_fusion" -> (dir =>
+        graft.ops.ScaleOps11.q131RrfFusion(spark, dir).count()),
+      // jl_project (q136, r9): pure map, 16 fused dot kernels per row —
+      // expected linear
+      "jl_project" -> (dir =>
+        graft.ops.ScaleOps12.q136JlProject(spark, dir).count()))
 
     val opsRun = opFilter match {
       case None => allOps
@@ -503,7 +530,14 @@ object ScaleStress {
       "q93_scd2", "q94_zorder",
       // r9 batch-3: integer PageRank — the Pregel-round join/groupBy pair
       // over the N×-replicated trade graph
-      "q96_pagerank")
+      "q96_pagerank",
+      // r9 batch-9/11 fact-table ops: basket pair generation (per-order
+      // self-join — quadratic only in basket size), frontier BFS over the
+      // replicated co-purchase graph, Benford/MAD scans, key-skew report
+      // (events in the facts corpus is a byte copy — q123 runs on the
+      // CURVE corpora where events replicate; here the fact tables scale)
+      "q124_basket_lift", "q125_benford", "q126_mad_outliers",
+      "q127_bfs_hops", "q135_skew_report")
     qs.foreach { n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count() }
     spark.catalog.clearCache()
     for (rep <- 1 to 2) qs.foreach { n =>

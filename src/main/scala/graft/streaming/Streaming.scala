@@ -413,6 +413,47 @@ object Streaming {
         col("is_anomaly"))
   }
 
+  /** Per-type daily counts stream — the [[dailyCountsStream]] shape keyed
+    * by event type, feeding the continuous changepoint view below. Update
+    * mode re-emits a (type, day) row whenever its count grows; the
+    * consumer keeps the latest per key. */
+  def typedDailyCountsStream(events: DataFrame, typeCol: String, tsCol: String,
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(typeCol), window(col(tsCol), "1 day"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(typeCol).as("event_type"),
+        col("window.start").cast("date").as("day_date"), col("cnt"))
+
+  /** Consumer-side CUSUM changepoint view over [[typedDailyCountsStream]]
+    * emissions — the continuous form of q129: latest emission per
+    * (type, day) (counts only grow), then EXACTLY the batch integer law
+    * S_d = Σ_{i≤d}(D·cᵢ − T) with the changepoint at max |S| (ties →
+    * earliest day). For fully-ingested days this is bit-identical to
+    * `q129Cusum` (parity spec). Scale shape: all windows run over the
+    * (type, day) table — bounded by types × calendar span, never the
+    * stream (the q08/q104 bounded-input argument). */
+  def currentChangepoint(emissions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = Window.partitionBy(col("event_type"), col("day_date"))
+      .orderBy(col("cnt").desc)
+    val wT = Window.partitionBy(col("event_type"))
+    val wOrd = wT.orderBy(col("day_date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    emissions
+      .withColumn("__latest", row_number().over(latest))
+      .filter(col("__latest") === 1)
+      .withColumn("d_days", count(lit(1)).over(wT))
+      .withColumn("total", sum(col("cnt")).over(wT))
+      .withColumn("s", sum(col("d_days") * col("cnt") - col("total")).over(wOrd))
+      .withColumn("rn",
+        row_number().over(wT.orderBy(abs(col("s")).desc, col("day_date"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("d_days").as("n_days"), col("total"),
+        col("day_date").as("cp_day"), col("s").as("s_at_cp"))
+  }
+
   /** Batch reference implementation of gap sessionization (same semantics,
     * pure SQL window functions) — used to cross-check the stateful stream
     * and as the backfill path: new-session flag = gap > threshold, session

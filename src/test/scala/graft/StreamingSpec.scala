@@ -545,4 +545,68 @@ class StreamingSpec extends GraftSuite {
       assert(streamView.last._6, "the planted spike must flag in both views")
     } finally q.stop()
   }
+
+  test("currentChangepoint over typedDailyCountsStream is bit-identical to batch q129 (continuous CUSUM)") {
+    val in = tempDir("cusum_in")
+    val ckpt = tempDir("cusum_ckpt")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // type "a": 5 days at 2/day then 5 days at 8/day (level shift at day 6);
+    // type "b": flat 3/day (S≡ interior zeros, cp = earliest max-|S| day).
+    // INTERLEAVED across three files so (type, day) rows re-emit and the
+    // latest-per-key reconstruction is load-bearing.
+    // day-interleaved across BOTH types so event time advances
+    // monotonically with file order — a type-blocked layout would push
+    // the watermark past the other type's early days and drop them
+    val all = (0 until 10).flatMap { d =>
+      val n = if (d < 5) 2 else 8
+      (0 until n).map(i =>
+        ((d * 100 + i).toLong, t(f"2024-02-${d + 1}%02d 03:00:00"), i.toLong,
+          "a", 0.0)) ++
+      (0 until 3).map(i =>
+        ((5000 + d * 100 + i).toLong, t(f"2024-02-${d + 1}%02d 05:00:00"),
+          i.toLong, "b", 0.0))
+    }
+    val parts = all.grouped((all.size + 2) / 3).toSeq
+    parts.foreach { rows =>
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("append").parquet(in.toString)
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString)
+    val daily = Streaming.typedDailyCountsStream(stream, "event_type", "ts")
+    val q = daily.writeStream.format("memory").queryName("cusumout")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000L), "stream did not drain in time")
+      val emissions = spark.table("cusumout")
+      val multi = emissions.groupBy("event_type", "day_date").count()
+        .filter(col("count") > 1).count()
+      assert(multi > 0, "interleaved files should force re-emissions")
+      val streamView = Streaming.currentChangepoint(emissions)
+        .orderBy(col("event_type"))
+        .collect().map(r => (r.getAs[String]("event_type"),
+          r.getAs[Long]("n_days"), r.getAs[Long]("total"),
+          r.getAs[java.sql.Date]("cp_day").toString,
+          r.getAs[Long]("s_at_cp"))).toSeq
+      val dir = tempDir("cusum_batch")
+      all.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = graft.ops.ScaleOps11.q129Cusum(spark, dir.toString)
+        .collect().map(r => (r.getAs[String]("event_type"),
+          r.getAs[Long]("n_days"), r.getAs[Long]("total"),
+          r.getAs[java.sql.Timestamp]("cp_day").toLocalDateTime.toLocalDate.toString,
+          r.getAs[Long]("s_at_cp"))).toSeq
+      assert(streamView == batch, s"stream $streamView vs batch $batch")
+      // the planted level shift: type a's changepoint is the last low day
+      assert(streamView.find(_._1 == "a").get._4 == "2024-02-05")
+    } finally q.stop()
+  }
 }
