@@ -390,4 +390,51 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q128/q136: four-way sniff and JL projection are pure maps — kernels in the scan stage, no exchange before the order-by") {
+    for (df <- Seq(graft.ops.ScaleOps11.q128BmpMixed(spark, sf),
+        graft.ops.ScaleOps12.q136JlProject(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("Join"), p)
+      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+        s"pure map must not shuffle — only the final order-by range exchange\n$p")
+    }
+  }
+
+  test("q123: the sweep line broadcasts its calendar-bounded offset table — the data-sized window stays hour-partitioned") {
+    val p = plan(graft.ops.ScaleOps10.q123Concurrency(spark, sf))
+    // per-hour running sums are hash-partitioned windows; the |hours|-row
+    // offset table must come back via broadcast, never a data-sized shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q124/q133: pair generation joins on the grouping key; count sides broadcast; aggs are partial") {
+    for (df <- Seq(graft.ops.ScaleOps10.q124BasketLift(spark, sf),
+        graft.ops.ScaleOps12.q133SparseSim(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("partial_"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+    // q124's item-count and basket-total tables are explicit broadcasts
+    assert(plan(graft.ops.ScaleOps10.q124BasketLift(spark, sf))
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("q125/q135/q137: scan-stage laws partial-aggregate before their one shuffle; no joins beyond broadcasts") {
+    for (df <- Seq(graft.ops.ScaleOps10.q125Benford(spark, sf),
+        graft.ops.ScaleOps12.q135SkewReport(spark, sf),
+        graft.ops.ScaleOps13.q137DictAdvisor(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("partial_"), p)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("q131: query vectors broadcast against the corpus — scoring never shuffles the embedding table for the join") {
+    val p = plan(graft.ops.ScaleOps11.q131RrfFusion(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
