@@ -121,6 +121,10 @@ object GraftExtensions {
       info("bmp_fixture",
         "bmp_fixture(id) - deterministic complete 24-bit BI_RGB BMP bytes (real BGR/bottom-up/padded layout)"),
       (exprs: Seq[Expression]) => graft.multimodal.BmpFixture(exprs.head)),
+    (FunctionIdentifier("tiff_fixture"),
+      info("tiff_fixture",
+        "tiff_fixture(id) - deterministic complete baseline-TIFF bytes (real IFD walk, II/MM by parity, reverse-ordered strips)"),
+      (exprs: Seq[Expression]) => graft.multimodal.TiffFixture(exprs.head)),
     // --- Unicode normalization + character statistics (q92/q95 kernels)
     (FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(str) - Unicode NFC (canonical composition)"),

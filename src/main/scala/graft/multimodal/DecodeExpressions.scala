@@ -147,12 +147,15 @@ object DecodeKernels {
     val isJpeg = bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8
     val isBmp = bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M'
+    val isTiff = bytes.length >= 4 &&
+      ((bytes(0) == 'I' && bytes(1) == 'I') || (bytes(0) == 'M' && bytes(1) == 'M'))
     val img =
       if (isPpm) Ppm.decode(bytes)
       else if (isPng) Png.decode(bytes)
       else if (isGif) Gif.decode(bytes)
       else if (isJpeg) Jpeg.decode(bytes)
       else if (isBmp) Bmp.decode(bytes)
+      else if (isTiff) Tiff.decode(bytes)
       else null
     if (img == null) null
     else {
@@ -166,7 +169,7 @@ object DecodeKernels {
       }
       val fmt =
         if (isPpm) "ppm" else if (isPng) "png" else if (isGif) "gif"
-        else if (isJpeg) "jpeg" else "bmp"
+        else if (isJpeg) "jpeg" else if (isBmp) "bmp" else "tiff"
       new GenericInternalRow(Array[Any](
         org.apache.spark.unsafe.types.UTF8String.fromString(fmt),
         img.width, img.height, img.width * img.height,
@@ -181,6 +184,8 @@ object DecodeKernels {
   def jpegFixture(id: Long): Array[Byte] = Jpeg.fixtureBytes(id)
 
   def bmpFixture(id: Long): Array[Byte] = Bmp.fixtureBytes(id)
+
+  def tiffFixture(id: Long): Array[Byte] = Tiff.fixtureBytes(id)
 
   /** WAV sample ANALYSIS row — the audio feature-extract step past q79's
     * format/stats surface: zero crossings (per channel, sample j vs
@@ -600,6 +605,23 @@ case class BmpFixture(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"$kn.bmpFixture($c)")
   }
   override protected def withNewChildInternal(c: Expression): BmpFixture =
+    copy(child = c)
+}
+
+/** content = tiff_fixture(id): deterministic complete baseline-TIFF bytes
+  * (see Tiff.fixtureBytes — real IFD walk, BOTH byte orders by id parity,
+  * reverse-ordered strips) — the corpus generator for the TIFF layer and
+  * q142. */
+case class TiffFixture(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "tiff_fixture"
+  override def nullSafeEval(id: Any): Any =
+    DecodeKernels.tiffFixture(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$kn.tiffFixture($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): TiffFixture =
     copy(child = c)
 }
 

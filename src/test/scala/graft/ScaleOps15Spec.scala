@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Ground-truth laws for the TIFF layer (q142): IFD walk under both byte
+  * orders, strip resolution, totality, and the fixture pixel law. */
+class ScaleOps15Spec extends GraftSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def forAll[A](g: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(42L)
+    var i = 0
+    while (i < n) {
+      val r = g.doPureApply(Gen.Parameters.default, seed)
+      f(r.retrieve.get)
+      seed = r.seed.next
+      i += 1
+    }
+  }
+
+  test("Tiff: decode ∘ encode is the identity for BOTH byte orders and every strip split") {
+    val gen = for {
+      w <- Gen.choose(1, 9); h <- Gen.choose(1, 7)
+      le <- Gen.oneOf(true, false)
+      strips <- Gen.choose(1, 8)
+      samples <- Gen.listOfN(w * h * 3, Gen.choose(0, 255))
+    } yield (w, h, le, strips, samples.toArray)
+    forAll(gen) { case (w, h, le, strips, s) =>
+      val img = graft.multimodal.Tiff.decode(
+        graft.multimodal.Tiff.encode(w, h, s, le, strips))
+      assert(img != null && img.width == w && img.height == h,
+        s"lost $w x $h le=$le strips=$strips")
+      assert(img.samples.toSeq == s.toSeq)
+    }
+  }
+
+  test("Tiff: decode total — random bytes, every 1-byte mutation, every truncation; non-baseline variants null") {
+    val rnd = for {
+      n <- Gen.choose(0, 200)
+      bs <- Gen.listOfN(n, Gen.choose(0, 255).map(_.toByte))
+    } yield bs.toArray
+    forAll(rnd) { bytes =>
+      graft.multimodal.Tiff.decode(bytes)
+      graft.multimodal.Tiff.decode("II".getBytes("US-ASCII") ++ bytes)
+      graft.multimodal.Tiff.decode("MM".getBytes("US-ASCII") ++ bytes)
+      ()
+    }
+    for (id <- Seq(6L, 7L)) { // one fixture per byte order
+      val fix = graft.multimodal.Tiff.fixtureBytes(id)
+      for (i <- fix.indices) {
+        val b = fix.clone(); b(i) = (b(i) ^ 0x5a).toByte
+        graft.multimodal.Tiff.decode(b) // null or parsed; must not throw
+      }
+      for (i <- 0 to fix.length) graft.multimodal.Tiff.decode(fix.take(i))
+    }
+    // unsupported on purpose: LZW compression and 16-bit samples
+    val fix = graft.multimodal.Tiff.fixtureBytes(2L)
+    // Compression tag (259) value: find and flip via re-encode — simpler:
+    // decode must reject a file whose compression word is patched. The
+    // fixture is LE with the IFD at offset 8; tag 4 (259) value at
+    // 8 + 2 + 3*12 + 8.
+    val comp = fix.clone(); comp(8 + 2 + 3 * 12 + 8) = 5
+    assert(graft.multimodal.Tiff.decode(comp) == null)
+    val bits = fix.clone(); bits(8 + 2 + 2 * 12 + 8) = 16
+    assert(graft.multimodal.Tiff.decode(bits) == null)
+  }
+
+  test("Tiff: fixture law — decoded sample j equals (id*47 + j*19) mod 256 across parities (both byte orders)") {
+    for (id <- 0L to 24L) {
+      val img = graft.multimodal.Tiff.decode(graft.multimodal.Tiff.fixtureBytes(id))
+      assert(img != null, s"fixture $id failed to decode")
+      assert(img.width == 3 + (id % 3).toInt && img.height == 2 + (id % 2).toInt)
+      img.samples.zipWithIndex.foreach { case (v, j) =>
+        assert(v == java.lang.Math.floorMod(id * 47 + j * 19L, 256L).toInt)
+      }
+    }
+  }
+
+  test("Tiff: strip resolution is load-bearing — swapping two equal strip offsets exchanges the raster halves") {
+    // 3x4 raster in TWO equal 2-row strips (MM big-endian, strips in
+    // reverse file order). Patch the StripOffsets array to swap the
+    // strips: decode must yield the halves exchanged, proving offsets
+    // are honored, not assumed sequential.
+    val w = 3; val h = 4
+    val samples = Array.tabulate(w * h * 3)(j => (j * 19 + 7) % 256)
+    val file = graft.multimodal.Tiff.encode(w, h, samples,
+      littleEndian = false, nStrips = 2)
+    val good = graft.multimodal.Tiff.decode(file)
+    assert(good != null && good.samples.toSeq == samples.toSeq)
+    // MM layout: IFD at 8, 9 tags; offsets array at arrOff, counts at
+    // arrOff + arraysLen (arraysLen = 8·strips)
+    val arrOff = 8 + 2 + 9 * 12 + 4
+    def r32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def w32(b: Array[Byte], o: Int, v: Long): Unit = {
+      b(o) = ((v >> 24) & 0xff).toByte; b(o + 1) = ((v >> 16) & 0xff).toByte
+      b(o + 2) = ((v >> 8) & 0xff).toByte; b(o + 3) = (v & 0xff).toByte
+    }
+    val counts = (r32(file, arrOff + 16), r32(file, arrOff + 20))
+    assert(counts._1 == counts._2 && counts._1 == w * 2 * 3,
+      s"equal 2-row strips expected, got $counts")
+    val patched = file.clone()
+    val (o1, o2) = (r32(file, arrOff), r32(file, arrOff + 4))
+    assert(o1 > o2, "reverse file order: strip 0 must sit AFTER strip 1")
+    w32(patched, arrOff, o2); w32(patched, arrOff + 4, o1)
+    val swapped = graft.multimodal.Tiff.decode(patched)
+    assert(swapped != null)
+    val half = samples.length / 2
+    assert(swapped.samples.toSeq ==
+      (samples.drop(half) ++ samples.take(half)).toSeq)
+  }
+
+  test("q142: sniff reports tiff for every row; stats re-derive for a sample") {
+    val rows = graft.ops.ScaleOps15.q142Tiff(spark, sf).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getAs[String]("format") == "tiff"))
+    rows.take(10).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val n = r.getAs[Int]("n_pixels") * 3
+      val expectedSum = (0 until n)
+        .map(j => java.lang.Math.floorMod(id * 47 + j * 19L, 256L)).sum
+      assert(r.getAs[Long]("sum_samples") == expectedSum)
+    }
+  }
+}
