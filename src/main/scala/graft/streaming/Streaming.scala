@@ -454,6 +454,70 @@ object Streaming {
         col("day_date").as("cp_day"), col("s").as("s_at_cp"))
   }
 
+  // --- custom state: stream-disorder monitor (continuous q138) ---------
+
+  final case class SeqEvent(event_type: String, event_id: Long,
+      ts: java.sql.Timestamp)
+  final case class DisorderState(lastId: Long, lastTs: Long, nPairs: Long,
+      nInv: Long, maxBack: Long)
+  final case class DisorderRow(event_type: String, n_pairs: Long,
+      n_inversions: Long, max_backstep_ms: Long)
+
+  /** Continuous form of q138's disorder metrics: per event type, walk
+    * events in PRODUCER order (event_id) and track adjacent-pair time
+    * regressions — O(1) state per type (last id/ts + three counters),
+    * one cumulative emission per type per micro-batch (Update mode; the
+    * consumer keeps the latest per type, [[currentDisorder]]).
+    *
+    * Parity contract: bit-identical to batch `q138Disorder` whenever
+    * arrival respects producer order ACROSS micro-batches (within a
+    * batch any arrival order is fine — the walk sorts by event_id
+    * before folding). A source that interleaves producer ranges across
+    * batches measures ITS OWN arrival disorder — still the number a
+    * watermark must cover, just a different observation point. */
+  def disorderStream(events: Dataset[SeqEvent]): Dataset[DisorderRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[DisorderState, DisorderRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[SeqEvent], state: GroupState[DisorderState]) =>
+          val sorted = rows.toSeq.sortBy(_.event_id)
+          var st = state.getOption
+            .getOrElse(DisorderState(Long.MinValue, 0L, 0L, 0L, 0L))
+          sorted.foreach { e =>
+            if (st.lastId != Long.MinValue) {
+              val back = st.lastTs - e.ts.getTime
+              st = st.copy(
+                nPairs = st.nPairs + 1,
+                nInv = st.nInv + (if (back > 0) 1 else 0),
+                maxBack = math.max(st.maxBack, math.max(back, 0L)))
+            }
+            st = st.copy(lastId = e.event_id, lastTs = e.ts.getTime)
+          }
+          state.update(st)
+          if (st.nPairs > 0)
+            Iterator(DisorderRow(typ, st.nPairs, st.nInv, st.maxBack))
+          else Iterator.empty
+      }
+  }
+
+  /** Consumer-side view over [[disorderStream]] emissions: latest per
+    * type (pair counts only grow), plus the q138 share division — the
+    * same shape as the batch readout for the parity spec. */
+  def currentDisorder(emissions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = Window.partitionBy(col("event_type"))
+      .orderBy(col("n_pairs").desc)
+    emissions
+      .withColumn("__latest", row_number().over(latest))
+      .filter(col("__latest") === 1)
+      .withColumn("inversion_share",
+        col("n_inversions").cast("double") / col("n_pairs").cast("double"))
+      .select(col("event_type"), col("n_pairs"), col("n_inversions"),
+        col("max_backstep_ms"), col("inversion_share"))
+  }
+
   /** Batch reference implementation of gap sessionization (same semantics,
     * pure SQL window functions) — used to cross-check the stateful stream
     * and as the backfill path: new-session flag = gap > threshold, session

@@ -609,4 +609,68 @@ class StreamingSpec extends GraftSuite {
       assert(streamView.find(_._1 == "a").get._4 == "2024-02-05")
     } finally q.stop()
   }
+
+  test("currentDisorder over disorderStream is bit-identical to batch q138 (continuous disorder monitor)") {
+    val in = tempDir("disorder_in")
+    val ckpt = tempDir("disorder_ckpt")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // type "a": one planted inversion (id 3 goes back 3 min) and one
+    // larger late regression (id 6 back 5 min); type "b": fully ordered.
+    // Files split by PRODUCER ranges (ids 1-3 | 4-6 | 7-9) so the
+    // cross-batch state handoff is load-bearing (the id-3→4 pair spans
+    // a batch boundary).
+    val all = Seq(
+      (1L, t("2024-01-01 10:00:00"), "a"), (2L, t("2024-01-01 10:04:00"), "a"),
+      (3L, t("2024-01-01 10:01:00"), "a"), (4L, t("2024-01-01 10:06:00"), "a"),
+      (5L, t("2024-01-01 10:10:00"), "a"), (6L, t("2024-01-01 10:05:00"), "a"),
+      (7L, t("2024-01-01 10:12:00"), "b"), (8L, t("2024-01-01 10:13:00"), "b"),
+      (9L, t("2024-01-01 10:14:00"), "b"))
+    all.grouped(3).foreach { rows =>
+      rows.map { case (id, ts, ty) => (id, ts, 1L, ty, 0.0) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("append").parquet(in.toString)
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString)
+    import spark.implicits._
+    val typed = stream.select(col("event_type"), col("event_id"), col("ts"))
+      .as[Streaming.SeqEvent]
+    val q = Streaming.disorderStream(typed)
+      .writeStream.format("memory").queryName("disout")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000L), "stream did not drain in time")
+      val emissions = spark.table("disout")
+      // each type must have emitted from more than one micro-batch
+      assert(emissions.groupBy("event_type").count()
+        .filter(col("count") > 1).count() >= 1)
+      val streamView = Streaming.currentDisorder(emissions)
+        .orderBy(col("event_type"))
+        .collect().map(r => (r.getAs[String]("event_type"),
+          r.getAs[Long]("n_pairs"), r.getAs[Long]("n_inversions"),
+          r.getAs[Long]("max_backstep_ms"),
+          r.getAs[Double]("inversion_share"))).toSeq
+      val dir = tempDir("disorder_batch")
+      all.map { case (id, ts, ty) => (id, ts, 1L, ty, 0.0) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = graft.ops.ScaleOps13.q138Disorder(spark, dir.toString)
+        .collect().map(r => (r.getAs[String]("event_type"),
+          r.getAs[Long]("n_pairs"), r.getAs[Long]("n_inversions"),
+          r.getAs[Long]("max_backstep_ms"),
+          r.getAs[Double]("inversion_share"))).toSeq
+      assert(streamView == batch, s"stream $streamView vs batch $batch")
+      // planted: a has 2 inversions, worst 5 min; b fully ordered
+      assert(streamView == Seq(
+        ("a", 5L, 2L, 300000L, 0.4), ("b", 2L, 0L, 0L, 0.0)))
+    } finally q.stop()
+  }
 }
