@@ -2,11 +2,13 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import Relational.t
 
-/** Round-9 batch 14: the TIFF/EXIF-grammar layer (q142) — offset-linked
-  * IFD metadata walking, the file shape a real ingestion pipeline meets
-  * as EXIF/GeoTIFF/scanner output. */
+/** Round-9 batch 14: the TIFF/EXIF-grammar layer (q142), DAU/MAU
+  * stickiness (q143), and a capped running balance — a NON-LINEAR
+  * recurrence no window aggregate can express, handled by the q139
+  * explicit-fold machinery (q144). */
 object ScaleOps15 {
 
   /** q142: TIFF decode over a corpus that alternates BYTE ORDER by id
@@ -59,4 +61,145 @@ object ScaleOps15 {
       |  CAST(checksum AS BIGINT) AS checksum,
       |  CAST(sum_samples AS DOUBLE) / CAST(w * h * 3 AS DOUBLE) AS mean_sample
       |FROM agg ORDER BY media_id""".stripMargin
+
+  // --- DAU/MAU stickiness (q143) -------------------------------------------
+
+  /** q143: daily active users, trailing-30-day monthly actives, and the
+    * DAU/MAU stickiness ratio — the canonical engagement dashboard
+    * number. MAU is EXACT (not a sliding approximation): the (user, day)
+    * distinct table is exploded 30× (each active day claims membership
+    * in the next 30 daily windows) and distinct-counted per window day —
+    * the standard exact-sliding-distinct rewrite; the 30× factor is a
+    * CONSTANT, and the explode runs on the user-DAY table (already
+    * collapsed from events), not the event stream. Output days are
+    * restricted to the observed corpus days (the windows a dashboard
+    * would show). Stickiness is ONE division of exact counts.
+    *
+    * Scale shape: one (user, day) distinct exchange from events, a 30×
+    * constant-factor explode of that (much smaller) table, one (day)
+    * partial-agg distinct; nothing event-sized shuffles twice. */
+  def q143Stickiness(s: SparkSession, dir: String): DataFrame = {
+    val ev = Relational.events(s, dir)
+    val userDays = ev.select(col("user_id"),
+        date_trunc("day", col("ts")).as("day")).distinct()
+    val dau = userDays.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val membership = userDays
+      .select(col("user_id"), explode(sequence(lit(0), lit(29))).as("k"),
+        col("day"))
+      .select(col("user_id"),
+        (col("day") + expr("make_interval(0, 0, 0, k)")).as("wday"))
+    val mau = membership.groupBy(col("wday"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, dau("day") === mau("wday"))
+      .select(col("day"), col("dau"), col("mau"),
+        (col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  val q143Sql: String =
+    """WITH user_days AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+      |), dau AS (
+      |  SELECT day, COUNT(*) AS dau FROM user_days GROUP BY day
+      |), membership AS (
+      |  SELECT user_id, day + to_days(CAST(k AS INTEGER)) AS wday
+      |  FROM user_days CROSS JOIN range(0, 30) AS r(k)
+      |), mau AS (
+      |  SELECT wday, COUNT(DISTINCT user_id) AS mau
+      |  FROM membership GROUP BY wday
+      |)
+      |SELECT day, CAST(dau AS BIGINT) AS dau, CAST(mau AS BIGINT) AS mau,
+      |  CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness
+      |FROM dau JOIN mau ON day = wday
+      |ORDER BY day""".stripMargin
+
+  // --- capped running balance (q144) ---------------------------------------
+
+  /** q144: per-user running balance with a FLOOR AT ZERO — credits and
+    * debits in event order, but the balance can never go negative
+    * (failed debits are lost, and counted): Sᵢ = max(0, Sᵢ₋₁ + xᵢ). This
+    * recurrence is NON-LINEAR — no window aggregate in either engine can
+    * express it (a plain running sum lets the floor "remember" through
+    * negatives) — so it runs on the q139 explicit-fold machinery:
+    * per-user event deltas in integer cents, sorted by (ts, event_id)
+    * via a single packed int64 (rank·10¹⁰ + shifted cents), folded left
+    * with the cap inside the lambda. Alternating credit/debit sign comes
+    * from event_id parity; the readout is each user's final balance,
+    * floor-hit count (packed into the fold accumulator: hits·10¹⁴ +
+    * balance), and deposit/withdrawal totals as cross-checkable sums.
+    *
+    * Scale shape: one user-partitioned window (rank), one groupBy
+    * collecting the per-user list — state per user is its event count,
+    * the same bound the q27/q48 per-user windows already carry; the fold
+    * itself is one pass, no prefix re-folds (only the final value is
+    * needed). */
+  def q144CappedBalance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Relational.events(s, dir)
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // delta in cents: credits on even event ids, debits on odd; value is
+    // nonnegative in the corpus and floor(v·100+0.5) ≤ 10⁷ keeps the
+    // shifted packing exact
+    val deltas = ev
+      .withColumn("cents", floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+      .withColumn("delta",
+        when(col("event_id") % 2 === 0, col("cents")).otherwise(-col("cents")))
+      .withColumn("rn", row_number().over(wU))
+      // pack (rank, delta) into one int64: rank·10¹⁰ + (delta + 10⁹) —
+      // the 10⁹ shift keeps the field nonnegative so integer sort by the
+      // packed value IS rank order
+      .select(col("user_id"),
+        (col("rn").cast("long") * lit(10000000000L) + col("delta") + lit(1000000000L))
+          .as("packed"),
+        col("delta"))
+    deltas.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("packed"))).as("arr"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("delta") > 0, col("delta"))).as("credits"),
+        sum(when(col("delta") < 0, -col("delta"))).as("debits"))
+      // fold accumulator packs (floor_hits, balance): hits·10¹⁴ + balance;
+      // balance < 10¹⁴ guaranteed by credits ≤ n·10⁷
+      .withColumn("acc", expr("""aggregate(arr, 0L, (s, x) ->
+        CASE WHEN (s % 100000000000000L) + ((x % 10000000000L) - 1000000000L) < 0L
+             THEN (s div 100000000000000L + 1L) * 100000000000000L
+             ELSE s + ((x % 10000000000L) - 1000000000L) END)"""))
+      .select(col("user_id"), col("n_events"), col("credits"), col("debits"),
+        (col("acc") % lit(100000000000000L)).as("final_cents"),
+        expr("acc div 100000000000000L").as("floor_hits"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Mirror: same packing, same fold — `list_reduce` seeds from a
+    * prepended 0 accumulator. */
+  val q144Sql: String =
+    """WITH deltas AS (
+      |  SELECT user_id,
+      |    CASE WHEN event_id % 2 = 0
+      |         THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+      |         ELSE -CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) END AS delta,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |), packed AS (
+      |  SELECT user_id,
+      |    CAST(rn AS BIGINT) * 10000000000 + delta + 1000000000 AS packed,
+      |    delta
+      |  FROM deltas
+      |), agg AS (
+      |  SELECT user_id, list_sort(list(packed)) AS arr,
+      |    COUNT(*) AS n_events,
+      |    SUM(CASE WHEN delta > 0 THEN delta END) AS credits,
+      |    SUM(CASE WHEN delta < 0 THEN -delta END) AS debits
+      |  FROM packed GROUP BY user_id
+      |), folded AS (
+      |  SELECT user_id, n_events, credits, debits,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), arr), (s, x) ->
+      |      CASE WHEN (s % 100000000000000) + ((x % 10000000000) - 1000000000) < 0
+      |           THEN (s // 100000000000000 + 1) * 100000000000000
+      |           ELSE s + ((x % 10000000000) - 1000000000) END) AS acc
+      |  FROM agg
+      |)
+      |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(credits AS BIGINT) AS credits, CAST(debits AS BIGINT) AS debits,
+      |  CAST(acc % 100000000000000 AS BIGINT) AS final_cents,
+      |  CAST(acc // 100000000000000 AS BIGINT) AS floor_hits
+      |FROM folded ORDER BY user_id""".stripMargin
 }

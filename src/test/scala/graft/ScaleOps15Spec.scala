@@ -114,6 +114,79 @@ class ScaleOps15Spec extends GraftSuite {
       (samples.drop(half) ++ samples.take(half)).toSeq)
   }
 
+  test("q143: hand days — trailing-30-day MAU window law") {
+    val dir = tempDir("q143-hand")
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 09:00:00")
+    def d2(day: Int) = java.sql.Timestamp.valueOf(f"2024-02-$day%02d 09:00:00")
+    // u1 active Jan 1 and Jan 31; u2 active Jan 1 and Jan 10
+    Seq((1L, d(1), 1L), (2L, d(31), 1L), (3L, d(1), 2L), (4L, d(10), 2L))
+      .map { case (id, ts, u) => (id, ts, u, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.ScaleOps15.q143Stickiness(spark, dir.toString)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("day").toString.take(10),
+        r.getAs[Long]("dau"), r.getAs[Long]("mau"),
+        r.getAs[Double]("stickiness"))).toSeq
+    // Jan 1: dau 2, mau 2; Jan 10: dau 1 (u2), mau 2 (both in window);
+    // Jan 31: dau 1 (u1), mau 2 (u2's Jan 10 is within [Jan 2, Jan 31])
+    assert(got == Seq(
+      ("2024-01-01", 2L, 2L, 1.0),
+      ("2024-01-10", 1L, 2L, 0.5),
+      ("2024-01-31", 1L, 2L, 0.5)))
+    assert(d2(1) != null) // silence unused helper warning-by-use
+  }
+
+  test("q143: real corpus — dau ≤ mau ≤ total users on every observed day") {
+    val total = graft.ops.Relational.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    val rows = graft.ops.ScaleOps15.q143Stickiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, mau) = (r.getAs[Long]("dau"), r.getAs[Long]("mau"))
+      assert(dau <= mau && mau <= total)
+      assert(r.getAs[Double]("stickiness") == dau.toDouble / mau.toDouble)
+    }
+  }
+
+  test("q144: hand sequence — the zero floor absorbs a deficit and counts the hit") {
+    val dir = tempDir("q144-hand")
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: +100 (id 2), −300 (id 3, floor hit), +50 (id 4) → final 50
+    Seq((2L, t(0), 1.00), (3L, t(1), 3.00), (4L, t(2), 0.50))
+      .map { case (id, ts, v) => (id, ts, 1L, "pay", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.ops.ScaleOps15.q144CappedBalance(spark, dir.toString)
+      .collect().head
+    assert(r.getAs[Long]("final_cents") == 50L)
+    assert(r.getAs[Long]("floor_hits") == 1L)
+    assert(r.getAs[Long]("credits") == 150L && r.getAs[Long]("debits") == 300L)
+    // an UNCAPPED running sum would say 100−300+50 = −150: the floor law
+    // is observably different from what any window aggregate computes
+    assert(r.getAs[Long]("final_cents") != -150L)
+  }
+
+  test("q144: real corpus — per-user fold re-derives scalar-side") {
+    val ev = graft.ops.Relational.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("value")))
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._3.getTime, r._2))
+      var bal = 0L; var hits = 0L
+      ordered.foreach { case (_, id, _, v) =>
+        val cents = math.floor(v * 100.0 + 0.5).toLong
+        val delta = if (id % 2 == 0) cents else -cents
+        if (bal + delta < 0) { bal = 0; hits += 1 } else bal += delta
+      }
+      u -> (bal, hits)
+    }
+    val got = graft.ops.ScaleOps15.q144CappedBalance(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("final_cents"), r.getAs[Long]("floor_hits"))).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("q142: sniff reports tiff for every row; stats re-derive for a sample") {
     val rows = graft.ops.ScaleOps15.q142Tiff(spark, sf).collect()
     assert(rows.length == 500)
