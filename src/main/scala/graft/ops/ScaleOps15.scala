@@ -202,4 +202,125 @@ object ScaleOps15 {
       |  CAST(acc % 100000000000000 AS BIGINT) AS final_cents,
       |  CAST(acc // 100000000000000 AS BIGINT) AS floor_hits
       |FROM folded ORDER BY user_id""".stripMargin
+
+  // --- log2 latency buckets (q145) -----------------------------------------
+
+  /** q145: session durations on a LOG₂ bucket scale — the latency
+    * histogram every monitoring stack draws (1-2s, 2-4s, 4-8s, …).
+    * The bucket index is floor(log₂(sec+1))+1 computed WITHOUT log:
+    * `length(bin(x))` — the bit length of the integer — is exact in both
+    * engines where a libm log2 would be 1-ulp fragile at the power
+    * boundaries. Each bucket row carries its true [lo, hi] second range
+    * as integers, its session count, and the share as one division.
+    *
+    * Scale shape: the q27 sessionize window, then one ≤64-group
+    * partial-agg groupBy. */
+  def q145LatencyBuckets(s: SparkSession, dir: String): DataFrame = {
+    val sessions = graft.streaming.Streaming.sessionizeBatch(
+      Relational.events(s, dir), "user_id", "ts", gapMs = 30 * 60 * 1000L)
+    val durs = sessions.select(
+      expr("(unix_millis(session_end) - unix_millis(session_start)) div 1000")
+        .as("sec"))
+    val wAll = Window.partitionBy()
+    durs
+      .withColumn("bucket", length(bin(col("sec") + 1)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        min(col("sec")).as("min_sec"), max(col("sec")).as("max_sec"))
+      .withColumn("total", sum(col("n_sessions")).over(wAll))
+      .select(col("bucket"),
+        (pow(lit(2.0), col("bucket") - 1) - 1).cast("long").as("lo_sec"),
+        (pow(lit(2.0), col("bucket")) - 2).cast("long").as("hi_sec"),
+        col("n_sessions"), col("min_sec"), col("max_sec"),
+        (col("n_sessions").cast("double") / col("total").cast("double"))
+          .as("share"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Mirror: bit_length via bin() string length in both engines; the
+    * 2^k bucket bounds are small-integer powers (exact doubles). */
+  val q145Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), seq AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged
+      |), sess AS (
+      |  SELECT (epoch_ms(MAX(ts)) - epoch_ms(MIN(ts))) // 1000 AS sec
+      |  FROM seq GROUP BY user_id, session_seq
+      |), bucketed AS (
+      |  SELECT CAST(LENGTH(bin(sec + 1)) AS BIGINT) AS bucket, sec FROM sess
+      |), agg AS (
+      |  SELECT bucket, COUNT(*) AS n_sessions,
+      |    MIN(sec) AS min_sec, MAX(sec) AS max_sec
+      |  FROM bucketed GROUP BY bucket
+      |)
+      |SELECT bucket,
+      |  CAST(POWER(2.0, bucket - 1) - 1 AS BIGINT) AS lo_sec,
+      |  CAST(POWER(2.0, bucket) - 2 AS BIGINT) AS hi_sec,
+      |  CAST(n_sessions AS BIGINT) AS n_sessions,
+      |  CAST(min_sec AS BIGINT) AS min_sec, CAST(max_sec AS BIGINT) AS max_sec,
+      |  CAST(n_sessions AS DOUBLE) / CAST(SUM(n_sessions) OVER () AS DOUBLE)
+      |    AS share
+      |FROM agg ORDER BY bucket""".stripMargin
+
+  // --- Pareto coverage (q146) ----------------------------------------------
+
+  /** q146: the Pareto / "how many sources cover 80 % of the tokens"
+    * readout — sources ranked by token mass with cumulative share and an
+    * in-80 flag decided by the INTEGER cross-product 5·(cum−tokens) <
+    * 4·total (true while coverage before this source was below 80 %, so
+    * the crossing source is included — the standard Pareto-set
+    * convention). The one float is the printable cumulative share.
+    *
+    * Scale shape: one doc-sized partial-agg groupBy to source totals,
+    * then windows over |sources| rows. */
+  def q146Pareto(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val bySource = docs
+      .select(col("source"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("toks"))
+      .groupBy(col("source")).agg(sum(col("toks")).as("tokens"))
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy(col("tokens").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bySource
+      .withColumn("total", sum(col("tokens")).over(wAll))
+      .withColumn("cum", sum(col("tokens")).over(wCum))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("tokens").desc, col("source"))))
+      .withColumn("in_pareto80",
+        lit(5L) * (col("cum") - col("tokens")) < lit(4L) * col("total"))
+      .select(col("rank"), col("source"), col("tokens"), col("cum"),
+        (col("cum").cast("double") / col("total").cast("double"))
+          .as("cum_share"),
+        col("in_pareto80"))
+      .orderBy(col("rank"))
+  }
+
+  val q146Sql: String =
+    raw"""WITH by_source AS (
+      |  SELECT source,
+      |    SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS tokens
+      |  FROM documents GROUP BY source
+      |), ranked AS (
+      |  SELECT source, tokens,
+      |    SUM(tokens) OVER () AS total,
+      |    SUM(tokens) OVER (ORDER BY tokens DESC, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    ROW_NUMBER() OVER (ORDER BY tokens DESC, source) AS rank
+      |  FROM by_source
+      |)
+      |SELECT CAST(rank AS INTEGER) AS rank, source,
+      |  CAST(tokens AS BIGINT) AS tokens, CAST(cum AS BIGINT) AS cum,
+      |  CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+      |  5 * (cum - tokens) < 4 * total AS in_pareto80
+      |FROM ranked ORDER BY rank""".stripMargin
 }

@@ -187,6 +187,65 @@ class ScaleOps15Spec extends GraftSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("q145: hand durations — bit-length bucketing at the power boundaries") {
+    val dir = tempDir("q145-hand")
+    def t(sec: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime + sec * 1000L)
+    // single-event sessions (0s) for users 1,2; a 1s session (user 3:
+    // bucket len(bin(2))=2); a 63s session (user 4: len(bin(64))=7);
+    // a 64s session (user 5: len(bin(65))=7)
+    val rows = Seq(
+      (1L, t(0), 1L), (2L, t(0), 2L),
+      (3L, t(0), 3L), (4L, t(1), 3L),
+      (5L, t(0), 4L), (6L, t(63), 4L),
+      (7L, t(0), 5L), (8L, t(64), 5L))
+    rows.map { case (id, ts, u) => (id, ts, u, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.ScaleOps15.q145LatencyBuckets(spark, dir.toString)
+      .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("lo_sec"),
+        r.getAs[Long]("hi_sec"), r.getAs[Long]("n_sessions"))).toSeq
+    // bucket 1 = [0,0] (2 sessions), bucket 2 = [1,2] (1), bucket 7 =
+    // [63,126] (2: the 63s and 64s sessions share the 2^6 bucket)
+    assert(got == Seq((1L, 0L, 0L, 2L), (2L, 1L, 2L, 1L), (7L, 63L, 126L, 2L)))
+  }
+
+  test("q145: real corpus — every duration lies inside its bucket's [lo, hi]; shares sum to 1") {
+    val rows = graft.ops.ScaleOps15.q145LatencyBuckets(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_sec") >= r.getAs[Long]("lo_sec"))
+      assert(r.getAs[Long]("max_sec") <= r.getAs[Long]("hi_sec"))
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+  }
+
+  test("q146: hand sources — the crossing source is IN the Pareto set, later ones are out") {
+    val dir = tempDir("q146-hand")
+    // tokens: a=6, b=3, c=1 → total 10; cum 6 (60% in), 9 (90%: before
+    // it coverage was 60% < 80% ⇒ IN), 10 (before it 90% ⇒ out)
+    val docs = Seq(
+      (1L, "w w w w w w", "en", "a", 0L),
+      (2L, "w w w", "en", "b", 0L),
+      (3L, "w", "en", "c", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.ScaleOps15.q146Pareto(spark, dir.toString)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("cum"),
+        r.getAs[Boolean]("in_pareto80"))).toSeq
+    assert(got == Seq(("a", 6L, true), ("b", 9L, true), ("c", 10L, false)))
+  }
+
+  test("q146: real corpus — cum is monotone, flags form a prefix, last cum_share is 1") {
+    val rows = graft.ops.ScaleOps15.q146Pareto(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cums = rows.map(_.getAs[Long]("cum")).toSeq
+    assert(cums == cums.sorted)
+    val flags = rows.map(_.getAs[Boolean]("in_pareto80")).toSeq
+    assert(flags == flags.sortBy(!_), "in_pareto80 must be a rank prefix")
+    assert(rows.last.getAs[Double]("cum_share") == 1.0)
+  }
+
   test("q142: sniff reports tiff for every row; stats re-derive for a sample") {
     val rows = graft.ops.ScaleOps15.q142Tiff(spark, sf).collect()
     assert(rows.length == 500)
