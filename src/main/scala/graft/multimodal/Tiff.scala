@@ -103,6 +103,12 @@ object Tiff {
     if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return null
     if (comp != 1 || bits != 8 || planar != 1) return null
     if (spp != 1 && spp != 3) return null
+    // photometric must MATCH the sample layout: RGB(2) for 3 samples,
+    // BlackIsZero(1) for grayscale — a palette file (3) would otherwise
+    // decode its palette INDICES as pixels, and WhiteIsZero(0) needs an
+    // inversion this baseline profile doesn't implement
+    if (spp == 3 && photometric != 2) return null
+    if (spp == 1 && photometric != 1) return null
     if (stripOffsets == null || stripCounts == null) return null
     if (stripOffsets.length != stripCounts.length) return null
     val need = w * h * spp

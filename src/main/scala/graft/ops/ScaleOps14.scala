@@ -73,8 +73,11 @@ object ScaleOps14 {
     arrs.select(col("cohort"), posexplode(col("arr")).as(Seq("pos", "elem")),
         col("arr"))
       .select(col("cohort"),
-        (col("elem") / lit(100000000000000L)).cast("long").as("t"),
-        ((col("elem") / lit(10000000L)) % lit(10000000L)).cast("long").as("n_at_risk"),
+        // integer div, NOT `/`: Spark's `/` is double division, and a
+        // packed value above 2^53 would round before the truncating cast
+        // (the mirror's `//` is exact — the hashes would diverge)
+        expr("elem div 100000000000000L").as("t"),
+        expr("(elem div 10000000L) % 10000000L").as("n_at_risk"),
         (col("elem") % lit(10000000L)).as("d"),
         expr("""aggregate(slice(arr, 1, pos + 1), 1000000000L,
           (s, x) -> (s * (((x div 10000000L) % 10000000L) - (x % 10000000L)))

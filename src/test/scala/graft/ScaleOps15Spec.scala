@@ -66,6 +66,10 @@ class ScaleOps15Spec extends GraftSuite {
     assert(graft.multimodal.Tiff.decode(comp) == null)
     val bits = fix.clone(); bits(8 + 2 + 2 * 12 + 8) = 16
     assert(graft.multimodal.Tiff.decode(bits) == null)
+    // palette-color (photometric=3): the palette INDICES must never be
+    // decoded as pixels — tag 262 is the 5th entry (LE fixture)
+    val pal = fix.clone(); pal(8 + 2 + 4 * 12 + 8) = 3
+    assert(graft.multimodal.Tiff.decode(pal) == null)
   }
 
   test("Tiff: fixture law — decoded sample j equals (id*47 + j*19) mod 256 across parities (both byte orders)") {
