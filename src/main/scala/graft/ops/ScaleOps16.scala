@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import Relational.t
+
+/** Round-9 batch 15: corpus-drift detection (q147) and
+  * sorted-neighborhood dedup blocking (q148) — the distribution-shift
+  * monitor and the classic non-hash candidate generator the dedup
+  * family (LSH/SimHash/bloom/chunk/semantic) did not yet include. */
+object ScaleOps16 {
+
+  // --- vocabulary drift between corpus halves (q147) -----------------------
+
+  /** q147: which tokens DRIFTED between two halves of the corpus — the
+    * vocabulary-shift monitor a training-data pipeline runs between
+    * snapshots (here: doc_id parity stands in for "old vs new crawl").
+    * Per token, the 2×2 chi-square-style score is cleared to exact
+    * integers the q116 way: diff = c_A·N_B − c_B·N_A (zero iff the
+    * token's share is identical in both halves), scored at 10⁻⁶ fixed
+    * point as diff²·10⁶ div ((c_A+c_B)·N_A·N_B) in DECIMAL(38)/HUGEINT
+    * (diff² alone can pass int64), ranked by the INTEGER score with a
+    * token tie-break — top 20.
+    *
+    * Scale shape: one token partial-agg groupBy (conditional sums fold
+    * the halves in the same pass — no join of two aggregates), a 1-row
+    * totals broadcast, and a 20-row TakeOrdered. */
+  def q147TokenDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val toks = docs.select((col("doc_id") % 2 === 0).as("half_a"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    val byTok = toks.groupBy(col("tok"))
+      .agg(sum(when(col("half_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("half_a"), 1L).otherwise(0L)).as("cb"))
+    val totals = byTok.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val dec = DecimalType(38, 0)
+    byTok.crossJoin(broadcast(totals))
+      .withColumn("diff",
+        col("ca").cast(dec) * col("nb").cast(dec)
+          - col("cb").cast(dec) * col("na").cast(dec))
+      .withColumn("score_fp",
+        expr("CAST((diff * diff * 1000000) div " +
+          "((ca + cb) * CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"))
+      .select(col("tok"), col("ca"), col("cb"), col("score_fp"))
+      .orderBy(col("score_fp").desc, col("tok"))
+      .limit(20)
+  }
+
+  val q147Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id % 2 = 0 AS half_a,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents
+      |), by_tok AS (
+      |  SELECT tok,
+      |    SUM(CASE WHEN half_a THEN 1 ELSE 0 END) AS ca,
+      |    SUM(CASE WHEN half_a THEN 0 ELSE 1 END) AS cb
+      |  FROM toks GROUP BY tok
+      |), totals AS (
+      |  SELECT SUM(ca) AS na, SUM(cb) AS nb FROM by_tok
+      |), scored AS (
+      |  SELECT tok, ca, cb,
+      |    CAST(((ca::HUGEINT * nb - cb::HUGEINT * na)
+      |          * (ca::HUGEINT * nb - cb::HUGEINT * na) * 1000000)
+      |      // ((ca + cb)::HUGEINT * na * nb) AS BIGINT) AS score_fp
+      |  FROM by_tok CROSS JOIN totals
+      |)
+      |SELECT tok, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+      |  score_fp
+      |FROM scored ORDER BY score_fp DESC, tok LIMIT 20""".stripMargin
+
+  // --- sorted-neighborhood dedup (q148) ------------------------------------
+
+  /** q148: sorted-neighborhood (SNM) near-duplicate candidates — the
+    * classic NON-hash blocking strategy: normalize a sort key, sort,
+    * and only compare each record to its w nearest neighbors in key
+    * order. Complements the MinHash/SimHash family: SNM catches
+    * prefix-anchored near-dups (shared openings with divergent tails)
+    * that shingle hashing dilutes, at a guaranteed n·w comparison
+    * budget. Key = first 24 chars of the normalized text; window w = 3
+    * successors; a candidate pair is kept when the 40-char-prefix
+    * Levenshtein distance is ≤ 8 (both engines' unit-cost levenshtein —
+    * the q88-proven cross-engine kernel).
+    *
+    * Scale shape: the sort runs WITHIN key-prefix blocks (first 2
+    * chars — the standard blocked-SNM hybrid), so the window is
+    * hash-partitioned, never a global single-task sort; each row emits
+    * ≤3 comparisons. At 100 TB the block count scales with the key
+    * alphabet and the per-block sort is a range-partition inside the
+    * block — no all-pairs stage exists. */
+  def q148SnmDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        substring(trim(lower(col("text"))), 1, 24).as("skey"),
+        substring(trim(lower(col("text"))), 1, 40).as("prefix"))
+    val block = substring(col("skey"), 1, 2)
+    val wB = Window.partitionBy(block).orderBy(col("skey"), col("doc_id"))
+    val withNbrs = docs
+      .withColumn("n1_id", lead(col("doc_id"), 1).over(wB))
+      .withColumn("n1_p", lead(col("prefix"), 1).over(wB))
+      .withColumn("n2_id", lead(col("doc_id"), 2).over(wB))
+      .withColumn("n2_p", lead(col("prefix"), 2).over(wB))
+      .withColumn("n3_id", lead(col("doc_id"), 3).over(wB))
+      .withColumn("n3_p", lead(col("prefix"), 3).over(wB))
+    val pairs = (1 to 3).map { k =>
+      withNbrs.filter(col(s"n${k}_id").isNotNull)
+        .select(col("doc_id").as("a"), col(s"n${k}_id").as("b"),
+          levenshtein(col("prefix"), col(s"n${k}_p")).cast("long").as("dist"))
+    }.reduce(_ unionByName _)
+    pairs.filter(col("dist") <= 8)
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("dist"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q148Sql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id,
+      |    substring(trim(lower(text)), 1, 24) AS skey,
+      |    substring(trim(lower(text)), 1, 40) AS prefix
+      |  FROM documents
+      |), nbrs AS (
+      |  SELECT doc_id, prefix,
+      |    lead(doc_id, 1) OVER w AS n1_id, lead(prefix, 1) OVER w AS n1_p,
+      |    lead(doc_id, 2) OVER w AS n2_id, lead(prefix, 2) OVER w AS n2_p,
+      |    lead(doc_id, 3) OVER w AS n3_id, lead(prefix, 3) OVER w AS n3_p
+      |  FROM keyed
+      |  WINDOW w AS (PARTITION BY substring(skey, 1, 2)
+      |               ORDER BY skey, doc_id)
+      |), pairs AS (
+      |  SELECT doc_id AS a, n1_id AS b, levenshtein(prefix, n1_p) AS dist
+      |  FROM nbrs WHERE n1_id IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id, n2_id, levenshtein(prefix, n2_p)
+      |  FROM nbrs WHERE n2_id IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id, n3_id, levenshtein(prefix, n3_p)
+      |  FROM nbrs WHERE n3_id IS NOT NULL
+      |)
+      |SELECT DISTINCT LEAST(a, b) AS doc_a, GREATEST(a, b) AS doc_b,
+      |  CAST(dist AS BIGINT) AS dist
+      |FROM pairs WHERE dist <= 8
+      |ORDER BY doc_a, doc_b""".stripMargin
+}

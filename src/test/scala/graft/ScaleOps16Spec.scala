@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ground-truth laws for the round-9 batch-15 operators: vocabulary
+  * drift (q147) and sorted-neighborhood dedup (q148). */
+class ScaleOps16Spec extends GraftSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def writeDocs(dir: java.nio.file.Path,
+                        rows: Seq[(Long, String)]): Unit =
+    rows.map { case (id, txt) => (id, txt, "en", "src0", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  // --- q147 token drift ----------------------------------------------------
+
+  test("q147: hand halves — a balanced token scores 0, a one-sided token tops the ranking") {
+    val dir = tempDir("q147-hand")
+    // even docs (half A): "same drifted drifted"; odd docs (half B):
+    // "same".  'same' appears once per doc on both sides (balanced-ish),
+    // 'drifted' is A-only ⇒ must rank first with ca=4, cb=0.
+    writeDocs(dir, Seq(
+      (0L, "same drifted drifted"), (2L, "same drifted drifted"),
+      (1L, "same"), (3L, "same")))
+    val rows = graft.ops.ScaleOps16.q147TokenDrift(spark, dir.toString).collect()
+    val top = rows.head
+    assert(top.getAs[String]("tok") == "drifted")
+    assert(top.getAs[Long]("ca") == 4L && top.getAs[Long]("cb") == 0L)
+    // NA = 6 (2 same + 4 drifted), NB = 2; 'same': diff = 2·2 − 2·6 = −8
+    // ⇒ nonzero (share 1/3 vs 1); 'drifted': diff = 4·2 − 0 = 8,
+    // score = 64·10⁶ div (4·6·2) = 1333333
+    assert(top.getAs[Long]("score_fp") == 64L * 1000000L / 48L)
+  }
+
+  test("q147: real corpus — scores re-derive and ranking is (score desc, token)") {
+    val rows = graft.ops.ScaleOps16.q147TokenDrift(spark, sf).collect()
+      .map(r => (r.getAs[String]("tok"), r.getAs[Long]("ca"),
+        r.getAs[Long]("cb"), r.getAs[Long]("score_fp")))
+    assert(rows.length == 20)
+    val keys = rows.map(r => (-r._4, r._1)).toSeq
+    assert(keys == keys.sorted, "must be ordered by score desc, token")
+    // independent scalar re-score of the returned rows
+    val toks = graft.ops.Relational.t(spark, sf, "documents")
+      .select((col("doc_id") % 2 === 0).as("a"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .collect().map(r => (r.getBoolean(0), r.getString(1)))
+    val na = toks.count(_._1).toLong; val nb = toks.size - na
+    val byTok = toks.groupBy(_._2).view
+      .mapValues(v => (v.count(_._1).toLong, v.count(!_._1).toLong)).toMap
+    rows.foreach { case (tok, ca, cb, score) =>
+      assert(byTok(tok) == (ca, cb))
+      val diff = BigInt(ca) * nb - BigInt(cb) * na
+      assert(BigInt(score) == diff * diff * 1000000 / (BigInt(ca + cb) * na * nb))
+    }
+  }
+
+  // --- q148 sorted-neighborhood dedup --------------------------------------
+
+  test("q148: hand corpus — neighbors in key order pair, far keys don't, distance law exact") {
+    val dir = tempDir("q148-hand")
+    // docs 1/2 share a 24-char key prefix and differ by one char inside
+    // the 40-char compare prefix (distance 1); doc 3 sorts adjacent but
+    // its prefix is ≫8 edits away; doc 4 is in another block entirely
+    writeDocs(dir, Seq(
+      (1L, "aa quick brown fox jumps over the lazy dog"),
+      (2L, "aa quick brown fox jumps ever the lazy dog"),
+      (3L, "aa zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+      (4L, "bb totally different block")))
+    val got = graft.ops.ScaleOps16.q148SnmDedup(spark, dir.toString)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("dist"))).toSeq
+    assert(got == Seq((1L, 2L, 1L)))
+  }
+
+  test("q148: real corpus — every pair re-verifies distance ≤ 8 and window adjacency ≤ 3") {
+    val docs = graft.ops.Relational.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val keyed = docs.map { case (id, t0) =>
+      val t = t0.trim.toLowerCase
+      (id, t.take(24), t.take(40))
+    }
+    val got = graft.ops.ScaleOps16.q148SnmDedup(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("dist")))
+    assert(got.nonEmpty)
+    // scalar SNM over the same key order (blocked by 2-char prefix)
+    val expected = keyed.groupBy(_._2.take(2)).values.flatMap { blk =>
+      val sorted = blk.toSeq.sortBy(r => (r._2, r._1))
+      for {
+        i <- sorted.indices; k <- 1 to 3 if i + k < sorted.length
+        a = sorted(i); b = sorted(i + k)
+        d = levenshteinScalar(a._3, b._3) if d <= 8
+      } yield (math.min(a._1, b._1), math.max(a._1, b._1), d.toLong)
+    }.toSet
+    assert(got.toSet == expected)
+  }
+
+  private def levenshteinScalar(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+}
