@@ -103,7 +103,7 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => graft.multimodal.Mp3Scan(exprs.head)),
     (FunctionIdentifier("image_decode"),
       info("image_decode",
-        "image_decode(bytes) - auto-sniffed PPM/PNG/GIF/JPEG/BMP decode (inflate+unfilter / LZW / Huffman+IDCT / BGR-flip): format, dims, exact pixel stats"),
+        "image_decode(bytes) - auto-sniffed PPM/PNG/GIF/JPEG/BMP/TIFF decode (inflate+unfilter / LZW / Huffman+IDCT / BGR-flip / II-MM IFD walk): format, dims, exact pixel stats"),
       (exprs: Seq[Expression]) => graft.multimodal.ImageDecode(exprs.head)),
     (FunctionIdentifier("png_fixture"),
       info("png_fixture",

@@ -79,8 +79,9 @@ object Tiff {
     val nEntries = r.u16(ifd.toInt)
     if (nEntries <= 0 || nEntries > 512) return null
     if (ifd + 2 + nEntries * 12 > bytes.length) return null
-    var w = -1L; var h = -1L; var bits = 8L; var comp = 1L; var spp = 1L
+    var w = -1L; var h = -1L; var comp = 1L; var spp = 1L
     var planar = 1L; var photometric = -1L
+    var bitsArr: Array[Long] = Array(8L) // absent tag defaults to 8 (TIFF 6.0)
     var stripOffsets: Array[Long] = null
     var stripCounts: Array[Long] = null
     var i = 0
@@ -89,7 +90,11 @@ object Tiff {
       r.u16(e) match {
         case 256 => w = tagValue(r, e)
         case 257 => h = tagValue(r, e)
-        case 258 => bits = tagValue(r, e) // first value; baseline: all equal 8
+        // BitsPerSample carries count=SamplesPerPixel values (TIFF 6.0) —
+        // for RGB that is 3 SHORTs living at an OFFSET, so the inline
+        // tagValue read would misparse half the offset as the value.
+        // Resolve with the same inline-vs-offset logic as the strip arrays.
+        case 258 => bitsArr = tagArray(r, e, bytes.length)
         case 259 => comp = tagValue(r, e)
         case 262 => photometric = tagValue(r, e)
         case 273 => stripOffsets = tagArray(r, e, bytes.length)
@@ -101,8 +106,13 @@ object Tiff {
       i += 1
     }
     if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return null
-    if (comp != 1 || bits != 8 || planar != 1) return null
+    if (comp != 1 || planar != 1) return null
     if (spp != 1 && spp != 3) return null
+    // accept count=1 (legacy writers) or count=spp (conformant); every
+    // sample must be 8 bits for the baseline profile
+    if (bitsArr == null || bitsArr.isEmpty) return null
+    if (bitsArr.length != 1 && bitsArr.length != spp) return null
+    if (bitsArr.exists(_ != 8L)) return null
     // photometric must MATCH the sample layout: RGB(2) for 3 samples,
     // BlackIsZero(1) for grayscale — a palette file (3) would otherwise
     // decode its palette INDICES as pixels, and WhiteIsZero(0) needs an
@@ -112,6 +122,11 @@ object Tiff {
     if (stripOffsets == null || stripCounts == null) return null
     if (stripOffsets.length != stripCounts.length) return null
     val need = w * h * spp
+    // uncompressed pixel data cannot exceed the file: reject impossible
+    // rasters BEFORE allocating — otherwise a crafted header whose strip
+    // counts sum to w·h·spp (up to 3·2^40) wraps need.toInt or triggers a
+    // multi-GB allocation instead of the documented null
+    if (need > bytes.length) return null
     if (stripCounts.map(c => c max 0L).sum != need) return null
     val raw = new Array[Int](need.toInt)
     var pos = 0
@@ -157,7 +172,11 @@ object Tiff {
     val ifdLen = 2 + nTags * 12 + 4
     val arraysLen = bounds.length * 8 // two LONG arrays when > 1 strip
     val ifdOff = headerLen
-    val arrOff = ifdOff + ifdLen
+    // BitsPerSample is written CONFORMANTLY with count=3 (TIFF 6.0 requires
+    // count=SamplesPerPixel): 3 SHORTs = 6 bytes live past the 4-byte value
+    // field, so they get their own offset region (padded to 8 for alignment)
+    val bpsOff = ifdOff + ifdLen
+    val arrOff = bpsOff + 8
     val dataOff = arrOff + (if (bounds.length > 1) arraysLen * 2 else 0)
     val out = new Array[Byte](dataOff + n)
     def w16(o: Int, v: Int): Unit =
@@ -187,13 +206,16 @@ object Tiff {
     var e = ifdOff + 2
     def tag(id: Int, typ: Int, count: Long, value: Long): Unit = {
       w16(e, id); w16(e + 2, typ); w32(e + 4, count)
-      if (typ == 3) { w16(e + 8, value.toInt); w16(e + 10, 0) }
+      // SHORT with count 1 is stored inline; any multi-value tag's value
+      // field is a LONG offset regardless of element type
+      if (typ == 3 && count == 1) { w16(e + 8, value.toInt); w16(e + 10, 0) }
       else w32(e + 8, value)
       e += 12
     }
     tag(256, 4, 1, width)                  // ImageWidth
     tag(257, 4, 1, height)                 // ImageLength
-    tag(258, 3, 1, 8)                      // BitsPerSample (first)
+    tag(258, 3, 3, bpsOff)                 // BitsPerSample: 3 SHORTs at offset
+    w16(bpsOff, 8); w16(bpsOff + 2, 8); w16(bpsOff + 4, 8); w16(bpsOff + 6, 0)
     tag(259, 3, 1, 1)                      // Compression: none
     tag(262, 3, 1, 2)                      // Photometric: RGB
     if (bounds.length == 1) tag(273, 4, 1, stripFileOff(0))

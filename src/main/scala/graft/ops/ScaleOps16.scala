@@ -24,6 +24,15 @@ object ScaleOps16 {
     * (diff² alone can pass int64), ranked by the INTEGER score with a
     * token tie-break — top 20.
     *
+    * NUMERIC BOUND (the q139 discipline): |diff| ≤ N_A·N_B, so the
+    * numerator diff²·10⁶ fits DECIMAL(38,0)/HUGEINT only while
+    * N_A·N_B ≤ 10¹⁶ — i.e. up to ~10⁸ tokens per half (≈ a low-TB text
+    * corpus per snapshot). Past that the engines DIVERGE in failure
+    * mode: Spark (non-ANSI) nulls, DuckDB raises. For a larger corpus,
+    * pre-scale the totals (score is invariant under N_A,N_B →
+    * N_A/k, N_B/k up to rounding) or sample the halves; do not widen
+    * silently.
+    *
     * Scale shape: one token partial-agg groupBy (conditional sums fold
     * the halves in the same pass — no join of two aggregates), a 1-row
     * totals broadcast, and a 20-row TakeOrdered. */

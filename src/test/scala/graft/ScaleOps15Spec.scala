@@ -64,8 +64,14 @@ class ScaleOps15Spec extends GraftSuite {
     // 8 + 2 + 3*12 + 8.
     val comp = fix.clone(); comp(8 + 2 + 3 * 12 + 8) = 5
     assert(graft.multimodal.Tiff.decode(comp) == null)
-    val bits = fix.clone(); bits(8 + 2 + 2 * 12 + 8) = 16
+    // BitsPerSample is count=3 SHORTs at an offset region right after the
+    // IFD (bpsOff = 8 + 2 + 9*12 + 4); patch the FIRST sample's bits to 16
+    val bits = fix.clone(); bits(8 + 2 + 9 * 12 + 4) = 16
     assert(graft.multimodal.Tiff.decode(bits) == null)
+    // and patch only the THIRD sample — a decoder reading just the first
+    // value would wrongly accept this file
+    val bits3 = fix.clone(); bits3(8 + 2 + 9 * 12 + 4 + 4) = 16
+    assert(graft.multimodal.Tiff.decode(bits3) == null)
     // palette-color (photometric=3): the palette INDICES must never be
     // decoded as pixels — tag 262 is the 5th entry (LE fixture)
     val pal = fix.clone(); pal(8 + 2 + 4 * 12 + 8) = 3
@@ -94,9 +100,9 @@ class ScaleOps15Spec extends GraftSuite {
       littleEndian = false, nStrips = 2)
     val good = graft.multimodal.Tiff.decode(file)
     assert(good != null && good.samples.toSeq == samples.toSeq)
-    // MM layout: IFD at 8, 9 tags; offsets array at arrOff, counts at
-    // arrOff + arraysLen (arraysLen = 8·strips)
-    val arrOff = 8 + 2 + 9 * 12 + 4
+    // MM layout: IFD at 8, 9 tags, then the 8-byte BitsPerSample region;
+    // offsets array at arrOff, counts at arrOff + arraysLen (= 8·strips)
+    val arrOff = 8 + 2 + 9 * 12 + 4 + 8
     def r32(b: Array[Byte], o: Int): Long =
       ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
         ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
