@@ -72,33 +72,59 @@ object Bench {
       }
     }
     // The driver records only a bounded TAIL of this process's stdout
-    // (~2.2 KB at r7): a summary line keyed by full query names outgrew it
-    // at 78 queries two rounds running (the window started mid-line and the
-    // round lost its machine-readable record). Two defenses, both needed:
-    //  1. The summary map uses SHORT keys ("q01", not "q01_pricing_summary")
-    //     — ~1.2 KB at 78 queries, comfortably inside the window.
-    //  2. All per-query records are re-emitted immediately before the
-    //     summary, and the summary prints DEAD LAST — so the captured tail
-    //     always ends in complete, independently parseable JSON lines
-    //     whichever records the driver greps for, at any query count.
-    def shortKey(name: String): String = name.split("_")(0)
-    val keys = results.map { case (k, _) => shortKey(k) }
-    // Fall back to full names if a short key ever collides (never expected:
-    // names are qNN_label with unique NN) rather than silently dropping data.
-    val useShort = keys.distinct.size == results.size
+    // (2000 chars, measured in BENCH_r08/r09.json): the r8 short-key
+    // 4-decimal summary (~13.3 B/query) outgrew it at 148 queries — the
+    // window started MID-LINE and r9's driver record lost q01–q06 with
+    // parsed:null. Three defenses, all needed:
+    //  1. Per-query full-precision records are re-emitted immediately
+    //     before the summary, so the tail always ends in complete,
+    //     independently parseable JSON lines at any query count.
+    //  2. The summary map is maximally compact: bare-number keys ("101",
+    //     not "q101_png") and INTEGER-MILLISECOND values ("qunit":"ms") —
+    //     ~9.5 B/query, 1.5 KB at 148 queries. Full precision lives on the
+    //     per-query lines; the summary is the driver's index of record.
+    //  3. A HARD 1800-byte bound: if the map ever outgrows it (~190
+    //     queries), the map is split across "total_part" chunk lines and
+    //     the DEAD-LAST "total" line carries only totals+errors — bounded
+    //     forever, so growth degrades the record's shape, never its
+    //     parseability.
     results.foreach { case (name, dt) =>
       val v = if (dt < 0) "-1" else fmt(dt)
       println(s"""{"metric":"query","name":"$name","value":$v,"unit":"sec"}""")
     }
-    val qs = results.map { case (k, v) =>
-      "\"" + (if (useShort) shortKey(k) else k) + "\":" + (if (v < 0) "-1" else fmt(v))
-    }.mkString("{", ",", "}")
+    def numKey(name: String): String = name.split("_")(0).stripPrefix("q")
+    val keys = results.map { case (k, _) => numKey(k) }
+    // Fall back to full names if a bare-number key ever collides (never
+    // expected: names are qNN_label with unique NN) rather than silently
+    // dropping data.
+    val useNum = keys.distinct.size == results.size
+    val entries = results.map { case (k, v) =>
+      "\"" + (if (useNum) numKey(k) else k) + "\":" +
+        (if (v < 0) "-1" else math.round(v * 1000).toString)
+    }
     // Failed queries (value -1) are excluded from the total and counted
     // explicitly — a partially-broken run can never read as a fast one.
     val ok = results.collect { case (_, v) if v >= 0 => v }
     val nErr = results.size - ok.size
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir"}""")
+    val head = s""""value":${fmt(total)},"unit":"sec","errors":$nErr,"n":${results.size},"qunit":"ms","sf":"$sfDir""""
+    val oneLine = s"""{"metric":"total",$head,"queries":${entries.mkString("{", ",", "}")}}"""
+    if (oneLine.length <= 1800) println(oneLine)
+    else {
+      // chunk the map into ≤1500-byte complete JSON lines, then the
+      // bounded totals line dead last
+      var chunk = List.empty[String]; var size = 0; var part = 0
+      def flush(): Unit = if (chunk.nonEmpty) {
+        println(s"""{"metric":"total_part","part":$part,"qunit":"ms","queries":${chunk.reverse.mkString("{", ",", "}")}}""")
+        part += 1; chunk = Nil; size = 0
+      }
+      entries.foreach { e =>
+        if (size + e.length > 1500) flush()
+        chunk = e :: chunk; size += e.length + 1
+      }
+      flush()
+      println(s"""{"metric":"total",$head,"parts":$part}""")
+    }
     spark.stop()
   }
 }
