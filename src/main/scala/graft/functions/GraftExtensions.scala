@@ -97,6 +97,14 @@ object GraftExtensions {
       info("mp4_samples",
         "mp4_samples(bytes) - stsz/stsc/stco resolution + per-sample byte extraction (size, checksum)"),
       (exprs: Seq[Expression]) => graft.multimodal.Mp4Samples(exprs.head)),
+    (FunctionIdentifier("mp4_jpeg_frames"),
+      info("mp4_jpeg_frames",
+        "mp4_jpeg_frames(bytes) - MJPEG frame decode: sample-table resolution + per-sample baseline-JPEG entropy decode/IDCT, exact pixel stats per frame"),
+      (exprs: Seq[Expression]) => graft.multimodal.Mp4JpegFrames(exprs.head)),
+    (FunctionIdentifier("mjpeg_fixture"),
+      info("mjpeg_fixture",
+        "mjpeg_fixture(id) - deterministic MJPEG-in-MP4 bytes (every sample a complete DC-exact baseline JPEG)"),
+      (exprs: Seq[Expression]) => graft.multimodal.MjpegFixture(exprs.head)),
     (FunctionIdentifier("mp3_scan"),
       info("mp3_scan",
         "mp3_scan(bytes) - MPEG-1 Layer III frame walk: rate, frames, duration, bitrate sum"),

@@ -128,11 +128,49 @@ object DecodeKernels {
 
   def mp4FixtureSamples(id: Long): Array[Byte] = Mp4.fixtureBytesWithSamples(id)
 
+  /** REAL frame-level VIDEO decode for the MJPEG profile: resolve every
+    * sample via the full stsz/stsc/stco machinery, then run each
+    * extracted sample through the in-repo baseline-JPEG decoder
+    * ([[Jpeg.decode]]: Huffman entropy decode, DC prediction, dequant,
+    * IDCT) and emit exact pixel stats per frame — the q101-family stats
+    * law (sum, position-weighted checksum) applied per SAMPLE. Null for
+    * a malformed container; samples that are not decodable baseline
+    * JPEGs (other codecs, corrupt frames) are SKIPPED, not errored —
+    * the per-frame analog of the image kernel's null degradation. */
+  def mp4JpegFramesRow(bytes: Array[Byte]): ArrayData = {
+    val refs = Mp4.sampleRefs(bytes)
+    if (refs == null) return null
+    val rows = refs.flatMap { r =>
+      val sample = java.util.Arrays.copyOfRange(
+        bytes, r.offset.toInt, (r.offset + r.size).toInt)
+      val img = Jpeg.decode(sample)
+      if (img == null) None
+      else {
+        var sum = 0L
+        var chk = 0L
+        var j = 0
+        while (j < img.samples.length) {
+          val v = img.samples(j).toLong
+          sum += v
+          chk += v * (1 + j % 97)
+          j += 1
+        }
+        Some(new GenericInternalRow(Array[Any](
+          r.trackId, r.sampleIdx, img.width, img.height, sum, chk)): Any)
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  def mjpegFixture(id: Long): Array[Byte] = Mp4.fixtureBytesMjpeg(id)
+
   /** Auto-sniffed image decode row — ONE kernel for the whole image
     * surface: dispatch on the real magic bytes (`P6` ⇒ [[Ppm.decode]];
     * the 8-byte PNG signature ⇒ [[Png.decode]], a REAL zlib-inflate +
     * CRC-verify + unfilter decode; `GIF8` ⇒ [[Gif.decode]], a REAL
-    * variable-width LZW decompress + palette map), then exact integer
+    * variable-width LZW decompress + palette map; `FFD8` ⇒
+    * [[Jpeg.decode]]; `BM` ⇒ [[Bmp.decode]]; `II`/`MM` ⇒
+    * [[Tiff.decode]], a dual-endian IFD tag walk), then exact integer
     * pixel stats over the unified RGB raster with ONE final double
     * division (mean = Σ samples / n — the order the q101/q107 oracles
     * mirror bit-exactly). checksum = Σ v_j·(1 + j mod 97) makes sample
@@ -436,6 +474,51 @@ case class Mp4Samples(child: Expression) extends UnaryExpression {
     """)
   }
   override protected def withNewChildInternal(c: Expression): Mp4Samples =
+    copy(child = c)
+}
+
+/** frames = mp4_jpeg_frames(content): frame-level VIDEO decode for the
+  * MJPEG profile — full sample-table resolution, then each extracted
+  * sample entropy-decoded as a baseline JPEG with exact per-frame pixel
+  * stats. The first codec the video stub actually CLOSES: zero external
+  * libraries, the in-repo T.81 decoder does the work. */
+case class Mp4JpegFrames(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("track_id", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("sample_idx", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sum_samples", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("checksum", org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp4_jpeg_frames"
+  override def nullSafeEval(c: Any): Any =
+    DecodeKernels.mp4JpegFramesRow(c.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $kn.mp4JpegFramesRow($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): Mp4JpegFrames =
+    copy(child = c)
+}
+
+/** content = mjpeg_fixture(id): deterministic MJPEG-in-MP4 containers —
+  * every sample a complete DC-exact baseline JPEG (see
+  * Mp4.fixtureBytesMjpeg) — the corpus generator for q149. */
+case class MjpegFixture(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "mjpeg_fixture"
+  override def nullSafeEval(id: Any): Any =
+    DecodeKernels.mjpegFixture(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$kn.mjpegFixture($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): MjpegFixture =
     copy(child = c)
 }
 

@@ -740,6 +740,22 @@ object Mp4 {
     * end-to-end: the q84 oracle re-derives every size and checksum
     * without touching bytes, yet only a correct stsz/stsc/stco
     * resolution reproduces them from the file. */
+  /** Deterministic MJPEG-in-MP4 fixture: ONE video track whose every
+    * sample is a COMPLETE baseline JPEG ([[Jpeg.fixtureBytes]] of
+    * fid = id·5 + j — the DC-exact per-block-constant configuration, so
+    * frame decode is provably bit-exact), n = 2 + id%3 samples, chunk
+    * layout [1, n−1] so stsc/stco resolution stays load-bearing. This is
+    * the codec stub's first REAL closure: container walk → sample
+    * extraction → full baseline-JPEG entropy decode + IDCT, no codec
+    * library involved. */
+  def fixtureBytesMjpeg(id: Long): Array[Byte] = {
+    val n = (2 + java.lang.Math.floorMod(id, 3L)).toInt
+    val samples = (0 until n).map(j => Jpeg.fixtureBytes(id * 5 + j))
+    val track = SampledTrack(1L, 600, Seq((n.toLong, 100L)), samples,
+      Seq(1, n - 1))
+    encodeWithSampleTables("isom", 600, n * 100L, Seq(track))
+  }
+
   def fixtureBytesWithSamples(id: Long): Array[Byte] = {
     val ts = (600 + java.lang.Math.floorMod(id, 3L) * 400).toInt
     val dur = 1200 + java.lang.Math.floorMod(id, 5L) * 700

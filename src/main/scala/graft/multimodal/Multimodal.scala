@@ -14,10 +14,11 @@ import org.apache.spark.sql.types._
   * kernel ([[Ppm]], [[decodePpmFeatures]]), with malformed bytes
   * degrading to a NULL row instead of an exception. The AUDIO path is a
   * REAL decoder too: RIFF/WAVE PCM ([[Wav]], [[decodeWavFeatures]]) —
-  * container chunk walk, fmt validation, 8/16-bit rasters. Formats that
-  * require a native codec library NOT present in this container (jpeg,
-  * mp3, mp4) remain behind the clearly-marked `StubCodec` below;
-  * swapping it for a
+  * container chunk walk, fmt validation, 8/16-bit rasters. JPEG decode
+  * is REAL ([[Jpeg]], baseline T.81), and MJPEG-in-MP4 frame decode is
+  * REAL through it ([[decodeMjpegFrames]]). Only codecs that genuinely
+  * need a native library NOT present in this container (h264/h265/aac)
+  * remain behind the clearly-marked `StubCodec` below; swapping it for a
   * JNI/FFI codec (or a `mapInPandas`/`mapInArrow` Python worker with
   * PIL/torchaudio on a PySpark front end) changes no plan shape.
   */
@@ -275,6 +276,29 @@ object Multimodal {
         col("__s.sample_idx").as("sample_idx"),
         col("__s.size").as("size"),
         col("__s.checksum").as("checksum"))
+  }
+
+  /** REAL frame-level VIDEO decode — the MJPEG profile, where every
+    * extracted sample is a complete baseline JPEG and the in-repo
+    * [[Jpeg]] decoder (Huffman + DC prediction + dequant + IDCT) closes
+    * the codec boundary with zero external libraries: one row per
+    * decodable frame with exact pixel stats. Samples that are not
+    * baseline JPEGs (h264 etc.) are skipped — THOSE codecs remain the
+    * honest stub; MJPEG no longer does. */
+  def decodeMjpegFrames(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    media
+      .select(
+        col("media_id"),
+        explode(column(Mp4JpegFrames(expression(col("content"))))).as("__f"))
+      .select(
+        col("media_id"),
+        col("__f.track_id").as("track_id"),
+        col("__f.sample_idx").as("sample_idx"),
+        col("__f.width").as("width"),
+        col("__f.height").as("height"),
+        col("__f.sum_samples").as("sum_samples"),
+        col("__f.checksum").as("checksum"))
   }
 
   /** Frame sampling driven by the REAL parsed sample tables: one row per
