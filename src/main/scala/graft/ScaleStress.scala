@@ -60,7 +60,76 @@ object ScaleStress {
       args.lift(3).map(_.toInt).getOrElse(5))
     case Some("pipeline") => pipelineStress(args.lift(1).getOrElse("/tmp/stress_r6/x100"),
       reuse = !args.lift(2).contains("noreuse"))
+    case Some("snmskew") => snmSkew(args.lift(1).getOrElse("/tmp/stress_snm"),
+      args.lift(2).map(_.toInt).getOrElse(120000))
     case _ => facts(args.headOption.getOrElse("/tmp/sfbig"))
+  }
+
+  // --- SNM blocking skew mode ----------------------------------------------
+
+  /** Adversarial corpus for q148's sorted-neighborhood blocking: ≥30 %
+    * of documents share ONE 24-char sort-key (identical skey AND
+    * identical 2-char block — the worst case for the r9 per-block
+    * window, which would sort all of them in a single task). Verifies
+    * the r10 rank-join path is (a) row-identical to the windowed
+    * reference and (b) balanced: prints the hot block's mass fraction
+    * (the windowed form's largest window partition) against the range
+    * exchange's max/mean partition sizes, and both paths' wall times. */
+  def snmSkew(base: String, nDocs: Int): Unit = {
+    val spark = session()
+    import spark.implicits._
+    val dir = s"$base/skewdocs"
+    val hot = "the quick brown fox jump" // 24 chars — one skey, one block
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 < 3, // 30% in the hot key run, tails diverge
+        concat(lit(hot + "s over lazy dog number "), col("id")))
+        .otherwise(concat(
+          // spread the rest across blocks: two pseudo-random letters
+          org.apache.spark.sql.functions.chr(lit(97) + pmod(col("id") * 131, lit(26))),
+          org.apache.spark.sql.functions.chr(lit(97) + pmod(col("id") * 37, lit(26))),
+          lit(" document body text idx "), col("id"))).as("text"))
+      .withColumn("lang", lit("en")).withColumn("source", lit("stress"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // hot-block mass = the windowed form's single-task window partition
+    val keyed = spark.read.parquet(s"$dir/documents.parquet")
+      .select(substring(trim(lower(col("text"))), 1, 2).as("block"))
+    val hotFrac = keyed.groupBy("block").count()
+      .agg(max(col("count"))).head().getLong(0).toDouble / nDocs
+    println(f"SNMSKEW n=$nDocs hot_block_fraction=$hotFrac%.3f")
+
+    // balance evidence: explicit 32-way range partition of the sort the
+    // rank-join branch rides (unique composite key ⇒ splits the hot key
+    // run; explicit numPartitions so AQE's small-data coalescing doesn't
+    // mask the mechanism at stress scale)
+    val sorted = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        substring(trim(lower(col("text"))), 1, 24).as("skey"))
+      .repartitionByRange(32, col("skey"), col("doc_id"))
+    val sizes = sorted.rdd.mapPartitions(it => Iterator(it.size)).collect()
+      .filter(_ > 0)
+    println(s"SNMSKEW range_partitions n=${sizes.length} " +
+      s"max=${sizes.max} mean=${sizes.sum / sizes.length} " +
+      f"max_fraction=${sizes.max.toDouble / nDocs}%.3f")
+
+    // the adaptive entry must pick the windowed branch here (blocks are
+    // stress-sized, not 100TB-sized) …
+    println(s"SNMSKEW adaptive_pick=" + (
+      if (36 * nDocs / 100 <= 1000000) "windowed(default threshold)"
+      else "rankjoin"))
+    // … and the rank-join branch, forced, must agree row-for-row
+    val fast = graft.ops.ScaleOps16.q148SnmDedupRankJoin(spark, dir)
+    val ref = graft.ops.ScaleOps16.q148SnmDedupWindowed(spark, dir)
+    val (fastSec, fastRows) = timed(spark, 3)(
+      graft.ops.ScaleOps16.q148SnmDedupRankJoin(spark, dir).count())
+    val (refSec, refRows) = timed(spark, 3)(
+      graft.ops.ScaleOps16.q148SnmDedupWindowed(spark, dir).count())
+    val diff = fast.unionByName(ref).except(fast.intersect(ref)).count()
+    println(f"SNMSKEW rankjoin ${fastSec}%.2fs pairs=$fastRows | " +
+      f"windowed ${refSec}%.2fs pairs=$refRows | sym_diff=$diff")
+    spark.stop()
   }
 
   /** Stress the COMPOSED one-call training pipeline on a StressGen corpus

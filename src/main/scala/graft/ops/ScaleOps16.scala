@@ -93,19 +93,83 @@ object ScaleOps16 {
     * Levenshtein distance is ≤ 8 (both engines' unit-cost levenshtein —
     * the q88-proven cross-engine kernel).
     *
-    * Scale shape: the sort runs WITHIN key-prefix blocks (first 2
-    * chars — the standard blocked-SNM hybrid), so the window is
-    * hash-partitioned, never a global single-task sort; each row emits
-    * ≤3 comparisons. At 100 TB the block count scales with the key
-    * alphabet and the per-block sort is a range-partition inside the
-    * block — no all-pairs stage exists. */
+    * Scale shape — SKEW-ADAPTIVE since r10 (the r8/r9 verdicts' hot-
+    * block concern made code): blocking on 2 chars of natural-language
+    * text concentrates mass ("th", "a ", "in" …), and the r9 per-block
+    * window sorts each block in ONE task. The r10 entry point measures
+    * before it plans — one tiny per-block count aggregate — and
+    * branches:
+    *   - largest block ≤ `graft.snm.maxBlockRows` (default 1M): the
+    *     windowed form. A single-task sort of ≤1M short keys is
+    *     milliseconds; the rank-join's extra jobs would only add cost.
+    *   - above it: the RANK-JOIN form ([[q148SnmDedupRankJoin]]) — no
+    *     per-block window exists at all. The global (skey, doc_id)
+    *     sort runs as a RANGE exchange whose composite key is UNIQUE
+    *     (doc_id), so range partitioning splits even a corpus where
+    *     every document shares one 24-char skey; positions come from
+    *     the distributed zipWithIndex, and lead-k neighbor pairs
+    *     become an EQUI-JOIN on position+k — a dense unique long key,
+    *     balanced by construction.
+    * Both branches are row-identical (proven differentially in the
+    * spec and by `ScaleStress snmskew`); the DuckDB mirror expresses
+    * the windowed form. */
   def q148SnmDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val docs = keyedDocs(s, dir)
+    val maxBlockRows = s.conf.getOption("graft.snm.maxBlockRows")
+      .map(_.toLong).getOrElse(1000000L)
+    val largest = docs.groupBy(col("block")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    if (largest <= maxBlockRows) q148SnmDedupWindowed(s, dir)
+    else q148SnmDedupRankJoin(s, dir)
+  }
+
+  /** The skew-proof branch: global-order positions via range exchange +
+    * distributed zipWithIndex, neighbor pairs via balanced equi-join.
+    * See [[q148SnmDedup]] for when it engages. */
+  private[graft] def q148SnmDedupRankJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = keyedDocs(s, dir)
+    val sorted = docs.orderBy(col("skey"), col("doc_id"))
+      .select("doc_id", "block", "prefix")
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "gpos", org.apache.spark.sql.types.LongType, nullable = false))
+    val base = s.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, g) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ g) },
+      schema).cache()
+    val right = base.select(col("gpos").as("rpos"), col("block").as("rblock"),
+      col("doc_id").as("b_id"), col("prefix").as("b_p"))
+    val left = base
+      .withColumn("k", explode(array(lit(1L), lit(2L), lit(3L))))
+      .select((col("gpos") + col("k")).as("jpos"), col("block"),
+        col("doc_id").as("a_id"), col("prefix").as("a_p"))
+    left.join(right, col("jpos") === col("rpos") &&
+        col("block") === col("rblock"))
+      .select(col("a_id").as("a"), col("b_id").as("b"),
+        levenshtein(col("a_p"), col("b_p")).cast("long").as("dist"))
+      .filter(col("dist") <= 8)
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("dist"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private def keyedDocs(s: SparkSession, dir: String): DataFrame =
+    Relational.fanOut(t(s, dir, "documents"))
       .select(col("doc_id"),
         substring(trim(lower(col("text"))), 1, 24).as("skey"),
         substring(trim(lower(col("text"))), 1, 40).as("prefix"))
-    val block = substring(col("skey"), 1, 2)
-    val wB = Window.partitionBy(block).orderBy(col("skey"), col("doc_id"))
+      .withColumn("block", substring(col("skey"), 1, 2))
+
+  /** The windowed form — the small-block branch of [[q148SnmDedup]] and
+    * the DIFFERENTIAL reference for the rank-join branch: per-block
+    * window, skew-exposed on hot 2-char blocks (one block = one window
+    * partition's sort), which is why the adaptive entry only picks it
+    * under the measured block-size bound. This form is what the DuckDB
+    * mirror expresses. */
+  private[graft] def q148SnmDedupWindowed(s: SparkSession, dir: String): DataFrame = {
+    val docs = keyedDocs(s, dir)
+    val wB = Window.partitionBy(col("block")).orderBy(col("skey"), col("doc_id"))
     val withNbrs = docs
       .withColumn("n1_id", lead(col("doc_id"), 1).over(wB))
       .withColumn("n1_p", lead(col("prefix"), 1).over(wB))

@@ -99,6 +99,34 @@ class ScaleOps16Spec extends GraftSuite {
     assert(got.toSet == expected)
   }
 
+  test("q148: skewed corpus — rank-join path row-identical to the windowed reference when one key run holds 40%") {
+    val dir = tempDir("q148-skew")
+    // 200 docs in ONE block: 80 share the identical 24-char sort key
+    // (ties break by doc_id — the windowed form's worst case), the rest
+    // spread; plus a second small block. The rank-join path must
+    // reproduce the windowed reference EXACTLY, including inside the
+    // tie run where order is doc_id-only.
+    val hot = "aa shared twenty-four ch" // 24 chars
+    val rows = (0L until 80L).map(i => (i, hot + s"ars tail varies $i")) ++
+      (80L until 180L).map(i => (i, f"aa key number $i%03d distinct body")) ++
+      (180L until 200L).map(i => (i, s"zz other block doc $i"))
+    writeDocs(dir, rows)
+    val fast = graft.ops.ScaleOps16.q148SnmDedupRankJoin(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ref = graft.ops.ScaleOps16.q148SnmDedupWindowed(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fast.nonEmpty && fast == ref,
+      s"rank-join and windowed SNM must agree: ${fast.size} vs ${ref.size}")
+    // the adaptive entry must route through the rank-join branch when the
+    // measured block bound is forced low, with identical rows
+    spark.conf.set("graft.snm.maxBlockRows", "50")
+    try {
+      val adaptive = graft.ops.ScaleOps16.q148SnmDedup(spark, dir.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(adaptive == ref)
+    } finally spark.conf.unset("graft.snm.maxBlockRows")
+  }
+
   private def levenshteinScalar(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
