@@ -346,20 +346,43 @@ object ScaleOps10 {
     * min-over-walks are the same integer, while the two engines' native
     * idioms stay idiomatic.
     *
-    * Scale shape: the edge table (distinct co-purchase pairs, both
-    * directions) is built once and persisted; frontier and visited sets
-    * are NODE-sized — bounded by the part dimension (0.2 %·SF of
-    * lineitem), never fact-sized — so each round BROADCASTS them against
-    * the cached edges: a round costs one broadcast hash join + one
-    * node-sized dedup, and the edge table is never re-shuffled after its
-    * one distinct. (A graph whose node set rivals the fact table would
-    * flip the rounds to the bucketed-edges shuffle form instead.) */
+    * Scale shape — ADAPTIVE since r10 (the r9 verdict's "broadcast
+    * bound is prose, not code"): the edge table (co-purchase pairs,
+    * both directions) is built once and persisted; frontier and visited
+    * sets are NODE-sized. The entry point MEASURES the node set first
+    * (one approx_count_distinct scan — no shuffle beyond partial aggs)
+    * and branches on `graft.bfs.broadcastMaxNodes` (default 8M ≈ 64 MB
+    * of raw longs per executor before hashmap overhead):
+    *   - node set under the bound: each round BROADCASTS frontier and
+    *     visited against the cached edges — one broadcast hash join +
+    *     one node-sized dedup per round, edges never re-shuffled.
+    *   - above it (a graph whose node set rivals the fact table —
+    *     would OOM the driver in broadcast form): the SHUFFLE form —
+    *     edges persisted pre-partitioned on src, so each round's
+    *     frontier join shuffles only the node-sized frontier against
+    *     the stationary edge partitioning, and the anti-join runs as a
+    *     regular hash join on node.
+    * Both branches produce identical hop counts (spec'd on the chain
+    * fixture and the real corpus). */
   def q127BfsHops(s: SparkSession, dir: String): DataFrame = {
-    // deliberately NOT cached: the self-join's two sides share the
-    // distinct's shuffle via AQE exchange reuse (both arrive
-    // ok-partitioned — the join re-shuffles nothing); an InMemoryRelation
-    // here would break that reuse and force two fresh exchanges
-    // (measured: 9.0 s cached vs 6.1 s reused at sf0.1)
+    val maxNodes = s.conf.getOption("graft.bfs.broadcastMaxNodes")
+      .map(_.toLong).getOrElse(8000000L)
+    val nNodes = Relational.fanOut(t(s, dir, "lineitem"))
+      .agg(approx_count_distinct(col("l_partkey")).as("n")).head().getLong(0)
+    bfsHops(s, dir, broadcastFrontier = nNodes <= maxNodes)
+  }
+
+  /** The shuffle branch, callable directly for specs/stress. */
+  private[graft] def q127BfsHopsShuffle(s: SparkSession, dir: String): DataFrame =
+    bfsHops(s, dir, broadcastFrontier = false)
+
+  private def bfsHops(s: SparkSession, dir: String,
+      broadcastFrontier: Boolean): DataFrame = {
+    // baskets deliberately NOT cached: the self-join's two sides share
+    // the distinct's shuffle via AQE exchange reuse (both arrive
+    // ok-partitioned — the join re-shuffles nothing); an
+    // InMemoryRelation here would break that reuse and force two fresh
+    // exchanges (measured: 9.0 s cached vs 6.1 s reused at sf0.1)
     val baskets = Relational.fanOut(t(s, dir, "lineitem"))
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -370,18 +393,25 @@ object ScaleOps10 {
     // counts), and the full-width edge shuffle it would cost buys <1 %
     // dedup on basket data — the mirror's DISTINCT is semantic garnish
     // the walk result provably doesn't depend on
-    val edges = a.join(b, Seq("ok")).filter(col("src") =!= col("dst"))
+    val edges0 = a.join(b, Seq("ok")).filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
-      .persist()
+    // shuffle form: pin the edge partitioning to src ONCE so every
+    // round's frontier join shuffles only the node-sized frontier
+    // against stationary edges
+    val edges = (if (broadcastFrontier) edges0
+                 else edges0.repartition(col("src"))).persist()
     val seed = baskets.agg(min(col("pk")).as("node"))
       .select(col("node"), lit(0).as("hop"))
     var visited = seed
     for (h <- 1 to 3) {
-      val frontier = visited.filter(col("hop") === h - 1).select(col("node"))
-      val reached = edges.join(broadcast(frontier), edges("src") === frontier("node"))
+      val frontier0 = visited.filter(col("hop") === h - 1).select(col("node"))
+      val frontier = if (broadcastFrontier) broadcast(frontier0) else frontier0
+      val reached = edges.join(frontier, edges("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
+      val vis0 = visited.select(col("node"))
+      val vis = if (broadcastFrontier) broadcast(vis0) else vis0
       val fresh = reached
-        .join(broadcast(visited.select(col("node"))), Seq("node"), "left_anti")
+        .join(vis, Seq("node"), "left_anti")
         .withColumn("hop", lit(h))
       visited = visited.unionByName(fresh)
     }

@@ -207,4 +207,31 @@ class ScaleOps10Spec extends GraftSuite {
       .select(col("l_partkey")).distinct().count()
     assert(rows.map(_._2).sum <= nParts)
   }
+
+  test("q127: broadcast and shuffle frontier strategies produce identical hop counts; adaptive routes by the node bound") {
+    // chain fixture, both strategies
+    val dir = tempDir("q127-strat")
+    Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 3L), (3L, 4L),
+        (4L, 4L), (4L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val expected = Seq((0, 1L), (1, 1L), (2, 1L), (3, 1L))
+    val shuffled = graft.ops.ScaleOps10.q127BfsHopsShuffle(spark, dir.toString)
+      .collect().map(r => (r.getAs[Int]("hop"), r.getAs[Long]("n_parts"))).toSeq
+    assert(shuffled == expected, "shuffle strategy must match the chain law")
+    // real corpus: the two strategies agree row-for-row
+    val bc = graft.ops.ScaleOps10.q127BfsHops(spark, sf)
+      .collect().map(r => (r.getAs[Int]("hop"), r.getAs[Long]("n_parts"))).toSeq
+    val sh = graft.ops.ScaleOps10.q127BfsHopsShuffle(spark, sf)
+      .collect().map(r => (r.getAs[Int]("hop"), r.getAs[Long]("n_parts"))).toSeq
+    assert(bc == sh, s"strategies diverged: $bc vs $sh")
+    // forcing the bound to 1 node must route the adaptive entry through
+    // the shuffle branch and still produce the same counts
+    spark.conf.set("graft.bfs.broadcastMaxNodes", "1")
+    try {
+      val forced = graft.ops.ScaleOps10.q127BfsHops(spark, dir.toString)
+        .collect().map(r => (r.getAs[Int]("hop"), r.getAs[Long]("n_parts"))).toSeq
+      assert(forced == expected)
+    } finally spark.conf.unset("graft.bfs.broadcastMaxNodes")
+  }
 }
