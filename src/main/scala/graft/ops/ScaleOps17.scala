@@ -78,4 +78,194 @@ object ScaleOps17 {
       |  CAST(sum_samples AS BIGINT) AS sum_samples,
       |  CAST(checksum AS BIGINT) AS checksum
       |FROM agg ORDER BY media_id, sample_idx""".stripMargin
+
+  // --- BPE train + encode (q150/q151) --------------------------------------
+
+  /** Number of BPE merge rounds — small enough that the DuckDB mirror
+    * can UNROLL the rounds as chained CTEs (the q96 fixed-rounds
+    * pattern), large enough that later merges build on earlier merged
+    * symbols (multi-char pairs appear from round ~3 on the corpus). */
+  val BpeRounds = 8
+
+  /** The cross-engine BPE representation: a token's segmentation is a
+    * symbol string with TWO-space separators and one-space margins,
+    * `" a  b  c "` (symbols never contain spaces — tokens are
+    * whitespace-split). One merge round is then
+    * `replace(seg, ' p1  p2 ', ' p1p2 ')`: both engines' `replace` is
+    * non-overlapping left-to-right over the INPUT, and the two-space
+    * separator is the load-bearing detail — each match consumes only
+    * the FIRST space of the separator that follows it, leaving the
+    * second as the next match's one-space leading margin, so ADJACENT
+    * merges all land in one pass (`" a  b  a  b "` → `" ab  ab "`).
+    * A single-space separator fails exactly there (the match eats the
+    * shared space — caught by the hand-law spec, identically in BOTH
+    * engines, which is why only a scalar greedy reference, never the
+    * cross-engine hash, could catch it). Leftmost-first non-overlap is
+    * greedy BPE (`" a  a  a "` → `" aa  a "`), and the margins make
+    * cross-symbol false matches impossible (symbols contain no
+    * spaces). */
+  private def bpeWords(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    docs.select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .withColumn("seg", regexp_replace(col("tok"), "(.)", " $1 "))
+  }
+
+  /** Adjacent symbol pairs of `seg`, weighted by word frequency. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .withColumn("s", split(trim(col("seg")), "  "))
+      .filter(size(col("s")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(s) - 1), " +
+          "i -> named_struct('p1', element_at(s, i), 'p2', element_at(s, i + 1)))"))
+        .as("p"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Distributed BPE training: `rounds` iterations of count-pairs →
+    * argmax (cnt desc, p1, p2) → merge-everywhere. State is the
+    * VOCAB-sized word-frequency table (Zipf: ≪ corpus — the one
+    * corpus-sized exchange is the initial token groupBy); each round
+    * scans only the vocab, and the winner collect is ONE row. */
+  private[graft] def bpeTrain(s: SparkSession, dir: String,
+      rounds: Int = BpeRounds): Seq[(Int, String, String, Long)] = {
+    var words = bpeWords(s, dir).cache()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val win = pairCounts(words)
+        .orderBy(col("cnt").desc, col("p1"), col("p2")).limit(1).collect()
+      if (win.isEmpty) exhausted = true
+      else {
+        val p1 = win(0).getAs[String]("p1"); val p2 = win(0).getAs[String]("p2")
+        merges += ((r, p1, p2, win(0).getAs[Long]("cnt")))
+        val next = words.withColumn("seg", call_function("replace",
+          col("seg"), lit(s" $p1  $p2 "), lit(s" $p1$p2 "))).cache()
+        next.count() // materialize before freeing the parent (lineage truncation)
+        words.unpersist()
+        words = next
+      }
+      r += 1
+    }
+    words.unpersist()
+    merges.toSeq
+  }
+
+  /** q150: distributed BPE TRAINING — the r9 verdict's ask made real:
+    * q120 computed the FIRST merge's statistic; this iterates the merge
+    * to a trained vocabulary. Output: the merge table — one row per
+    * round with the winning pair, the merged symbol, and its corpus
+    * count at merge time (counts DECREASE non-strictly by construction;
+    * later rounds merge multi-char symbols built by earlier ones).
+    *
+    * Scale shape: training state is the vocab-sized word table; each
+    * round is explode+groupBy over the VOCAB weighted by freq, an O(1)
+    * argmax collect, and a pure-map merge apply — per-round cached with
+    * parent freeing, the pipeline lineage-truncation discipline. */
+  def q150BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeTrain(s, dir)
+      .map { case (r0, p1, p2, cnt) => (r0, p1, p2, p1 + p2, cnt) }
+      .toDF("round", "p1", "p2", "merged", "cnt")
+      .orderBy(col("round"))
+  }
+
+  /** q151: BPE ENCODE of the documents with the vocabulary q150 trains —
+    * "tokenize the corpus with the trained tokenizer", the operation a
+    * training-data pipeline runs last. The trained merges compile into a
+    * chain of `replace` calls (codegen'd built-ins — build-rule
+    * preference (a): composing existing ops beats a custom Expression
+    * here, the merge list is data yet the chain is a static plan), in
+    * merge order, per whitespace token; per document: whitespace token
+    * count, char count, and the BPE token count after all merges.
+    *
+    * Scale shape: train once (vocab-sized, above), then ONE pure-map
+    * pass over the corpus tokens and one doc-keyed partial aggregate. */
+  def q151BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrain(s, dir)
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val toks = docs.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+    val seg0 = regexp_replace(col("tok"), "(.)", " $1 ")
+    val segF = merges.foldLeft(seg0) { case (acc, (_, p1, p2, _)) =>
+      call_function("replace", acc, lit(s" $p1  $p2 "), lit(s" $p1$p2 "))
+    }
+    toks
+      .withColumn("n_bpe", size(split(trim(segF), "  ")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("tok"))).as("n_chars"),
+        sum(col("n_bpe")).cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared oracle prefix: the words CTE and `rounds` unrolled
+    * merge-round CTE pairs (mN = round N's argmax; segN = the merge
+    * applied), the q96 fixed-rounds discipline in SQL form. */
+  private def bpeSqlRounds(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      raw"""WITH toks0 AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents
+        |), words AS (
+        |  SELECT tok, COUNT(*) AS freq,
+        |    regexp_replace(tok, '(.)', ' \1 ', 'g') AS seg
+        |  FROM toks0 WHERE len(tok) >= 1 GROUP BY tok
+        |), seg0 AS (SELECT freq, seg FROM words)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |m$r AS (
+        |  SELECT p1, p2, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, s[g] AS p1, s[g + 1] AS p2 FROM (
+        |      SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS g
+        |      FROM (SELECT freq, string_split(trim(seg), '  ') AS s FROM seg${r - 1})))
+        |  GROUP BY p1, p2 ORDER BY cnt DESC, p1, p2 LIMIT 1
+        |),
+        |seg$r AS (
+        |  SELECT freq,
+        |    replace(seg, ' ' || p1 || '  ' || p2 || ' ', ' ' || p1 || p2 || ' ') AS seg
+        |  FROM seg${r - 1} CROSS JOIN m$r
+        |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** DuckDB mirror of q150: the unrolled rounds, unioned. */
+  val q150Sql: String =
+    bpeSqlRounds(BpeRounds) + "\n" +
+      (1 to BpeRounds).map(r =>
+        s"SELECT $r AS round, p1, p2, p1 || p2 AS merged, cnt FROM m$r")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY round")
+
+  /** DuckDB mirror of q151: re-derive the merge table (same CTEs), then
+    * apply the replace chain per (doc, token) and aggregate. */
+  val q151Sql: String = {
+    val applyChain = (1 to BpeRounds).foldLeft("regexp_replace(tok, '(.)', ' \\1 ', 'g')") {
+      case (acc, r) =>
+        s"replace($acc, ' ' || m$r.p1 || '  ' || m$r.p2 || ' ', ' ' || m$r.p1 || m$r.p2 || ' ')"
+    }
+    bpeSqlRounds(BpeRounds) +
+      s""",
+        |dtoks AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) >= 1
+        |), enc AS (
+        |  SELECT doc_id, tok,
+        |    len(string_split(trim($applyChain), '  ')) AS n_bpe
+        |  FROM dtoks ${(1 to BpeRounds).map(r => s"CROSS JOIN m$r").mkString(" ")}
+        |)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(len(tok)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

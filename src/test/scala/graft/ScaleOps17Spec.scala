@@ -1,10 +1,17 @@
 package graft
 
 /** Ground-truth laws for the round-10 batch-16 operators: MJPEG
-  * frame-level video decode (q149). */
+  * frame-level video decode (q149) and BPE train/encode (q150/q151). */
 class ScaleOps17Spec extends GraftSuite {
+  import spark.implicits._
 
   private val sf = "/root/testdata/sf0.001"
+
+  private def writeDocs(dir: java.nio.file.Path,
+                        rows: Seq[(Long, String)]): Unit =
+    rows.map { case (id, txt) => (id, txt, "en", "src0", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
   // --- q149 MJPEG frame decode ---------------------------------------------
 
@@ -79,5 +86,84 @@ class ScaleOps17Spec extends GraftSuite {
       assert(r.getAs[Long]("sum_samples") == sum, s"doc $id frame $j sum")
       assert(r.getAs[Long]("checksum") == chk, s"doc $id frame $j checksum")
     }
+  }
+
+  // --- q150/q151 BPE -------------------------------------------------------
+
+  /** Scalar greedy BPE reference: apply one merge left-to-right,
+    * non-overlapping. */
+  private def mergeOnce(syms: List[String], p1: String, p2: String): List[String] =
+    syms match {
+      case a :: b :: rest if a == p1 && b == p2 => (p1 + p2) :: mergeOnce(rest, p1, p2)
+      case a :: rest => a :: mergeOnce(rest, p1, p2)
+      case Nil => Nil
+    }
+
+  test("q150: hand corpus — winner pairs, weighted counts, greedy non-overlap, early exhaustion") {
+    val dir = tempDir("q150-hand")
+    // tokens: abab ×2, ab ×1 ⇒ round 1 pair (a,b) cnt 5 (2·2 + 1),
+    // round 2 (ab,ab) cnt 2, then NO pairs remain → training stops at 2
+    writeDocs(dir, Seq((1L, "abab ab"), (2L, "abab")))
+    val got = graft.ops.ScaleOps17.q150BpeTrain(spark, dir.toString)
+      .collect().map(r => (r.getAs[Int]("round"), r.getAs[String]("p1"),
+        r.getAs[String]("p2"), r.getAs[String]("merged"), r.getAs[Long]("cnt"))).toSeq
+    assert(got == Seq((1, "a", "b", "ab", 5L), (2, "ab", "ab", "abab", 2L)))
+  }
+
+  test("q150/q151: greedy law — 'aaa' merges leftmost-first (aa|a, never aa|aa), encode counts 1 symbol") {
+    val dir = tempDir("q150-greedy")
+    writeDocs(dir, Seq((1L, "aaa")))
+    val merges = graft.ops.ScaleOps17.q150BpeTrain(spark, dir.toString)
+      .collect().map(r => (r.getAs[String]("p1"), r.getAs[String]("p2"),
+        r.getAs[Long]("cnt"))).toSeq
+    // round 1: (a,a) appears twice in 'a a a' (overlap counted per
+    // adjacent position); merge greedily → 'aa a'; round 2: (aa,a) once
+    assert(merges == Seq(("a", "a", 2L), ("aa", "a", 1L)))
+    val enc = graft.ops.ScaleOps17.q151BpeEncode(spark, dir.toString)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_bpe_tokens"))).toSeq
+    assert(enc == Seq((1L, 1L, 3L, 1L)))
+  }
+
+  test("q150: real corpus — 8 rounds, round-1 winner equals q120's top pair, merged symbols compose") {
+    val rows = graft.ops.ScaleOps17.q150BpeTrain(spark, sf)
+      .collect().map(r => (r.getAs[Int]("round"), r.getAs[String]("p1"),
+        r.getAs[String]("p2"), r.getAs[String]("merged"), r.getAs[Long]("cnt"))).toSeq
+    assert(rows.map(_._1) == (1 to graft.ops.ScaleOps17.BpeRounds))
+    rows.foreach { case (_, p1, p2, merged, cnt) =>
+      assert(merged == p1 + p2 && cnt > 0)
+    }
+    // the first merge is exactly the q120 statistic's top-1 (same corpus,
+    // same tokenizer, same (cnt desc, pair) tie-break)
+    val q120top = graft.ops.ScaleOps9.q120BpeStats(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("rank") === 1)
+      .head()
+    assert(rows.head._4 == q120top.getAs[String]("pair"))
+    assert(rows.head._5 == q120top.getAs[Long]("cnt"))
+  }
+
+  test("q151: real corpus — per-doc BPE counts re-derive from the scalar greedy reference") {
+    val merges = graft.ops.ScaleOps17.bpeTrain(spark, sf)
+    val enc = graft.ops.ScaleOps17.q151BpeEncode(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_bpe_tokens"))).toMap
+    val docs = graft.ops.Relational.t(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).take(50)
+    docs.foreach { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.nonEmpty) {
+        val nBpe = toks.map { tok =>
+          var syms = tok.map(_.toString).toList
+          merges.foreach { case (_, p1, p2, _) => syms = mergeOnce(syms, p1, p2) }
+          syms.length.toLong
+        }.sum
+        assert(enc(id) == (toks.length.toLong, toks.map(_.length).sum.toLong, nBpe),
+          s"doc $id")
+      } else assert(!enc.contains(id))
+    }
+    // compression sanity over the whole corpus: chars ≥ bpe ≥ tokens
+    enc.values.foreach { case (nt, nc, nb) => assert(nc >= nb && nb >= nt) }
   }
 }
