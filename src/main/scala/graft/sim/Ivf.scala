@@ -129,7 +129,7 @@ object Ivf {
     * every [[addToIndex]] — lets an operator detect a layout that was
     * mutated outside the API (stamp != footer count ⇒ rebuild). Parquet
     * footer counts only; no data scan. */
-  private def stampIndex(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+  private[sim] def stampIndex(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
     val rows = spark.read.parquet(s"$path/lists").count()
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

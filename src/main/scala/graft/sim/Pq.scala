@@ -189,6 +189,75 @@ object Pq {
   def writeCodes(codesByList: DataFrame, path: String): Unit =
     codesByList.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
+  /** A reopened COMPLETE IVF+PQ index: probe-prunable code lists, the
+    * coarse centroids, and the trained codebooks — everything
+    * [[searchIvfPq]] needs with zero retraining. */
+  final case class PqIndex(codesByList: DataFrame,
+      centroids: Array[(Int, Array[Float])], model: PqModel) {
+    def search(queries: DataFrame, topK: Int, nProbe: Int = 4,
+        queryId: String = "vec_id", queryVec: String = "embedding"): DataFrame =
+      searchIvfPq(codesByList, centroids, model, queries, topK, nProbe,
+        queryId, queryVec)
+  }
+
+  /** Persist the COMPLETE IVF+PQ index — the r9 verdict's lifecycle gap
+    * made whole: [[writeCodes]] persisted the lists while the codebooks
+    * retrained per session; this writes lists (`path/lists`, partitioned
+    * — pruning unchanged), coarse centroids (`path/centroids`, the
+    * [[Ivf.writeIndex]] shape), AND the trained model (`path/model`:
+    * one row per (mi, code) sub-centroid plus the embedding dim), then
+    * refreshes the `_rows` stamp LAST, the same mutated-outside-the-API
+    * canary as IVF ([[Ivf.indexRows]] vs footer count). Single-writer
+    * contract as documented on [[Ivf.addToIndex]]. */
+  def writeIndex(codesByList: DataFrame, centroids: Array[(Int, Array[Float])],
+      model: PqModel, path: String): Unit = {
+    val spark = codesByList.sparkSession
+    import spark.implicits._
+    codesByList.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/lists")
+    centroids.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("centroid_id", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val modelRows = for {
+      mi <- model.codebooks.indices
+      code <- model.codebooks(mi).indices
+    } yield (mi, code, model.codebooks(mi)(code).toSeq, model.dim)
+    modelRows.toDF("mi", "code", "cvec", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+    Ivf.stampIndex(spark, path)
+  }
+
+  /** Reopen a persisted IVF+PQ index. The codebooks are VALIDATED on
+    * load — contiguous sub-spaces 0..m−1, each with the same contiguous
+    * code range 0..k−1, one dim — so a torn or hand-mutated model
+    * surfaces as a loud require, not silently-wrong ADC distances. The
+    * lists DataFrame reads nothing until a search probes it. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val rows = spark.read.parquet(s"$path/model")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray, r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    require(rows.nonEmpty, s"PQ loadIndex: empty model at $path/model")
+    val dims = rows.map(_._4).distinct
+    require(dims.length == 1, s"PQ loadIndex: inconsistent dims ${dims.toSeq}")
+    val m = rows.map(_._1).max + 1
+    require(rows.map(_._1).distinct.sorted.sameElements(0 until m),
+      s"PQ loadIndex: non-contiguous sub-spaces at $path/model")
+    val books = Array.tabulate(m) { mi =>
+      val b = rows.filter(_._1 == mi)
+      require(b.map(_._2).sameElements(b.indices),
+        s"PQ loadIndex: non-contiguous codes in sub-space $mi")
+      b.map(_._3)
+    }
+    require(books.map(_.length).distinct.length == 1,
+      s"PQ loadIndex: ragged codebooks ${books.map(_.length).toSeq}")
+    PqIndex(spark.read.parquet(s"$path/lists"), cents, PqModel(books, dims(0)))
+  }
+
   /** IVF+PQ search: probe selection AND re-rank both use the PQ metric
     * (three-term L2² — [[dist]]), driver-side per query (probes and LUT
     * are O(k + m·k) doubles, corpus-independent). The corpus-side scan

@@ -218,6 +218,39 @@ class ScaleOps5Spec extends GraftSuite {
     assert(!readSchema.contains("embedding"), readSchema)
   }
 
+  test("IVF+PQ: full index lifecycle — write, load with ZERO retraining, search identical; model validated on load") {
+    val emb = graft.ops.Relational.t(spark, sf, "embeddings")
+    val model = graft.ops.ScaleOps5.trainedPq(emb, sf)
+    val cents = graft.sim.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val codesByList = Pq.encodeAssigned(
+      graft.sim.Ivf.assign(emb, "vec_id", "embedding", cents), model)
+    val path = tempDir("pq_full_idx").toString
+    Pq.writeIndex(codesByList, cents, model, path)
+    // reload touches ONLY the persisted layout — no corpus, no training
+    val idx = Pq.loadIndex(spark, path)
+    assert(idx.model.dim == model.dim && idx.model.m == model.m &&
+      idx.model.k == model.k)
+    for (mi <- 0 until model.m; c <- 0 until model.k)
+      assert(idx.model.codebooks(mi)(c).sameElements(model.codebooks(mi)(c)),
+        s"codebook ($mi,$c) drifted through persistence")
+    assert(idx.centroids.map(_._1).sameElements(cents.map(_._1)))
+    val q = emb.filter(col("vec_id") < 5)
+    def rows(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3))).toSet
+    assert(rows(idx.search(q, topK = 3, nProbe = 2)) ==
+      rows(Pq.searchIvfPq(codesByList, cents, model, q, topK = 3, nProbe = 2)))
+    // the stamp guards the layout (the Ivf discipline, same path shape)
+    assert(graft.sim.Ivf.indexRows(spark, path) ==
+      spark.read.parquet(s"$path/lists").count())
+    // a hand-mutated model must fail LOUDLY on load, not mis-ADC quietly
+    import spark.implicits._
+    Seq((0, 0, Seq(0.0f), 64), (0, 2, Seq(0.0f), 64))
+      .toDF("mi", "code", "cvec", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+    val torn = intercept[IllegalArgumentException](Pq.loadIndex(spark, path))
+    assert(torn.getMessage.contains("non-contiguous codes"))
+  }
+
   test("PQ: training is deterministic (same corpus -> identical codebooks)") {
     val emb = graft.ops.Relational.t(spark, sf, "embeddings")
     val a = Pq.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
