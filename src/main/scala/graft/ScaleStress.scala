@@ -62,7 +62,48 @@ object ScaleStress {
       reuse = !args.lift(2).contains("noreuse"))
     case Some("snmskew") => snmSkew(args.lift(1).getOrElse("/tmp/stress_snm"),
       args.lift(2).map(_.toInt).getOrElse(120000))
+    case Some("graphcurve") => graphCurve(args.lift(1).getOrElse("/tmp/stress_facts"),
+      args.lift(2).map(_.toInt).getOrElse(3))
     case _ => facts(args.headOption.getOrElse("/tmp/sfbig"))
+  }
+
+  // --- graph-family curve mode ---------------------------------------------
+
+  /** 4-point scaling curves (x1/x3/x10/x100 FACTS corpora — `StressGen
+    * facts <src> <base>/xN N`) for the graph family: q96 PageRank, q114
+    * triangle counting, q127 BFS — the three heaviest graph ops, whose
+    * edge sets grow superlinearly in basket density (the r9 verdict's
+    * missing-evidence item: the curve discipline sparse_sim/phrase_search
+    * already had, applied to the graph ops). Same least-squares exponent
+    * protocol as `curve`. */
+  def graphCurve(base: String, reps: Int): Unit = {
+    val spark = session()
+    val scales = Seq(1, 3, 10, 100)
+      .filter(n => new java.io.File(s"$base/x$n/lineitem.parquet").exists())
+    require(scales.nonEmpty,
+      s"no facts corpora under $base (expected x1/x3/... with lineitem) — " +
+        "generate with `runMain graft.StressGen facts <src> $base/xN N`")
+    println(s"GRAPHCURVE scales=${scales.mkString(",")}")
+    val qs = Seq("q96_pagerank", "q114_triangles", "q127_bfs_hops")
+    qs.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
+    spark.catalog.clearCache()
+    val results = for (name <- qs) yield {
+      val pts = scales.map { n =>
+        val (sec, rows) = timed(spark, reps)(
+          SparkEntry.queries(name)(spark, s"$base/x$n").count())
+        println(f"CURVE $name x$n%-3d ${sec}%.2fs rows=$rows")
+        (n.toDouble, sec)
+      }
+      val xs = pts.map(p => math.log(p._1)); val ys = pts.map(p => math.log(p._2))
+      val xm = xs.sum / xs.size; val ym = ys.sum / ys.size
+      val e = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
+        xs.map(x => (x - xm) * (x - xm)).sum
+      println(f"CURVE $name exponent=${e}%.2f")
+      name -> e
+    }
+    val worst = results.maxBy(_._2)
+    println(f"CURVE worst ${worst._1} exponent=${worst._2}%.2f")
+    spark.stop()
   }
 
   // --- SNM blocking skew mode ----------------------------------------------

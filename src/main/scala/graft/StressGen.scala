@@ -148,7 +148,43 @@ object StressGen {
     println(s"[stressgen] wrote facts corpus $out (${n}x)")
   }
 
+  /** `graphfacts <src> <out> <n>`: the graph-GROWTH corpus — N replicas
+    * where the NODE keys (l_partkey, l_suppkey, o_custkey) offset per
+    * replica along with the orderkey, so the co-purchase and trade
+    * graphs scale ×n as disjoint components (nodes ×n, edges ×n). The
+    * plain facts corpus deliberately keeps dims fixed for dim-join
+    * parity — which makes DISTINCT edge sets CONSTANT across replicas:
+    * graph-op curves measured there come out flat as a corpus artifact,
+    * not as evidence (measured: exponents ≈0.0 on facts corpora before
+    * this mode existed). Only the two graph tables are written. */
+  def graphCorpus(spark: SparkSession, src: String, out: String, n: Int): Unit = {
+    def rep(df: DataFrame, cols: Seq[String], r: Int): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(r * 10000000L)))
+    val nFiles = math.max(8, n / 2)
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until n).map(r => rep(li, Seq("l_orderkey", "l_partkey", "l_suppkey"), r))
+      .reduce(_ unionByName _)
+      .repartition(nFiles).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    (0 until n).map(r => rep(ord, Seq("o_orderkey", "o_custkey"), r))
+      .reduce(_ unionByName _)
+      .repartition(nFiles).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    println(s"[stressgen] wrote graph corpus $out (${n}x nodes and edges)")
+  }
+
   def main(args: Array[String]): Unit = {
+    val graphMode = args.headOption.contains("graphfacts")
+    if (graphMode) {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      graphCorpus(spark, args.lift(1).getOrElse("/root/testdata/sf0.001"),
+        args.lift(2).getOrElse("/tmp/stress_graph/x1"),
+        args.lift(3).flatMap(_.toIntOption).getOrElse(1))
+      spark.stop(); return
+    }
     val factsMode = args.headOption.contains("facts")
     val rest = if (factsMode) args.drop(1) else args
     val src = rest.headOption.getOrElse("/root/testdata/sf0.1")
