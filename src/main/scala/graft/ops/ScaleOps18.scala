@@ -1,0 +1,237 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import Relational.t
+
+/** Round-10 batch 17: embedding-training data generation — skip-gram
+  * context pairs (q152) and fixed-point PMI-lift collocations (q153) —
+  * plus keyframe detection over decoded MJPEG frames (q154): the
+  * word2vec-style pair generator a training pipeline runs before
+  * embedding training, the collocation detector that finds multi-word
+  * units worth merging, and the scene-change readout over the q149
+  * video surface. */
+object ScaleOps18 {
+
+  // --- skip-gram context pairs (q152) --------------------------------------
+
+  /** q152: SKIP-GRAM training-pair generation (the word2vec/fastText
+    * input): for every token position, every (center, context) pair
+    * within window w=3 (both directions, context ≠ position), counted
+    * corpus-wide — top 25 by (count desc, center, context).
+    *
+    * Spark side generates (doc, pos±k) probe rows (k ∈ ±1..3, a 6-way
+    * explode — bounded fan-out, never a doc-length blowup) and
+    * equi-joins back on (doc_id, pos): the range condition becomes a
+    * hash join on a dense composite key, and the pair count partial-
+    * aggregates map-side (Zipf-hot pairs like "the of" fold before the
+    * exchange). One corpus-sized explode, one equi-join, one count
+    * aggregate, one 25-row TakeOrdered. */
+  def q152SkipGrams(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(graft.text.TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) >= 1)
+    val centers = toks
+      .withColumn("k", explode(array((-3 to 3).filter(_ != 0).map(lit): _*)))
+      .select(col("doc_id"), (col("pos") + col("k")).as("cpos"),
+        col("tok").as("center"))
+    val contexts = toks.select(col("doc_id"), col("pos").as("cpos"),
+      col("tok").as("context"))
+    centers.join(contexts, Seq("doc_id", "cpos"))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("center"), col("context"))))
+      .filter(col("rank") <= 25)
+      .select(col("rank"), col("center"), col("context"), col("cnt"))
+      .orderBy(col("rank"))
+  }
+
+  /** Mirror: positions via UNNEST WITH ORDINALITY-style generate_subscripts
+    * over the split array, pairs via the same ±3 window join. */
+  val q152Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, g AS pos, s[g] AS tok FROM (
+      |    SELECT doc_id, s, unnest(generate_series(1, len(s))) AS g
+      |    FROM (SELECT doc_id,
+      |            regexp_split_to_array(trim(lower(text)), '\s+') AS s
+      |          FROM documents))
+      |  WHERE len(s[g]) >= 1
+      |), pairs AS (
+      |  SELECT a.tok AS center, b.tok AS context
+      |  FROM toks a JOIN toks b
+      |    ON a.doc_id = b.doc_id
+      |   AND b.pos BETWEEN a.pos - 3 AND a.pos + 3
+      |   AND b.pos <> a.pos
+      |), counted AS (
+      |  SELECT center, context, COUNT(*) AS cnt FROM pairs
+      |  GROUP BY center, context
+      |)
+      |SELECT rank, center, context, CAST(cnt AS BIGINT) AS cnt FROM (
+      |  SELECT center, context, cnt,
+      |    ROW_NUMBER() OVER (ORDER BY cnt DESC, center, context) AS rank
+      |  FROM counted)
+      |WHERE rank <= 25 ORDER BY rank""".stripMargin
+
+  // --- PMI-lift collocations (q153) ----------------------------------------
+
+  /** q153: collocation detection by PMI-LIFT — which adjacent bigrams
+    * occur far more often than their unigram frequencies predict (the
+    * multi-word-unit detector run before tokenizer/vocab decisions).
+    * Log-PMI would ride libm; the LIFT form clears it to integers the
+    * q147 way: lift = p(xy)/(p(x)p(y)) = c_xy·T² / (B·c_x·c_y), scored
+    * at 10⁻⁶ fixed point in DECIMAL(38)/HUGEINT (c_xy·T²·10⁶ exceeds
+    * int64 once T > ~3M tokens; the 38-digit bound holds to T ≈ 3·10¹⁴
+    * — document-scale math, the q147 bound discipline). Bigrams with
+    * c_xy ≥ 5 rank by (lift desc, w1, w2), top 20.
+    *
+    * Scale shape: one token-sized bigram partial agg, one vocab-sized
+    * unigram partial agg, two broadcast-able marginal joins (vocab-sized
+    * against the bigram table), 1-row totals broadcast, 20-row
+    * TakeOrdered. */
+  def q153PmiLift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val toks = docs.select(col("doc_id"),
+      graft.text.TextAnalysis.tokens(col("text")).as("ts"))
+    val uni = toks.select(explode(col("ts")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val biAll = toks
+      // size < 2 would make sequence(1, size-1) DESCEND in Spark (the
+      // q150 guard): single-token docs carry no bigram
+      .filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> named_struct('w1', element_at(ts, i), 'w2', element_at(ts, i + 1)))"))
+        .as("b"))
+      .filter(length(col("b.w1")) >= 1 && length(col("b.w2")) >= 1)
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cxy"))
+    // B is the UNFILTERED bigram total — p(xy) = c_xy/B over all pairs;
+    // the min-count gate prunes candidates, it must not shrink the
+    // probability space (computing B post-gate doubles every lift on a
+    // corpus where half the pairs are rare — caught by the hand-law spec,
+    // invisibly to the oracle hash since both engines would agree)
+    val bi = biAll.filter(col("cxy") >= 5)
+    val totals = uni.agg(sum(col("c")).as("tt"))
+      .crossJoin(biAll.agg(sum(col("cxy")).as("bb")))
+    val dec = DecimalType(38, 0)
+    bi
+      .join(uni.select(col("tok").as("w1"), col("c").as("cx")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("cy")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lift_fp", expr(
+        "CAST((CAST(cxy AS DECIMAL(38,0)) * tt * tt * 1000000) div " +
+          "(CAST(bb AS DECIMAL(38,0)) * cx * cy) AS BIGINT)"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("lift_fp").desc, col("w1"), col("w2"))))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("w1"), col("w2"), col("cxy"), col("lift_fp"))
+      .orderBy(col("rank"))
+  }
+
+  val q153Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      |  FROM documents
+      |), uni AS (
+      |  SELECT tok, COUNT(*) AS c FROM (
+      |    SELECT unnest(ts) AS tok FROM toks) WHERE len(tok) >= 1
+      |  GROUP BY tok
+      |), bi_all AS (
+      |  SELECT w1, w2, COUNT(*) AS cxy FROM (
+      |    SELECT ts[g] AS w1, ts[g + 1] AS w2 FROM (
+      |      SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS g FROM toks))
+      |  WHERE len(w1) >= 1 AND len(w2) >= 1
+      |  GROUP BY w1, w2
+      |), bi AS (
+      |  SELECT w1, w2, cxy FROM bi_all WHERE cxy >= 5
+      |), totals AS (
+      |  SELECT (SELECT SUM(c) FROM uni) AS tt,
+      |         (SELECT SUM(cxy) FROM bi_all) AS bb
+      |), scored AS (
+      |  SELECT w1, w2, cxy,
+      |    CAST((cxy::HUGEINT * tt * tt * 1000000)
+      |      // (bb::HUGEINT * cx.c * cy.c) AS BIGINT) AS lift_fp
+      |  FROM bi
+      |  JOIN uni cx ON cx.tok = bi.w1
+      |  JOIN uni cy ON cy.tok = bi.w2
+      |  CROSS JOIN totals
+      |)
+      |SELECT rank, w1, w2, CAST(cxy AS BIGINT) AS cxy, lift_fp FROM (
+      |  SELECT w1, w2, cxy, lift_fp,
+      |    ROW_NUMBER() OVER (ORDER BY lift_fp DESC, w1, w2) AS rank
+      |  FROM scored)
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  // --- MJPEG keyframe detection (q154) -------------------------------------
+
+  /** q154: scene-change detection over DECODED video frames — the
+    * keyframe-sampling readout a multimodal pipeline runs after q149's
+    * frame decode: per media, consecutive-frame deltas of the exact
+    * pixel stats (|Δ sum_samples| on the (media, track) stream in
+    * sample order), count of "cuts" (delta above a fixed threshold),
+    * total and max delta. Exact integers end-to-end.
+    *
+    * Scale shape: q149's pure map+explode, then ONE media-keyed lag
+    * window and a per-media partial agg — no corpus-sized exchange
+    * beyond the window's hash partition. */
+  def q154Keyframes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val media = docs.select(
+      col("doc_id").cast("long").as("media_id"),
+      column(graft.multimodal.MjpegFixture(
+        expression(col("doc_id").cast("long")))).as("content"))
+    val frames = graft.multimodal.Multimodal.decodeMjpegFrames(media)
+    val w = Window.partitionBy(col("media_id"), col("track_id"))
+      .orderBy(col("sample_idx"))
+    frames
+      .withColumn("delta",
+        abs(col("sum_samples") - lag(col("sum_samples"), 1).over(w)))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("delta") > 2000, 1L).otherwise(0L)).as("n_cuts"),
+        coalesce(sum(col("delta")), lit(0L)).as("total_delta"),
+        coalesce(max(col("delta")), lit(0L)).as("max_delta"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Mirror: the q149 frame-stat law re-derived per frame, then the same
+    * lag/threshold/rollup chain. */
+  val q154Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS media_id, 2 + doc_id % 3 AS n
+      |  FROM documents
+      |), s AS (
+      |  SELECT media_id, j, media_id * 5 + j AS fid
+      |  FROM d CROSS JOIN range(0, 4) AS rj(j) WHERE j < n
+      |), dims AS (
+      |  SELECT media_id, j, fid,
+      |    (2 + fid % 2) * 8 AS w, (1 + fid % 2) * 8 AS h
+      |  FROM s
+      |), px AS (
+      |  SELECT media_id, j, w, h, tb,
+      |    (fid * 53
+      |      + ((((tb // 3) // w) // 8) * (w // 8) + ((tb // 3) % w) // 8) * 19)
+      |      % 256 AS v
+      |  FROM dims CROSS JOIN range(0, 1152) AS rt(tb) WHERE tb < w * h * 3
+      |), fr AS (
+      |  SELECT media_id, j, SUM(v) AS sum_samples
+      |  FROM px GROUP BY media_id, j
+      |), lagged AS (
+      |  SELECT media_id,
+      |    ABS(sum_samples - LAG(sum_samples) OVER (
+      |      PARTITION BY media_id ORDER BY j)) AS delta
+      |  FROM fr
+      |)
+      |SELECT media_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |  CAST(SUM(CASE WHEN delta > 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+      |  CAST(COALESCE(SUM(delta), 0) AS BIGINT) AS total_delta,
+      |  CAST(COALESCE(MAX(delta), 0) AS BIGINT) AS max_delta
+      |FROM lagged GROUP BY media_id ORDER BY media_id""".stripMargin
+}

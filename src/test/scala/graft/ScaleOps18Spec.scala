@@ -1,0 +1,119 @@
+package graft
+
+/** Ground-truth laws for the round-10 batch-17 operators: skip-gram
+  * pairs (q152), PMI-lift collocations (q153), MJPEG keyframes (q154). */
+class ScaleOps18Spec extends GraftSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def writeDocs(dir: java.nio.file.Path,
+                        rows: Seq[(Long, String)]): Unit =
+    rows.map { case (id, txt) => (id, txt, "en", "src0", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  // --- q152 skip-grams -----------------------------------------------------
+
+  test("q152: hand corpus — window-3 pairs, both directions, (cnt desc, center, context) rank") {
+    val dir = tempDir("q152-hand")
+    // "a b a": pos1 a pairs with b,a; pos2 b pairs with a,a; pos3 a with b,a
+    // ⇒ (a,a):2 (a,b):2 (b,a):2, ranked lexicographically on the tie
+    writeDocs(dir, Seq((1L, "a b a")))
+    val got = graft.ops.ScaleOps18.q152SkipGrams(spark, dir.toString)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("center"),
+        r.getAs[String]("context"), r.getAs[Long]("cnt"))).toSeq
+    assert(got == Seq((1, "a", "a", 2L), (2, "a", "b", 2L), (3, "b", "a", 2L)))
+  }
+
+  test("q152: real corpus — top-25 re-derives from a scalar window scan; counts are direction-symmetric") {
+    val got = graft.ops.ScaleOps18.q152SkipGrams(spark, sf)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("center"),
+        r.getAs[String]("context"), r.getAs[Long]("cnt"))).toSeq
+    assert(got.map(_._1) == (1 to 25))
+    val docs = graft.ops.Relational.t(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+    docs.foreach { text =>
+      val ts = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      for (i <- ts.indices; j <- math.max(0, i - 3) to math.min(ts.length - 1, i + 3)
+           if j != i)
+        counts((ts(i), ts(j))) = counts.getOrElse((ts(i), ts(j)), 0L) + 1
+    }
+    val expect = counts.toSeq
+      .sortBy { case ((c, x), n) => (-n, c, x) }.take(25).zipWithIndex
+      .map { case (((c, x), n), i) => (i + 1, c, x, n) }
+    assert(got == expect)
+    // the ±window is symmetric: every (a,b) count equals (b,a)
+    got.foreach { case (_, c, x, n) => assert(counts((x, c)) == n) }
+  }
+
+  // --- q153 PMI-lift -------------------------------------------------------
+
+  test("q153: hand corpus — exact fixed-point lift, min-count gate") {
+    val dir = tempDir("q153-hand")
+    // bigrams: (x,y)×5 (y,x)×4 (y,z)×1 — only (x,y) clears cxy ≥ 5.
+    // T=11 tokens, B=10 bigrams, cx=cy=5:
+    // lift_fp = 5·11²·10⁶ div (10·5·5) = 605000000 div 250 = 2420000
+    writeDocs(dir, Seq((1L, "x y x y x y x y x y z")))
+    val got = graft.ops.ScaleOps18.q153PmiLift(spark, dir.toString)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("w1"),
+        r.getAs[String]("w2"), r.getAs[Long]("cxy"), r.getAs[Long]("lift_fp"))).toSeq
+    assert(got == Seq((1, "x", "y", 5L, 2420000L)))
+  }
+
+  test("q153: real corpus — every returned lift re-derives from exact integer counts") {
+    val got = graft.ops.ScaleOps18.q153PmiLift(spark, sf)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("w1"),
+        r.getAs[String]("w2"), r.getAs[Long]("cxy"), r.getAs[Long]("lift_fp"))).toSeq
+    assert(got.nonEmpty && got.map(_._1) == (1 to got.length))
+    val docs = graft.ops.Relational.t(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val uni = scala.collection.mutable.HashMap[String, Long]()
+    val bi = scala.collection.mutable.HashMap[(String, String), Long]()
+    docs.foreach { text =>
+      val ts = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      ts.foreach(t => uni(t) = uni.getOrElse(t, 0L) + 1)
+      ts.sliding(2).foreach {
+        case Array(a, b) => bi((a, b)) = bi.getOrElse((a, b), 0L) + 1
+        case _ => ()
+      }
+    }
+    val tt = BigInt(uni.values.sum); val bb = BigInt(bi.values.sum)
+    got.foreach { case (_, w1, w2, cxy, lift) =>
+      assert(bi((w1, w2)) == cxy && cxy >= 5)
+      val expect = (BigInt(cxy) * tt * tt * 1000000) /
+        (bb * uni(w1) * uni(w2))
+      assert(BigInt(lift) == expect, s"($w1,$w2)")
+    }
+  }
+
+  // --- q154 keyframes ------------------------------------------------------
+
+  test("q154: frame deltas re-derive from the q149 pixel law; counts and maxima exact") {
+    val rows = graft.ops.ScaleOps18.q154Keyframes(spark, sf)
+      .collect().map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("n_frames"),
+        r.getAs[Long]("n_cuts"), r.getAs[Long]("total_delta"),
+        r.getAs[Long]("max_delta"))).toSeq
+    assert(rows.nonEmpty)
+    rows.take(30).foreach { case (id, nf, cuts, total, mx) =>
+      val n = (2 + java.lang.Math.floorMod(id, 3L)).toInt
+      assert(nf == n)
+      val sums = (0 until n).map { j =>
+        val fid = id * 5 + j
+        val bw = 2 + java.lang.Math.floorMod(fid, 2L)
+        val bh = 1 + java.lang.Math.floorMod(fid, 2L)
+        val w = bw * 8; val h = bh * 8
+        (0L until w * h * 3).map { t =>
+          val p = t / 3
+          java.lang.Math.floorMod(
+            fid * 53 + ((p / w / 8) * bw + (p % w) / 8) * 19, 256L)
+        }.sum
+      }
+      val deltas = sums.sliding(2).map { case Seq(a, b) => math.abs(b - a) }.toSeq
+      assert(cuts == deltas.count(_ > 2000), s"media $id cuts")
+      assert(total == deltas.sum, s"media $id total")
+      assert(mx == deltas.max, s"media $id max")
+    }
+  }
+}
