@@ -218,7 +218,7 @@ object ScaleOps17 {
   /** Shared oracle prefix: the words CTE and `rounds` unrolled
     * merge-round CTE pairs (mN = round N's argmax; segN = the merge
     * applied), the q96 fixed-rounds discipline in SQL form. */
-  private def bpeSqlRounds(rounds: Int): String = {
+  private[ops] def bpeSqlRounds(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(
       raw"""WITH toks0 AS (

@@ -234,4 +234,135 @@ object ScaleOps18 {
       |  CAST(COALESCE(SUM(delta), 0) AS BIGINT) AS total_delta,
       |  CAST(COALESCE(MAX(delta), 0) AS BIGINT) AS max_delta
       |FROM lagged GROUP BY media_id ORDER BY media_id""".stripMargin
+
+  // --- tokenizer fertility per source (q155) -------------------------------
+
+  /** q155: TOKENIZER FERTILITY per source — chars-per-BPE-token, the
+    * readout that tells a pipeline which sources tokenize poorly (low
+    * fertility = byte-soup the vocab never learned). Reuses the q150
+    * trained merges (the per-corpus memo: train once, report many) and
+    * rolls q151's per-token BPE counts up per SOURCE at 10⁻³ fixed
+    * point: fertility_fp = Σchars·1000 div Σbpe. Exact integers.
+    *
+    * Scale shape: q151's pure-map replace chain + ONE source-keyed
+    * partial agg (sources ≪ corpus). */
+  def q155Fertility(s: SparkSession, dir: String): DataFrame = {
+    val merges = ScaleOps17.bpeTrain(s, dir)
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val toks = docs.select(col("source"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+    val seg0 = regexp_replace(col("tok"), "(.)", " $1 ")
+    val segF = merges.foldLeft(seg0) { case (acc, (_, p1, p2, _)) =>
+      call_function("replace", acc, lit(s" $p1  $p2 "), lit(s" $p1$p2 "))
+    }
+    toks
+      .withColumn("n_bpe", size(split(trim(segF), "  ")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("tok"))).as("n_chars"),
+        sum(col("n_bpe")).cast("long").as("n_bpe_tokens"))
+      .withColumn("fertility_fp",
+        expr("CAST(n_chars * 1000 div n_bpe_tokens AS BIGINT)"))
+      .orderBy(col("source"))
+  }
+
+  /** Mirror: the q150 CTE chain (re-derives the merges), the q151 apply
+    * chain keyed by source. */
+  val q155Sql: String = {
+    val rounds = ScaleOps17.BpeRounds
+    val applyChain = (1 to rounds).foldLeft("regexp_replace(tok, '(.)', ' \\1 ', 'g')") {
+      case (acc, r) =>
+        s"replace($acc, ' ' || m$r.p1 || '  ' || m$r.p2 || ' ', ' ' || m$r.p1 || m$r.p2 || ' ')"
+    }
+    ScaleOps17.bpeSqlRounds(rounds) +
+      s""",
+        |dtoks AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) >= 1
+        |), enc AS (
+        |  SELECT source, tok,
+        |    len(string_split(trim($applyChain), '  ')) AS n_bpe
+        |  FROM dtoks ${(1 to rounds).map(r => s"CROSS JOIN m$r").mkString(" ")}
+        |), rolled AS (
+        |  SELECT source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(len(tok)) AS BIGINT) AS n_chars,
+        |    CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
+        |  FROM enc GROUP BY source
+        |)
+        |SELECT source, n_tokens, n_chars, n_bpe_tokens,
+        |  CAST(n_chars * 1000 // n_bpe_tokens AS BIGINT) AS fertility_fp
+        |FROM rolled ORDER BY source""".stripMargin
+  }
+
+  // --- vocabulary growth / Heaps-law readout (q156) ------------------------
+
+  /** q156: VOCABULARY GROWTH over ingest order (the Heaps-law readout —
+    * "is the vocabulary still growing, or has the crawl gone stale?"):
+    * docs bucket into 10 id-range deciles (VALUE-based: bucket =
+    * (doc_id − min)·10 div (max − min + 1) — broadcast min/max, no
+    * global row-number window, so the op has no single-task stage at
+    * any scale), each token's FIRST bucket is a vocab-sized min
+    * aggregate, and the curve is a 10-row cumulative sum: per decile,
+    * token volume, new types, cumulative vocabulary. Exact integers.
+    *
+    * Scale shape: one corpus-sized token partial agg (min bucket per
+    * type), one 10-row window — nothing else. */
+  def q156VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val bounds = broadcast(docs.agg(
+      min(col("doc_id").cast("long")).as("lo"),
+      max(col("doc_id").cast("long")).as("hi")))
+    val toks = docs.select(col("doc_id").cast("long").as("did"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .crossJoin(bounds)
+      .withColumn("bucket",
+        expr("CAST((did - lo) * 10 div (hi - lo + 1) AS INT)"))
+    val volume = toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val firsts = toks.groupBy(col("tok"))
+      .agg(min(col("bucket")).as("fb"))
+      .groupBy(col("fb")).agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    volume
+      .join(firsts.withColumnRenamed("fb", "bucket"), Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("vocab", sum(col("new_types")).over(w))
+      .select(col("bucket"), col("n_tokens"), col("new_types"), col("vocab"))
+      .orderBy(col("bucket"))
+  }
+
+  val q156Sql: String =
+    raw"""WITH bounds AS (
+      |  SELECT MIN(CAST(doc_id AS BIGINT)) AS lo,
+      |         MAX(CAST(doc_id AS BIGINT)) AS hi
+      |  FROM documents
+      |), toks AS (
+      |  SELECT CAST((CAST(doc_id AS BIGINT) - lo) * 10 // (hi - lo + 1) AS INTEGER) AS bucket,
+      |    tok
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |    FROM documents) CROSS JOIN bounds
+      |  WHERE len(tok) >= 1
+      |), volume AS (
+      |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      |  FROM toks GROUP BY bucket
+      |), firsts AS (
+      |  SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS new_types FROM (
+      |    SELECT tok, MIN(bucket) AS fb FROM toks GROUP BY tok)
+      |  GROUP BY fb
+      |)
+      |SELECT v.bucket, v.n_tokens,
+      |  CAST(COALESCE(f.new_types, 0) AS BIGINT) AS new_types,
+      |  CAST(SUM(COALESCE(f.new_types, 0)) OVER (
+      |    ORDER BY v.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
+      |FROM volume v LEFT JOIN firsts f ON f.bucket = v.bucket
+      |ORDER BY v.bucket""".stripMargin
 }

@@ -116,4 +116,59 @@ class ScaleOps18Spec extends GraftSuite {
       assert(mx == deltas.max, s"media $id max")
     }
   }
+
+  // --- q155 tokenizer fertility --------------------------------------------
+
+  test("q155: per-source rollup agrees with q151's per-doc BPE counts; fertility law exact") {
+    val bySrc = graft.ops.ScaleOps18.q155Fertility(spark, sf)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_bpe_tokens"), r.getAs[Long]("fertility_fp"))).toMap
+    assert(bySrc.nonEmpty)
+    // q151's per-doc output joined to doc→source must roll up identically
+    val docSrc = graft.ops.Relational.t(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+        org.apache.spark.sql.functions.col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = graft.ops.ScaleOps17.q151BpeEncode(spark, sf).collect()
+      .map(r => (docSrc(r.getAs[Long]("doc_id")), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_bpe_tokens")))
+    val expect = perDoc.groupBy(_._1).map { case (src, rows) =>
+      val nt = rows.map(_._2).sum; val nc = rows.map(_._3).sum
+      val nb = rows.map(_._4).sum
+      src -> (nt, nc, nb, nc * 1000 / nb)
+    }
+    assert(bySrc == expect)
+  }
+
+  // --- q156 vocabulary growth ----------------------------------------------
+
+  test("q156: hand corpus — first-occurrence deciles, cumulative vocab, volume") {
+    val dir = tempDir("q156-hand")
+    // ids 0..9 → one per bucket; 'common' appears everywhere (first
+    // bucket 0), each doc also carries a unique token
+    writeDocs(dir, (0L until 10L).map(i => (i, s"common uniq$i")))
+    val got = graft.ops.ScaleOps18.q156VocabGrowth(spark, dir.toString)
+      .collect().map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("new_types"), r.getAs[Long]("vocab"))).toSeq
+    val expect = (0 until 10).map { b =>
+      (b, 2L, if (b == 0) 2L else 1L, if (b == 0) 2L else (b + 2).toLong)
+    }
+    assert(got == expect)
+  }
+
+  test("q156: real corpus — buckets partition ids, volumes sum to token count, vocab ends at distinct types") {
+    val rows = graft.ops.ScaleOps18.q156VocabGrowth(spark, sf)
+      .collect().map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("new_types"), r.getAs[Long]("vocab"))).toSeq
+    assert(rows.map(_._1) == rows.map(_._1).sorted)
+    assert(rows.map(_._3).sum == rows.last._4, "cumulative vocab = Σ new types")
+    val docs = graft.ops.Relational.t(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val allToks = docs.flatMap(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    assert(rows.map(_._2).sum == allToks.length.toLong)
+    assert(rows.last._4 == allToks.distinct.length.toLong)
+    // growth is monotone and new types never exceed volume
+    rows.foreach { case (_, nt, nw, _) => assert(nw <= nt) }
+  }
 }
