@@ -365,4 +365,164 @@ object ScaleOps18 {
       |    ORDER BY v.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
       |FROM volume v LEFT JOIN firsts f ON f.bucket = v.bucket
       |ORDER BY v.bucket""".stripMargin
+
+  // --- incremental batch-vs-history dedup (q157) ---------------------------
+
+  /** q157: INCREMENTAL dedup — today's crawl against yesterday's corpus
+    * (doc parity stands in for the batch split: even = history, odd =
+    * new batch): per NEW document, the fraction of its 8-token shingles
+    * already present anywhere in HISTORY, at 10⁻⁶ fixed point, with a
+    * ≥30 % quarantine flag. The production shape of the q85 machinery:
+    * the candidate side is a batch, the filter side is an index-shaped
+    * DISTINCT hash set.
+    *
+    * Scale shape: history collapses to DISTINCT shingle hashes (one
+    * partial-agg exchange — at 100 TB this set is the persisted
+    * fingerprint index, not a recompute); the batch side LEFT
+    * SEMI-joins its shingles against it on the 8-byte hash and rolls up
+    * per doc. Strings never leave the kernel (FNV-1a-64, the q21–q23
+    * oracle-proven hash). */
+  def q157IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val toks = docs.select(col("doc_id"),
+      graft.text.TextAnalysis.tokens(col("text")).as("t"))
+    val ph = toks.select(col("doc_id"),
+      explode(column(graft.functions.SlidingShingleHashes(
+        expression(col("t")), 8))).as("h"))
+    val history = ph.filter(col("doc_id") % 2 === 0).select(col("h")).distinct()
+    val batch = ph.filter(col("doc_id") % 2 === 1)
+    val hits = batch.join(history, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hist_dup"))
+    batch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hist_dup", coalesce(col("n_hist_dup"), lit(0L)))
+      .withColumn("dup_fp",
+        expr("CAST(n_hist_dup * 1000000 div n_shingles AS BIGINT)"))
+      .withColumn("quarantined", col("dup_fp") >= 300000L)
+      .select(col("doc_id"), col("n_shingles"), col("n_hist_dup"),
+        col("dup_fp"), col("quarantined"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Mirror: the q85 FNV-1a-64 HUGEINT chain, split by parity. */
+  val q157Sql: String = {
+    val fnvScalar =
+      """list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        [ord(substr(s, i, 1))::HUGEINT FOR i IN range(1, length(s) + 1)]),
+        |      (acc, b) -> (xor(acc, b) * 1099511628211) % 18446744073709551616::HUGEINT)""".stripMargin
+    raw"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents
+      |), pos AS (
+      |  SELECT doc_id, unnest(range(0, greatest(len(t) - 7, 0))) AS p, t FROM toks
+      |), ph AS (
+      |  SELECT doc_id, $fnvScalar AS hv
+      |  FROM (SELECT doc_id, p, array_to_string(t[p + 1 : p + 8], ' ') AS s FROM pos)
+      |), hist AS (
+      |  SELECT DISTINCT hv FROM ph WHERE doc_id % 2 = 0
+      |), batch AS (
+      |  SELECT doc_id, hv FROM ph WHERE doc_id % 2 = 1
+      |), rolled AS (
+      |  SELECT b.doc_id,
+      |    COUNT(*) AS n_shingles,
+      |    SUM(CASE WHEN hist.hv IS NOT NULL THEN 1 ELSE 0 END) AS n_hist_dup
+      |  FROM batch b LEFT JOIN hist ON b.hv = hist.hv
+      |  GROUP BY b.doc_id
+      |)
+      |SELECT doc_id,
+      |  CAST(n_shingles AS BIGINT) AS n_shingles,
+      |  CAST(n_hist_dup AS BIGINT) AS n_hist_dup,
+      |  CAST(n_hist_dup * 1000000 // n_shingles AS BIGINT) AS dup_fp,
+      |  n_hist_dup * 1000000 // n_shingles >= 300000 AS quarantined
+      |FROM rolled ORDER BY doc_id""".stripMargin
+  }
+
+  // --- successor branching factor (q158) -----------------------------------
+
+  /** q158: NEXT-TOKEN BRANCHING for the top-20 unigrams — how
+    * predictable is the text after its commonest words: distinct
+    * successor types, successor volume, the top successor (tie-break:
+    * count desc, token asc) and its share at 10⁻⁶ fixed point. High
+    * top-share + low branching = templated/boilerplate context; the
+    * conditional-distribution readout behind the q89 bigram-LM axis.
+    *
+    * Scale shape: one bigram partial agg (the q153 table), one
+    * vocab-sized unigram agg for the top-20 anchor set, per-anchor
+    * rollups over the ≤|V| successor table — nothing corpus-sized past
+    * the two partial aggs. */
+  def q158Branching(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val toks = docs.select(col("doc_id"),
+      graft.text.TextAnalysis.tokens(col("text")).as("ts"))
+    val uni = toks.select(explode(col("ts")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val top = uni
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("tok"))))
+      .filter(col("rank") <= 20)
+    val bi = toks
+      .filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> named_struct('w1', element_at(ts, i), 'w2', element_at(ts, i + 1)))"))
+        .as("b"))
+      .filter(length(col("b.w1")) >= 1 && length(col("b.w2")) >= 1)
+      .groupBy(col("b.w1").as("tok"), col("b.w2").as("succ"))
+      .agg(count(lit(1)).as("sc"))
+    val anchored = bi.join(broadcast(top.select(col("tok"), col("rank"), col("c"))), Seq("tok"))
+    val wTop = Window.partitionBy(col("tok"))
+      .orderBy(col("sc").desc, col("succ"))
+    anchored
+      .withColumn("srank", row_number().over(wTop))
+      .groupBy(col("rank"), col("tok"), col("c"))
+      .agg(count(lit(1)).as("n_succ_types"),
+        sum(col("sc")).as("n_succ"),
+        max(when(col("srank") === 1, col("succ"))).as("top_succ"),
+        max(when(col("srank") === 1, col("sc"))).as("top_succ_cnt"))
+      .withColumn("top_share_fp",
+        expr("CAST(top_succ_cnt * 1000000 div n_succ AS BIGINT)"))
+      .select(col("rank"), col("tok"), col("c"), col("n_succ_types"),
+        col("n_succ"), col("top_succ"), col("top_share_fp"))
+      .orderBy(col("rank"))
+  }
+
+  val q158Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      |  FROM documents
+      |), uni AS (
+      |  SELECT tok, COUNT(*) AS c FROM (
+      |    SELECT unnest(ts) AS tok FROM toks) WHERE len(tok) >= 1
+      |  GROUP BY tok
+      |), top AS (
+      |  SELECT tok, c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank
+      |  FROM uni QUALIFY rank <= 20
+      |), bi AS (
+      |  SELECT w1 AS tok, w2 AS succ, COUNT(*) AS sc FROM (
+      |    SELECT ts[g] AS w1, ts[g + 1] AS w2 FROM (
+      |      SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS g FROM toks))
+      |  WHERE len(w1) >= 1 AND len(w2) >= 1
+      |  GROUP BY w1, w2
+      |), anchored AS (
+      |  SELECT top.rank, top.tok, top.c, bi.succ, bi.sc,
+      |    ROW_NUMBER() OVER (PARTITION BY top.tok
+      |                       ORDER BY bi.sc DESC, bi.succ) AS srank
+      |  FROM bi JOIN top ON bi.tok = top.tok
+      |), rolled AS (
+      |  SELECT rank, tok, c,
+      |    COUNT(*) AS n_succ_types,
+      |    SUM(sc) AS n_succ,
+      |    MAX(CASE WHEN srank = 1 THEN succ END) AS top_succ,
+      |    MAX(CASE WHEN srank = 1 THEN sc END) AS top_succ_cnt
+      |  FROM anchored GROUP BY rank, tok, c
+      |)
+      |SELECT rank, tok, CAST(c AS BIGINT) AS c,
+      |  CAST(n_succ_types AS BIGINT) AS n_succ_types,
+      |  CAST(n_succ AS BIGINT) AS n_succ,
+      |  top_succ,
+      |  CAST(top_succ_cnt * 1000000 // n_succ AS BIGINT) AS top_share_fp
+      |FROM rolled ORDER BY rank""".stripMargin
 }

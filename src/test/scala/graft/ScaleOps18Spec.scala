@@ -171,4 +171,91 @@ class ScaleOps18Spec extends GraftSuite {
     // growth is monotone and new types never exceed volume
     rows.foreach { case (_, nt, nw, _) => assert(nw <= nt) }
   }
+
+  // --- q157 incremental batch-vs-history dedup -----------------------------
+
+  test("q157: hand corpus — a copied new doc quarantines, a fresh one doesn't; fractions exact") {
+    val dir = tempDir("q157-hand")
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    writeDocs(dir, Seq(
+      (0L, eight + " tail0 more0"),          // history
+      (1L, eight),                           // new: ALL 1 shingle in history
+      (3L, "f1 f2 f3 f4 f5 f6 f7 f8 f9")))   // new: 2 fresh shingles
+    val got = graft.ops.ScaleOps18.q157IncrementalDedup(spark, dir.toString)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_hist_dup"), r.getAs[Long]("dup_fp"),
+        r.getAs[Boolean]("quarantined"))).toSeq
+    assert(got == Seq((1L, 1L, 1L, 1000000L, true), (3L, 2L, 0L, 0L, false)))
+  }
+
+  test("q157: real corpus — per-doc fractions re-derive from a scalar shingle set") {
+    val got = graft.ops.ScaleOps18.q157IncrementalDedup(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_hist_dup"), r.getAs[Long]("dup_fp"))).toSeq
+    assert(got.nonEmpty)
+    val docs = graft.ops.Relational.t(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def shingles(text: String): Seq[String] = {
+      val ts = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (0 to ts.length - 8).map(i => ts.slice(i, i + 8).mkString(" "))
+    }
+    val hist = docs.filter(_._1 % 2 == 0).flatMap(d => shingles(d._2)).toSet
+    val expect = docs.filter(_._1 % 2 == 1)
+      .map { case (id, text) =>
+        val sh = shingles(text)
+        (id, sh.length.toLong, sh.count(hist.contains).toLong)
+      }
+      .filter(_._2 > 0).sortBy(_._1)
+      .map { case (id, n, d) => (id, n, d, d * 1000000L / n) }.toSeq
+    assert(got == expect)
+  }
+
+  // --- q158 successor branching --------------------------------------------
+
+  test("q158: hand corpus — top word, successor types, top-successor tie law") {
+    val dir = tempDir("q158-hand")
+    // 'a' x6 (top), successors: b x2, c x2, d x1 — top_succ 'b' by the
+    // (cnt desc, succ asc) tie-break; one 'a' ends a doc (no successor)
+    writeDocs(dir, Seq((1L, "a b a c a d"), (2L, "a b a c a")))
+    val got = graft.ops.ScaleOps18.q158Branching(spark, dir.toString)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("tok"),
+        r.getAs[Long]("c"), r.getAs[Long]("n_succ_types"),
+        r.getAs[Long]("n_succ"), r.getAs[String]("top_succ"),
+        r.getAs[Long]("top_share_fp"))).toSeq
+    assert(got.head == (1, "a", 6L, 3L, 5L, "b", 400000L))
+    // 'b','c','d' have 1-2 occurrences each; every returned row is exact
+    got.foreach { case (_, _, _, types, total, _, share) =>
+      assert(types <= total && share >= 1000000L / math.max(total, 1L) - 1)
+    }
+  }
+
+  test("q158: real corpus — every row re-derives from scalar bigram counts") {
+    val got = graft.ops.ScaleOps18.q158Branching(spark, sf)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("tok"),
+        r.getAs[Long]("c"), r.getAs[Long]("n_succ_types"),
+        r.getAs[Long]("n_succ"), r.getAs[String]("top_succ"),
+        r.getAs[Long]("top_share_fp"))).toSeq
+    assert(got.map(_._1) == (1 to got.length) && got.length <= 20)
+    val docs = graft.ops.Relational.t(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val uni = scala.collection.mutable.HashMap[String, Long]()
+    val bi = scala.collection.mutable.HashMap[(String, String), Long]()
+    docs.foreach { text =>
+      val ts = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      ts.foreach(t => uni(t) = uni.getOrElse(t, 0L) + 1)
+      ts.sliding(2).foreach {
+        case Array(a, b) => bi((a, b)) = bi.getOrElse((a, b), 0L) + 1
+        case _ => ()
+      }
+    }
+    got.foreach { case (_, tok, c, types, total, topSucc, share) =>
+      assert(uni(tok) == c)
+      val succ = bi.collect { case ((a, b), n) if a == tok => (b, n) }.toSeq
+      assert(types == succ.length.toLong && total == succ.map(_._2).sum)
+      val best = succ.minBy { case (b, n) => (-n, b) }
+      assert(topSucc == best._1 && share == best._2 * 1000000L / total)
+    }
+  }
 }
