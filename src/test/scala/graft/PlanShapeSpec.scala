@@ -437,4 +437,50 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q149/q154: frame decode is a pure map+explode — the container walk and JPEG decode never precede a join") {
+    for (df <- Seq(graft.ops.ScaleOps17.q149MjpegFrames(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("mp4_jpeg_frames") || p.contains("Generate"), p)
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    }
+    // keyframes add exactly one windowed lag over the decoded stream
+    val pk = plan(graft.ops.ScaleOps18.q154Keyframes(spark, sf))
+    assert(pk.contains("Window"), pk)
+    assert(!pk.contains("Join") && !pk.contains("CartesianProduct"), pk)
+  }
+
+  test("q152: the skip-gram window rides an equi hash join on (doc, pos) with partial pair aggregation — never a range NLJ") {
+    val p = plan(graft.ops.ScaleOps18.q152SkipGrams(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q153/q158: marginal joins stay equi-keyed; the only nested-loop is the 1-row totals/anchor broadcast") {
+    for (df <- Seq(graft.ops.ScaleOps18.q153PmiLift(spark, sf),
+        graft.ops.ScaleOps18.q158Branching(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("partial_"), p)
+    }
+  }
+
+  test("q157: history collapses to a DISTINCT hash set probed by a LEFT SEMI join — shingle strings never reach an exchange") {
+    val p = plan(graft.ops.ScaleOps18.q157IncrementalDedup(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exchanges carry the 8-byte hash, not shingle text
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text"), l)
+    }
+  }
+
+  test("q156: decile bounds broadcast; the curve window runs on the 10-row bucket table") {
+    val p = plan(graft.ops.ScaleOps18.q156VocabGrowth(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_"), p)
+  }
 }
