@@ -173,6 +173,13 @@ object ScaleOps17 {
     * count at merge time (counts DECREASE non-strictly by construction;
     * later rounds merge multi-char symbols built by earlier ones).
     *
+    * ORACLE PRECONDITION: the corpus must support all [[BpeRounds]]
+    * merges (any real text corpus does by orders of magnitude — the
+    * hand spec's 2-round exhaustion case is a unit fixture). On an
+    * exhausted corpus the Spark side stops early while the mirror's
+    * empty mN CTE cascades (its seg/apply CROSS JOINs go empty) — a
+    * LOUD divergence at verify time, never a silent wrong answer. */
+    *
     * Scale shape: training state is the vocab-sized word table; each
     * round is explode+groupBy over the VOCAB weighted by freq, an O(1)
     * argmax collect, and a pure-map merge apply — per-round cached with
