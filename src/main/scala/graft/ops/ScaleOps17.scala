@@ -178,7 +178,7 @@ object ScaleOps17 {
     * hand spec's 2-round exhaustion case is a unit fixture). On an
     * exhausted corpus the Spark side stops early while the mirror's
     * empty mN CTE cascades (its seg/apply CROSS JOINs go empty) — a
-    * LOUD divergence at verify time, never a silent wrong answer. */
+    * LOUD divergence at verify time, never a silent wrong answer.
     *
     * Scale shape: training state is the vocab-sized word table; each
     * round is explode+groupBy over the VOCAB weighted by freq, an O(1)
