@@ -545,7 +545,22 @@ object ScaleStress {
       // jl_project (q136, r9): pure map, 16 fused dot kernels per row —
       // expected linear
       "jl_project" -> (dir =>
-        graft.ops.ScaleOps12.q136JlProject(spark, dir).count()))
+        graft.ops.ScaleOps12.q136JlProject(spark, dir).count()),
+      // skip_grams (q152, r10): 6-way probe explode + (doc,pos) equi-join
+      // + pair count — expected linear (pair space is 6·tokens, Zipf-hot
+      // pairs fold map-side)
+      "skip_grams" -> (dir =>
+        graft.ops.ScaleOps18.q152SkipGrams(spark, dir).count()),
+      // pmi_lift (q153, r10): bigram/unigram partial aggs + vocab-sized
+      // marginal joins — expected linear with a vocab-bounded tail
+      "pmi_lift" -> (dir =>
+        graft.ops.ScaleOps18.q153PmiLift(spark, dir).count()),
+      // incr_dedup (q157, r10): history-distinct + batch semi-join on the
+      // 8-byte shingle hash — expected linear (both sides are one
+      // hash-partitioned pass; replicas share shingles so the history
+      // set stays near-constant while the batch side scales)
+      "incr_dedup" -> (dir =>
+        graft.ops.ScaleOps18.q157IncrementalDedup(spark, dir).count()))
 
     val opsRun = opFilter match {
       case None => allOps
