@@ -40,12 +40,19 @@ object ScaleOps18 {
         col("tok").as("center"))
     val contexts = toks.select(col("doc_id"), col("pos").as("cpos"),
       col("tok").as("context"))
-    centers.join(contexts, Seq("doc_id", "cpos"))
+    // top-k via orderBy+limit = TakeOrderedAndProject, a DISTRIBUTED
+    // top-25 — the pair table is co-occurrence-matrix-sized (unlike
+    // q120's ≤|charset|² table), so a global rank window over it would
+    // be a single-task sort at 100 TB; the rank window runs on the 25
+    // survivors only
+    val top = centers.join(contexts, Seq("doc_id", "cpos"))
       .groupBy(col("center"), col("context"))
       .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("center"), col("context"))
+      .limit(25)
+    top
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("center"), col("context"))))
-      .filter(col("rank") <= 25)
       .select(col("rank"), col("center"), col("context"), col("cnt"))
       .orderBy(col("rank"))
   }
@@ -126,9 +133,13 @@ object ScaleOps18 {
       .withColumn("lift_fp", expr(
         "CAST((CAST(cxy AS DECIMAL(38,0)) * tt * tt * 1000000) div " +
           "(CAST(bb AS DECIMAL(38,0)) * cx * cy) AS BIGINT)"))
+      // distributed TakeOrdered, then rank over the 20 survivors — the
+      // scored bigram table is vocab²-bounded, too big for a global
+      // rank window at 100 TB (the q152 note)
+      .orderBy(col("lift_fp").desc, col("w1"), col("w2"))
+      .limit(20)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("lift_fp").desc, col("w1"), col("w2"))))
-      .filter(col("rank") <= 20)
       .select(col("rank"), col("w1"), col("w2"), col("cxy"), col("lift_fp"))
       .orderBy(col("rank"))
   }

@@ -456,6 +456,9 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
       || p.contains("ShuffledHashJoin"), p)
     assert(p.contains("partial_"), p)
+    // the top-25 is a DISTRIBUTED TakeOrdered over the pair table — a
+    // global rank window here would be a single-task sort at 100 TB
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 
   test("q153/q158: marginal joins stay equi-keyed; the only nested-loop is the 1-row totals/anchor broadcast") {
