@@ -105,6 +105,14 @@ object GraftExtensions {
       info("mjpeg_fixture",
         "mjpeg_fixture(id) - deterministic MJPEG-in-MP4 bytes (every sample a complete DC-exact baseline JPEG)"),
       (exprs: Seq[Expression]) => graft.multimodal.MjpegFixture(exprs.head)),
+    (FunctionIdentifier("wav_samples"),
+      info("wav_samples",
+        "wav_samples(bytes) - RIFF/WAVE PCM parse to the raw interleaved sample array (audio-analytics input)"),
+      (exprs: Seq[Expression]) => graft.multimodal.WavSamples(exprs.head)),
+    (FunctionIdentifier("wav_fixture_long"),
+      info("wav_fixture_long",
+        "wav_fixture_long(id) - longer deterministic mono-16-bit WAV bytes (WHT-window-aligned LCG pattern)"),
+      (exprs: Seq[Expression]) => graft.multimodal.WavFixtureLong(exprs.head)),
     (FunctionIdentifier("mp3_scan"),
       info("mp3_scan",
         "mp3_scan(bytes) - MPEG-1 Layer III frame walk: rate, frames, duration, bitrate sum"),

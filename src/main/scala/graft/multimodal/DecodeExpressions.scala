@@ -65,6 +65,16 @@ object DecodeKernels {
 
   def wavFixture(id: Long): Array[Byte] = Wav.fixtureBytes(id)
 
+  /** REAL WAV decode to the raw interleaved sample ARRAY — the input of
+    * the audio-analytics layer (silence segmentation, Walsh–Hadamard
+    * bands); null when the bytes are not well-formed RIFF/WAVE PCM. */
+  def wavSamplesArr(bytes: Array[Byte]): ArrayData = {
+    val a = Wav.decode(bytes)
+    if (a == null) null else ArrayData.toArrayData(a.samples)
+  }
+
+  def wavFixtureLong(id: Long): Array[Byte] = Wav.fixtureBytesLong(id)
+
   /** MP4 CONTAINER parse row — box-tree walk + mvhd extraction
     * ([[Mp4.decode]]); null for malformed bytes. duration_ms is floor
     * integer division (ticks·1000/timescale), the q14 convention. */
@@ -594,6 +604,41 @@ case class WavFixture(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"$kn.wavFixture($c)")
   }
   override protected def withNewChildInternal(c: Expression): WavFixture =
+    copy(child = c)
+}
+
+/** samples = wav_samples(content): REAL RIFF/WAVE PCM parse to the raw
+  * interleaved sample array — the audio-analytics input (q159/q160).
+  * NULL for malformed bytes, the shared decode contract. */
+case class WavSamples(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_samples"
+  override def nullSafeEval(c: Any): Any =
+    DecodeKernels.wavSamplesArr(c.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $kn.wavSamplesArr($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): WavSamples =
+    copy(child = c)
+}
+
+/** content = wav_fixture_long(id): the longer mono-16-bit fixture for
+  * the audio-analytics layer (see Wav.fixtureBytesLong). */
+case class WavFixtureLong(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_fixture_long"
+  override def nullSafeEval(id: Any): Any =
+    DecodeKernels.wavFixtureLong(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = DecodeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$kn.wavFixtureLong($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): WavFixtureLong =
     copy(child = c)
 }
 

@@ -169,4 +169,19 @@ object Wav {
     }
     encode(ch, sr, bits, samples)
   }
+
+  /** LONGER deterministic fixture for the audio-ANALYTICS layer
+    * (q159/q160): mono 16-bit at 16 kHz, 32 + (id mod 5)·8 frames — a
+    * multiple of 8 so Walsh–Hadamard windows tile exactly — with a
+    * faster-stepping LCG so silence/active runs and band content vary
+    * per id:
+    *   sample j = ((id·37 + j·769) mod 65536) − 32768
+    * (769 steps ~1.2 % of the range per sample: values sweep through
+    * the silence band in runs of ~20, giving real segment structure). */
+  def fixtureBytesLong(id: Long): Array[Byte] = {
+    val nFrames = (32 + java.lang.Math.floorMod(id, 5L) * 8).toInt
+    val samples = Array.tabulate(nFrames)(j =>
+      (java.lang.Math.floorMod(id * 37 + j * 769L, 65536L) - 32768L).toInt)
+    encode(1, 16000, 16, samples)
+  }
 }
