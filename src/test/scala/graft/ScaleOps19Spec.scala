@@ -87,4 +87,31 @@ class ScaleOps19Spec extends GraftSuite {
       assert(arith == Integer.bitCount(v) % 2)
     }
   }
+
+  test("wav_samples kernel totality — every byte mutation and truncation of the long fixture: null or parsed, never a throw") {
+    for (id <- Seq(2L, 3L)) {
+      val fix = graft.multimodal.Wav.fixtureBytesLong(id)
+      for (i <- fix.indices) {
+        val b = fix.clone(); b(i) = (b(i) ^ 0x5a).toByte
+        graft.multimodal.DecodeKernels.wavSamplesArr(b)
+      }
+      for (i <- 0 to fix.length by 3)
+        graft.multimodal.DecodeKernels.wavSamplesArr(fix.take(i))
+    }
+  }
+
+  test("the r10 SQL function surface: wav_samples/wav_fixture_long/mjpeg_fixture/mp4_jpeg_frames work from spark.sql") {
+    import spark.implicits._
+    // the shared test session already exists, so install via registerAll
+    graft.functions.GraftExtensions.registerAll(spark)
+    Seq(3L, 4L).toDF("media_id").createOrReplaceTempView("r10_sql_in")
+    val r = spark.sql(
+      """SELECT media_id,
+        |  size(wav_samples(wav_fixture_long(media_id))) AS n_pcm,
+        |  size(mp4_jpeg_frames(mjpeg_fixture(media_id))) AS n_frames
+        |FROM r10_sql_in ORDER BY media_id""".stripMargin).collect()
+    // laws: pcm = 32 + (id%5)*8; frames = 2 + id%3
+    assert(r(0).getInt(1) == 32 + 3 * 8 && r(0).getInt(2) == 2 + 3 % 3)
+    assert(r(1).getInt(1) == 32 + 4 * 8 && r(1).getInt(2) == 2 + 4 % 3)
+  }
 }
