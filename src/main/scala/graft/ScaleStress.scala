@@ -137,8 +137,9 @@ object ScaleStress {
     // hot-block mass = the windowed form's single-task window partition
     val keyed = spark.read.parquet(s"$dir/documents.parquet")
       .select(substring(trim(lower(col("text"))), 1, 2).as("block"))
-    val hotFrac = keyed.groupBy("block").count()
-      .agg(max(col("count"))).head().getLong(0).toDouble / nDocs
+    val largestBlock = keyed.groupBy("block").count()
+      .agg(max(col("count"))).head().getLong(0)
+    val hotFrac = largestBlock.toDouble / nDocs
     println(f"SNMSKEW n=$nDocs hot_block_fraction=$hotFrac%.3f")
 
     // balance evidence: explicit 32-way range partition of the sort the
@@ -156,10 +157,15 @@ object ScaleStress {
       f"max_fraction=${sizes.max.toDouble / nDocs}%.3f")
 
     // the adaptive entry must pick the windowed branch here (blocks are
-    // stress-sized, not 100TB-sized) …
-    println(s"SNMSKEW adaptive_pick=" + (
-      if (36 * nDocs / 100 <= 1000000) "windowed(default threshold)"
-      else "rankjoin"))
+    // stress-sized, not 100TB-sized) — reported from the SAME measurement
+    // the real q148SnmDedup entry branches on (largest block count vs
+    // graft.snm.maxBlockRows), not a parallel heuristic that could
+    // disagree with the operator's actual pick (the r10 advice)
+    val snmBound = spark.conf.getOption("graft.snm.maxBlockRows")
+      .map(_.toLong).getOrElse(1000000L)
+    println(s"SNMSKEW adaptive_pick=" +
+      (if (largestBlock <= snmBound) "windowed" else "rankjoin") +
+      s" largest_block=$largestBlock bound=$snmBound")
     // … and the rank-join branch, forced, must agree row-for-row
     val fast = graft.ops.ScaleOps16.q148SnmDedupRankJoin(spark, dir)
     val ref = graft.ops.ScaleOps16.q148SnmDedupWindowed(spark, dir)

@@ -65,6 +65,26 @@ object Relational {
     }
   }
 
+  /** Cheap corpus-identity signature for per-JVM memo keys (the r10
+    * advice: a memo keyed on `dir` alone silently serves stale state when
+    * a corpus at the same path is rewritten within one JVM — real for
+    * overwritten /tmp stress corpora). Identity = the table directory's
+    * part-file listing with sizes and mtimes: any rewrite (even same-size)
+    * changes mtimes, and the listing is driver-side metadata only — no
+    * data scan, a handful of FS stats. */
+  def corpusSignature(spark: SparkSession, dir: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) s"missing:$p"
+    else if (fs.getFileStatus(p).isFile) {
+      val st = fs.getFileStatus(p)
+      s"file:${st.getLen}:${st.getModificationTime}"
+    } else
+      fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString("|")
+  }
+
   /** Schema-adaptive events reader. The driver has shipped the events
     * table under two physical encodings across refreshes:
     *   - TIMESTAMP(NANOS) parquet timestamps, which Spark's vectorized

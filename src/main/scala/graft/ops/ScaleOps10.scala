@@ -364,11 +364,23 @@ object ScaleOps10 {
     *     regular hash join on node.
     * Both branches produce identical hop counts (spec'd on the chain
     * fixture and the real corpus). */
+  /** Per-(corpus identity) memo of the measured node count — the r10
+    * advice: the adaptive entry paid an unconditional full lineitem scan
+    * per invocation, and the approximate count could flip the branch
+    * between runs near the bound. Keyed on the part-file signature (the
+    * trainMemo pattern), so repeated bench/spec invocations measure once
+    * per corpus AND the branch choice is stable within a corpus
+    * lifetime; a rewritten corpus re-measures. */
+  private val nodeCountMemo =
+    scala.collection.concurrent.TrieMap[(String, String), Long]()
+
   def q127BfsHops(s: SparkSession, dir: String): DataFrame = {
     val maxNodes = s.conf.getOption("graft.bfs.broadcastMaxNodes")
       .map(_.toLong).getOrElse(8000000L)
-    val nNodes = Relational.fanOut(t(s, dir, "lineitem"))
-      .agg(approx_count_distinct(col("l_partkey")).as("n")).head().getLong(0)
+    val nNodes = nodeCountMemo.getOrElseUpdate(
+      (dir, Relational.corpusSignature(s, dir, "lineitem")),
+      Relational.fanOut(t(s, dir, "lineitem"))
+        .agg(approx_count_distinct(col("l_partkey")).as("n")).head().getLong(0))
     bfsHops(s, dir, broadcastFrontier = nNodes <= maxNodes)
   }
 

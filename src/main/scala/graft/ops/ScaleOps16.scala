@@ -133,10 +133,19 @@ object ScaleOps16 {
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         "gpos", org.apache.spark.sql.types.LongType, nullable = false))
-    val base = s.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, g) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ g) },
-      schema).cache()
+    // RDD-level persist, NOT DataFrame.cache (the r10 advice): the zipped
+    // table feeds both sides of the self-join below, so it must
+    // materialize once — but CacheManager entries are never auto-freed,
+    // and this builder cannot know when the (lazy) result has been
+    // consumed. An RDD persist is shared identically by both join
+    // branches (one LogicalRDD, self-joined) AND is ContextCleaner-
+    // managed: once the returned plan is dropped by the caller, the
+    // blocks are unpersisted on GC instead of accumulating across
+    // repeated invocations (stress runs, differential specs).
+    val zipped = sorted.rdd.zipWithIndex.map { case (r, g) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ g) }
+    zipped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = s.createDataFrame(zipped, schema)
     val right = base.select(col("gpos").as("rpos"), col("block").as("rblock"),
       col("doc_id").as("b_id"), col("prefix").as("b_p"))
     val left = base

@@ -124,13 +124,17 @@ object ScaleOps17 {
       .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
       .agg(sum(col("freq")).as("cnt"))
 
-  /** Per-(dir, rounds) memo of trained merges — the q35/q66 shared
-    * coarse-quantizer discipline: training is deterministic, so q150 and
-    * q151 (train + encode over the SAME corpus) share one training run
-    * per JVM instead of each paying the 8 synchronized rounds. Keyed by
-    * corpus dir, so two corpora in one JVM can never cross-pollinate. */
+  /** Per-(corpus identity, rounds) memo of trained merges — the q35/q66
+    * shared coarse-quantizer discipline: training is deterministic, so
+    * q150 and q151 (train + encode over the SAME corpus) share one
+    * training run per JVM instead of each paying the 8 synchronized
+    * rounds. The key carries [[Relational.corpusSignature]] (part-file
+    * names + sizes + mtimes), not the dir alone, so a corpus REWRITTEN at
+    * the same path within one JVM (an overwritten /tmp stress corpus —
+    * the r10 advice) trains fresh instead of serving stale merges; two
+    * corpora in one JVM can never cross-pollinate either way. */
   private val trainMemo =
-    scala.collection.concurrent.TrieMap[(String, Int), Seq[(Int, String, String, Long)]]()
+    scala.collection.concurrent.TrieMap[(String, String, Int), Seq[(Int, String, String, Long)]]()
 
   /** Distributed BPE training: `rounds` iterations of count-pairs →
     * argmax (cnt desc, p1, p2) → merge-everywhere. State is the
@@ -139,7 +143,9 @@ object ScaleOps17 {
     * scans only the vocab, and the winner collect is ONE row. */
   private[graft] def bpeTrain(s: SparkSession, dir: String,
       rounds: Int = BpeRounds): Seq[(Int, String, String, Long)] =
-    trainMemo.getOrElseUpdate((dir, rounds), bpeTrainUncached(s, dir, rounds))
+    trainMemo.getOrElseUpdate(
+      (dir, Relational.corpusSignature(s, dir, "documents"), rounds),
+      bpeTrainUncached(s, dir, rounds))
 
   private def bpeTrainUncached(s: SparkSession, dir: String,
       rounds: Int): Seq[(Int, String, String, Long)] = {
