@@ -104,25 +104,13 @@ object ScaleOps17 {
     * greedy BPE (`" a  a  a "` → `" aa  a "`), and the margins make
     * cross-symbol false matches impossible (symbols contain no
     * spaces). */
-  private def bpeWords(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bpeWords(s: SparkSession, dir: String): DataFrame = {
     val docs = Relational.fanOut(t(s, dir, "documents"))
     docs.select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
       .filter(length(col("tok")) >= 1)
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      .withColumn("seg", regexp_replace(col("tok"), "(.)", " $1 "))
+      .withColumn("seg", graft.text.Bpe.segmentInit(col("tok")))
   }
-
-  /** Adjacent symbol pairs of `seg`, weighted by word frequency. */
-  private def pairCounts(words: DataFrame): DataFrame =
-    words
-      .withColumn("s", split(trim(col("seg")), "  "))
-      .filter(size(col("s")) >= 2)
-      .select(col("freq"), explode(expr(
-        "transform(sequence(1, size(s) - 1), " +
-          "i -> named_struct('p1', element_at(s, i), 'p2', element_at(s, i + 1)))"))
-        .as("p"))
-      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
-      .agg(sum(col("freq")).as("cnt"))
 
   /** Per-(corpus identity, rounds) memo of trained merges — the q35/q66
     * shared coarse-quantizer discipline: training is deterministic, so
@@ -137,40 +125,18 @@ object ScaleOps17 {
     scala.collection.concurrent.TrieMap[(String, String, Int), Seq[(Int, String, String, Long)]]()
 
   /** Distributed BPE training: `rounds` iterations of count-pairs →
-    * argmax (cnt desc, p1, p2) → merge-everywhere. State is the
-    * VOCAB-sized word-frequency table (Zipf: ≪ corpus — the one
-    * corpus-sized exchange is the initial token groupBy); each round
-    * scans only the vocab, and the winner collect is ONE row. */
+    * argmax (cnt desc, p1, p2) → merge-everywhere
+    * ([[graft.text.Bpe.trainSequential]] — the machinery lives in the
+    * text layer since r11 so the artifact lifecycle and batched trainer
+    * share it). State is the VOCAB-sized word-frequency table (Zipf: ≪
+    * corpus — the one corpus-sized exchange is the initial token
+    * groupBy); each round scans only the vocab, and the winner collect
+    * is ONE row. */
   private[graft] def bpeTrain(s: SparkSession, dir: String,
       rounds: Int = BpeRounds): Seq[(Int, String, String, Long)] =
     trainMemo.getOrElseUpdate(
       (dir, Relational.corpusSignature(s, dir, "documents"), rounds),
-      bpeTrainUncached(s, dir, rounds))
-
-  private def bpeTrainUncached(s: SparkSession, dir: String,
-      rounds: Int): Seq[(Int, String, String, Long)] = {
-    var words = bpeWords(s, dir).cache()
-    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-    var r = 1
-    var exhausted = false
-    while (r <= rounds && !exhausted) {
-      val win = pairCounts(words)
-        .orderBy(col("cnt").desc, col("p1"), col("p2")).limit(1).collect()
-      if (win.isEmpty) exhausted = true
-      else {
-        val p1 = win(0).getAs[String]("p1"); val p2 = win(0).getAs[String]("p2")
-        merges += ((r, p1, p2, win(0).getAs[Long]("cnt")))
-        val next = words.withColumn("seg", call_function("replace",
-          col("seg"), lit(s" $p1  $p2 "), lit(s" $p1$p2 "))).cache()
-        next.count() // materialize before freeing the parent (lineage truncation)
-        words.unpersist()
-        words = next
-      }
-      r += 1
-    }
-    words.unpersist()
-    merges.toSeq
-  }
+      graft.text.Bpe.trainSequential(bpeWords(s, dir), rounds))
 
   /** q150: distributed BPE TRAINING — the r9 verdict's ask made real:
     * q120 computed the FIRST merge's statistic; this iterates the merge
@@ -209,18 +175,21 @@ object ScaleOps17 {
     *
     * Scale shape: train once (vocab-sized, above), then ONE pure-map
     * pass over the corpus tokens and one doc-keyed partial aggregate. */
-  def q151BpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val merges = bpeTrain(s, dir)
+  def q151BpeEncode(s: SparkSession, dir: String): DataFrame =
+    encodeDocs(s, dir, bpeTrain(s, dir))
+
+  /** Shared encode body: per-document whitespace/char/trained-BPE counts
+    * with an explicit merge list — q151 (in-session trained) and q161
+    * (loaded from the persisted artifact) differ ONLY in where the
+    * merges come from. */
+  private[graft] def encodeDocs(s: SparkSession, dir: String,
+      merges: Seq[graft.text.Bpe.Merge]): DataFrame = {
     val docs = Relational.fanOut(t(s, dir, "documents"))
     val toks = docs.select(col("doc_id"),
       explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
       .filter(length(col("tok")) >= 1)
-    val seg0 = regexp_replace(col("tok"), "(.)", " $1 ")
-    val segF = merges.foldLeft(seg0) { case (acc, (_, p1, p2, _)) =>
-      call_function("replace", acc, lit(s" $p1  $p2 "), lit(s" $p1$p2 "))
-    }
     toks
-      .withColumn("n_bpe", size(split(trim(segF), "  ")))
+      .withColumn("n_bpe", graft.text.Bpe.bpeCountOf(col("tok"), merges))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(length(col("tok"))).as("n_chars"),

@@ -263,12 +263,8 @@ object ScaleOps18 {
     val toks = docs.select(col("source"),
       explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
       .filter(length(col("tok")) >= 1)
-    val seg0 = regexp_replace(col("tok"), "(.)", " $1 ")
-    val segF = merges.foldLeft(seg0) { case (acc, (_, p1, p2, _)) =>
-      call_function("replace", acc, lit(s" $p1  $p2 "), lit(s" $p1$p2 "))
-    }
     toks
-      .withColumn("n_bpe", size(split(trim(segF), "  ")))
+      .withColumn("n_bpe", graft.text.Bpe.bpeCountOf(col("tok"), merges))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(length(col("tok"))).as("n_chars"),

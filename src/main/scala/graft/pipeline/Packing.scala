@@ -28,24 +28,38 @@ object Packing {
     * A document straddling a boundary belongs to the pack it starts in —
     * the greedy contiguous fill of the concat-then-chunk layout. */
   def packAssignments(docs: DataFrame, idCol: String, textCol: String,
-      groupCol: String, ctxTokens: Long): DataFrame = {
+      groupCol: String, ctxTokens: Long): DataFrame =
+    packAssignmentsByCount(
+      graft.ops.Relational.fanOut(docs)
+        .withColumn("n_tokens",
+          size(TextAnalysis.tokens(col(textCol))).cast("long")),
+      idCol, "n_tokens", groupCol, ctxTokens)
+
+  /** [[packAssignments]] with a CALLER-SUPPLIED token-count column — the
+    * r10 verdict's "pack by real tokenizer counts": a pipeline that has
+    * exact trained-BPE counts (q151 / [[graft.text.Bpe.bpeTokenCounts]])
+    * packs on those instead of the whitespace tokenizer. Same greedy
+    * concat-then-chunk layout, same single window shuffle per group; the
+    * floor division is exact while cumulative counts stay below 2^53
+    * (≈9e15 tokens per group — far past any single pack group). */
+  def packAssignmentsByCount(docs: DataFrame, idCol: String,
+      nTokensCol: String, groupCol: String, ctxTokens: Long): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    graft.ops.Relational.fanOut(docs)
-      .withColumn("__n", size(TextAnalysis.tokens(col(textCol))).cast("long"))
-      .withColumn("__cum", sum(col("__n")).over(w))
-      .withColumn("pack_id", floor((col("__cum") - col("__n")) / lit(ctxTokens)))
+    docs
+      .withColumn("__cum", sum(col(nTokensCol)).over(w))
+      .withColumn("pack_id",
+        floor((col("__cum") - col(nTokensCol)) / lit(ctxTokens)))
       .drop("__cum")
-      .withColumnRenamed("__n", "n_tokens")
   }
 
   /** Pack-level roll-up: docs per pack, token fill, id span. */
   def packSummary(assignments: DataFrame, idCol: String,
-      groupCol: String): DataFrame =
+      groupCol: String, nTokensCol: String = "n_tokens"): DataFrame =
     assignments.groupBy(col(groupCol), col("pack_id"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("pack_tokens"),
+        sum(col(nTokensCol)).as("pack_tokens"),
         min(col(idCol)).as("first_doc"),
         max(col(idCol)).as("last_doc"))
 
