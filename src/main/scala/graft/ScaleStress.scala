@@ -21,7 +21,10 @@ import graft.dedup.Dedup
   *    Σ df·(df−1)/2 with and without the df cap (the uncapped number is
   *    the join size a production run would have to materialize) and times
   *    the CAPPED production path ([[Dedup.nearDupPairs]]) at 1× and 10×,
-  *    plus the uncapped path at 1× for contrast. */
+  *    plus the uncapped path at 1× for contrast.
+  *  - `packskew <base> [nDocs]`: the one-dominant-source packing corpus —
+  *    differential + balance evidence for the r12 hierarchical prefix
+  *    sum ([[graft.pipeline.Packing.packAssignmentsByCount]]). */
 object ScaleStress {
 
   private def session(): SparkSession = {
@@ -62,6 +65,8 @@ object ScaleStress {
       reuse = !args.lift(2).contains("noreuse"))
     case Some("snmskew") => snmSkew(args.lift(1).getOrElse("/tmp/stress_snm"),
       args.lift(2).map(_.toInt).getOrElse(120000))
+    case Some("packskew") => packSkew(args.lift(1).getOrElse("/tmp/stress_pack"),
+      args.lift(2).map(_.toInt).getOrElse(400000))
     case Some("graphcurve") => graphCurve(args.lift(1).getOrElse("/tmp/stress_facts"),
       args.lift(2).map(_.toInt).getOrElse(3))
     case _ => facts(args.headOption.getOrElse("/tmp/sfbig"))
@@ -176,6 +181,58 @@ object ScaleStress {
     val diff = fast.unionByName(ref).except(fast.intersect(ref)).count()
     println(f"SNMSKEW rankjoin ${fastSec}%.2fs pairs=$fastRows | " +
       f"windowed ${refSec}%.2fs pairs=$refRows | sym_diff=$diff")
+    spark.stop()
+  }
+
+  /** Adversarial corpus for the packing prefix sum (the r11 verdict's one
+    * `weak`): ~95 % of documents in ONE source — the shape where the old
+    * per-source running-sum window serialized nearly the whole corpus
+    * into a single task. Verifies the r12 hierarchical two-phase form is
+    * (a) row-identical to the windowed reference, (b) balanced: prints
+    * the dominant source's mass against the range exchange's max
+    * partition size (max-task input ≪ source size is the fix's claim),
+    * and (c) both paths' wall times. */
+  def packSkew(base: String, nDocs: Int): Unit = {
+    val spark = session()
+    val dir = s"$base/packdocs"
+    spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(20)) === 19,
+        concat(lit("minor"), pmod(col("id"), lit(8))))
+        .otherwise(lit("dominant")).as("source"),
+      (lit(1L) + pmod(col("id") * 7919, lit(50))).as("n_tokens"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val docs = spark.read.parquet(s"$dir/docs.parquet")
+    val domRows = docs.filter(col("source") === "dominant").count()
+    println(f"PACKSKEW n=$nDocs dominant_fraction=${domRows.toDouble / nDocs}%.3f")
+
+    // balance evidence: the exchange the hierarchical form opens with —
+    // range partition on (source, doc_id); the unique trailing id splits
+    // the dominant source across partitions (explicit 32-way so AQE's
+    // small-data coalescing doesn't mask the mechanism at stress scale,
+    // the snmSkew discipline)
+    val sizes = docs.repartitionByRange(32, col("source"), col("doc_id"))
+      .rdd.mapPartitions(it => Iterator(it.size)).collect().filter(_ > 0)
+    println(s"PACKSKEW range_partitions n=${sizes.length} " +
+      s"max=${sizes.max} mean=${sizes.sum / sizes.length} " +
+      f"max_task_vs_dominant=${sizes.max.toDouble / domRows}%.3f " +
+      f"(windowed form would put fraction 1.000 of the source in one task)")
+
+    val ctx = 2048L
+    val (hierSec, hierRows) = timed(spark, 3)(
+      graft.pipeline.Packing.packAssignmentsByCount(
+        docs, "doc_id", "n_tokens", "source", ctx).count())
+    val (winSec, winRows) = timed(spark, 3)(
+      graft.pipeline.Packing.packAssignmentsByCountWindowed(
+        docs, "doc_id", "n_tokens", "source", ctx).count())
+    val h = graft.pipeline.Packing.packAssignmentsByCount(
+      docs, "doc_id", "n_tokens", "source", ctx)
+    val w = graft.pipeline.Packing.packAssignmentsByCountWindowed(
+      docs, "doc_id", "n_tokens", "source", ctx)
+    val diff = h.unionByName(w).except(h.intersect(w)).count()
+    println(f"PACKSKEW hierarchical ${hierSec}%.2fs rows=$hierRows | " +
+      f"windowed ${winSec}%.2fs rows=$winRows | sym_diff=$diff")
     spark.stop()
   }
 

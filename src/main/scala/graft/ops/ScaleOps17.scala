@@ -138,6 +138,23 @@ object ScaleOps17 {
       (dir, Relational.corpusSignature(s, dir, "documents"), rounds),
       graft.text.Bpe.trainSequential(bpeWords(s, dir), rounds))
 
+  /** [[bpeTrain]] with the SQL-mirror precondition ENFORCED (the r11
+    * advice): the encode/packing mirrors (q151/q161/q162) CROSS JOIN
+    * every unrolled mN CTE, so a corpus that exhausts before
+    * [[BpeRounds]] merges makes some mN empty and every DuckDB per-doc
+    * count collapse to 0/NULL while the Spark arm would happily apply
+    * the shorter merge list — engine divergence on a degenerate corpus.
+    * This entry turns that into a LOUD precondition failure on the
+    * Spark side instead. (q150's train-only mirror truncates in the
+    * same place the Spark arm stops, so it keeps plain [[bpeTrain]].) */
+  private[graft] def bpeTrainFull(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+    val merges = bpeTrain(s, dir)
+    require(merges.size == BpeRounds,
+      s"BPE corpus at $dir exhausted after ${merges.size} of $BpeRounds merges — " +
+        "the unrolled SQL mirrors (q151/q161/q162) require a corpus supporting every round")
+    merges
+  }
+
   /** q150: distributed BPE TRAINING — the r9 verdict's ask made real:
     * q120 computed the FIRST merge's statistic; this iterates the merge
     * to a trained vocabulary. Output: the merge table — one row per
@@ -176,7 +193,7 @@ object ScaleOps17 {
     * Scale shape: train once (vocab-sized, above), then ONE pure-map
     * pass over the corpus tokens and one doc-keyed partial aggregate. */
   def q151BpeEncode(s: SparkSession, dir: String): DataFrame =
-    encodeDocs(s, dir, bpeTrain(s, dir))
+    encodeDocs(s, dir, bpeTrainFull(s, dir))
 
   /** Shared encode body: per-document whitespace/char/trained-BPE counts
     * with an explicit merge list — q151 (in-session trained) and q161

@@ -139,8 +139,10 @@ object ScaleOps2 {
   /** Context-window packing (q61): lay documents out per source in doc_id
     * order and chunk the concatenated token stream into ctx=2048 windows;
     * report each pack's fill. The batch-assembly step between curation
-    * and training (graft.pipeline.Packing). One window shuffle per
-    * source; arithmetic on running sums otherwise. */
+    * and training (graft.pipeline.Packing). The running sum is the
+    * hierarchical two-phase prefix sum (r12): one range exchange +
+    * per-partition local windows, never a whole source in one task;
+    * arithmetic on running sums otherwise. */
   def q61SequencePack(s: SparkSession, dir: String): DataFrame = {
     val assigned = graft.pipeline.Packing.packAssignments(
       t(s, dir, "documents"), "doc_id", "text", "source", ctxTokens = 2048L)

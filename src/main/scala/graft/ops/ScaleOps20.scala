@@ -38,15 +38,26 @@ object ScaleOps20 {
     * "train once, ship the artifact, encode anywhere" path with zero
     * retraining. */
   def q161BpeArtifactEncode(s: SparkSession, dir: String): DataFrame = {
-    val merges = ScaleOps17.bpeTrain(s, dir)
+    val merges = ScaleOps17.bpeTrainFull(s, dir)
     val path = vocabPathFor(s, dir)
-    // idempotent persist: the path embeds the corpus identity, so an
-    // existing valid artifact of the same size IS this vocabulary
-    if (graft.text.Bpe.vocabRows(s, path) != merges.size)
+    // Idempotent persist with SELF-HEAL (the r11 advice): a stamp-valid
+    // artifact of the right size is loaded and trusted only if its
+    // CONTENT matches the trained merges; any other state — never
+    // stamped, torn/garbage stamp (vocabRows -1), load-time validation
+    // failure, or same-size-different-merges (a tie-break or rounds
+    // semantic that changed across code versions under one corpus
+    // signature) — is rewritten in place and reloaded, so the query
+    // converges instead of failing forever until /tmp is hand-cleaned.
+    val existing =
+      if (graft.text.Bpe.vocabRows(s, path) == merges.size)
+        scala.util.Try(graft.text.Bpe.loadVocab(s, path)).toOption
+      else None
+    val loaded = existing.filter(_ == merges).getOrElse {
       graft.text.Bpe.writeVocab(s, merges, path)
-    val loaded = graft.text.Bpe.loadVocab(s, path)
+      graft.text.Bpe.loadVocab(s, path)
+    }
     require(loaded == merges,
-      s"q161: loaded vocab at $path does not match the trained merges")
+      s"q161: freshly rewritten vocab at $path does not round-trip")
     ScaleOps17.encodeDocs(s, dir, loaded)
   }
 
@@ -72,10 +83,13 @@ object ScaleOps20 {
     * span.
     *
     * Scale shape: the q151 encode (pure map + doc-keyed partial agg),
-    * one broadcast-able doc-count join back to (doc_id, source), ONE
-    * window shuffle on source, one pack rollup. */
+    * one broadcast-able doc-count join back to (doc_id, source), then
+    * the hierarchical two-phase prefix sum ([[graft.pipeline.Packing]]
+    * since r12 — ONE range exchange + per-partition local windows; the
+    * old per-source window serialized a whole source into one task),
+    * one pack rollup. */
   def q162BpePacking(s: SparkSession, dir: String): DataFrame = {
-    val merges = ScaleOps17.bpeTrain(s, dir)
+    val merges = ScaleOps17.bpeTrainFull(s, dir)
     val docs = Relational.fanOut(t(s, dir, "documents"))
       .select(col("doc_id").cast("long").as("doc_id"), col("source"),
         col("text"))
@@ -94,7 +108,11 @@ object ScaleOps20 {
 
   /** Mirror: the q150 merge-table CTEs, the q151 apply chain rolled up
     * per document (empty documents keep a 0 count via the LEFT JOIN),
-    * then the same per-source running-sum pack assignment and rollup. */
+    * then the same per-source running-sum pack assignment and rollup.
+    * PRECONDITION (enforced Spark-side by
+    * [[ScaleOps17.bpeTrainFull]]): the corpus supports all BpeRounds
+    * merges — an empty mN CTE would zero every COALESCE'd count here
+    * while Spark applied the shorter list. */
   val q162Sql: String = {
     val rounds = ScaleOps17.BpeRounds
     val applyChain = (1 to rounds).foldLeft("regexp_replace(tok, '(.)', ' \\1 ', 'g')") {

@@ -185,7 +185,12 @@ object Bpe {
     try out.write(merges.size.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Stamped merge count of a persisted vocab (-1 if never stamped). */
+  /** Stamped merge count of a persisted vocab. -1 if never stamped OR
+    * the stamp is unparseable (empty/garbage — the torn window where the
+    * writer died between `fs.create`'s truncate and the write): both
+    * mean "no valid stamp", and callers' never-stamped branch (rewrite /
+    * retrain) is the right response to both. [[loadVocab]]'s mismatch
+    * require stays the loud path for a stamp that parses but disagrees. */
   def vocabRows(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_rows")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -201,7 +206,8 @@ object Bpe {
           n = in.read(buf, total, buf.length - total)
         }
         if (n > 0) total += n
-        new String(buf, 0, total, "UTF-8").trim.toLong
+        val s = new String(buf, 0, total, "UTF-8").trim
+        try s.toLong catch { case _: NumberFormatException => -1L }
       } finally in.close()
     }
   }

@@ -85,6 +85,66 @@ class ScaleOps20Spec extends GraftSuite {
     assert(e4.getMessage.contains("empty"))
   }
 
+  test("Bpe artifact: garbage or empty stamp reads as never-stamped (-1), not an NFE (r11 advice)") {
+    val dir = tempDir("bpe-vocab-garbage")
+    val merges: Seq[graft.text.Bpe.Merge] = Seq((1, "a", "b", 5L))
+    graft.text.Bpe.writeVocab(spark, merges, dir.toString)
+    // torn window: writer died between create's truncate and the write
+    writeStamp(dir.toString, "")
+    assert(graft.text.Bpe.vocabRows(spark, dir.toString) == -1L)
+    writeStamp(dir.toString, "not-a-number")
+    assert(graft.text.Bpe.vocabRows(spark, dir.toString) == -1L)
+    // loadVocab still refuses loudly on the -1 mismatch (its contract)
+    val e = intercept[IllegalArgumentException](
+      graft.text.Bpe.loadVocab(spark, dir.toString))
+    assert(e.getMessage.contains("stamp"))
+  }
+
+  test("q161: self-heals a stale same-size artifact and a torn stamp instead of failing forever (r11 advice)") {
+    // recompute the (private) artifact path exactly as q161 derives it
+    val sig = graft.ops.Relational.corpusSignature(spark, sf, "documents")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest((sf + "|" + sig).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"${sys.props("java.io.tmpdir")}/graft_bpe_vocab/$md5"
+    val expected = graft.ops.ScaleOps17.q151BpeEncode(spark, sf).collect().toSeq
+    val realMerges = graft.ops.ScaleOps17.bpeTrain(spark, sf)
+    // (a) same-SIZE different-CONTENT artifact at the real path — the
+    // stamp matches, so pre-r12 code trusted it, require'd, and then
+    // failed on every later run until /tmp was hand-cleaned
+    val impostor = (1 to realMerges.size)
+      .map(r => (r, s"z$r", "q", 1L): graft.text.Bpe.Merge)
+    graft.text.Bpe.writeVocab(spark, impostor, path)
+    assert(graft.ops.ScaleOps20.q161BpeArtifactEncode(spark, sf)
+      .collect().toSeq == expected)
+    assert(graft.text.Bpe.loadVocab(spark, path) == realMerges,
+      "q161 must have rewritten the impostor artifact in place")
+    // (b) torn/garbage stamp at the real path — vocabRows -1 routes to
+    // the rewrite branch instead of exploding inside the idempotence check
+    writeStamp(path, "garbage")
+    assert(graft.ops.ScaleOps20.q161BpeArtifactEncode(spark, sf)
+      .collect().toSeq == expected)
+    assert(graft.text.Bpe.vocabRows(spark, path) == realMerges.size.toLong)
+  }
+
+  test("BPE corpus exhausted before BpeRounds: encode/packing arms fail loudly, not silently diverging from the mirror (r11 advice)") {
+    val dir = tempDir("bpe-exhausted")
+    // one repeated 2-char token: round 1 merges (a,b); no pairs remain —
+    // training exhausts after 1 of the 8 mirrored rounds
+    writeDocs(dir, Seq((1L, "ab ab ab"), (2L, "ab")))
+    val e1 = intercept[IllegalArgumentException](
+      graft.ops.ScaleOps17.q151BpeEncode(spark, dir.toString).collect())
+    assert(e1.getMessage.contains("exhausted"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      graft.ops.ScaleOps20.q162BpePacking(spark, dir.toString).collect())
+    assert(e2.getMessage.contains("exhausted"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      graft.ops.ScaleOps20.q161BpeArtifactEncode(spark, dir.toString).collect())
+    assert(e3.getMessage.contains("exhausted"), e3.getMessage)
+    // q150 (train-only) keeps the documented truncate-in-step behavior:
+    // its mirror's UNION ALL truncates at the same round the trainer stops
+    assert(graft.ops.ScaleOps17.q150BpeTrain(spark, dir.toString).count() == 1L)
+  }
+
   test("q161: encode-after-load is row-identical to the in-session q151 encode") {
     val viaArtifact = graft.ops.ScaleOps20.q161BpeArtifactEncode(spark, sf)
     val inSession = graft.ops.ScaleOps17.q151BpeEncode(spark, sf)

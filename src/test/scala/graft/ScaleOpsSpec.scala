@@ -383,6 +383,48 @@ class DedupSpec extends GraftSuite {
     assert(sum.getAs[Long]("n_docs") == 2 && sum.getAs[Long]("pack_tokens") == 7)
   }
 
+  test("packing: hierarchical prefix sum is row-identical to the single-window reference (r12 differential)") {
+    // (a) the real corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"source", org.apache.spark.sql.functions.size(
+        TextAnalysis.tokens($"text")).cast("long").as("n"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "source", "n", "pack_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._2, t._1)).toSeq
+    val hier = graft.pipeline.Packing
+      .packAssignmentsByCount(docs, "doc_id", "n", "source", 512L)
+    val win = graft.pipeline.Packing
+      .packAssignmentsByCountWindowed(docs, "doc_id", "n", "source", 512L)
+    assert(rows(hier) == rows(win))
+
+    // (b) the skew shape the hierarchical form exists for: one source
+    // carrying ~95% of the corpus (plus a null group, which window
+    // semantics treat as its own ordering partition and the null-safe
+    // offset join must not drop), spread across many input partitions
+    val skew = spark.range(0, 4000).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id % 20 = 19 THEN concat('s', id % 3) " +
+        "WHEN id % 97 = 0 THEN CAST(NULL AS STRING) " +
+        "ELSE 'dominant' END AS source",
+      "1 + (id * 7919) % 23 AS n").repartition(16)
+    def rowsN(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "source", "n", "pack_id").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._2, t._1)).toSeq
+    val hs = graft.pipeline.Packing
+      .packAssignmentsByCount(skew, "doc_id", "n", "source", 64L)
+    val ws = graft.pipeline.Packing
+      .packAssignmentsByCountWindowed(skew, "doc_id", "n", "source", 64L)
+    val hsRows = rowsN(hs)
+    assert(hsRows == rowsN(ws))
+    val expectedNulls = (0 until 4000).count(id => id % 20 != 19 && id % 97 == 0)
+    assert(hsRows.count(_._2.isEmpty) == expectedNulls,
+      "null-group rows survived the offset join")
+    // dominant source spans many packs — the cumulative sum really ran
+    assert(hsRows.filter(_._2.contains("dominant")).map(_._4).distinct.size > 100)
+  }
+
   test("packing conserves tokens: per-source pack totals equal the corpus total") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val assigned = graft.pipeline.Packing
