@@ -69,6 +69,10 @@ object ScaleStress {
       args.lift(2).map(_.toInt).getOrElse(400000))
     case Some("graphcurve") => graphCurve(args.lift(1).getOrElse("/tmp/stress_facts"),
       args.lift(2).map(_.toInt).getOrElse(3))
+    case Some("mediacurve") => mediaCurve(args.lift(1).getOrElse("/tmp/stress_facts"),
+      args.lift(2).map(_.toInt).getOrElse(3))
+    case Some("bpebatch") => bpeBatch(args.lift(1).getOrElse("/tmp/stress_facts/x10"),
+      args.lift(2).map(_.toInt).getOrElse(256))
     case _ => facts(args.headOption.getOrElse("/tmp/sfbig"))
   }
 
@@ -108,6 +112,89 @@ object ScaleStress {
     }
     val worst = results.maxBy(_._2)
     println(f"CURVE worst ${worst._1} exponent=${worst._2}%.2f")
+    spark.stop()
+  }
+
+  // --- media decode family curve mode --------------------------------------
+
+  /** 4-point scaling curves for the MEDIA DECODE family (the r10
+    * verdict's missing scale-curve evidence, item #6): q149 MJPEG
+    * container walk + per-sample JPEG decode, q154 keyframe lag
+    * windows, q159 WAV silence segmentation, q160 WHT band energies.
+    * All four synthesize their media fixtures per DOCUMENT row (fixture
+    * laws are pure id arithmetic), so a facts corpus's ×n documents IS
+    * ×n media byte volume at constant per-item size — the existing
+    * `StressGen facts` corpora are the media-growth corpora, no
+    * separate generator needed. Decode is a pure map and the windows
+    * are media-keyed (≫ tasks, tiny partitions), so the family should
+    * land at exponent ≈ 1.0 in bytes with no skew term. Same
+    * least-squares protocol as `curve`/`graphcurve`. */
+  def mediaCurve(base: String, reps: Int): Unit = {
+    val spark = session()
+    val scales = Seq(1, 3, 10, 100)
+      .filter(n => new java.io.File(s"$base/x$n/documents.parquet").exists())
+    require(scales.nonEmpty,
+      s"no facts corpora under $base (expected x1/x3/... with documents) — " +
+        "generate with `runMain graft.StressGen facts <src> $base/xN N`")
+    println(s"MEDIACURVE scales=${scales.mkString(",")}")
+    val qs = Seq("q149_mjpeg_frames", "q154_keyframes", "q159_silence",
+      "q160_wht_bands")
+    qs.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
+    spark.catalog.clearCache()
+    val results = for (name <- qs) yield {
+      val pts = scales.map { n =>
+        val (sec, rows) = timed(spark, reps)(
+          SparkEntry.queries(name)(spark, s"$base/x$n").count())
+        println(f"CURVE $name x$n%-3d ${sec}%.2fs rows=$rows")
+        (n.toDouble, sec)
+      }
+      val xs = pts.map(p => math.log(p._1)); val ys = pts.map(p => math.log(p._2))
+      val xm = xs.sum / xs.size; val ym = ys.sum / ys.size
+      val e = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
+        xs.map(x => (x - xm) * (x - xm)).sum
+      println(f"CURVE $name exponent=${e}%.2f")
+      name -> e
+    }
+    val worst = results.maxBy(_._2)
+    println(f"CURVE worst ${worst._1} exponent=${worst._2}%.2f")
+    spark.stop()
+  }
+
+  // --- batched-BPE driver-round saving mode ---------------------------------
+
+  /** Measured driver-round saving of the conf-driven batched trainer at
+    * a REAL vocab size (the r11 verdict's "wire it in and measure"):
+    * trains `merges` merges over a stress corpus sequentially (one
+    * driver sync per merge) and at batchK = [[graft.text.Bpe.DefaultBatchK]],
+    * reporting wall time, driver rounds, and the schedule-prefix overlap
+    * (batched is an approximation on conflict-heavy corpora; the
+    * boundary is spec-documented, the overlap is reported, not
+    * asserted). */
+  def bpeBatch(dir: String, merges: Int): Unit = {
+    val spark = session()
+    require(new java.io.File(s"$dir/documents.parquet").exists(),
+      s"no documents at $dir — generate with StressGen facts")
+    val words = graft.text.Bpe.vocabWords(
+      spark.read.parquet(s"$dir/documents.parquet"), "text").cache()
+    words.count()
+    def timedTrain(f: => Seq[graft.text.Bpe.Merge])
+        : (Double, Seq[graft.text.Bpe.Merge], Int) = {
+      val t0 = System.nanoTime()
+      val m = f
+      ((System.nanoTime() - t0) / 1e9, m, graft.text.Bpe.lastDriverRounds.get())
+    }
+    val (seqSec, seqM, seqRounds) =
+      timedTrain(graft.text.Bpe.trainSequential(words, merges))
+    val (batSec, batM, batRounds) =
+      timedTrain(graft.text.Bpe.trainBatched(words, merges,
+        graft.text.Bpe.DefaultBatchK))
+    val overlap = seqM.map(m => (m._2, m._3)).toSet
+      .intersect(batM.map(m => (m._2, m._3)).toSet).size
+    println(f"BPEBATCH merges=$merges sequential=${seqSec}%.1fs rounds=$seqRounds " +
+      f"batched=${batSec}%.1fs rounds=$batRounds " +
+      f"speedup=${seqSec / batSec}%.2fx roundRatio=${seqRounds.toDouble / batRounds}%.1fx " +
+      f"scheduleOverlap=$overlap/${merges}")
+    words.unpersist()
     spark.stop()
   }
 
@@ -221,12 +308,12 @@ object ScaleStress {
 
     val ctx = 2048L
     val (hierSec, hierRows) = timed(spark, 3)(
-      graft.pipeline.Packing.packAssignmentsByCount(
+      graft.pipeline.Packing.packAssignmentsByCountHierarchical(
         docs, "doc_id", "n_tokens", "source", ctx).count())
     val (winSec, winRows) = timed(spark, 3)(
       graft.pipeline.Packing.packAssignmentsByCountWindowed(
         docs, "doc_id", "n_tokens", "source", ctx).count())
-    val h = graft.pipeline.Packing.packAssignmentsByCount(
+    val h = graft.pipeline.Packing.packAssignmentsByCountHierarchical(
       docs, "doc_id", "n_tokens", "source", ctx)
     val w = graft.pipeline.Packing.packAssignmentsByCountWindowed(
       docs, "doc_id", "n_tokens", "source", ctx)

@@ -1,0 +1,153 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted shingle-fingerprint index — the artifact form of q157's
+  * history side (ref behavior class: the reference's checkpoint/resume
+  * ledger applied to dedup state; see `file-to-sql-loader.py:162-291`
+  * for the resume discipline this generalizes).
+  *
+  * q157 recomputes `DISTINCT hash` over the whole history every run; at
+  * 100 TB the history scan dwarfs the batch probe, and a production
+  * incremental-dedup loop keeps the fingerprint set as a PERSISTED,
+  * stamped index it probes (and later appends to) instead. This module
+  * is the [[graft.text.Bpe.writeVocab]] lifecycle discipline applied to
+  * a DISTRIBUTED artifact: parquet rows + a `_rows` stamp written LAST
+  * (torn-writer canary) + an order-independent `_xor` content signature
+  * (cheap set identity — a vocab-style driver-side element compare would
+  * collect an index that is gigabytes at scale).
+  *
+  * Unlike the BPE vocab (driver-sized by design), the index NEVER
+  * passes through the driver: build is a distinct partial-agg, write is
+  * a distributed parquet write, validation is metadata counts + one
+  * xor aggregate, probe is a distributed semi-join.
+  */
+object FingerprintIndex {
+
+  /** Default shingle width — the q157/q85 kernel's 8 tokens. */
+  val DefaultK = 8
+
+  /** Per-document shingle hashes (idCol, h): the q157 kernel — k-token
+    * sliding windows over the whitespace tokenization, FNV-1a-64 per
+    * shingle (strings never leave the expression). Pure map + explode. */
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = DefaultK): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    docs.select(col(idCol),
+      graft.text.TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col(idCol),
+        explode(column(graft.functions.SlidingShingleHashes(
+          expression(col("__t")), k))).as("h"))
+  }
+
+  /** The index content for a history corpus: DISTINCT shingle hashes —
+    * one partial-agg exchange, hash-partitioned on the 8-byte value. */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = DefaultK): DataFrame =
+    shingleHashes(docs, idCol, textCol, k).select(col("h")).distinct()
+
+  /** Persist an index: `path/hashes` parquet (distributed write), then
+    * the `_xor` content signature, then the `_rows` stamp LAST — a
+    * writer that died mid-way leaves stamp ≠ count (or no stamp) and
+    * [[loadIndex]] refuses loudly / the idempotence branch rewrites.
+    * Count and xor are computed from what actually landed ON DISK, so
+    * the stamp can never certify rows the write lost. Returns the
+    * stamped row count. Single-writer contract, like the vocab. */
+  def writeIndex(spark: SparkSession, hashes: DataFrame, path: String): Long = {
+    require(hashes.columns.toSeq == Seq("h"),
+      s"writeIndex: expected a single 'h' column, got ${hashes.columns.toSeq}")
+    hashes.write.mode("overwrite").parquet(s"$path/hashes")
+    val landed = spark.read.parquet(s"$path/hashes")
+      .agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("x")).head()
+    val n = landed.getLong(0); val x = landed.getLong(1)
+    require(n > 0, s"writeIndex: refusing to stamp an empty index at $path")
+    writeMeta(spark, path, "_xor", x.toString)
+    writeMeta(spark, path, "_rows", n.toString)
+    n
+  }
+
+  /** Stamped row count; -1 if never stamped or the stamp is torn
+    * garbage (same tolerant contract as [[graft.text.Bpe.vocabRows]]:
+    * both mean "no valid stamp" and the caller's rebuild branch is the
+    * right response to both). */
+  def indexRows(spark: SparkSession, path: String): Long =
+    readMeta(spark, path, "_rows").getOrElse(-1L)
+
+  /** Stamped content signature (bit-xor of all hashes); None if absent
+    * or torn. Order-independent, so it is insensitive to partitioning
+    * and write order — exactly what a distributed set identity needs. */
+  def indexXor(spark: SparkSession, path: String): Option[Long] =
+    readMeta(spark, path, "_xor")
+
+  /** Reopen a persisted index, VALIDATED: single long `h` column, stamp
+    * == on-disk row count (metadata-cheap). A torn or out-of-API
+    * mutated artifact surfaces as a loud require, never a silently
+    * different dedup verdict. Returns the DISTRIBUTED hash set — never
+    * collected. */
+  def loadIndex(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(s"$path/hashes")
+    require(df.columns.toSeq == Seq("h") &&
+        df.schema("h").dataType == org.apache.spark.sql.types.LongType,
+      s"fingerprint loadIndex: unexpected schema ${df.schema.simpleString} at $path")
+    val stamped = indexRows(spark, path)
+    val n = df.count()
+    require(stamped == n,
+      s"fingerprint loadIndex: stamp $stamped != $n rows at $path — torn write or out-of-API mutation; rebuild")
+    df
+  }
+
+  /** Probe a batch against an index: per batch document, how much of it
+    * history has already seen — n_shingles, n_hist_dup, dup fraction at
+    * 10⁻⁶ fixed point, and the ≥30 % quarantine flag (exactly q157's
+    * readout). `batch` carries (idCol, textCol); the join is a LEFT
+    * SEMI on the 8-byte hash — the index side is hash-partitioned,
+    * the batch side streams through, no strings cross an exchange. */
+  def probe(batch: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, k: Int = DefaultK): DataFrame = {
+    val ph = shingleHashes(batch, idCol, textCol, k)
+    val hits = ph.join(index, Seq("h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hist_dup"))
+    ph.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_hist_dup", coalesce(col("n_hist_dup"), lit(0L)))
+      .withColumn("dup_fp",
+        expr("CAST(n_hist_dup * 1000000 div n_shingles AS BIGINT)"))
+      .withColumn("quarantined", col("dup_fp") >= 300000L)
+      .select(col(idCol), col("n_shingles"), col("n_hist_dup"),
+        col("dup_fp"), col("quarantined"))
+  }
+
+  // --- stamp plumbing (the Bpe._rows read/write, shared shape) -------------
+
+  private def writeMeta(spark: SparkSession, path: String, name: String,
+      value: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, path: String,
+      name: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        var total = 0
+        var n = in.read(buf, total, buf.length - total)
+        while (n > 0 && total + n < buf.length) {
+          total += n
+          n = in.read(buf, total, buf.length - total)
+        }
+        if (n > 0) total += n
+        val s = new String(buf, 0, total, "UTF-8").trim
+        try Some(s.toLong) catch { case _: NumberFormatException => None }
+      } finally in.close()
+    }
+  }
+}

@@ -24,18 +24,35 @@ object ScaleOps16 {
     * (diff² alone can pass int64), ranked by the INTEGER score with a
     * token tie-break — top 20.
     *
-    * NUMERIC BOUND (the q139 discipline): |diff| ≤ N_A·N_B, so the
-    * numerator diff²·10⁶ fits DECIMAL(38,0)/HUGEINT only while
-    * N_A·N_B ≤ 10¹⁶ — i.e. up to ~10⁸ tokens per half (≈ a low-TB text
-    * corpus per snapshot). Past that the engines DIVERGE in failure
-    * mode: Spark (non-ANSI) nulls, DuckDB raises. For a larger corpus,
-    * pre-scale the totals (score is invariant under N_A,N_B →
-    * N_A/k, N_B/k up to rounding) or sample the halves; do not widen
-    * silently.
+    * NUMERIC BOUND — NOW A MEASURED BRANCH, not prose (the r10/r11
+    * verdicts' q148/q127 discipline applied here): |diff| ≤ N_A·N_B, so
+    * the numerator diff²·10⁶ fits DECIMAL(38,0)/HUGEINT only while
+    * N_A·N_B stays under ~10¹⁶ — past that an ANSI session (the Spark 4
+    * default) raises like DuckDB, and a non-ANSI session silently NULLs
+    * rows out of the ranking. The entry point therefore measures N_A·N_B
+    * first (one cheap per-document `size(split(..))` aggregate — no
+    * explode, no vocab groupBy; exactly Σca/Σcb because `split` and
+    * `explode(split)` count the same elements, empty-string tokens
+    * included) and branches:
+    *   - N_A·N_B ≤ `graft.drift.maxNaNb` (default 10¹⁵, a 10× margin
+    *     under the hard 10¹⁶): the EXACT path — totals as literals,
+    *     arithmetic unchanged (the oracle's shape).
+    *   - above it: PRE-SCALED totals. The score is invariant under
+    *     N_A,N_B → N_A/k, N_B/k (diff scales by 1/k, numerator by 1/k²,
+    *     denominator by 1/k² — exactly), so both totals divide by the
+    *     minimal k with (N_A/k)(N_B/k) ≤ bound, rounded half-up; the
+    *     ranking survives and scores carry only the ~1/(N/k) rounding
+    *     error (spec-pinned ≤ 1e-3 relative on a forced over-bound run).
+    * Either branch ASSERTS score_fp non-null per row (`assert_true`
+    * inside a filter, the tokenBudgetPlan discipline) — under ANSI the
+    * decimal multiply raises first; the assert closes the non-ANSI mode
+    * where an overflow that slipped the bound arithmetic would silently
+    * null rows out of the top-20. Loud either way.
     *
-    * Scale shape: one token partial-agg groupBy (conditional sums fold
-    * the halves in the same pass — no join of two aggregates), a 1-row
-    * totals broadcast, and a 20-row TakeOrdered. */
+    * Scale shape: one cheap totals aggregate (pure map + 1-row agg),
+    * one token partial-agg groupBy (conditional sums fold the halves in
+    * the same pass — no join of two aggregates), and a 20-row
+    * TakeOrdered. */
   def q147TokenDrift(s: SparkSession, dir: String): DataFrame = {
     val docs = Relational.fanOut(t(s, dir, "documents"))
     val toks = docs.select((col("doc_id") % 2 === 0).as("half_a"),
@@ -43,19 +60,82 @@ object ScaleOps16 {
     val byTok = toks.groupBy(col("tok"))
       .agg(sum(when(col("half_a"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("half_a"), 1L).otherwise(0L)).as("cb"))
-    val totals = byTok.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val tot = docs.select((col("doc_id") % 2 === 0).as("half_a"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("ntok"))
+      .agg(sum(when(col("half_a"), col("ntok")).otherwise(0L)).as("na"),
+        sum(when(!col("half_a"), col("ntok")).otherwise(0L)).as("nb"))
+      .head()
+    val na = if (tot.isNullAt(0)) 0L else tot.getLong(0)
+    val nb = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+    val bound = s.conf.getOption("graft.drift.maxNaNb")
+      .map(BigInt(_)).getOrElse(DriftMaxNaNb)
+    q147DriftScored(byTok, na, nb, bound)
+  }
+
+  /** Default N_A·N_B guard for [[q147TokenDrift]]: 10¹⁵ — one decade of
+    * margin under the 10¹⁶ hard DECIMAL(38) numerator bound so the
+    * half-up rounding of the scaled totals can never tip the numerator
+    * over. Override per session via `graft.drift.maxNaNb`. */
+  private[graft] val DriftMaxNaNb: BigInt = BigInt(10).pow(15)
+
+  /** Hard representational limit: the scaled diff is
+    * ca·(nb/k) − cb·(na/k) with UNSCALED counts, so its magnitude is
+    * bounded by max(na·nbS, nb·naS) — THAT product must stay ≤ 10¹⁶ for
+    * diff²·10⁶ to fit DECIMAL(38). (naS·nbS ≤ bound is NOT the right
+    * criterion — a first-draft trap this constant's loop guards.) */
+  private[graft] val DriftHardDiffBound: BigInt = BigInt(10).pow(16)
+
+  /** The branch body of [[q147TokenDrift]], factored over a counts table
+    * (tok, ca, cb) so the spec layer can drive it with SYNTHETIC
+    * over-bound counts (10⁸ real tokens per half is not a unit test).
+    * Exact path when na·nb ≤ maxNaNb; otherwise both totals divide by
+    * k = ceil(na·nb / maxNaNb) (BigInt — the ratio itself can exceed
+    * Long), rounded half-up and floored at 1, then k bumps until the
+    * HARD cross-product criterion max(na·nbS, nb·naS) ≤ 10¹⁶ holds.
+    * Scaling both totals by one k preserves the score exactly up to the
+    * half-up rounding (diff and the denominator both scale by 1/k²);
+    * the relative score error is ≈ k/min(na, nb) = nb/maxNaNb-ish —
+    * ~10⁻⁵ at 10¹¹-token halves, ~0.5 % at the 10¹³-token extreme
+    * (spec-pinned on a synthetic over-bound table).
+    * score_fp is ASSERTED non-null row-by-row in both branches. */
+  private[graft] def q147DriftScored(byTok: DataFrame, na: Long, nb: Long,
+      maxNaNb: BigInt): DataFrame = {
+    require(maxNaNb > 0, s"graft.drift.maxNaNb must be positive, got $maxNaNb")
+    val prod = BigInt(na) * BigInt(nb)
+    val (naS, nbS) =
+      if (prod <= maxNaNb) (na, nb)
+      else {
+        require(BigInt(na) <= DriftHardDiffBound && BigInt(nb) <= DriftHardDiffBound,
+          s"q147: a single half holds more than $DriftHardDiffBound tokens " +
+            s"($na / $nb) — beyond the fixed-point representation; sample the halves")
+        def scaled(t: Long, kk: BigInt): BigInt =
+          ((BigInt(t) + kk / 2) / kk).max(1)
+        var k = (prod + maxNaNb - 1) / maxNaNb
+        // terminates: scaled(·, k) → 1 as k grows and na, nb ≤ the hard
+        // bound by the require above
+        while (BigInt(na) * scaled(nb, k) > DriftHardDiffBound ||
+            BigInt(nb) * scaled(na, k) > DriftHardDiffBound) k += 1
+        (scaled(na, k).toLong, scaled(nb, k).toLong)
+      }
     val dec = DecimalType(38, 0)
-    byTok.crossJoin(broadcast(totals))
+    byTok
       .withColumn("diff",
-        col("ca").cast(dec) * col("nb").cast(dec)
-          - col("cb").cast(dec) * col("na").cast(dec))
+        col("ca").cast(dec) * lit(nbS).cast(dec)
+          - col("cb").cast(dec) * lit(naS).cast(dec))
       .withColumn("score_fp",
         expr("CAST((diff * diff * 1000000) div " +
-          "((ca + cb) * CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"))
+          s"((ca + cb) * CAST($naS AS DECIMAL(38,0)) * $nbS) AS BIGINT)"))
+      // loud-overflow contract: a NULL score (DECIMAL(38) overflow under
+      // non-ANSI Spark) fails the job instead of silently dropping the
+      // row from the ranking; passing rows see NULL → isNull → kept
+      .filter(assert_true(col("score_fp").isNotNull,
+        concat(lit("q147: score_fp overflowed DECIMAL(38) for token "),
+          col("tok"))).isNull)
       .select(col("tok"), col("ca"), col("cb"), col("score_fp"))
       .orderBy(col("score_fp").desc, col("tok"))
       .limit(20)
   }
+
 
   val q147Sql: String =
     raw"""WITH toks AS (

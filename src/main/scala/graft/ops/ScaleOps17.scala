@@ -104,13 +104,8 @@ object ScaleOps17 {
     * greedy BPE (`" a  a  a "` → `" aa  a "`), and the margins make
     * cross-symbol false matches impossible (symbols contain no
     * spaces). */
-  private[graft] def bpeWords(s: SparkSession, dir: String): DataFrame = {
-    val docs = Relational.fanOut(t(s, dir, "documents"))
-    docs.select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
-      .filter(length(col("tok")) >= 1)
-      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      .withColumn("seg", graft.text.Bpe.segmentInit(col("tok")))
-  }
+  private[graft] def bpeWords(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.vocabWords(Relational.fanOut(t(s, dir, "documents")), "text")
 
   /** Per-(corpus identity, rounds) memo of trained merges — the q35/q66
     * shared coarse-quantizer discipline: training is deterministic, so

@@ -84,10 +84,12 @@ object ScaleOps20 {
     *
     * Scale shape: the q151 encode (pure map + doc-keyed partial agg),
     * one broadcast-able doc-count join back to (doc_id, source), then
-    * the hierarchical two-phase prefix sum ([[graft.pipeline.Packing]]
-    * since r12 — ONE range exchange + per-partition local windows; the
-    * old per-source window serialized a whole source into one task),
-    * one pack rollup. */
+    * the SIZE-ADAPTIVE prefix sum ([[graft.pipeline.Packing]] since
+    * r12): a per-group count measurement routes small groups through
+    * one windowed pass (this SF) and big ones through the hierarchical
+    * two-phase form — ONE range exchange + per-partition local windows,
+    * so no source ever serializes into a single task at 100×. One pack
+    * rollup at the end. */
   def q162BpePacking(s: SparkSession, dir: String): DataFrame = {
     val merges = ScaleOps17.bpeTrainFull(s, dir)
     val docs = Relational.fanOut(t(s, dir, "documents"))

@@ -147,6 +147,68 @@ object Curation {
       .filter(col("top_bigram_frac") <= params.maxTopBigramFrac)
   }
 
+  /** Multimodal gate thresholds (the r10 verdict's "wire the media
+    * quality signals into curation"): decode-failure and content-quality
+    * gates over OPTIONAL binary media columns. A document whose media
+    * column is NULL is text-only and passes every media gate — the gates
+    * judge media that is present, they do not require media. */
+  final case class MediaParams(
+      /** Drop documents whose image payload fails to decode (unknown
+        * magic, truncated stream, bad CRC — [[graft.multimodal.ImageDecode]]'s
+        * NULL degradation turned into a gate). */
+      requireImageDecode: Boolean = true,
+      /** Minimum decoded pixel count (degenerate/thumbnail filter). */
+      minPixels: Long = 1L,
+      /** Drop documents whose audio payload fails to parse as WAV. */
+      requireAudioDecode: Boolean = true,
+      /** Maximum silent-sample fraction (dead-air filter; q159's
+        * |s| < 1 % full-scale silence law via
+        * [[graft.multimodal.WavAnalyze]]). */
+      maxSilenceRatio: Double = 0.95,
+      /** Minimum RMS energy (all-but-flatline filter). */
+      minRms: Double = 0.0)
+
+  /** Multimodal quality gates — one stateless codegen projection per
+    * media column (decode + analyze + filter fused; the raster never
+    * materializes), composable before [[curate]] exactly like the text
+    * gates. Emits the media metrics it gated on (`img_format`,
+    * `img_pixels`, `audio_silence_ratio`, `audio_rms` — NULL for absent
+    * or undecodable media) alongside every input column, so a pipeline
+    * ledger can attribute drops and downstream stages can re-use the
+    * metrics without re-decoding. */
+  def mediaGate(docs: DataFrame, imageCol: Option[String],
+      audioCol: Option[String],
+      mp: MediaParams = MediaParams()): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    var out = docs
+    imageCol.foreach { ic =>
+      out = out
+        .withColumn("__img",
+          column(graft.multimodal.ImageDecode(expression(col(ic)))))
+        .withColumn("img_format", col("__img.format"))
+        .withColumn("img_pixels", col("__img.n_pixels"))
+        .drop("__img")
+        .filter(col(ic).isNull || (
+          (if (mp.requireImageDecode) col("img_format").isNotNull else lit(true)) &&
+            coalesce(col("img_pixels") >= mp.minPixels,
+              lit(!mp.requireImageDecode))))
+    }
+    audioCol.foreach { ac =>
+      out = out
+        .withColumn("__aud",
+          column(graft.multimodal.WavAnalyze(expression(col(ac)))))
+        .withColumn("audio_silence_ratio", col("__aud.silence_ratio"))
+        .withColumn("audio_rms", col("__aud.rms"))
+        .drop("__aud")
+        .filter(col(ac).isNull || (
+          (if (mp.requireAudioDecode) col("audio_rms").isNotNull else lit(true)) &&
+            coalesce(col("audio_silence_ratio") <= mp.maxSilenceRatio &&
+              col("audio_rms") >= mp.minRms,
+              lit(!mp.requireAudioDecode))))
+    }
+    out
+  }
+
   /** Cluster-exact curation variant: resolves near-duplicates with
     * [[Dedup.canonicalKeep]] — one survivor per CONNECTED COMPONENT,
     * chosen by (quality DESC, length DESC, id ASC) — before the

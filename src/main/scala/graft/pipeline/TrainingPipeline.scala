@@ -44,6 +44,26 @@ object TrainingPipeline {
         * cap on the other). */
       splitMaxDf: Int = Dedup.DefaultNearDupMaxDf,
       ctxTokens: Long = 2048L,
+      /** Pack context windows by EXACT trained-BPE token counts (the
+        * tokens the model will see — q162's semantics) instead of the
+        * whitespace tokenizer: trains a tokenizer on the post-split
+        * corpus through [[graft.text.Bpe.train]] — the CONF-DRIVEN
+        * batched trainer (`graft.bpe.batchK`, default 16 merges per
+        * driver round; the oracle arm q150 stays sequential) — then
+        * packs on [[graft.text.Bpe.bpeTokenCounts]]. Adds a
+        * `tokenizer_train` ledger stage. Off by default: the whitespace
+        * path is the historical q61-mirrored shape. */
+      packByBpe: Boolean = false,
+      /** Merge count for `packByBpe`'s tokenizer. */
+      bpeMerges: Int = 64,
+      /** Optional binary image/audio columns to gate on
+        * ([[Curation.mediaGate]]) — when either is set, a `media_gates`
+        * stage runs FIRST (dropping undecodable / dead-air media before
+        * any expensive dedup work), with its own ledger row. Documents
+        * with NULL media columns are text-only and pass. */
+      imageCol: Option[String] = None,
+      audioCol: Option[String] = None,
+      media: Curation.MediaParams = Curation.MediaParams(),
       reliableCheckpoints: Boolean = false,
       /** Build the near-dup PAIR GRAPH once and share it between the
         * curation drop and the split's cluster formation, instead of
@@ -115,6 +135,22 @@ object TrainingPipeline {
       }
     }
 
+    // -1. multimodal gates (cfg.imageCol/audioCol): decode-failure /
+    //     dead-air / degenerate-media drops as the FIRST stage — one
+    //     stateless codegen filter, so undecodable media never reaches
+    //     the (expensive) dedup machinery. `docs0` keeps the caller's
+    //     frame for the rowsIn accounting.
+    var t0 = System.currentTimeMillis()
+    val docs0 = docs
+    val docs1: DataFrame =
+      if (cfg.imageCol.isEmpty && cfg.audioCol.isEmpty) docs0
+      else {
+        val g = ckpt(Curation.mediaGate(docs0, cfg.imageCol, cfg.audioCol,
+          cfg.media))
+        record("media_gates", docs0.count(), g.count(), t0)
+        g
+      }
+
     // 0. shared pair graph (cfg.reusePairGraph): ONE exact-dedup pass +
     //    ONE shingle self-join at the lowest threshold any consumer
     //    needs; curation and the split each filter/restrict the graph
@@ -124,11 +160,11 @@ object TrainingPipeline {
     //    requires the stage caps to AGREE (see Config.reusePairGraph);
     //    the build is ledger-recorded as its own stage so per-stage
     //    durations still sum to the pipeline wall clock.
-    var t0 = System.currentTimeMillis()
+    t0 = System.currentTimeMillis()
     val shared: Option[(DataFrame, DataFrame)] =
       if (cfg.reusePairGraph && cfg.splitThreshold > 0 &&
           cfg.splitMaxDf == cfg.curation.nearDupMaxDf) {
-        val exactDeduped = ckpt(Dedup.exactDedup(docs, idCol, textCol))
+        val exactDeduped = ckpt(Dedup.exactDedup(docs1, idCol, textCol))
         val thMin = math.min(cfg.splitThreshold,
           cfg.curation.nearDupThreshold.getOrElse(cfg.splitThreshold))
         val p = ckpt(Dedup.nearDupPairs(exactDeduped, idCol, textCol,
@@ -140,10 +176,10 @@ object TrainingPipeline {
       // corpus rows pass through the graph stage unchanged (the pairs are
       // a side artifact) — in/out both the doc count keeps the stage
       // chain's rowsOut==rowsIn invariant intact for consumers
-      val n = docs.count()
+      val n = docs1.count()
       record("pair_graph", n, n, t0)
       n
-    } else docs.count()
+    } else docs1.count()
 
     // 1. curation (q36 semantics): dedup + quality/lang/repetition gates;
     //    re-attach the source column curate() projects away
@@ -153,14 +189,17 @@ object TrainingPipeline {
         case Some((exactDeduped, p)) =>
           Curation.curateExactWithPairs(exactDeduped, idCol, textCol,
             cfg.curation, p)
-        case None => Curation.curate(docs, idCol, textCol, cfg.curation)
-      }).join(docs.select(col(idCol), col(sourceCol)), Seq(idCol)))
+        case None => Curation.curate(docs1, idCol, textCol, cfg.curation)
+      }).join(docs1.select(col(idCol), col(sourceCol)), Seq(idCol)))
     val nCurated = curated.count()
     Dedup.freeCandidateCaches(spark) // the near-dup stage's shingle cache
     // the exact-deduped frame fed the graph build and the curation stage;
     // both are materialized now (the pair graph still is not — it serves
     // the split)
     shared.foreach { case (exactDeduped, _) => free(exactDeduped) }
+    // the media-gated checkpoint (if any) fed the graph build and the
+    // curation join; both are materialized now
+    if (!(docs1 eq docs0)) free(docs1)
     record("curation", nDocs, nCurated, t0)
 
     // 2. decontamination (q58): drop train docs leaking test content
@@ -212,16 +251,39 @@ object TrainingPipeline {
     free(mixed)
     record("split", nMixed, nSplit, t0)
 
-    // 5. packing (q61): fixed-ctx windows laid out within (split, source)
-    //    so no pack crosses a split (or corpus) boundary
+    // 4b. optional tokenizer training (packByBpe): train on the corpus
+    //     that will actually be packed, through the conf-driven batched
+    //     trainer — its own ledger stage so the (expensive, iterative)
+    //     train cost is attributed, not folded into packing
+    val bpeMerges: Option[Seq[graft.text.Bpe.Merge]] =
+      if (!cfg.packByBpe) None
+      else {
+        t0 = System.currentTimeMillis()
+        val m = graft.text.Bpe.train(
+          graft.text.Bpe.vocabWords(split, textCol), cfg.bpeMerges)
+        record("tokenizer_train", nSplit, nSplit, t0)
+        Some(m)
+      }
+
+    // 5. packing (q61/q162): fixed-ctx windows laid out within
+    //    (split, source) so no pack crosses a split (or corpus) boundary
     t0 = System.currentTimeMillis()
     // (drop curation's n_tokens first: packAssignments re-derives it with
     // the same tokenizer and re-attaching two copies would collide)
-    val packed = ckpt(Packing.packAssignments(
-        split.drop("n_tokens").withColumn("__grp",
-          concat_ws("|", col("split"), col(sourceCol))),
-        idCol, textCol, "__grp", cfg.ctxTokens)
-      .drop("__grp"))
+    val grouped = split.drop("n_tokens").withColumn("__grp",
+      concat_ws("|", col("split"), col(sourceCol)))
+    val packed = ckpt((bpeMerges match {
+      case Some(m) =>
+        // exact per-doc BPE counts (one encode map + doc rollup), then
+        // the same hierarchical prefix-sum layout on those counts
+        val counted = graft.text.Bpe.bpeTokenCounts(
+          grouped, idCol, textCol, m)
+        Packing.packAssignmentsByCount(
+          grouped.join(counted, Seq(idCol)),
+          idCol, "n_bpe_tokens", "__grp", cfg.ctxTokens)
+      case None =>
+        Packing.packAssignments(grouped, idCol, textCol, "__grp", cfg.ctxTokens)
+    }).drop("__grp"))
     val nPacked = packed.count()
     free(split)
     record("packing", nSplit, nPacked, t0)

@@ -99,6 +99,57 @@ object Streaming {
     stream.filter(!coalesce(graft.functions.BloomFunctions.mightContain(
       md5(col(textCol)), historical), lit(false)))
 
+  /** Streaming incremental dedup against a PERSISTED fingerprint index
+    * ([[graft.dedup.FingerprintIndex]]) — the continuous form of
+    * q157/q164 and the EXACT complement of [[bloomDedupStream]]: the
+    * bloom probe is stateless but approximate (fpp false drops) and
+    * whole-document; this one is exact and SHINGLE-grained — per stream
+    * document, the fraction of its k-token shingles history has already
+    * seen, with the q157 quarantine readout. Load the index once with
+    * `FingerprintIndex.loadIndex` (validated: stamp == rows) and hand it
+    * here; the stream-static LEFT join re-reads the static side per
+    * micro-batch, so an index REWRITTEN between batches is picked up
+    * without restarting the query.
+    *
+    * Scale/state shape: the shingle explode and hash are a stateless
+    * codegen projection; the join is stream-static on the 8-byte hash
+    * (the index side shuffles/partitions, no streaming state); the ONLY
+    * stateful operator is the per-document rollup, which groups by
+    * (event-time window, doc) under the watermark so a document's state
+    * is dropped once the watermark passes its window — bounded by the
+    * in-flight window span, never the stream's document count. A
+    * document's shingles all ride in its ONE input row, so they land in
+    * one micro-batch and the rollup's update-mode emission is final for
+    * that document (late duplicates of the same doc_id would re-emit —
+    * upstream exact dedup's job, [[streamingDedup]]).
+    *
+    * Parity law (spec-checked): for documents inside a fully-ingested
+    * window, rows are bit-identical to the batch
+    * `FingerprintIndex.probe` (= q157/q164) on the same corpus and
+    * index. Documents with < k tokens have no shingles and emit
+    * nothing, exactly like the batch arm. */
+  def incrementalDedupStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String, index: DataFrame,
+      k: Int = graft.dedup.FingerprintIndex.DefaultK,
+      windowDur: String = "1 day"): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val ph = docs.select(col(idCol), col(tsCol),
+        graft.text.TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col(tsCol),
+        explode(column(graft.functions.SlidingShingleHashes(
+          expression(col("__t")), k))).as("h"))
+    ph.join(index.withColumn("__hit", lit(1L)), Seq("h"), "left")
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hist_dup"))
+      .withColumn("dup_fp",
+        expr("CAST(n_hist_dup * 1000000 div n_shingles AS BIGINT)"))
+      .withColumn("quarantined", col("dup_fp") >= 300000L)
+      .select(col(idCol), col("n_shingles"), col("n_hist_dup"),
+        col("dup_fp"), col("quarantined"))
+  }
+
   /** Continuous corpus curation — the streaming form of
     * `pipeline.Curation.curate`: exact content dedup becomes
     * watermark-bounded dropDuplicatesWithinWatermark on the md5 (state

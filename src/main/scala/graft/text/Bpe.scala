@@ -63,6 +63,44 @@ object Bpe {
 
   // --- training ------------------------------------------------------------
 
+  /** (tok, freq, seg) vocab table of a corpus — the trainers' input:
+    * whitespace tokens lower-cased, frequency-counted (Zipf: the table
+    * is vocab-sized, ≪ corpus), character-split segmentation attached.
+    * One corpus-sized exchange (the token groupBy); everything after
+    * trains on this table. */
+  def vocabWords(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .withColumn("seg", segmentInit(col("tok")))
+
+  /** Default merge batch per driver round for the conf-driven
+    * [[train]]. 16 cuts driver synchronization ~16× at production vocab
+    * sizes while keeping the collected head O(batchK). */
+  val DefaultBatchK = 16
+
+  /** Driver-synchronization rounds of the most recent train call in
+    * this JVM — DIAGNOSTICS ONLY (the ScaleStress `bpebatch` readout
+    * and the pipeline spec's rounds ≈ merges/batchK pin); never part of
+    * the data path. */
+  val lastDriverRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The PIPELINE-FACING trainer (the r11 verdict's "wire the batched
+    * trainer into a production path"): dispatches on `graft.bpe.batchK`
+    * (default [[DefaultBatchK]]) — `1` IS [[trainSequential]], `> 1`
+    * routes through [[trainBatched]] with its documented
+    * conflict-approximation boundary. The ORACLE arm
+    * ([[graft.ops.ScaleOps17.bpeTrain]] / q150) calls trainSequential
+    * directly and never consults the conf: the mirrors unroll the
+    * sequential schedule, so the oracle must too. */
+  def train(words0: DataFrame, rounds: Int): Seq[Merge] = {
+    val batchK = words0.sparkSession.conf
+      .getOption("graft.bpe.batchK").map(_.toInt).getOrElse(DefaultBatchK)
+    require(batchK >= 1, s"graft.bpe.batchK must be >= 1, got $batchK")
+    if (batchK == 1) trainSequential(words0, rounds)
+    else trainBatched(words0, rounds, batchK)
+  }
+
   /** Adjacent symbol pairs of the vocab table's `seg`, weighted by word
     * frequency. `words` must carry (tok, freq, seg). */
   def pairCounts(words: DataFrame): DataFrame =
@@ -86,7 +124,9 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
     var r = 1
     var exhausted = false
+    lastDriverRounds.set(0)
     while (r <= rounds && !exhausted) {
+      lastDriverRounds.incrementAndGet()
       val win = pairCounts(words)
         .orderBy(col("cnt").desc, col("p1"), col("p2")).limit(1).collect()
       if (win.isEmpty) exhausted = true
@@ -130,7 +170,9 @@ object Bpe {
     var words = words0.cache()
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
     var exhausted = false
+    lastDriverRounds.set(0)
     while (merges.size < rounds && !exhausted) {
+      lastDriverRounds.incrementAndGet()
       val want = math.min(batchK, rounds - merges.size)
       // collect a rank-ordered head wide enough to survive conflict
       // skips; still O(batchK) driver rows, never the pair table

@@ -486,4 +486,32 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     assert(p.contains("partial_"), p)
   }
+
+  test("q164: the probe through the LOADED index keeps q157's shape — LEFT SEMI on the 8-byte hash, strings never exchange") {
+    val p = plan(graft.ops.ScaleOps21.q164IndexedIncrDedup(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text"), l)
+    }
+  }
+
+  test("q162: above the adaptive bound the pack prefix-sum is hierarchical — range exchange on (source, doc_id), windows keyed by partition id, no per-source-only window") {
+    // force the big-group branch (sf0.001 groups are far under the 4M
+    // default — the q148 forced-threshold routing discipline)
+    spark.conf.set("graft.pack.maxGroupRows", "1")
+    try {
+      val p = plan(graft.ops.ScaleOps20.q162BpePacking(spark, sf))
+      assert(p.contains("rangepartitioning"), p)
+      // every running-sum window spec carries the stamped partition id —
+      // a spec partitioned by source alone would be the r11 single-task
+      // bottleneck sneaking back in
+      val windows = p.linesIterator
+        .filter(_.contains("windowspecdefinition(")).toSeq
+      assert(windows.nonEmpty, p)
+      windows.filter(_.contains("source")).foreach { l =>
+        assert(l.contains("__pid"), s"per-source-only window found:\n$l")
+      }
+    } finally spark.conf.unset("graft.pack.maxGroupRows")
+  }
 }

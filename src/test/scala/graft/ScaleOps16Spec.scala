@@ -57,6 +57,80 @@ class ScaleOps16Spec extends GraftSuite {
     }
   }
 
+  test("q147: forced-scale branch is value-identical when k divides the totals (score invariance made code)") {
+    val dir = tempDir("q147-scale")
+    writeDocs(dir, Seq(
+      (0L, "same drifted drifted"), (2L, "same drifted drifted"),
+      (1L, "same"), (3L, "same")))
+    val exact = graft.ops.ScaleOps16.q147TokenDrift(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // NA=6, NB=2, NA·NB=12 > 6 forces the pre-scaled branch with
+    // k = ceil(12/6) = 2; half-up rounding gives naS=3, nbS=1 — the
+    // exact 3:1 proportion, so the invariance is EXACT and the whole
+    // row set (scores included) must be bit-identical
+    spark.conf.set("graft.drift.maxNaNb", "6")
+    try {
+      val scaled = graft.ops.ScaleOps16.q147TokenDrift(spark, dir.toString)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(scaled == exact, s"forced-scale diverged:\n  $scaled\n  $exact")
+      assert(scaled.forall(_._4 >= 0L))
+    } finally spark.conf.unset("graft.drift.maxNaNb")
+  }
+
+  test("q147: OVER-BOUND synthetic counts — the scaled branch reproduces the BigInt-exact ranking with no silent nulls (the r10 prose bound, now a measured branch)") {
+    import spark.implicits._
+    // counts at a scale where the EXACT arithmetic cannot run: na·nb ≈
+    // 3.7e21 ≫ 10¹⁶ means diff²·10⁶ would blow DECIMAL(38) by five
+    // decades. 20 one-sided probe tokens with drift magnitudes on a 4 %
+    // ladder (scores ≈ 10⁶·dᵢ·nb/na — strictly separated by design), plus
+    // one background token absorbing the remaining mass on both halves.
+    val ds = (0 until 20).map(i => 1000000000L - i * 40000000L)
+    val probes = ds.zipWithIndex.map { case (d, i) => (f"tok$i%02d", d, 0L) }
+    val bg = ("zzbg", 60000000000L - ds.sum, 61000000000L)
+    val toks = probes :+ bg
+    val na = toks.map(_._2).sum; val nb = toks.map(_._3).sum
+    assert(BigInt(na) * BigInt(nb) > graft.ops.ScaleOps16.DriftMaxNaNb * 1000)
+    val byTok = toks.toDF("tok", "ca", "cb")
+    val got = graft.ops.ScaleOps16.q147DriftScored(byTok, na, nb,
+        graft.ops.ScaleOps16.DriftMaxNaNb)
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(got.length == 20)
+    assert(got.forall(_._2 >= 0L), "no silent nulls / negatives")
+    // BigInt-exact reference of the TRUE (unscaled) formula
+    val exact = toks.map { case (t, ca, cb) =>
+      val diff = BigInt(ca) * nb - BigInt(cb) * na
+      (t, diff * diff * 1000000 / (BigInt(ca + cb) * na * nb))
+    }.sortBy { case (t, s) => (-s, t) }.take(20)
+    assert(got.map(_._1).toSeq == exact.map(_._1),
+      s"scaled ranking diverged from BigInt-exact:\n  ${got.map(_._1).toSeq}\n  ${exact.map(_._1)}")
+    got.zip(exact).foreach { case ((t, s), (_, e)) =>
+      val rel = (BigInt(s) - e).abs.toDouble / math.max(1.0, e.toDouble)
+      assert(rel <= 1e-3, s"$t: scaled score $s vs exact $e (rel $rel)")
+    }
+  }
+
+  test("q147: a bound overridden past the hard DECIMAL(38) limit fails LOUDLY, not with silent nulls") {
+    import spark.implicits._
+    // na·nb ≈ 10¹⁹ passes a (mis)configured 10²⁰ guard, so the exact
+    // branch runs and diff²·10⁶ overflows DECIMAL(38) → the per-row
+    // assert_true must fail the job with the q147 message — the silent
+    // NULL that used to vanish from the top-20 is now unreachable
+    val byTok = Seq(("hot", 3200000000L, 1L), ("cold", 1L, 3200000000L))
+      .toDF("tok", "ca", "cb")
+    val e = intercept[Throwable] {
+      graft.ops.ScaleOps16.q147DriftScored(byTok, 3200000001L, 3200000001L,
+        BigInt(10).pow(20)).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: chain(t.getCause)
+    // two loud modes, both acceptable: under ANSI (the Spark 4 default)
+    // the DECIMAL(38) multiplication itself raises NUMERIC_VALUE_OUT_OF_RANGE;
+    // under ansi=false it NULLs and the per-row assert_true fires instead
+    assert(chain(e).exists(m => m.contains("q147: score_fp overflowed") ||
+        m.contains("NUMERIC_VALUE_OUT_OF_RANGE")),
+      s"expected a loud overflow, got: ${chain(e).mkString(" | ")}")
+  }
+
   // --- q148 sorted-neighborhood dedup --------------------------------------
 
   test("q148: hand corpus — neighbors in key order pair, far keys don't, distance law exact") {

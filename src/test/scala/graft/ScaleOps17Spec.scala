@@ -119,7 +119,16 @@ class ScaleOps17Spec extends GraftSuite {
     // round 1: (a,a) appears twice in 'a a a' (overlap counted per
     // adjacent position); merge greedily → 'aa a'; round 2: (aa,a) once
     assert(merges == Seq(("a", "a", 2L), ("aa", "a", 1L)))
-    val enc = graft.ops.ScaleOps17.q151BpeEncode(spark, dir.toString)
+    // q151 itself REFUSES this deliberately-degenerate corpus (exhausts
+    // after 2 of the 8 unrolled mirror rounds — the r11 mirror-divergence
+    // guard must be loud), so the greedy-law encode check drives the
+    // shared encode kernel with the trained merges directly
+    val loud = intercept[IllegalArgumentException] {
+      graft.ops.ScaleOps17.q151BpeEncode(spark, dir.toString)
+    }
+    assert(loud.getMessage.contains("exhausted after 2 of"))
+    val enc = graft.ops.ScaleOps17.encodeDocs(spark, dir.toString,
+        graft.ops.ScaleOps17.bpeTrain(spark, dir.toString))
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
         r.getAs[Long]("n_chars"), r.getAs[Long]("n_bpe_tokens"))).toSeq
     assert(enc == Seq((1L, 1L, 3L, 1L)))

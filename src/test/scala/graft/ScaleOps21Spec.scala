@@ -1,0 +1,229 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ground-truth laws for the round-12 batch-21 operator: incremental
+  * dedup through the persisted fingerprint index (q164) and the
+  * [[graft.dedup.FingerprintIndex]] artifact lifecycle. */
+class ScaleOps21Spec extends GraftSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def writeDocs(dir: java.nio.file.Path,
+                        rows: Seq[(Long, String)]): Unit =
+    rows.map { case (id, txt) => (id, txt, "en", "src0", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  /** Tamper with a stamp THROUGH the Hadoop FS (raw NIO writes would
+    * desync the LocalFileSystem's .crc sidecar and fail on checksum,
+    * not on the validation under test — the ScaleOps20Spec lesson). */
+  private def writeStamp(path: String, v: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(s"$path/_rows")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(hp, true)
+    try out.write(v.getBytes("UTF-8")) finally out.close()
+  }
+
+  // --- q164 semantics -------------------------------------------------------
+
+  test("q164: hand corpus — fractions re-derive from a scalar shingle set through the persisted index") {
+    val dir = tempDir("q164-hand")
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val rows = Seq(
+      (0L, eight + " tail0 more0"),          // history: 3 shingles
+      (1L, eight),                           // new: its 1 shingle is in history
+      (3L, "f1 f2 f3 f4 f5 f6 f7 f8 f9"))    // new: 2 fresh shingles
+    writeDocs(dir, rows)
+    val got = graft.ops.ScaleOps21.q164IndexedIncrDedup(spark, dir.toString)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_hist_dup"), r.getAs[Long]("dup_fp"),
+        r.getAs[Boolean]("quarantined"))).toSeq
+    // scalar re-derivation (the r10 rule): shingle STRING sets, not hashes
+    def shingles(text: String): Seq[String] = {
+      val ts = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (0 to ts.length - 8).map(i => ts.slice(i, i + 8).mkString(" "))
+    }
+    val hist = rows.filter(_._1 % 2 == 0).flatMap(d => shingles(d._2)).toSet
+    val expect = rows.filter(_._1 % 2 == 1)
+      .map { case (id, text) =>
+        val sh = shingles(text)
+        (id, sh.length.toLong, sh.count(hist.contains).toLong)
+      }
+      .filter(_._2 > 0).sortBy(_._1)
+      .map { case (id, n, d) =>
+        (id, n, d, d * 1000000L / n, d * 1000000L / n >= 300000L) }
+    assert(got == expect)
+    assert(got == Seq((1L, 1L, 1L, 1000000L, true), (3L, 2L, 0L, 0L, false)))
+  }
+
+  test("q164 ≡ q157 on the real corpus — the artifact round-trip is invisible to the result") {
+    val viaIndex = graft.ops.ScaleOps21.q164IndexedIncrDedup(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val direct = graft.ops.ScaleOps18.q157IncrementalDedup(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(viaIndex.nonEmpty && viaIndex == direct)
+  }
+
+  // --- artifact lifecycle ---------------------------------------------------
+
+  test("q164: warm run LOADS the stamped artifact instead of rewriting it") {
+    val dir = tempDir("q164-warm")
+    writeDocs(dir, Seq(
+      (0L, "h1 h2 h3 h4 h5 h6 h7 h8 h9"),
+      (1L, "h1 h2 h3 h4 h5 h6 h7 h8")))
+    val first = graft.ops.ScaleOps21.q164IndexedIncrDedup(spark, dir.toString)
+      .collect().map(_.toSeq).toSeq
+    val path = graft.ops.ScaleOps21.indexPathFor(spark, dir.toString)
+    val stamp = new java.io.File(s"$path/_rows")
+    assert(stamp.exists)
+    val mtime = stamp.lastModified
+    val second = graft.ops.ScaleOps21.q164IndexedIncrDedup(spark, dir.toString)
+      .collect().map(_.toSeq).toSeq
+    assert(second == first)
+    assert(stamp.lastModified == mtime,
+      "warm run must validate and LOAD the artifact, not rewrite the stamp")
+  }
+
+  test("q164: self-heal — torn stamp and same-size-different-content artifacts are rewritten in place") {
+    import graft.dedup.FingerprintIndex
+    val dir = tempDir("q164-heal")
+    writeDocs(dir, Seq(
+      (0L, "g1 g2 g3 g4 g5 g6 g7 g8 g9 g10"),
+      (1L, "g1 g2 g3 g4 g5 g6 g7 g8 xx")))
+    val expect = graft.ops.ScaleOps21.q164IndexedIncrDedup(spark, dir.toString)
+      .collect().map(_.toSeq).toSeq
+    val path = graft.ops.ScaleOps21.indexPathFor(spark, dir.toString)
+
+    // 1. torn stamp (garbage bytes — the writer-died window): indexRows
+    //    must read -1 and the query must rebuild, not crash
+    writeStamp(path, "not-a-number")
+    assert(FingerprintIndex.indexRows(spark, path) == -1L)
+    assert(graft.ops.ScaleOps21.q164IndexedIncrDedup(spark, dir.toString)
+      .collect().map(_.toSeq).toSeq == expect)
+    assert(FingerprintIndex.indexRows(spark, path) > 0L, "stamp must be restored")
+
+    // 2. same-size-different-content: a validly-stamped index whose SET
+    //    differs (every hash +1) — row-count alone cannot tell them apart
+    //    (the r11 q161 advice); the xor signature must, and the query
+    //    must rewrite and still return the true rows
+    val real = FingerprintIndex.loadIndex(spark, path)
+      .select((col("h") + lit(1L)).as("h"))
+    val tmp = tempDir("q164-mut")
+    real.write.parquet(s"$tmp/stage") // materialize BEFORE overwriting source
+    FingerprintIndex.writeIndex(spark,
+      spark.read.parquet(s"$tmp/stage"), path)
+    assert(graft.ops.ScaleOps21.q164IndexedIncrDedup(spark, dir.toString)
+      .collect().map(_.toSeq).toSeq == expect)
+  }
+
+  // --- multimodal gates in curation (r10 #8) --------------------------------
+
+  test("curateToTraining(media gates): planted bad-media docs drop FIRST, with their own ledger row") {
+    import graft.pipeline.{TrainingPipeline, Curation}
+    val goodText = "the quick brown fox jumps over the lazy dog and runs to the river"
+    val png = graft.multimodal.Png.encodeGray(4, 4,
+      Array.tabulate(16)(i => (i * 17) % 256))
+    val loudWav = graft.multimodal.Wav.encode(1, 8000, 16,
+      Array.tabulate(64)(i => if (i % 2 == 0) 8000 else -8000))
+    val silentWav = graft.multimodal.Wav.encode(1, 8000, 16,
+      Array.fill(64)(0))
+    val rows = Seq(
+      // (id, text, source, image, audio)
+      (1L, goodText + " one", "src0", png, loudWav),             // all media good
+      (2L, goodText + " two", "src0", Array[Byte](1, 2, 3), null), // corrupt image → drop
+      (3L, goodText + " three", "src0", null, silentWav),        // dead air → drop
+      (4L, goodText + " four", "src0", null, null),              // text-only → pass
+      (5L, goodText + " five", "src0", png, null))               // image-only good → pass
+    import spark.implicits._
+    val docs = rows.toDF("doc_id", "text", "source", "image", "audio")
+    val cfg = TrainingPipeline.Config(
+      curation = Curation.Params(minQuality = 0.0, minTokens = 1,
+        keepLangs = Seq("en", "es", "de", "fr", "und")),
+      imageCol = Some("image"), audioCol = Some("audio"))
+    val r = TrainingPipeline.curateToTraining(spark, docs, None, cfg = cfg)
+    // the gate is its own FIRST stage and the chain stays count-linked
+    assert(r.stages.map(_.stage) == Seq("media_gates", "pair_graph",
+      "curation", "decontamination", "mixing", "split", "packing"))
+    val mg = r.stages.head
+    assert(mg.rowsIn == 5L && mg.rowsOut == 3L,
+      s"exactly the corrupt-image and dead-air docs must drop: $mg")
+    r.stages.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.rowsOut == b.rowsIn, s"${a.stage} -> ${b.stage}") }
+    val survivors = r.packed.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 4L, 5L), s"got $survivors")
+    // ledger: one row for the media stage under this run id, counts exact
+    val ledger = graft.ledger.Ledger.jobStats(spark)
+      .filter($"BatchJobID" === r.runId && $"SourceFile" === "pipeline:media_gates")
+      .head()
+    assert(ledger.getAs[Long]("RowsRead") == 5L &&
+      ledger.getAs[Long]("RowsInserted") == 3L &&
+      ledger.getAs[Long]("RowsFailed") == 2L)
+    r.free()
+  }
+
+  test("mediaGate: NULL media passes, thresholds gate content not presence; metrics ride along") {
+    import spark.implicits._
+    val png = graft.multimodal.Png.encodeGray(2, 2, Array(0, 64, 128, 255))
+    val quietWav = graft.multimodal.Wav.encode(1, 8000, 16,
+      // 1 loud sample in 64 → silence_ratio 63/64 ≈ 0.984
+      Array.tabulate(64)(i => if (i == 0) 8000 else 0))
+    val docs = Seq(
+      (1L, png, null.asInstanceOf[Array[Byte]]),
+      (2L, null.asInstanceOf[Array[Byte]], quietWav),
+      (3L, null.asInstanceOf[Array[Byte]], null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "image", "audio")
+    // default maxSilenceRatio 0.95 drops doc 2; a loosened 0.99 keeps it
+    val strict = graft.pipeline.Curation.mediaGate(docs, Some("image"),
+      Some("audio")).select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L, 3L))
+    val loose = graft.pipeline.Curation.mediaGate(docs, Some("image"),
+      Some("audio"),
+      graft.pipeline.Curation.MediaParams(maxSilenceRatio = 0.99))
+    val looseRows = loose.collect()
+    assert(looseRows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L))
+    // metric columns: decoded image format for doc 1, silence ratio for
+    // doc 2, all-NULL for the text-only doc 3
+    val byId = looseRows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[String]("img_format") == "png")
+    assert(byId(1L).getAs[Number]("img_pixels").longValue == 4L)
+    assert(math.abs(byId(2L).getAs[Double]("audio_silence_ratio") - 63.0 / 64) < 1e-9)
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("img_format")) &&
+      byId(3L).isNullAt(byId(3L).fieldIndex("audio_silence_ratio")))
+  }
+
+  test("loadIndex is LOUD on a stamp/row-count mismatch (out-of-API mutation)") {
+    import graft.dedup.FingerprintIndex
+    val dir = tempDir("fp-loud")
+    val hashes = Seq(11L, 22L, 33L).toDF("h")
+    val path = s"$dir/idx"
+    assert(FingerprintIndex.writeIndex(spark, hashes, path) == 3L)
+    // reload is clean first
+    assert(FingerprintIndex.loadIndex(spark, path).count() == 3L)
+    // mutate the stamp out-of-API: claims 4 rows
+    writeStamp(path, "4")
+    val e = intercept[IllegalArgumentException] {
+      FingerprintIndex.loadIndex(spark, path)
+    }
+    assert(e.getMessage.contains("stamp 4 != 3"))
+  }
+
+  test("writeIndex refuses an empty index; empty-history corpora probe the empty set without an artifact") {
+    import graft.dedup.FingerprintIndex
+    val e = intercept[IllegalArgumentException] {
+      FingerprintIndex.writeIndex(spark,
+        Seq.empty[Long].toDF("h"), tempDir("fp-empty").toString + "/idx")
+    }
+    assert(e.getMessage.contains("empty index"))
+    // history docs all shorter than k=8 tokens → zero shingles → q164
+    // degrades to the probe-empty-set branch, one row per batch doc
+    val dir = tempDir("q164-nohist")
+    writeDocs(dir, Seq(
+      (0L, "too short"),
+      (1L, "b1 b2 b3 b4 b5 b6 b7 b8 b9")))
+    val got = graft.ops.ScaleOps21.q164IndexedIncrDedup(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 0L)))
+  }
+}

@@ -393,7 +393,7 @@ class DedupSpec extends GraftSuite {
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
         .sortBy(t => (t._2, t._1)).toSeq
     val hier = graft.pipeline.Packing
-      .packAssignmentsByCount(docs, "doc_id", "n", "source", 512L)
+      .packAssignmentsByCountHierarchical(docs, "doc_id", "n", "source", 512L)
     val win = graft.pipeline.Packing
       .packAssignmentsByCountWindowed(docs, "doc_id", "n", "source", 512L)
     assert(rows(hier) == rows(win))
@@ -413,7 +413,7 @@ class DedupSpec extends GraftSuite {
         .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getLong(3)))
         .sortBy(t => (t._2, t._1)).toSeq
     val hs = graft.pipeline.Packing
-      .packAssignmentsByCount(skew, "doc_id", "n", "source", 64L)
+      .packAssignmentsByCountHierarchical(skew, "doc_id", "n", "source", 64L)
     val ws = graft.pipeline.Packing
       .packAssignmentsByCountWindowed(skew, "doc_id", "n", "source", 64L)
     val hsRows = rowsN(hs)
@@ -423,6 +423,16 @@ class DedupSpec extends GraftSuite {
       "null-group rows survived the offset join")
     // dominant source spans many packs — the cumulative sum really ran
     assert(hsRows.filter(_._2.contains("dominant")).map(_._4).distinct.size > 100)
+
+    // (c) the ADAPTIVE entry: small groups route windowed by default;
+    // forcing the measured bound low must route hierarchical with
+    // identical rows (the q148 routing-test discipline)
+    spark.conf.set("graft.pack.maxGroupRows", "100")
+    try {
+      val adaptive = graft.pipeline.Packing
+        .packAssignmentsByCount(skew, "doc_id", "n", "source", 64L)
+      assert(rowsN(adaptive) == hsRows)
+    } finally spark.conf.unset("graft.pack.maxGroupRows")
   }
 
   test("packing conserves tokens: per-source pack totals equal the corpus total") {

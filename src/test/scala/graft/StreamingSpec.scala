@@ -673,4 +673,51 @@ class StreamingSpec extends GraftSuite {
         ("a", 5L, 2L, 300000L, 0.4), ("b", 2L, 0L, 0L, 0.0)))
     } finally q.stop()
   }
+
+  test("incremental dedup stream: probing the persisted fingerprint index matches the batch probe (q157/q164 parity, index reloaded from disk)") {
+    import graft.dedup.FingerprintIndex
+    // the q157 parity split over the real corpus: evens = history (the
+    // persisted index), odds = the arriving stream
+    val docs = graft.ops.Relational.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val idxPath = tempDir("fp-stream").toString + "/idx"
+    FingerprintIndex.writeIndex(spark,
+      FingerprintIndex.buildIndex(history, "doc_id", "text"), idxPath)
+    // reload STRICTLY from disk — the cross-session path: nothing below
+    // touches the in-memory build above
+    val index = FingerprintIndex.loadIndex(spark, idxPath)
+
+    val in = tempDir("fp-stream-in"); val ckpt = tempDir("fp-stream-ckpt")
+    batch.withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
+      .write.mode("overwrite").parquet(in.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("ts", TimestampType))))
+      .parquet(in.toString)
+    val probed = Streaming.incrementalDedupStream(stream, "doc_id", "text",
+      "ts", "1 hour", index)
+    val q = probed.writeStream.format("memory").queryName("fpout")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+
+    // latest emission per doc (a doc's shingles ride in one row → one
+    // batch → its emission is final; the dedup is belt-and-braces)
+    val got = spark.table("fpout")
+      .groupBy("doc_id")
+      .agg(max(struct(col("n_shingles"), col("n_hist_dup"), col("dup_fp"),
+        col("quarantined"))).as("s"))
+      .select(col("doc_id"), col("s.n_shingles"), col("s.n_hist_dup"),
+        col("s.dup_fp"), col("s.quarantined"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val expect = FingerprintIndex.probe(batch, "doc_id", "text", index)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == expect,
+      s"stream probe diverged: ${got.take(3)} vs ${expect.take(3)}")
+    // and the batch arm itself is q157 (proven in ScaleOps21Spec) — so
+    // the stream view is transitively parity-checked against the oracle
+  }
 }
