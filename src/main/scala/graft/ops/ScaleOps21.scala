@@ -9,7 +9,10 @@ import Relational.t
   * dedup" item's batch half: q157 rebuilds the history fingerprint set
   * every run; a production loop builds it once, ships it, probes it —
   * from batch here, from a stream via
-  * [[graft.streaming.Streaming.incrementalDedupStream]]). */
+  * [[graft.streaming.Streaming.incrementalDedupStream]]), and
+  * length-bucketed batch shaping with padding-waste accounting (q165 —
+  * the padded-batch complement to packing's concat-then-chunk, its
+  * batch assignment riding the size-adaptive packing prefix sum). */
 object ScaleOps21 {
 
   private def md5hex(s: String): String =
@@ -91,4 +94,92 @@ object ScaleOps21 {
   /** Mirror: identical to q157's — the artifact round-trip must be
     * invisible to the result. */
   val q164Sql: String = ScaleOps18.q157Sql
+
+  // --- length-bucketed batching / padding waste (q165) ---------------------
+
+  /** Batch size for q165 — documents per training batch within a
+    * length bucket. */
+  val Q165BatchSize = 32L
+
+  /** q165: LENGTH-BUCKETED BATCHING with padding-waste accounting — the
+    * batch-shaping step after packing's concat-then-chunk alternative:
+    * runs that train on PADDED per-document batches (SFT, eval) group
+    * documents into power-of-two length buckets (bucket =
+    * floor(log2(n_tokens)), computed EXACTLY as `length(bin(n)) - 1` —
+    * both engines' binary-string length; no float log at the boundary),
+    * fill fixed-size batches in doc_id order within each bucket, and
+    * pay max_len − len padding per document. Per bucket: batches, docs,
+    * real tokens, padded slots (Σ per-batch docs·max_len), and the
+    * waste share at 10⁻⁶ fixed point.
+    *
+    * Batch assignment COMPOSES the packing machinery: a batch is a
+    * "context window" of unit-cost documents — `pack_id = (rank-1) div
+    * B` is exactly [[graft.pipeline.Packing.packAssignmentsByCount]]
+    * with a constant count of 1 and ctx = B, so q165 inherits the
+    * size-ADAPTIVE prefix sum (windowed under the measured per-bucket
+    * bound, hierarchical above it) instead of re-growing the
+    * single-task-per-bucket window the r11 verdict flagged on packing.
+    *
+    * Scale shape: pure-map bucket assignment, the adaptive unit-count
+    * prefix sum, one (bucket, batch) partial agg, one ≤64-row bucket
+    * rollup. */
+  def q165BucketedBatches(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        // count NON-EMPTY tokens (split of an all-whitespace doc yields
+        // [""] — which must count 0, exactly the mirror's len>=1 filter)
+        size(filter(graft.text.TextAnalysis.tokens(col("text")),
+          tk => length(tk) >= 1)).cast("long").as("n"))
+      .filter(col("n") >= 1)
+      .withColumn("bucket", (length(bin(col("n"))) - 1).cast("long"))
+      .withColumn("one", lit(1L))
+    val assigned = graft.pipeline.Packing.packAssignmentsByCount(
+      docs, "doc_id", "one", "bucket", Q165BatchSize)
+    val perBatch = assigned.groupBy(col("bucket"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n")).as("max_len"),
+        sum(col("n")).as("real_tokens"))
+      .withColumn("padded", col("n_docs") * col("max_len"))
+    perBatch.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_batches"),
+        sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("real_tokens")).cast("long").as("real_tokens"),
+        sum(col("padded")).cast("long").as("padded_slots"))
+      .withColumn("waste_fp", expr(
+        "CAST((padded_slots - real_tokens) * 1000000 div padded_slots AS BIGINT)"))
+      .select(col("bucket"), col("n_batches"), col("n_docs"),
+        col("real_tokens"), col("padded_slots"), col("waste_fp"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Mirror: same exact-integer bucket (bin-string length), the
+    * ROW_NUMBER restatement of the unit-count pack assignment (proven
+    * equal by construction: cumulative count before a row = rank − 1),
+    * same two-level rollup. */
+  val q165Sql: String =
+    raw"""WITH docs AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> len(t) >= 1)) AS n
+      |  FROM documents
+      |), keep AS (
+      |  SELECT doc_id, n, length(bin(n)) - 1 AS bucket
+      |  FROM docs WHERE n >= 1
+      |), assigned AS (
+      |  SELECT bucket, n,
+      |    (ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+      |      // ${Q165BatchSize} AS batch_id
+      |  FROM keep
+      |), per_batch AS (
+      |  SELECT bucket, batch_id, COUNT(*) AS n_docs, MAX(n) AS max_len,
+      |    SUM(n) AS real_tokens
+      |  FROM assigned GROUP BY bucket, batch_id
+      |)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_batches,
+      |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(SUM(real_tokens) AS BIGINT) AS real_tokens,
+      |  CAST(SUM(n_docs * max_len) AS BIGINT) AS padded_slots,
+      |  CAST((SUM(n_docs * max_len) - SUM(real_tokens)) * 1000000
+      |    // SUM(n_docs * max_len) AS BIGINT) AS waste_fp
+      |FROM per_batch GROUP BY bucket ORDER BY bucket""".stripMargin
 }

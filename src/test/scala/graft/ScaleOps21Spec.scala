@@ -118,6 +118,61 @@ class ScaleOps21Spec extends GraftSuite {
       .collect().map(_.toSeq).toSeq == expect)
   }
 
+  // --- q165 length-bucketed batching ----------------------------------------
+
+  test("q165: hand corpus — exact-integer buckets, batch fill, padding-waste law") {
+    val dir = tempDir("q165-hand")
+    // n_tokens: 4,5,6,7 → bucket 2; 8,9 → bucket 3; 1 → bucket 0.
+    // BatchSize 32 ≫ docs, so each bucket is ONE batch and the waste law
+    // is hand-computable: bucket 2 → max 7, real 22, padded 28, waste
+    // 6/28; bucket 3 → max 9, real 17, padded 18, waste 1/18.
+    def words(k: Int) = (1 to k).map(i => s"w$i").mkString(" ")
+    writeDocs(dir, Seq(
+      (1L, words(4)), (2L, words(5)), (3L, words(6)), (4L, words(7)),
+      (5L, words(8)), (6L, words(9)), (7L, words(1)),
+      (8L, "   ")))  // whitespace-only: zero tokens, excluded entirely
+    val got = graft.ops.ScaleOps21.q165BucketedBatches(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (0L, 1L, 1L, 1L, 1L, 0L),
+      (2L, 1L, 4L, 22L, 28L, 6L * 1000000L / 28L),
+      (3L, 1L, 2L, 17L, 18L, 1L * 1000000L / 18L)))
+  }
+
+  test("q165: real corpus — full scalar re-derivation (buckets, doc_id-ordered batch fill, waste) and the bucket law") {
+    val got = graft.ops.ScaleOps21.q165BucketedBatches(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got.nonEmpty)
+    val docs = graft.ops.Relational.t(spark, sf, "documents")
+      .select(col("doc_id").cast("long"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val b = graft.ops.ScaleOps21.Q165BatchSize
+    val perDoc = docs.map { case (id, text) =>
+      (id, text.trim.toLowerCase.split("\\s+").count(_.nonEmpty).toLong)
+    }.filter(_._2 >= 1)
+    def bucketOf(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
+    val expected = perDoc.groupBy(d => bucketOf(d._2)).toSeq.map { case (bucket, ds) =>
+      val batches = ds.sortBy(_._1).zipWithIndex
+        .groupBy { case (_, i) => i / b }.values.toSeq
+        .map { batch =>
+          val lens = batch.map(_._1._2)
+          (lens.size.toLong, lens.max, lens.sum)
+        }
+      val real = batches.map(_._3).sum
+      val padded = batches.map(bt => bt._1 * bt._2).sum
+      (bucket, batches.size.toLong, ds.size.toLong, real, padded,
+        (padded - real) * 1000000L / padded)
+    }.sortBy(_._1)
+    assert(got == expected, s"\n got=$got\n exp=$expected")
+    // bucket law: every doc's length fits [2^bucket, 2^(bucket+1))
+    perDoc.foreach { case (_, n) =>
+      val bk = bucketOf(n)
+      assert(n >= (1L << bk) && n < (1L << (bk + 1)))
+    }
+  }
+
   // --- multimodal gates in curation (r10 #8) --------------------------------
 
   test("curateToTraining(media gates): planted bad-media docs drop FIRST, with their own ledger row") {
