@@ -123,16 +123,21 @@ object ScaleOps21 {
     * Scale shape: pure-map bucket assignment, the adaptive unit-count
     * prefix sum, one (bucket, batch) partial agg, one ≤64-row bucket
     * rollup. */
-  def q165BucketedBatches(s: SparkSession, dir: String): DataFrame = {
-    val docs = Relational.fanOut(t(s, dir, "documents"))
+  /** Kept (doc_id, n, bucket) lengths shared by the batching family
+    * (q165/q166): non-empty whitespace-token counts (split of an
+    * all-whitespace doc yields [""] — which must count 0, exactly the
+    * mirrors' len>=1 filter), docs with ≥1 token, exact-integer
+    * power-of-two bucket. */
+  private[graft] def docLengths(s: SparkSession, dir: String): DataFrame =
+    Relational.fanOut(t(s, dir, "documents"))
       .select(col("doc_id").cast("long").as("doc_id"),
-        // count NON-EMPTY tokens (split of an all-whitespace doc yields
-        // [""] — which must count 0, exactly the mirror's len>=1 filter)
         size(filter(graft.text.TextAnalysis.tokens(col("text")),
           tk => length(tk) >= 1)).cast("long").as("n"))
       .filter(col("n") >= 1)
       .withColumn("bucket", (length(bin(col("n"))) - 1).cast("long"))
-      .withColumn("one", lit(1L))
+
+  def q165BucketedBatches(s: SparkSession, dir: String): DataFrame = {
+    val docs = docLengths(s, dir).withColumn("one", lit(1L))
     val assigned = graft.pipeline.Packing.packAssignmentsByCount(
       docs, "doc_id", "one", "bucket", Q165BatchSize)
     val perBatch = assigned.groupBy(col("bucket"), col("pack_id"))
@@ -182,4 +187,113 @@ object ScaleOps21 {
       |  CAST((SUM(n_docs * max_len) - SUM(real_tokens)) * 1000000
       |    // SUM(n_docs * max_len) AS BIGINT) AS waste_fp
       |FROM per_batch GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // --- batching-strategy padding ablation (q166) ----------------------------
+
+  /** q166: PADDING-WASTE ABLATION across the three batch-fill strategies
+    * a padded-batch run chooses between — the measurement that justifies
+    * "sort by length before batching" (the standard SFT/eval dataloader
+    * trick) with exact integers instead of folklore:
+    *   - `a_docid_global`:   fill batches of [[Q165BatchSize]] in plain
+    *     doc_id order (the naive loader);
+    *   - `b_bucketed_docid`: q165's power-of-two length buckets, doc_id
+    *     order within each (rolled up corpus-wide here);
+    *   - `c_sorted_global`:  one global (n DESC, doc_id) sort, then
+    *     consecutive fill — batch max ≈ batch min, the waste-minimal
+    *     consecutive layout.
+    * One row per strategy: batches, docs, real tokens, padded slots,
+    * waste at 10⁻⁶ fixed point. Same kept-docs stream as q165.
+    *
+    * All three assignments ride [[graft.pipeline.Packing
+    * .packAssignmentsByCount]] (unit counts, ctx = batch size). The two
+    * GLOBAL strategies pass a constant group — at scale that is exactly
+    * the case the size-adaptive entry exists for: past the measured
+    * bound there is no global window at all, the hierarchical two-phase
+    * prefix sum ranks the corpus with max task ≈ rows/P. The sorted
+    * strategy orders by a (−n, doc_id) struct key — ascending struct
+    * order ≡ the mirror's (n DESC, doc_id), no expression divergence.
+    *
+    * Scale shape: three linear passes over the kept-docs stream (one per
+    * strategy), each = adaptive unit-count prefix sum + one (group,
+    * batch) partial agg + a 1-row rollup; a 3-row union at the end. */
+  def q166BatchSortAblation(s: SparkSession, dir: String): DataFrame = {
+    val docs = docLengths(s, dir)
+      .withColumn("one", lit(1L)).withColumn("g", lit(0L))
+    def rollup(assigned: DataFrame, groupCol: String, strategy: String): DataFrame =
+      assigned.groupBy(col(groupCol), col("pack_id"))
+        .agg(count(lit(1)).as("nd"), max(col("n")).as("ml"),
+          sum(col("n")).as("rt"))
+        .agg(count(lit(1)).cast("long").as("n_batches"),
+          sum(col("nd")).cast("long").as("n_docs"),
+          sum(col("rt")).cast("long").as("real_tokens"),
+          sum(col("nd") * col("ml")).cast("long").as("padded_slots"))
+        .withColumn("strategy", lit(strategy))
+    val a = rollup(graft.pipeline.Packing.packAssignmentsByCount(
+      docs, "doc_id", "one", "g", Q165BatchSize), "g", "a_docid_global")
+    val b = rollup(graft.pipeline.Packing.packAssignmentsByCount(
+      docs, "doc_id", "one", "bucket", Q165BatchSize), "bucket", "b_bucketed_docid")
+    val sorted = docs.withColumn("sk",
+      struct((-col("n")).as("negn"), col("doc_id").as("doc_id")))
+    val c = rollup(graft.pipeline.Packing.packAssignmentsByCount(
+      sorted, "sk", "one", "g", Q165BatchSize), "g", "c_sorted_global")
+    a.unionByName(b).unionByName(c)
+      .withColumn("waste_fp", expr(
+        "CAST((padded_slots - real_tokens) * 1000000 div padded_slots AS BIGINT)"))
+      .select(col("strategy"), col("n_batches"), col("n_docs"),
+        col("real_tokens"), col("padded_slots"), col("waste_fp"))
+      .orderBy(col("strategy"))
+  }
+
+  /** Mirror: the ROW_NUMBER restatements of the three fill orders over
+    * one shared kept-docs CTE, rolled up per strategy and unioned. */
+  val q166Sql: String =
+    raw"""WITH docs AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> len(t) >= 1)) AS n
+      |  FROM documents
+      |), keep AS (
+      |  SELECT doc_id, n, length(bin(n)) - 1 AS bucket
+      |  FROM docs WHERE n >= 1
+      |), pa AS (
+      |  SELECT n, (ROW_NUMBER() OVER (ORDER BY doc_id) - 1)
+      |    // ${Q165BatchSize} AS pid FROM keep
+      |), ba AS (
+      |  SELECT pid, COUNT(*) AS nd, MAX(n) AS ml, SUM(n) AS rt
+      |  FROM pa GROUP BY pid
+      |), ra AS (
+      |  SELECT 'a_docid_global' AS strategy, COUNT(*) AS n_batches,
+      |    SUM(nd) AS n_docs, SUM(rt) AS real_tokens,
+      |    SUM(nd * ml) AS padded_slots FROM ba
+      |), pb AS (
+      |  SELECT bucket, n,
+      |    (ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+      |      // ${Q165BatchSize} AS pid FROM keep
+      |), bb AS (
+      |  SELECT bucket, pid, COUNT(*) AS nd, MAX(n) AS ml, SUM(n) AS rt
+      |  FROM pb GROUP BY bucket, pid
+      |), rb AS (
+      |  SELECT 'b_bucketed_docid' AS strategy, COUNT(*) AS n_batches,
+      |    SUM(nd) AS n_docs, SUM(rt) AS real_tokens,
+      |    SUM(nd * ml) AS padded_slots FROM bb
+      |), pc AS (
+      |  SELECT n, (ROW_NUMBER() OVER (ORDER BY n DESC, doc_id) - 1)
+      |    // ${Q165BatchSize} AS pid FROM keep
+      |), bc AS (
+      |  SELECT pid, COUNT(*) AS nd, MAX(n) AS ml, SUM(n) AS rt
+      |  FROM pc GROUP BY pid
+      |), rc AS (
+      |  SELECT 'c_sorted_global' AS strategy, COUNT(*) AS n_batches,
+      |    SUM(nd) AS n_docs, SUM(rt) AS real_tokens,
+      |    SUM(nd * ml) AS padded_slots FROM bc
+      |), unioned AS (
+      |  SELECT * FROM ra UNION ALL SELECT * FROM rb UNION ALL SELECT * FROM rc
+      |)
+      |SELECT strategy, CAST(n_batches AS BIGINT) AS n_batches,
+      |  CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(real_tokens AS BIGINT) AS real_tokens,
+      |  CAST(padded_slots AS BIGINT) AS padded_slots,
+      |  CAST((padded_slots - real_tokens) * 1000000 // padded_slots AS BIGINT)
+      |    AS waste_fp
+      |FROM unioned ORDER BY strategy""".stripMargin
 }

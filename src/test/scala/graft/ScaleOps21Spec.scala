@@ -173,6 +173,69 @@ class ScaleOps21Spec extends GraftSuite {
     }
   }
 
+  // --- q166 batching-strategy padding ablation -------------------------------
+
+  test("q166: hand corpus — interleaved long/short docs: doc-order pays 45% padding, bucketed and sorted pay zero") {
+    val dir = tempDir("q166-hand")
+    // 64 docs, ids 1..64: even ids 10 tokens, odd ids 1 token. Doc-order
+    // batches mix them (every batch max 10); bucketed (buckets 3 vs 0)
+    // and the global length sort both separate them perfectly.
+    def words(k: Int) = (1 to k).map(i => s"w$i").mkString(" ")
+    writeDocs(dir, (1 to 64).map(i =>
+      (i.toLong, words(if (i % 2 == 0) 10 else 1))))
+    val got = graft.ops.ScaleOps21.q166BatchSortAblation(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("a_docid_global", 2L, 64L, 352L, 640L, 288L * 1000000L / 640L),
+      ("b_bucketed_docid", 2L, 64L, 352L, 352L, 0L),
+      ("c_sorted_global", 2L, 64L, 352L, 352L, 0L)))
+  }
+
+  test("q166: real corpus — all three strategies re-derive from a scalar batch fill; sorted never beats real tokens") {
+    val got = graft.ops.ScaleOps21.q166BatchSortAblation(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val b = graft.ops.ScaleOps21.Q165BatchSize
+    val perDoc = graft.ops.Relational.t(spark, sf, "documents")
+      .select(col("doc_id").cast("long"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.split("\\s+").count(_.nonEmpty).toLong))
+      .filter(_._2 >= 1).toSeq
+    def fill(ordered: Seq[Long]): (Long, Long, Long, Long) = {
+      val batches = ordered.grouped(b.toInt).toSeq
+      (batches.size.toLong, ordered.size.toLong, ordered.sum,
+        batches.map(bt => bt.size.toLong * bt.max).sum)
+    }
+    def bucketOf(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
+    val a = fill(perDoc.sortBy(_._1).map(_._2))
+    val cS = fill(perDoc.sortBy(d => (-d._2, d._1)).map(_._2))
+    val bParts = perDoc.groupBy(d => bucketOf(d._2)).values.toSeq
+      .map(ds => fill(ds.sortBy(_._1).map(_._2)))
+    val bT = (bParts.map(_._1).sum, bParts.map(_._2).sum,
+      bParts.map(_._3).sum, bParts.map(_._4).sum)
+    def row(name: String, t: (Long, Long, Long, Long)) =
+      (name, t._1, t._2, t._3, t._4, (t._4 - t._3) * 1000000L / t._4)
+    val expected = Seq(row("a_docid_global", a),
+      row("b_bucketed_docid", bT), row("c_sorted_global", cS))
+    assert(got == expected, s"\n got=$got\n exp=$expected")
+    // the ablation's point, as a law on this corpus: the sorted fill
+    // wastes no more than the naive doc-order fill
+    val byName = got.map(r => r._1 -> r._5).toMap
+    assert(byName("c_sorted_global") <= byName("a_docid_global"))
+  }
+
+  test("q166: forced-hierarchical routing (struct sort key through the range exchange) is row-identical to the default") {
+    val default = graft.ops.ScaleOps21.q166BatchSortAblation(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    spark.conf.set("graft.pack.maxGroupRows", "1")
+    try {
+      val forced = graft.ops.ScaleOps21.q166BatchSortAblation(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(forced == default)
+    } finally spark.conf.unset("graft.pack.maxGroupRows")
+  }
+
   // --- multimodal gates in curation (r10 #8) --------------------------------
 
   test("curateToTraining(media gates): planted bad-media docs drop FIRST, with their own ledger row") {
