@@ -514,4 +514,44 @@ class PlanShapeSpec extends GraftSuite {
       }
     } finally spark.conf.unset("graft.pack.maxGroupRows")
   }
+
+  test("q166: above the adaptive bound every batch-fill rank is hierarchical — range exchanges, every running-sum window keyed by partition id (no global single-task window)") {
+    // the global strategies pass a CONSTANT group: without the
+    // hierarchical branch they would be ONE window partition = the
+    // whole corpus in one task
+    spark.conf.set("graft.pack.maxGroupRows", "1")
+    try {
+      val p = plan(graft.ops.ScaleOps21.q166BatchSortAblation(spark, sf))
+      // the range exchange + pid stamp live behind the persisted-RDD
+      // boundary (the q148 identity discipline), which surfaces here as
+      // an ExistingRDD scan — rangepartitioning itself is in the child
+      // job, not this plan string
+      assert(p.contains("ExistingRDD"), p)
+      val windows = p.linesIterator
+        .filter(_.contains("windowspecdefinition(")).toSeq
+      assert(windows.nonEmpty, p)
+      windows.foreach { l =>
+        assert(l.contains("__pid"), s"window without the partition-id key:\n$l")
+      }
+    } finally spark.conf.unset("graft.pack.maxGroupRows")
+  }
+
+  test("q167: the doc-bigram stream joins the scored bigram table equi-keyed with partial aggregation; bottom-K is a distributed TakeOrdered, never a global rank window") {
+    val p = plan(graft.ops.ScaleOps22.q167BigramLmScore(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("q168: one partial-agg exchange over the corpus; document text never reaches an exchange; no join at all") {
+    val p = plan(graft.ops.ScaleOps22.q168TemperatureMix(spark, sf))
+    assert(p.contains("partial_"), p)
+    assert(!p.toLowerCase.contains("join"), p)
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text"), l)
+    }
+  }
 }
