@@ -546,6 +546,30 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("q169/q170: planning readouts cost one partial-agg exchange each; only 1-row totals broadcast; text never exchanges") {
+    for (df <- Seq(graft.ops.ScaleOps23.q169ShardBalance(spark, sf),
+        graft.ops.ScaleOps23.q170FreqSpectrum(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("partial_"), p)
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+      p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+        assert(!l.contains("text"), l)
+      }
+    }
+  }
+
+  test("q171: the matrix self-join is equi on the 8-byte hash — shingle strings never exchange, the top-20 is a distributed TakeOrdered") {
+    val p = plan(graft.ops.ScaleOps23.q171SourceOverlap(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text"), l)
+    }
+  }
+
   test("q168: one partial-agg exchange over the corpus; document text never reaches an exchange; no join at all") {
     val p = plan(graft.ops.ScaleOps22.q168TemperatureMix(spark, sf))
     assert(p.contains("partial_"), p)

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ground-truth laws for the round-12 batch-23 operators: shard balance
+  * (q169), the token-frequency spectrum (q170), and the pairwise
+  * source-overlap matrix (q171). */
+class ScaleOps23Spec extends GraftSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def writeDocs(dir: java.nio.file.Path,
+                        rows: Seq[(Long, String, String)]): Unit =
+    rows.map { case (id, txt, src) => (id, txt, "en", src, 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  /** Scalar restatement of [[graft.ops.Relational3.splitBucket]]. */
+  private def splitBucketScalar(id: Long): Long = {
+    val a = 2654435761L
+    val id32 = java.lang.Math.floorMod(id, 4294967296L)
+    val hi = id32 >> 16
+    val lo = id32 % 65536L
+    java.lang.Math.floorMod((hi * a % 65536L) * 65536L + lo * a, 4294967296L)
+  }
+
+  private def tokensOf(text: String): Seq[String] =
+    text.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  // --- q169 shard balance -----------------------------------------------------
+
+  test("q169: real corpus — shards, counts, shares and skew re-derive from the scalar portable hash; totals conserve") {
+    val got = graft.ops.ScaleOps23.q169ShardBalance(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val docs = graft.ops.Relational.t(spark, sf, "documents")
+      .select(col("doc_id").cast("long"), col("text")).collect()
+      .map(r => (r.getLong(0), tokensOf(r.getString(1)).size.toLong))
+    val nShards = graft.ops.ScaleOps23.Q169Shards
+    val total = docs.map(_._2).sum
+    val expected = docs.groupBy(d => splitBucketScalar(d._1) % nShards)
+      .toSeq.map { case (shard, ds) =>
+        val nt = ds.map(_._2).sum
+        (shard, ds.size.toLong, nt, nt * 1000000L / total,
+          nt * nShards * 1000000L / total - 1000000L)
+      }.sortBy(_._1)
+    assert(got == expected, s"\n got=$got\n exp=$expected")
+    // conservation: every document lands in exactly one shard
+    assert(got.map(_._2).sum == docs.length)
+    assert(got.map(_._3).sum == total)
+    // balance is a STATISTICAL property (≈8 docs/shard at sf0.001 —
+    // ±35% sampling noise is expected; the ppm readout is the point of
+    // the query, not an exact law). Only the hard bound holds exactly:
+    // no shard can carry less than nothing or more than everything.
+    got.foreach { case (sh, _, _, _, skew) =>
+      assert(skew > -1000000L && skew < (graft.ops.ScaleOps23.Q169Shards - 1) * 1000000L,
+        s"shard $sh skew $skew ppm out of the hard range")
+    }
+  }
+
+  // --- q170 token-frequency spectrum -------------------------------------------
+
+  test("q170: hand corpus — exact-integer frequency buckets and the share arithmetic") {
+    val dir = tempDir("q170-hand")
+    // freqs: 'a'×9 (bucket 3), 'b'×2 and 'c'×3 (bucket 1), 'd'×1 (bucket 0)
+    writeDocs(dir, Seq(
+      (1L, "a a a a a a a a a", "s0"),
+      (2L, "b b c c c d", "s0")))
+    val got = graft.ops.ScaleOps23.q170FreqSpectrum(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // V=4 types, T=15 occurrences
+    assert(got == Seq(
+      (0L, 1L, 1L, 250000L, 1000000L * 1L / 15L),
+      (1L, 2L, 5L, 500000L, 1000000L * 5L / 15L),
+      (3L, 1L, 9L, 250000L, 1000000L * 9L / 15L)))
+  }
+
+  test("q170: real corpus — spectrum re-derives from a scalar unigram table; vocabulary and mass conserve") {
+    val got = graft.ops.ScaleOps23.q170FreqSpectrum(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val docs = graft.ops.Relational.t(spark, sf, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val uni = docs.flatMap(tokensOf).groupBy(identity)
+      .map { case (_, xs) => xs.size.toLong }.toSeq
+    val v = uni.size.toLong
+    val t = uni.sum
+    def bucketOf(c: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(c)
+    val expected = uni.groupBy(bucketOf).toSeq.map { case (b, cs) =>
+      (b, cs.size.toLong, cs.sum, cs.size.toLong * 1000000L / v,
+        cs.sum * 1000000L / t)
+    }.sortBy(_._1)
+    assert(got == expected, s"\n got=$got\n exp=$expected")
+    assert(got.map(_._2).sum == v && got.map(_._3).sum == t)
+  }
+
+  // --- q171 source-overlap matrix ----------------------------------------------
+
+  /** Scalar 8-token sliding shingle STRING set (the r10 rule: re-derive
+    * from strings, not from the production hash kernel). */
+  private def shingleSet(texts: Seq[String]): Set[String] =
+    texts.flatMap { txt =>
+      val ts = txt.trim.toLowerCase.split("\\s+")
+      if (ts.length < 8) Seq.empty
+      else ts.sliding(8).map(_.mkString(" ")).toSeq
+    }.toSet
+
+  test("q171: hand corpus — a planted shared 8-gram run shows up in exactly one source pair with the overlap law") {
+    val dir = tempDir("q171-hand")
+    val shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9"        // 2 shingles
+    writeDocs(dir, Seq(
+      (1L, shared + " aaa", "sA"),                    // 3 shingles in sA
+      (2L, shared, "sB"),                             // 2 shingles in sB
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8", "sC")))         // 1 foreign shingle
+    val got = graft.ops.ScaleOps23.q171SourceOverlap(spark, dir.toString)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // sA∩sB = the 2 planted shingles; min(|A|,|B|) = 2 → overlap 100%
+    assert(got == Seq((1, "sA", "sB", 2L, 3L, 2L, 1000000L)))
+  }
+
+  test("q171: real corpus — the top-20 matrix re-derives from scalar shingle STRING sets per source") {
+    val got = graft.ops.ScaleOps23.q171SourceOverlap(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got.nonEmpty)
+    val bySrc = graft.ops.Relational.t(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s, xs) => s -> shingleSet(xs.map(_._2).toSeq) }
+    val pairs = bySrc.keys.toSeq.sorted.combinations(2).toSeq
+      .map { case Seq(a, b) =>
+        val sh = (bySrc(a) intersect bySrc(b)).size.toLong
+        (a, b, sh, bySrc(a).size.toLong, bySrc(b).size.toLong)
+      }
+      .filter(_._3 > 0)
+      .sortBy(p => (-p._3, p._1, p._2))
+      .take(graft.ops.ScaleOps23.Q171TopK)
+      .zipWithIndex.map { case ((a, b, sh, na, nb), i) =>
+        (i + 1, a, b, sh, na, nb, sh * 1000000L / math.min(na, nb))
+      }
+    assert(got == pairs, s"\n got=$got\n exp=$pairs")
+  }
+}
