@@ -73,6 +73,8 @@ object ScaleStress {
       args.lift(2).map(_.toInt).getOrElse(3))
     case Some("bpebatch") => bpeBatch(args.lift(1).getOrElse("/tmp/stress_facts/x10"),
       args.lift(2).map(_.toInt).getOrElse(256))
+    case Some("overlapskew") => overlapSkew(args.lift(1).getOrElse("/tmp/stress_overlap"),
+      args.lift(2).map(_.toInt).getOrElse(400000))
     case _ => facts(args.headOption.getOrElse("/tmp/sfbig"))
   }
 
@@ -320,6 +322,63 @@ object ScaleStress {
     val diff = h.unionByName(w).except(h.intersect(w)).count()
     println(f"PACKSKEW hierarchical ${hierSec}%.2fs rows=$hierRows | " +
       f"windowed ${winSec}%.2fs rows=$winRows | sym_diff=$diff")
+    spark.stop()
+  }
+
+  /** Adversarial corpus for the source-overlap matrix (q171): a pool of
+    * shingle types planted into EVERY source, so the hottest hashes are
+    * each held by all S sources at once — the worst per-hash self-join
+    * fanout C(S,2). The scale claim under stress is the DISTINCT-first
+    * discipline: (source, hash) collapses raw occurrences to ≤ S rows
+    * per hash BEFORE the self-join, so the join input is sources·types
+    * and the pair table is C(S,2)·pool — never corpus-sized. Prints the
+    * collapse factor, the pair-table row count against that bound, and
+    * the matrix wall time. 30% of documents carry a pool shingle
+    * (poolSize types), the rest are doc-unique. */
+  def overlapSkew(base: String, nDocs: Int): Unit = {
+    val spark = session()
+    val dir = s"$base/docs"
+    val nSrc = 24
+    val poolSize = 1000
+    // each document is EXACTLY one 8-token shingle: pool docs repeat one
+    // of poolSize shared texts; the rest are unique per id
+    // source = (id/10) mod S and pool key = (id/10) div S mod pool:
+    // consecutive m = id/10 blocks sweep ALL S sources per key, so every
+    // pool key is held by every source — the true worst-case fanout
+    spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat(lit("src"), pmod(expr("id div 10"), lit(nSrc))).as("source"),
+      when(pmod(col("id"), lit(10)) < 3,
+        concat_ws(" ", (1 to 8).map(j =>
+          concat(lit(s"p${j}_"),
+            pmod(expr(s"(id div 10) div $nSrc"), lit(poolSize)))): _*))
+        .otherwise(concat_ws(" ", (1 to 8).map(j =>
+          concat(lit(s"u${j}_"), col("id"))): _*)).as("text"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val occ = docs.count()
+    val pairs = docs.select(col("source"),
+      explode(column(graft.functions.SlidingShingleHashes(
+        expression(graft.text.TextAnalysis.tokens(col("text"))), 8))).as("h"))
+      .distinct()
+    val distinctPairs = pairs.count()
+    val joinRows = pairs.as("a")
+      .join(pairs.as("b"), col("a.h") === col("b.h")
+        && col("a.source") < col("b.source")).count()
+    val bound = poolSize.toLong * nSrc * (nSrc - 1) / 2
+    println(f"OVERLAPSKEW n=$nDocs sources=$nSrc pool=$poolSize " +
+      f"occurrences=$occ distinct_pairs=$distinctPairs " +
+      f"collapse=${occ.toDouble / distinctPairs}%.1fx " +
+      s"pair_rows=$joinRows bound=$bound within=${joinRows <= bound}")
+    val (sec, rows) = timed(spark, 3)(
+      graft.ops.ScaleOps23.q171SourceOverlap(spark, dir).count())
+    val top = graft.ops.ScaleOps23.q171SourceOverlap(spark, dir)
+      .limit(1).collect().headOption
+      .map(r => s"${r.getString(1)}~${r.getString(2)} shared=${r.getLong(3)}")
+      .getOrElse("none")
+    println(f"OVERLAPSKEW matrix ${sec}%.2fs rows=$rows top=$top")
     spark.stop()
   }
 

@@ -213,9 +213,12 @@ object ScaleOps21 {
     * strategy orders by a (−n, doc_id) struct key — ascending struct
     * order ≡ the mirror's (n DESC, doc_id), no expression divergence.
     *
-    * Scale shape: three linear passes over the kept-docs stream (one per
-    * strategy), each = adaptive unit-count prefix sum + one (group,
-    * batch) partial agg + a 1-row rollup; a 3-row union at the end. */
+    * Scale shape: ONE measurement aggregate shared by all three
+    * routings (total kept rows upper-bounds every strategy's largest
+    * group — the measured variant, so three strategies never pay three
+    * measurement scans), then three linear passes over the kept-docs
+    * stream, each = unit-count prefix sum + one (group, batch) partial
+    * agg + a 1-row rollup; a 3-row union at the end. */
   def q166BatchSortAblation(s: SparkSession, dir: String): DataFrame = {
     val docs = docLengths(s, dir)
       .withColumn("one", lit(1L)).withColumn("g", lit(0L))
@@ -228,14 +231,23 @@ object ScaleOps21 {
           sum(col("rt")).cast("long").as("real_tokens"),
           sum(col("nd") * col("ml")).cast("long").as("padded_slots"))
         .withColumn("strategy", lit(strategy))
-    val a = rollup(graft.pipeline.Packing.packAssignmentsByCount(
-      docs, "doc_id", "one", "g", Q165BatchSize), "g", "a_docid_global")
-    val b = rollup(graft.pipeline.Packing.packAssignmentsByCount(
-      docs, "doc_id", "one", "bucket", Q165BatchSize), "bucket", "b_bucketed_docid")
+    // one measurement for all three routings: the global strategies'
+    // only group IS the whole row set, and total rows upper-bounds any
+    // bucket's size, so the same number routes all three correctly
+    // (a conservative bound can only cost time, never rows — the
+    // branches are differential-spec identical)
+    val totalRows = docs.count()
+    val a = rollup(graft.pipeline.Packing.packAssignmentsByCountMeasured(
+      docs, "doc_id", "one", "g", Q165BatchSize, totalRows),
+      "g", "a_docid_global")
+    val b = rollup(graft.pipeline.Packing.packAssignmentsByCountMeasured(
+      docs, "doc_id", "one", "bucket", Q165BatchSize, totalRows),
+      "bucket", "b_bucketed_docid")
     val sorted = docs.withColumn("sk",
       struct((-col("n")).as("negn"), col("doc_id").as("doc_id")))
-    val c = rollup(graft.pipeline.Packing.packAssignmentsByCount(
-      sorted, "sk", "one", "g", Q165BatchSize), "g", "c_sorted_global")
+    val c = rollup(graft.pipeline.Packing.packAssignmentsByCountMeasured(
+      sorted, "sk", "one", "g", Q165BatchSize, totalRows),
+      "g", "c_sorted_global")
     a.unionByName(b).unionByName(c)
       .withColumn("waste_fp", expr(
         "CAST((padded_slots - real_tokens) * 1000000 div padded_slots AS BIGINT)"))

@@ -69,13 +69,28 @@ object Packing {
     * packskew`), so the routing can never change results. */
   def packAssignmentsByCount(docs: DataFrame, idCol: String,
       nTokensCol: String, groupCol: String, ctxTokens: Long): DataFrame = {
-    val maxGroupRows = docs.sparkSession.conf
-      .getOption("graft.pack.maxGroupRows").map(_.toLong)
-      .getOrElse(PackMaxGroupRows)
     val largest = docs.groupBy(col(groupCol)).count()
       .agg(max(col("count"))).head()
     val n = if (largest.isNullAt(0)) 0L else largest.getLong(0)
-    if (n <= maxGroupRows)
+    packAssignmentsByCountMeasured(docs, idCol, nTokensCol, groupCol,
+      ctxTokens, n)
+  }
+
+  /** [[packAssignmentsByCount]] with a CALLER-SUPPLIED largest-group row
+    * count — for callers that run several assignments over the SAME
+    * row set (q166's three fill strategies) and should not pay the
+    * measurement scan once per call. The measurement only picks the
+    * branch; both branches are row-identical, so a stale or
+    * conservative count can cost time, never correctness. Callers may
+    * pass any UPPER BOUND they already know (e.g. the total row count
+    * for a constant-group layout). */
+  def packAssignmentsByCountMeasured(docs: DataFrame, idCol: String,
+      nTokensCol: String, groupCol: String, ctxTokens: Long,
+      largestGroupRows: Long): DataFrame = {
+    val maxGroupRows = docs.sparkSession.conf
+      .getOption("graft.pack.maxGroupRows").map(_.toLong)
+      .getOrElse(PackMaxGroupRows)
+    if (largestGroupRows <= maxGroupRows)
       packAssignmentsByCountWindowed(docs, idCol, nTokensCol, groupCol, ctxTokens)
     else
       packAssignmentsByCountHierarchical(docs, idCol, nTokensCol, groupCol, ctxTokens)
