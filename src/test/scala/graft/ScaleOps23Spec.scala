@@ -121,6 +121,64 @@ class ScaleOps23Spec extends GraftSuite {
     assert(got == Seq((1, "sA", "sB", 2L, 3L, 2L, 1000000L)))
   }
 
+  // --- q172 epoch-shuffle audit ------------------------------------------------
+
+  /** Scalar double-hash epoch key (hash(hash(id) XOR epoch·salt)). */
+  private def epochKey(id: Long, epoch: Int): Long =
+    splitBucketScalar(splitBucketScalar(id) ^
+      (epoch * graft.ops.ScaleOps23.Q172EpochSalt))
+
+  private def scalarBatches(ids: Seq[Long], epoch: Int): Map[Long, Long] = {
+    val b = graft.ops.ScaleOps23.Q172BatchSize
+    ids.sortBy(id => (epochKey(id, epoch), id)).zipWithIndex
+      .map { case (id, i) => id -> (i / b) }.toMap
+  }
+
+  private def coBatchPairs(batchOf: Map[Long, Long]): Set[(Long, Long)] =
+    batchOf.groupBy(_._2).values.flatMap { m =>
+      val ids = m.keys.toSeq.sorted
+      ids.combinations(2).map { case Seq(a, bb) => (a, bb) }
+    }.toSet
+
+  test("q172: degenerate corpus — with at most one batch, reshuffling cannot help: every pair repeats") {
+    val dir = tempDir("q172-hand")
+    writeDocs(dir, Seq((1L, "x", "s"), (2L, "y", "s"), (3L, "z", "s")))
+    val got = graft.ops.ScaleOps23.q172EpochShuffle(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((3L, 1L, 3L, 3L, 1000000L)))
+  }
+
+  test("q172: real corpus — all five columns re-derive from the scalar double-hash permutations; the shipped shuffle sits near the independence baseline where the rejected salts do not") {
+    val got = graft.ops.ScaleOps23.q172EpochShuffle(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).head
+    val ids = graft.ops.Relational.t(spark, sf, "documents")
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSeq
+    val b = graft.ops.ScaleOps23.Q172BatchSize
+    val p0 = coBatchPairs(scalarBatches(ids, 0))
+    val p1 = coBatchPairs(scalarBatches(ids, 1))
+    val rep = (p0 intersect p1).size.toLong
+    val expected = (ids.size.toLong, (ids.size + b - 1) / b,
+      p0.size.toLong, rep, rep * 1000000L / p0.size)
+    assert(got == expected, s"\n got=$got\n exp=$expected")
+    // the audit DISCRIMINATES (the reason the key is hash∘xor∘hash):
+    // an additive salt on the raw id — the rejected first draft — keeps
+    // epochs near-rotations of each other and scores far above the
+    // shipped form on the same corpus
+    val salt = graft.ops.ScaleOps23.Q172EpochSalt
+    def additiveBatches(epoch: Int): Map[Long, Long] =
+      ids.sortBy(id => (splitBucketScalar(id + epoch * salt), id)).zipWithIndex
+        .map { case (id, i) => id -> (i / b) }.toMap
+    val addRep = (coBatchPairs(additiveBatches(0))
+      intersect coBatchPairs(additiveBatches(1))).size.toLong
+    assert(addRep > 3 * rep,
+      s"additive-salt repeat $addRep should far exceed the shipped $rep")
+    // and the shipped form is a genuine reshuffle: strictly fewer than
+    // half the pairs repeat (the degenerate single-batch law is 100%)
+    assert(rep * 2 < p0.size)
+  }
+
   test("q171: real corpus — the top-20 matrix re-derives from scalar shingle STRING sets per source") {
     val got = graft.ops.ScaleOps23.q171SourceOverlap(spark, sf)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
