@@ -338,4 +338,124 @@ object ScaleOps23 {
       |    AS repeat_fp
       |FROM tot, rep""".stripMargin
   }
+
+  // --- data-constrained epoch planning (q173) ----------------------------------
+
+  /** q173's token budget as a multiple of the corpus (2 = "train on
+    * twice our tokens" — some sources must repeat). */
+  val Q173BudgetMult = 2L
+
+  /** Full-epoch bound past which q173 refuses loudly (the shift
+    * arithmetic is DECIMAL(38)-exact only while n·10⁶·2^(e+1) fits —
+    * e ≤ 40 leaves two orders of magnitude of headroom at a 10¹³-token
+    * source, and a 40-epoch repeat is a broken mix, not a plan). */
+  val Q173MaxEpochs = 40L
+
+  /** q173: DATA-CONSTRAINED EPOCH PLANNING — when the token budget
+    * exceeds what a source holds, the source repeats, and repeated
+    * epochs are worth less (the data-constrained scaling result every
+    * post-2023 mix plan accounts for). This readout composes the q168
+    * temperature weights into token targets and discounts repetition
+    * with a per-epoch HALVING, all in exact integers:
+    *   - budget B = [[Q173BudgetMult]]·Σn; target_d = (B·√n_d) div Σ√n
+    *     (the q168 isqrt weights, DECIMAL(38) products);
+    *   - full epochs e = target div n, partial = target mod n;
+    *   - effective tokens at 10⁻⁶ fixed point — epoch i is worth 1/2^i:
+    *     eff_fp = (n·10⁶·(2^(e+1)−2)) div 2^e + (partial·10⁶) div 2^e,
+    *     ONE floor per term so both engines agree bit-for-bit (the
+    *     geometric series cleared to a single rational, not a
+    *     data-dependent loop no SQL mirror could express);
+    *   - utility_fp = eff_fp div target — the share of the source's
+    *     budget that still carries full-value signal. A source trained
+    *     within its own data (epochs ≤ 1) has utility exactly 10⁶.
+    * Epochs past [[Q173MaxEpochs]] fail LOUDLY (assert_true inside a
+    * filter, the q73 discipline) rather than silently overflowing.
+    *
+    * Scale shape: one token-sized partial agg; everything after on the
+    * per-source table. */
+  def q173EpochBudget(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = Relational.fanOut(t(s, dir, "documents"))
+      .select(col("source"),
+        size(filter(graft.text.TextAnalysis.tokens(col("text")),
+          tk => length(tk) >= 1)).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    ScaleOps22.withIsqrt(perSrc, "n_tokens", "w_sqrt")
+      .withColumn("stot", sum(col("w_sqrt")).over(wAll))
+      .withColumn("btot", lit(Q173BudgetMult) * sum(col("n_tokens")).over(wAll))
+      .withColumn("target_tokens", expr(
+        "CAST((CAST(btot AS DECIMAL(38,0)) * w_sqrt) div stot AS BIGINT)"))
+      .withColumn("e", expr("target_tokens div n_tokens"))
+      .filter(assert_true(col("e") <= Q173MaxEpochs,
+        concat(lit("q173: source "), col("source"),
+          lit(" needs "), col("e").cast("string"),
+          lit(s" full epochs (> $Q173MaxEpochs) — broken mix"))).isNull)
+      .withColumn("part", expr("target_tokens % n_tokens"))
+      .withColumn("p2", expr("shiftleft(CAST(1 AS BIGINT), CAST(e AS INT))"))
+      .withColumn("eff_fp", expr(
+        "CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000 * (2 * p2 - 2)) div p2 AS BIGINT)" +
+          " + CAST((CAST(part AS DECIMAL(38,0)) * 1000000) div p2 AS BIGINT)"))
+      .withColumn("epochs", expr("e + CAST(part > 0 AS BIGINT)"))
+      .withColumn("effective_tokens", expr("eff_fp div 1000000"))
+      .withColumn("utility_fp", expr(
+        "CASE WHEN target_tokens = 0 THEN 1000000 " +
+          "ELSE CAST(eff_fp div target_tokens AS BIGINT) END"))
+      .select(col("source"), col("n_tokens").as("avail_tokens"),
+        col("target_tokens"), col("epochs"), col("effective_tokens"),
+        col("utility_fp"))
+      .orderBy(col("source"))
+  }
+
+  /** Mirror: the q168 isqrt restatement, the same single-floor
+    * geometric-series clearing with HUGEINT products and a BIGINT
+    * shift. */
+  val q173Sql: String =
+    raw"""WITH per_src AS (
+      |  SELECT source, SUM(len(list_filter(
+      |      regexp_split_to_array(trim(lower(text)), '\s+'),
+      |      t -> len(t) >= 1))) AS n_tokens
+      |  FROM documents GROUP BY source HAVING SUM(len(list_filter(
+      |      regexp_split_to_array(trim(lower(text)), '\s+'),
+      |      t -> len(t) >= 1))) >= 1
+      |), isq AS (
+      |  SELECT source, n_tokens,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+      |  FROM per_src
+      |), isq1 AS (
+      |  SELECT source, n_tokens,
+      |    s0 - CAST(CAST(s0 AS HUGEINT) * s0 > n_tokens AS INT) AS s1
+      |  FROM isq
+      |), w AS (
+      |  SELECT source, n_tokens,
+      |    s1 + CAST(CAST(s1 + 1 AS HUGEINT) * (s1 + 1) <= n_tokens AS INT)
+      |      AS w_sqrt
+      |  FROM isq1
+      |), planned AS (
+      |  SELECT source, n_tokens,
+      |    CAST((CAST(${Q173BudgetMult} * SUM(n_tokens) OVER () AS HUGEINT)
+      |      * w_sqrt) // SUM(w_sqrt) OVER () AS BIGINT) AS target_tokens
+      |  FROM w
+      |), split AS (
+      |  SELECT source, n_tokens, target_tokens,
+      |    target_tokens // n_tokens AS e,
+      |    target_tokens % n_tokens AS part,
+      |    (1::BIGINT << CAST(target_tokens // n_tokens AS INT)) AS p2
+      |  FROM planned
+      |), eff AS (
+      |  SELECT source, n_tokens, target_tokens, e, part,
+      |    CAST((CAST(n_tokens AS HUGEINT) * 1000000 * (2 * p2 - 2)) // p2
+      |      AS BIGINT)
+      |      + CAST((CAST(part AS HUGEINT) * 1000000) // p2 AS BIGINT)
+      |      AS eff_fp
+      |  FROM split
+      |)
+      |SELECT source, CAST(n_tokens AS BIGINT) AS avail_tokens,
+      |  CAST(target_tokens AS BIGINT) AS target_tokens,
+      |  CAST(e + CAST(part > 0 AS INT) AS BIGINT) AS epochs,
+      |  CAST(eff_fp // 1000000 AS BIGINT) AS effective_tokens,
+      |  CAST(CASE WHEN target_tokens = 0 THEN 1000000
+      |            ELSE eff_fp // target_tokens END AS BIGINT) AS utility_fp
+      |FROM eff ORDER BY source""".stripMargin
 }

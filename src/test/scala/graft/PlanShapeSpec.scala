@@ -587,12 +587,15 @@ class PlanShapeSpec extends GraftSuite {
     } finally spark.conf.unset("graft.pack.maxGroupRows")
   }
 
-  test("q168: one partial-agg exchange over the corpus; document text never reaches an exchange; no join at all") {
-    val p = plan(graft.ops.ScaleOps22.q168TemperatureMix(spark, sf))
-    assert(p.contains("partial_"), p)
-    assert(!p.toLowerCase.contains("join"), p)
-    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
-      assert(!l.contains("text"), l)
+  test("q168/q173: one partial-agg exchange over the corpus; document text never reaches an exchange; no join at all") {
+    for (df <- Seq(graft.ops.ScaleOps22.q168TemperatureMix(spark, sf),
+        graft.ops.ScaleOps23.q173EpochBudget(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("partial_"), p)
+      assert(!p.toLowerCase.contains("join"), p)
+      p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+        assert(!l.contains("text"), l)
+      }
     }
   }
 }

@@ -179,6 +179,67 @@ class ScaleOps23Spec extends GraftSuite {
     assert(rep * 2 < p0.size)
   }
 
+  // --- q173 data-constrained epoch planning ------------------------------------
+
+  test("q173: hand corpus — isqrt targets, the halving geometric series, and the utility law all hand-compute") {
+    val dir = tempDir("q173-hand")
+    // sA: 10 tokens, sB: 40. B = 2·50 = 100; √ weights 3 and 6, S = 9.
+    // targetA = 100·3/9 = 33 → e=3, part=3:
+    //   effA_fp = 10e6·(16−2)/8 + 3e6/8 = 17,500,000 + 375,000
+    //   → effective 17, epochs 4, utility 17,875,000/33 = 541,666
+    // targetB = 100·6/9 = 66 → e=1, part=26:
+    //   effB_fp = 40e6·(4−2)/2 + 26e6/2 = 40e6 + 13e6
+    //   → effective 53, epochs 2, utility 53,000,000/66 = 803,030
+    def words(k: Int) = (1 to k).map(i => s"w$i").mkString(" ")
+    writeDocs(dir, Seq(
+      (1L, words(10), "sA"), (2L, words(40), "sB")))
+    val got = graft.ops.ScaleOps23.q173EpochBudget(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("sA", 10L, 33L, 4L, 17L, 17875000L / 33L),
+      ("sB", 40L, 66L, 2L, 53L, 53000000L / 66L)))
+  }
+
+  test("q173: real corpus — the plan re-derives from scalar BigInt arithmetic; within-data sources keep utility exactly 1e6") {
+    val got = graft.ops.ScaleOps23.q173EpochBudget(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got.nonEmpty)
+    val perSrc = graft.ops.Relational.t(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), tokensOf(r.getString(1)).size.toLong))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+      .filter(_._2 >= 1).toSeq
+    def isqrt(n: Long): Long = {
+      var x = math.sqrt(n.toDouble).toLong
+      while (x * x > n) x -= 1
+      while ((x + 1) * (x + 1) <= n) x += 1
+      x
+    }
+    val btot = BigInt(graft.ops.ScaleOps23.Q173BudgetMult) * perSrc.map(_._2).sum
+    val stot = perSrc.map(p => isqrt(p._2)).sum
+    val expected = perSrc.map { case (src, n) =>
+      val target = (btot * isqrt(n) / stot).toLong
+      val e = target / n
+      val part = target % n
+      val p2 = 1L << e.toInt
+      val eff = (BigInt(n) * 1000000 * (2 * p2 - 2) / p2).toLong +
+        (BigInt(part) * 1000000 / p2).toLong
+      val utility = if (target == 0) 1000000L else eff / target
+      (src, n, target, e + (if (part > 0) 1L else 0L), eff / 1000000L, utility)
+    }.sortBy(_._1)
+    assert(got == expected, s"\n got=$got\n exp=$expected")
+    // law: a source whose target fits inside its own data loses nothing
+    got.filter(_._4 <= 1).foreach { case (src, _, _, _, _, u) =>
+      assert(u == 1000000L, s"$src within-data utility $u")
+    }
+    // law: utility strictly decreases past one epoch (halving is real)
+    got.filter(_._4 >= 2).foreach { case (src, _, _, _, _, u) =>
+      assert(u < 1000000L, s"$src repeated-data utility $u")
+    }
+  }
+
   test("q171: real corpus — the top-20 matrix re-derives from scalar shingle STRING sets per source") {
     val got = graft.ops.ScaleOps23.q171SourceOverlap(spark, sf)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
