@@ -97,6 +97,21 @@ class ScaleOps22Spec extends GraftSuite {
     }
   }
 
+  test("isqrt column kernel: 500 seeded-random int64 draws across all magnitudes match the BigInt reference") {
+    val rnd = new scala.util.Random(42)
+    val ns = (1 to 500).map { _ =>
+      // magnitude-uniform, not value-uniform: shift a positive draw by a
+      // random amount so small, mid, and boundary magnitudes all appear
+      (rnd.nextLong() & Long.MaxValue) >> rnd.nextInt(62)
+    }.distinct
+    val got = graft.ops.ScaleOps22.withIsqrt(ns.toDF("n_tokens"), "n_tokens", "s")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.foreach { n =>
+      val want = isqrtBig(BigInt(n)).toLong
+      assert(got(n) == want, s"isqrt($n): got ${got(n)}, want $want")
+    }
+  }
+
   test("q168: real corpus — weights, fixed-point shares, and the largest-remainder allocation re-derive scalar-exactly; allocations sum to the budget") {
     val got = graft.ops.ScaleOps22.q168TemperatureMix(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),

@@ -59,6 +59,20 @@ class ScaleOps23Spec extends GraftSuite {
     }
   }
 
+  test("splitBucketScalar ≡ the column splitBucket on 500 seeded-random non-negative ids — the shared contract every hash mirror (q51/q62/q169/q172) rides") {
+    val rnd = new scala.util.Random(7)
+    val ids = (1 to 500).map { _ =>
+      (rnd.nextLong() & Long.MaxValue) >> rnd.nextInt(62)
+    }.distinct
+    val got = ids.toDF("id")
+      .select(col("id"), graft.ops.Relational3.splitBucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      assert(got(id) == splitBucketScalar(id),
+        s"splitBucket($id): col ${got(id)}, scalar ${splitBucketScalar(id)}")
+    }
+  }
+
   // --- q170 token-frequency spectrum -------------------------------------------
 
   test("q170: hand corpus — exact-integer frequency buckets and the share arithmetic") {
