@@ -131,8 +131,7 @@ object ScaleOps21 {
   private[graft] def docLengths(s: SparkSession, dir: String): DataFrame =
     Relational.fanOut(t(s, dir, "documents"))
       .select(col("doc_id").cast("long").as("doc_id"),
-        size(filter(graft.text.TextAnalysis.tokens(col("text")),
-          tk => length(tk) >= 1)).cast("long").as("n"))
+        graft.text.TextAnalysis.nonEmptyTokenCount(col("text")).as("n"))
       .filter(col("n") >= 1)
       .withColumn("bucket", (length(bin(col("n"))) - 1).cast("long"))
 
@@ -149,8 +148,12 @@ object ScaleOps21 {
         sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("real_tokens")).cast("long").as("real_tokens"),
         sum(col("padded")).cast("long").as("padded_slots"))
+      // the ×10⁶ product rides DECIMAL(38): int64 dies at ~9·10¹² waste
+      // tokens (a 10¹³-token corpus) where DuckDB's HUGEINT SUM would
+      // keep going — the engines must agree at every scale
       .withColumn("waste_fp", expr(
-        "CAST((padded_slots - real_tokens) * 1000000 div padded_slots AS BIGINT)"))
+        "CAST((CAST(padded_slots - real_tokens AS DECIMAL(38,0)) * 1000000)" +
+          " div padded_slots AS BIGINT)"))
       .select(col("bucket"), col("n_batches"), col("n_docs"),
         col("real_tokens"), col("padded_slots"), col("waste_fp"))
       .orderBy(col("bucket"))
@@ -249,8 +252,10 @@ object ScaleOps21 {
       sorted, "sk", "one", "g", Q165BatchSize, totalRows),
       "g", "c_sorted_global")
     a.unionByName(b).unionByName(c)
+      // DECIMAL(38) for the ×10⁶ product — the q165 waste_fp discipline
       .withColumn("waste_fp", expr(
-        "CAST((padded_slots - real_tokens) * 1000000 div padded_slots AS BIGINT)"))
+        "CAST((CAST(padded_slots - real_tokens AS DECIMAL(38,0)) * 1000000)" +
+          " div padded_slots AS BIGINT)"))
       .select(col("strategy"), col("n_batches"), col("n_docs"),
         col("real_tokens"), col("padded_slots"), col("waste_fp"))
       .orderBy(col("strategy"))

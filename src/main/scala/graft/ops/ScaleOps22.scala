@@ -143,12 +143,22 @@ object ScaleOps22 {
         s"__s1 + CAST(CAST(__s1 + 1 AS DECIMAL(38,0)) * (__s1 + 1) <= $inCol AS INT)"))
       .drop("__s0", "__s1")
 
-  def q168TemperatureMix(s: SparkSession, dir: String): DataFrame = {
-    val perSrc = Relational.fanOut(t(s, dir, "documents"))
+  /** Per-source non-empty-token totals with a `n_tokens >= 1` floor —
+    * shared by q168 and q173 (the composed planning pair MUST agree on
+    * which sources exist in a plan). The floor also makes the weight
+    * divisions total: with every surviving source having n ≥ 1, every
+    * isqrt weight is ≥ 1 and Σ√n ≥ 1 — an all-whitespace corpus yields
+    * an EMPTY plan, never a divide-by-zero (Spark 4 ANSI raises where
+    * DuckDB would NULL — the engines must agree). */
+  private[ops] def perSourceTokens(s: SparkSession, dir: String): DataFrame =
+    Relational.fanOut(t(s, dir, "documents"))
       .select(col("source"),
-        size(filter(graft.text.TextAnalysis.tokens(col("text")),
-          tk => length(tk) >= 1)).cast("long").as("n"))
+        graft.text.TextAnalysis.nonEmptyTokenCount(col("text")).as("n"))
       .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+
+  def q168TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = perSourceTokens(s, dir)
     val wAll = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     val wRem = Window.orderBy(col("rem").desc, col("source"))
@@ -175,6 +185,8 @@ object ScaleOps22 {
       |      regexp_split_to_array(trim(lower(text)), '\s+'),
       |      t -> len(t) >= 1))) AS n_tokens
       |  FROM documents GROUP BY source
+      |  HAVING SUM(len(list_filter(regexp_split_to_array(trim(lower(text)),
+      |      '\s+'), t -> len(t) >= 1))) >= 1
       |), isq AS (
       |  SELECT source, n_tokens,
       |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0

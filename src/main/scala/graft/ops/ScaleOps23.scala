@@ -36,19 +36,22 @@ object ScaleOps23 {
   def q169ShardBalance(s: SparkSession, dir: String): DataFrame = {
     val docs = Relational.fanOut(t(s, dir, "documents"))
       .select(col("doc_id").cast("long").as("doc_id"),
-        size(filter(graft.text.TextAnalysis.tokens(col("text")),
-          tk => length(tk) >= 1)).cast("long").as("n"))
+        graft.text.TextAnalysis.nonEmptyTokenCount(col("text")).as("n"))
       .withColumn("shard",
         pmod(Relational3.splitBucket(col("doc_id")), lit(Q169Shards)))
     val per = docs.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
     val totals = per.agg(sum(col("n_tokens")).as("tt"))
+    // tt = 0 only on an all-whitespace corpus — shards still list their
+    // docs, shares read 0 (Spark ANSI raises on div 0; DuckDB NULLs)
     per.crossJoin(broadcast(totals))
       .withColumn("share_fp", expr(
-        "CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div tt AS BIGINT)"))
+        "CASE WHEN tt = 0 THEN 0 ELSE " +
+          "CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div tt AS BIGINT) END"))
       .withColumn("skew_ppm", expr(
-        s"CAST((CAST(n_tokens AS DECIMAL(38,0)) * ${Q169Shards} * 1000000) div tt" +
-          " AS BIGINT) - 1000000"))
+        s"CASE WHEN tt = 0 THEN 0 ELSE " +
+          s"CAST((CAST(n_tokens AS DECIMAL(38,0)) * ${Q169Shards} * 1000000) div tt" +
+          " AS BIGINT) - 1000000 END"))
       .select(col("shard"), col("n_docs"), col("n_tokens"),
         col("share_fp"), col("skew_ppm"))
       .orderBy(col("shard"))
@@ -75,9 +78,13 @@ object ScaleOps23 {
       |SELECT CAST(shard AS BIGINT) AS shard,
       |  CAST(n_docs AS BIGINT) AS n_docs,
       |  CAST(n_tokens AS BIGINT) AS n_tokens,
-      |  CAST((CAST(n_tokens AS HUGEINT) * 1000000) // tt AS BIGINT) AS share_fp,
-      |  CAST((CAST(n_tokens AS HUGEINT) * ${Q169Shards} * 1000000) // tt
-      |    AS BIGINT) - 1000000 AS skew_ppm
+      |  CAST(CASE WHEN tt = 0 THEN 0
+      |       ELSE (CAST(n_tokens AS HUGEINT) * 1000000) // tt
+      |       END AS BIGINT) AS share_fp,
+      |  CAST(CASE WHEN tt = 0 THEN 0
+      |       ELSE (CAST(n_tokens AS HUGEINT) * ${Q169Shards} * 1000000) // tt
+      |         - 1000000
+      |       END AS BIGINT) AS skew_ppm
       |FROM per, tot ORDER BY shard""".stripMargin
 
   // --- token-frequency spectrum (q170) ----------------------------------------
@@ -289,8 +296,12 @@ object ScaleOps23 {
     totals.crossJoin(repeated)
       .withColumn("n_batches", expr(
         s"CAST((n_docs + ${Q172BatchSize} - 1) div ${Q172BatchSize} AS BIGINT)"))
+      // zero guard (a ≤1-doc corpus has no pairs; Spark ANSI raises on
+      // div 0 where DuckDB NULLs) + DECIMAL(38) for the ×10⁶ product
       .withColumn("repeat_fp", expr(
-        "CAST(repeated_pairs * 1000000 div pairs_per_epoch AS BIGINT)"))
+        "CASE WHEN pairs_per_epoch = 0 THEN 0 ELSE " +
+          "CAST((CAST(repeated_pairs AS DECIMAL(38,0)) * 1000000)" +
+          " div pairs_per_epoch AS BIGINT) END"))
       .select(col("n_docs"), col("n_batches"), col("pairs_per_epoch"),
         col("repeated_pairs"), col("repeat_fp"))
   }
@@ -334,8 +345,9 @@ object ScaleOps23 {
       |    AS n_batches,
       |  CAST(pairs_per_epoch AS BIGINT) AS pairs_per_epoch,
       |  CAST(repeated_pairs AS BIGINT) AS repeated_pairs,
-      |  CAST(repeated_pairs * 1000000 // pairs_per_epoch AS BIGINT)
-      |    AS repeat_fp
+      |  CAST(CASE WHEN pairs_per_epoch = 0 THEN 0
+      |       ELSE CAST(repeated_pairs AS HUGEINT) * 1000000 // pairs_per_epoch
+      |       END AS BIGINT) AS repeat_fp
       |FROM tot, rep""".stripMargin
   }
 
@@ -374,12 +386,7 @@ object ScaleOps23 {
     * Scale shape: one token-sized partial agg; everything after on the
     * per-source table. */
   def q173EpochBudget(s: SparkSession, dir: String): DataFrame = {
-    val perSrc = Relational.fanOut(t(s, dir, "documents"))
-      .select(col("source"),
-        size(filter(graft.text.TextAnalysis.tokens(col("text")),
-          tk => length(tk) >= 1)).cast("long").as("n"))
-      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
-      .filter(col("n_tokens") >= 1)
+    val perSrc = ScaleOps22.perSourceTokens(s, dir)
     val wAll = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     ScaleOps22.withIsqrt(perSrc, "n_tokens", "w_sqrt")
@@ -394,14 +401,23 @@ object ScaleOps23 {
           lit(s" full epochs (> $Q173MaxEpochs) — broken mix"))).isNull)
       .withColumn("part", expr("target_tokens % n_tokens"))
       .withColumn("p2", expr("shiftleft(CAST(1 AS BIGINT), CAST(e AS INT))"))
-      .withColumn("eff_fp", expr(
-        "CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000 * (2 * p2 - 2)) div p2 AS BIGINT)" +
-          " + CAST((CAST(part AS DECIMAL(38,0)) * 1000000) div p2 AS BIGINT)"))
+      // eff at 10⁻⁶ fixed point EXCEEDS int64 at ~4.6·10¹² tokens per
+      // source (code-review finding), so each floored term stays in
+      // DECIMAL(38): floor(x div p2) computed as (x − x % p2) / p2 —
+      // the subtraction makes the division exact, so the decimal
+      // division can never round across an integer. Only the two final
+      // readouts (tokens, a ≤2·10⁶ ratio) drop to BIGINT.
+      .withColumn("x1", expr(
+        "CAST(n_tokens AS DECIMAL(38,0)) * 1000000 * (2 * p2 - 2)"))
+      .withColumn("x2", expr("CAST(part AS DECIMAL(38,0)) * 1000000"))
+      .withColumn("eff_dec", expr(
+        "CAST((x1 - x1 % p2) / p2 AS DECIMAL(38,0))" +
+          " + CAST((x2 - x2 % p2) / p2 AS DECIMAL(38,0))"))
       .withColumn("epochs", expr("e + CAST(part > 0 AS BIGINT)"))
-      .withColumn("effective_tokens", expr("eff_fp div 1000000"))
+      .withColumn("effective_tokens", expr("eff_dec div 1000000"))
       .withColumn("utility_fp", expr(
         "CASE WHEN target_tokens = 0 THEN 1000000 " +
-          "ELSE CAST(eff_fp div target_tokens AS BIGINT) END"))
+          "ELSE CAST(eff_dec div target_tokens AS BIGINT) END"))
       .select(col("source"), col("n_tokens").as("avail_tokens"),
         col("target_tokens"), col("epochs"), col("effective_tokens"),
         col("utility_fp"))
@@ -445,9 +461,8 @@ object ScaleOps23 {
       |  FROM planned
       |), eff AS (
       |  SELECT source, n_tokens, target_tokens, e, part,
-      |    CAST((CAST(n_tokens AS HUGEINT) * 1000000 * (2 * p2 - 2)) // p2
-      |      AS BIGINT)
-      |      + CAST((CAST(part AS HUGEINT) * 1000000) // p2 AS BIGINT)
+      |    (CAST(n_tokens AS HUGEINT) * 1000000 * (2 * p2 - 2)) // p2
+      |      + (CAST(part AS HUGEINT) * 1000000) // p2
       |      AS eff_fp
       |  FROM split
       |)

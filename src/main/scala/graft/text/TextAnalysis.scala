@@ -21,6 +21,15 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text))
   def tokenCountOf(toks: Column): Column = size(toks)
 
+  /** NON-EMPTY whitespace-token count as a LONG — the batching/planning
+    * family's shared length kernel (q165/q166 docLengths, q168/q173
+    * per-source totals, q169 shards): `split` of an all-whitespace doc
+    * yields [""], which must count 0 — exactly the SQL mirrors'
+    * `len(list_filter(..., t -> len(t) >= 1))`. One definition so the
+    * empty-token rule can never drift between consumers. */
+  def nonEmptyTokenCount(text: Column): Column =
+    size(filter(tokens(text), tk => length(tk) >= 1)).cast("long")
+
   /** BPE-ish subword count approximation: whitespace tokens plus an extra
     * unit per 6 chars of long words (a cheap stand-in for byte-pair merges;
     * deterministic and shuffle-free). */

@@ -112,6 +112,13 @@ class ScaleOps22Spec extends GraftSuite {
     }
   }
 
+  test("q168: an all-whitespace corpus yields an EMPTY plan — never a divide-by-zero (the stot = 0 guard is the n >= 1 floor)") {
+    val dir = tempDir("q168-empty")
+    writeDocs(dir, Seq((1L, "   "), (2L, " \t ")))
+    assert(graft.ops.ScaleOps22.q168TemperatureMix(spark, dir.toString)
+      .collect().isEmpty)
+  }
+
   test("q168: real corpus — weights, fixed-point shares, and the largest-remainder allocation re-derive scalar-exactly; allocations sum to the budget") {
     val got = graft.ops.ScaleOps22.q168TemperatureMix(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),

@@ -154,6 +154,25 @@ class ScaleOps23Spec extends GraftSuite {
       ids.combinations(2).map { case Seq(a, bb) => (a, bb) }
     }.toSet
 
+  test("q169: an all-whitespace corpus still lists its shards (docs counted, zero tokens) with shares pinned to 0 — never a divide-by-zero") {
+    val dir = tempDir("q169-empty")
+    writeDocs(dir, Seq((1L, "  ", "s"), (2L, " \t ", "s")))
+    val got = graft.ops.ScaleOps23.q169ShardBalance(spark, dir.toString)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.map(_._1).sum == 2L)            // both docs sharded
+    assert(got.forall(r => r._2 == 0L && r._3 == 0L && r._4 == 0L))
+  }
+
+  test("q172: a single-document corpus has no pairs in either epoch — repeat_fp pins to 0, never a divide-by-zero") {
+    val dir = tempDir("q172-single")
+    writeDocs(dir, Seq((7L, "only doc", "s")))
+    val got = graft.ops.ScaleOps23.q172EpochShuffle(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 1L, 0L, 0L, 0L)))
+  }
+
   test("q172: degenerate corpus — with at most one batch, reshuffling cannot help: every pair repeats") {
     val dir = tempDir("q172-hand")
     writeDocs(dir, Seq((1L, "x", "s"), (2L, "y", "s"), (3L, "z", "s")))
