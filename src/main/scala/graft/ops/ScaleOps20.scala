@@ -98,8 +98,16 @@ object ScaleOps20 {
     val counted = graft.text.Bpe.bpeTokenCounts(docs, "doc_id", "text", merges)
     val withCounts = docs.select(col("doc_id"), col("source"))
       .join(counted, Seq("doc_id"))
-    val assigned = graft.pipeline.Packing.packAssignmentsByCount(
-      withCounts, "doc_id", "n_bpe_tokens", "source", Q162Ctx)
+    // routing bound measured on the CHEAP pre-encode frame, memoized per
+    // corpus identity (r12 advice: the entry point's own measurement
+    // groupBy re-executed the full per-doc BPE encode once per call —
+    // the encode ran twice per query). Per-source rows of withCounts ⊆
+    // docs (inner join on the unique doc_id), so the docs-side count is
+    // a valid upper bound — conservative routing costs time, never rows.
+    val largest = graft.pipeline.Packing.largestGroupRowsMemo(docs, "source",
+      s"q162|$dir|${Relational.corpusSignature(s, dir, "documents")}")
+    val assigned = graft.pipeline.Packing.packAssignmentsByCountMeasured(
+      withCounts, "doc_id", "n_bpe_tokens", "source", Q162Ctx, largest)
     graft.pipeline.Packing.packSummary(assigned, "doc_id", "source",
         "n_bpe_tokens")
       .select(col("source"), col("pack_id").cast("long").as("pack_id"),

@@ -183,8 +183,12 @@ object ScaleOps23 {
         col("n_types").as("na"))), Seq("source_a"))
       .join(broadcast(perSrc.select(col("source").as("source_b"),
         col("n_types").as("nb"))), Seq("source_b"))
+      // the ×10⁶ product rides DECIMAL(38) (the q169/q170 discipline —
+      // r12 advice): shared_types can pass ~9.2e12 at the design scale,
+      // where a plain int64 product raises under ANSI on both engines
       .withColumn("overlap_fp", expr(
-        "CAST(shared_types * 1000000 div least(na, nb) AS BIGINT)"))
+        "CAST((CAST(shared_types AS DECIMAL(38,0)) * 1000000)" +
+          " div least(na, nb) AS BIGINT)"))
       .orderBy(col("shared_types").desc, col("source_a"), col("source_b"))
       .limit(Q171TopK)
       .withColumn("rank", row_number().over(Window.orderBy(
@@ -229,7 +233,8 @@ object ScaleOps23 {
       |SELECT CAST(rank AS INT) AS rank, source_a, source_b,
       |  CAST(shared_types AS BIGINT) AS shared_types,
       |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
-      |  CAST(shared_types * 1000000 // least(na, nb) AS BIGINT) AS overlap_fp
+      |  CAST((CAST(shared_types AS HUGEINT) * 1000000) // least(na, nb)
+      |    AS BIGINT) AS overlap_fp
       |FROM topk WHERE rank <= ${Q171TopK} ORDER BY rank""".stripMargin
   }
 
@@ -272,7 +277,11 @@ object ScaleOps23 {
     val base = Relational.fanOut(t(s, dir, "documents"))
       .select(col("doc_id").cast("long").as("doc_id"))
       .withColumn("one", lit(1L)).withColumn("g", lit(0L))
-    val totalRows = base.count()
+    // the doc count routes both epochs' prefix sums; memoized per
+    // corpus identity (r13 — constant group ⇒ largest group = total
+    // rows; the n_docs/n_batches READOUT stays a live aggregate)
+    val totalRows = graft.pipeline.Packing.largestGroupRowsMemo(base, "g",
+      s"q172|$dir|${Relational.corpusSignature(s, dir, "documents")}")
     def pairsOf(epoch: Int): DataFrame = {
       val salted = base.withColumn("ok", struct(
         Relational3.splitBucket(
@@ -426,7 +435,11 @@ object ScaleOps23 {
 
   /** Mirror: the q168 isqrt restatement, the same single-floor
     * geometric-series clearing with HUGEINT products and a BIGINT
-    * shift. */
+    * shift — and the SAME loud epoch guard (r12 advice): past
+    * [[Q173MaxEpochs]] the Spark arm raises via assert_true while a
+    * guardless mirror's `1::BIGINT << e` would silently wrap at e ≥ 63,
+    * so the mirror trips `error(...)` at the identical bound and both
+    * engines refuse out-of-contract mixes identically. */
   val q173Sql: String =
     raw"""WITH per_src AS (
       |  SELECT source, SUM(len(list_filter(
@@ -457,7 +470,10 @@ object ScaleOps23 {
       |  SELECT source, n_tokens, target_tokens,
       |    target_tokens // n_tokens AS e,
       |    target_tokens % n_tokens AS part,
-      |    (1::BIGINT << CAST(target_tokens // n_tokens AS INT)) AS p2
+      |    CASE WHEN target_tokens // n_tokens > ${Q173MaxEpochs}
+      |         THEN error('q173: a source needs more than ${Q173MaxEpochs} full epochs - broken mix')
+      |         ELSE (1::BIGINT << CAST(target_tokens // n_tokens AS INT))
+      |    END AS p2
       |  FROM planned
       |), eff AS (
       |  SELECT source, n_tokens, target_tokens, e, part,

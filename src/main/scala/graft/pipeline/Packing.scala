@@ -30,14 +30,57 @@ object Packing {
   /** Per-document pack assignment: documents are laid out per `groupCol`
     * in ascending `idCol` order; `pack_id` = floor(tokens-before / ctx).
     * A document straddling a boundary belongs to the pack it starts in —
-    * the greedy contiguous fill of the concat-then-chunk layout. */
+    * the greedy contiguous fill of the concat-then-chunk layout.
+    *
+    * The routing measurement runs on the RAW `docs` frame, NOT the
+    * tokenized one (r12 advice): group row counts are identical either
+    * way (adding a column changes no row), and measuring upstream of
+    * the tokenizer keeps the measurement scan off any expensive lineage
+    * the caller stacked under `docs`. */
   def packAssignments(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, ctxTokens: Long): DataFrame =
-    packAssignmentsByCount(
+    packAssignmentsMeasured(docs, idCol, textCol, groupCol, ctxTokens,
+      largestGroupRows(docs, groupCol))
+
+  /** [[packAssignments]] with a caller-supplied largest-group row bound
+    * (usually [[largestGroupRowsMemo]] on an immutable corpus) — the
+    * token-count derivation unchanged, the measurement scan skipped. */
+  def packAssignmentsMeasured(docs: DataFrame, idCol: String,
+      textCol: String, groupCol: String, ctxTokens: Long,
+      largestGroupRows: Long): DataFrame =
+    packAssignmentsByCountMeasured(
       graft.ops.Relational.fanOut(docs)
         .withColumn("n_tokens",
           size(TextAnalysis.tokens(col(textCol))).cast("long")),
-      idCol, "n_tokens", groupCol, ctxTokens)
+      idCol, "n_tokens", groupCol, ctxTokens, largestGroupRows)
+
+  /** The routing measurement of [[packAssignmentsByCount]], callable on
+    * its own: the largest group's row count — ONE tiny per-group count
+    * aggregate (partial-agg'd; the result table is group-cardinality
+    * sized). 0 on an empty frame. */
+  def largestGroupRows(docs: DataFrame, groupCol: String): Long = {
+    val r = docs.groupBy(col(groupCol)).count()
+      .agg(max(col("count"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Per-JVM memo of [[largestGroupRows]] keyed by a caller-supplied
+    * corpus-identity string (the q127/q148/q164 memo discipline — the
+    * r12 verdict's one self-inflicted bench regression was the oracle
+    * arms re-paying this measurement every run on an IMMUTABLE corpus).
+    * The key MUST embed [[graft.ops.Relational.corpusSignature]] (or an
+    * equivalent content identity): a key that omits it would serve a
+    * stale bound after an in-place corpus rewrite — which can only
+    * misroute, never corrupt (both branches are row-identical by the
+    * differential specs), but a misroute at scale is the exact
+    * single-task window this measurement exists to avoid. */
+  def largestGroupRowsMemo(docs: DataFrame, groupCol: String,
+      memoKey: String): Long =
+    largestGroupMemo.getOrElseUpdate(memoKey,
+      largestGroupRows(docs, groupCol))
+
+  private val largestGroupMemo =
+    scala.collection.concurrent.TrieMap[String, Long]()
 
   /** Windowed-branch bound for the ADAPTIVE [[packAssignmentsByCount]]:
     * a single-task running sum over ≤ 4M (group, id, count) rows is
@@ -68,13 +111,9 @@ object Packing {
     * Both branches are row-identical (differential specs + `ScaleStress
     * packskew`), so the routing can never change results. */
   def packAssignmentsByCount(docs: DataFrame, idCol: String,
-      nTokensCol: String, groupCol: String, ctxTokens: Long): DataFrame = {
-    val largest = docs.groupBy(col(groupCol)).count()
-      .agg(max(col("count"))).head()
-    val n = if (largest.isNullAt(0)) 0L else largest.getLong(0)
+      nTokensCol: String, groupCol: String, ctxTokens: Long): DataFrame =
     packAssignmentsByCountMeasured(docs, idCol, nTokensCol, groupCol,
-      ctxTokens, n)
-  }
+      ctxTokens, largestGroupRows(docs, groupCol))
 
   /** [[packAssignmentsByCount]] with a CALLER-SUPPLIED largest-group row
     * count — for callers that run several assignments over the SAME

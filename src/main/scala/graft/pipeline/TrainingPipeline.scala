@@ -272,17 +272,24 @@ object TrainingPipeline {
     // the same tokenizer and re-attaching two copies would collide)
     val grouped = split.drop("n_tokens").withColumn("__grp",
       concat_ws("|", col("split"), col(sourceCol)))
+    // routing bound measured ONCE on the cheap pre-encode frame (r12
+    // advice: letting packAssignmentsByCount measure the joined frame
+    // re-ran the whole per-doc BPE encode just to count group rows).
+    // Per-group rows after the count join ⊆ grouped (inner join on the
+    // unique doc id), so this is a valid upper bound for both branches.
+    val largest = Packing.largestGroupRows(grouped, "__grp")
     val packed = ckpt((bpeMerges match {
       case Some(m) =>
         // exact per-doc BPE counts (one encode map + doc rollup), then
         // the same hierarchical prefix-sum layout on those counts
         val counted = graft.text.Bpe.bpeTokenCounts(
           grouped, idCol, textCol, m)
-        Packing.packAssignmentsByCount(
+        Packing.packAssignmentsByCountMeasured(
           grouped.join(counted, Seq(idCol)),
-          idCol, "n_bpe_tokens", "__grp", cfg.ctxTokens)
+          idCol, "n_bpe_tokens", "__grp", cfg.ctxTokens, largest)
       case None =>
-        Packing.packAssignments(grouped, idCol, textCol, "__grp", cfg.ctxTokens)
+        Packing.packAssignmentsMeasured(grouped, idCol, textCol, "__grp",
+          cfg.ctxTokens, largest)
     }).drop("__grp"))
     val nPacked = packed.count()
     free(split)

@@ -450,6 +450,32 @@ class DedupSpec extends GraftSuite {
     assert(assigned.count() == docs.count())
   }
 
+  test("packing memo identity: same key serves the memo, a rewritten corpus (new signature key) measures fresh") {
+    // unit law of largestGroupRowsMemo — the r13 fix for the r12 bench
+    // regression (q61/q147 re-measuring an immutable corpus every run)
+    val small = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    val key = s"memo-spec|${System.nanoTime()}"
+    assert(graft.pipeline.Packing.largestGroupRowsMemo(small, "source", key) == 2L)
+    val big = Seq.tabulate(10)(i => (i.toLong, "a")).toDF("doc_id", "source")
+    // same key: the memo answers even though the frame changed — which is
+    // exactly why the key must carry the corpus signature
+    assert(graft.pipeline.Packing.largestGroupRowsMemo(big, "source", key) == 2L)
+    assert(graft.pipeline.Packing.largestGroupRowsMemo(big, "source", s"$key|v2") == 10L)
+
+    // and the signature-bearing key DOES change on an in-place rewrite:
+    // the q61/q162/q165/q166/q172/q147 memo keys all embed
+    // Relational.corpusSignature, so a rewritten corpus can never be
+    // served a stale measurement
+    val dir = tempDir("memo-identity")
+    small.withColumn("text", lit("x y z")).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val sig1 = graft.ops.Relational.corpusSignature(spark, dir.toString, "documents")
+    big.withColumn("text", lit("x y z w")).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val sig2 = graft.ops.Relational.corpusSignature(spark, dir.toString, "documents")
+    assert(sig1 != sig2, "corpusSignature must change on an in-place rewrite")
+  }
+
   test("sourceMix: rate 1 keeps all, rate 0 keeps none, selection is deterministic") {
     val docs = (1L to 200L).map(i => (i, s"doc $i", "s")).toDF("doc_id", "text", "source")
     assert(graft.pipeline.Packing.sourceMix(docs, "doc_id", lit(1.0)).count() == 200)
