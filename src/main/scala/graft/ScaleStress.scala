@@ -75,6 +75,8 @@ object ScaleStress {
       args.lift(2).map(_.toInt).getOrElse(256))
     case Some("overlapskew") => overlapSkew(args.lift(1).getOrElse("/tmp/stress_overlap"),
       args.lift(2).map(_.toInt).getOrElse(400000))
+    case Some("apnd") => apnd(args.lift(1).getOrElse("/tmp/stress_apnd"),
+      args.lift(2).map(_.toInt).getOrElse(100000))
     case _ => facts(args.headOption.getOrElse("/tmp/sfbig"))
   }
 
@@ -322,6 +324,64 @@ object ScaleStress {
     val diff = h.unionByName(w).except(h.intersect(w)).count()
     println(f"PACKSKEW hierarchical ${hierSec}%.2fs rows=$hierRows | " +
       f"windowed ${winSec}%.2fs rows=$winRows | sym_diff=$diff")
+    spark.stop()
+  }
+
+  /** Append-lifecycle evidence (q174 /
+    * [[graft.dedup.FingerprintIndex.appendIndex]]): the r12 verdict's
+    * "done =" clause — append cost must track the BATCH, not the
+    * history. Builds history indexes at 1× and 4× nDocs (docs carry 5
+    * doc-unique shingles each), appends the SAME fixed-size batch (5%
+    * of 1×) to both, and rebuilds the 4× union from raw docs for
+    * contrast. Claim: append(4×)/append(1×) stays near 1 (flat in
+    * history — the only history-proportional term is one pass over the
+    * COMPACT 8-byte index), while rebuild re-pays the full corpus
+    * shingle scan + distinct. Each append rep runs against a freshly
+    * re-written base so no-op re-appends never flatter the medians. */
+  def apnd(base: String, nDocs: Int): Unit = {
+    import graft.dedup.FingerprintIndex
+    val spark = session()
+    def mkDocs(n: Int, tag: String): DataFrame =
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(j =>
+          concat(lit(tag), col("id"), lit(s"_w$j"))): _*).as("text"))
+    def materialize(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$base/$name.parquet")
+      spark.read.parquet(s"$base/$name.parquet")
+    }
+    val h1 = materialize(mkDocs(nDocs, "h"), "hist_x1")
+    val h4 = materialize(mkDocs(4 * nDocs, "h"), "hist_x4") // superset tags: x1 ⊂ x4
+    val batch = materialize(mkDocs(nDocs / 20, "b"), "batch")
+    val batchHashes = FingerprintIndex.shingleHashes(batch, "doc_id", "text")
+      .select("h")
+    def appendMedian(hist: DataFrame, path: String): (Double, Long) = {
+      val runs = (1 to 3).map { _ =>
+        org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(path), true)
+        FingerprintIndex.writeIndex(spark,
+          FingerprintIndex.buildIndex(hist, "doc_id", "text"), path)
+        val t0 = System.nanoTime()
+        val n = FingerprintIndex.appendIndex(spark, batchHashes, path)
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      (runs.map(_._1).sorted.apply(1), runs.head._2)
+    }
+    val (a1, n1) = appendMedian(h1, s"$base/idx_x1")
+    val (a4, n4) = appendMedian(h4, s"$base/idx_x4")
+    val (reb, nr) = timed(spark, 3) {
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(s"$base/idx_reb"), true)
+      FingerprintIndex.writeIndex(spark,
+        FingerprintIndex.buildIndex(h4.unionByName(batch), "doc_id", "text"),
+        s"$base/idx_reb")
+    }
+    require(n4 == nr, s"append(4x) stamped $n4 rows, rebuild stamped $nr")
+    println(f"APND docs=$nDocs batch=${nDocs / 20} " +
+      f"append_x1=${a1}%.2fs append_x4=${a4}%.2fs " +
+      f"append_growth=${a4 / a1}%.2fx (4x history) " +
+      f"rebuild_x4=${reb}%.2fs rebuild_vs_append=${reb / a4}%.2fx " +
+      f"rows_x1=$n1 rows_x4=$n4")
     spark.stop()
   }
 

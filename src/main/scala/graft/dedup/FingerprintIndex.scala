@@ -68,6 +68,69 @@ object FingerprintIndex {
     n
   }
 
+  /** Fold a batch's hashes into an existing index WITHOUT rebuilding —
+    * the lifecycle step a production incremental-dedup loop runs after
+    * probing each batch (r12 verdict #1: the only write path was a full
+    * rebuild, and at 100 TB the rebuild is the history scan the
+    * artifact exists to avoid; the reference's ledger advances state
+    * incrementally the same way, `file-to-sql-loader.py:162-291`).
+    *
+    * Steps, torn-write-safe in the same order discipline as
+    * [[writeIndex]]:
+    *   1. validate the existing artifact ([[loadIndex]] — stamp must
+    *      equal the on-disk count, so an append can never stack on top
+    *      of a torn base);
+    *   2. novel = distinct(batch hashes) ANTI-JOIN the on-disk index —
+    *      one co-partitioned 8-byte-key exchange, batch-sized output;
+    *      the raw document history is NEVER rescanned and the index is
+    *      read, not rewritten;
+    *   3. append the novel rows as NEW part files (`mode("append")` —
+    *      existing files are untouched, so a dying writer can only
+    *      leave extra unstamped rows, never corrupt stamped ones);
+    *   4. re-derive the delta's (count, xor) from the files that
+    *      actually LANDED (the listing diff — the writeIndex
+    *      stamp-certifies-only-what-landed rule, applied to the delta);
+    *   5. stamp `_xor` then `_rows` LAST, incrementally: rows' = rows +
+    *      Δrows, xor' = xor ⊕ Δxor — exact because the delta is
+    *      disjoint from the index (step 2) and xor is associative,
+    *      commutative, and self-inverse.
+    * A writer dying between 3 and 5 leaves stamp ≠ on-disk count, which
+    * [[loadIndex]] refuses loudly and the callers' signature-validation
+    * branch rewrites (self-heal) — spec-pinned.
+    *
+    * Cost ∝ batch + one pass over the COMPACT index (8 bytes/shingle,
+    * orders of magnitude under the corpus scan a rebuild pays);
+    * `ScaleStress apnd` measures append vs rebuild directly. Returns
+    * the new stamped row count. Single-writer contract, like the
+    * vocab. */
+  def appendIndex(spark: SparkSession, newHashes: DataFrame, path: String): Long = {
+    require(newHashes.columns.toSeq == Seq("h"),
+      s"appendIndex: expected a single 'h' column, got ${newHashes.columns.toSeq}")
+    val existing = loadIndex(spark, path)
+    val oldRows = indexRows(spark, path)
+    val oldXor = indexXor(spark, path).getOrElse(
+      sys.error(s"appendIndex: index at $path has no _xor stamp — rebuild"))
+    val novel = newHashes.select(col("h")).distinct()
+      .join(existing, Seq("h"), "left_anti")
+    val hp = new org.apache.hadoop.fs.Path(s"$path/hashes")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Map[String, org.apache.hadoop.fs.Path] =
+      fs.listStatus(hp).filterNot(_.getPath.getName.startsWith("_"))
+        .map(st => st.getPath.getName -> st.getPath).toMap
+    val before = dataFiles()
+    novel.write.mode("append").parquet(s"$path/hashes")
+    val landedPaths = (dataFiles() -- before.keySet).values.toSeq
+    if (landedPaths.isEmpty) return oldRows // nothing novel, stamps stand
+    val landed = spark.read.parquet(landedPaths.map(_.toString): _*)
+      .agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("x")).head()
+    val dn = landed.getLong(0); val dx = landed.getLong(1)
+    if (dn == 0L) return oldRows // only empty part files landed
+    writeMeta(spark, path, "_xor", (oldXor ^ dx).toString)
+    writeMeta(spark, path, "_rows", (oldRows + dn).toString)
+    oldRows + dn
+  }
+
   /** Stamped row count; -1 if never stamped or the stamp is torn
     * garbage (same tolerant contract as [[graft.text.Bpe.vocabRows]]:
     * both mean "no valid stamp" and the caller's rebuild branch is the

@@ -78,15 +78,26 @@ object ScaleOps21 {
         .orderBy(col("doc_id"))
     }
     val path = indexPathFor(s, dir)
-    val valid = FingerprintIndex.indexRows(s, path) == n &&
-      FingerprintIndex.indexXor(s, path).contains(x)
-    if (!valid) {
+    def rebuild(): Unit = {
       val written = FingerprintIndex.writeIndex(s,
         FingerprintIndex.buildIndex(history, "doc_id", "text"), path)
       require(written == n,
         s"q164: freshly written index at $path stamped $written rows, expected $n")
     }
-    val index = FingerprintIndex.loadIndex(s, path)
+    val valid = FingerprintIndex.indexRows(s, path) == n &&
+      FingerprintIndex.indexXor(s, path).contains(x)
+    if (!valid) rebuild()
+    val index =
+      try FingerprintIndex.loadIndex(s, path)
+      catch {
+        case _: IllegalArgumentException =>
+          // stamps can match the signature while the data files diverged
+          // (extra unstamped part files from an out-of-API writer — the
+          // q174 torn-append window, hardened here identically): only
+          // the load's stamp-vs-on-disk-count check sees it. Self-heal.
+          rebuild()
+          FingerprintIndex.loadIndex(s, path)
+      }
     FingerprintIndex.probe(batch, "doc_id", "text", index)
       .orderBy(col("doc_id"))
   }

@@ -720,4 +720,79 @@ class StreamingSpec extends GraftSuite {
     // and the batch arm itself is q157 (proven in ScaleOps21Spec) — so
     // the stream view is transitively parity-checked against the oracle
   }
+
+  test("index rotation mid-stream: appendIndex'd hashes are live in the rotating stream's NEXT micro-batch; the stream-static form provably cannot see them") {
+    import graft.dedup.FingerprintIndex
+    val novel = "r1 r2 r3 r4 r5 r6 r7 r8" // ONE shingle, absent from the base index
+    def freshIndex(tag: String): String = {
+      val p = tempDir(tag).toString + "/idx"
+      FingerprintIndex.writeIndex(spark,
+        FingerprintIndex.buildIndex(
+          Seq((100L, "h1 h2 h3 h4 h5 h6 h7 h8 h9")).toDF("doc_id", "text"),
+          "doc_id", "text"), p)
+      p
+    }
+    def land(in: java.nio.file.Path, id: Long): Unit =
+      Seq((id, novel)).toDF("doc_id", "text")
+        .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
+        .write.mode("append").parquet(in.toString)
+    def rotate(idxPath: String): Unit =
+      FingerprintIndex.appendIndex(spark,
+        FingerprintIndex.shingleHashes(
+          Seq((200L, novel)).toDF("doc_id", "text"), "doc_id", "text")
+          .select("h"),
+        idxPath)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+
+    // --- the ROTATING form: reopens the index per micro-batch ------------
+    val idxR = freshIndex("fp-rot")
+    val inR = tempDir("fp-rot-in"); val outR = tempDir("fp-rot-out")
+    land(inR, 1L)
+    val qR = Streaming.incrementalDedupRotatingStream(
+      spark.readStream.schema(schema).parquet(inR.toString),
+      "doc_id", "text", idxR, outR.toString,
+      tempDir("fp-rot-ckpt").toString)
+    try {
+      qR.processAllAvailable()
+      rotate(idxR) // between micro-batches: new part files + restamp
+      land(inR, 2L)
+      qR.processAllAvailable()
+      val got = spark.read.parquet(outR.toString)
+        .select("doc_id", "n_hist_dup", "quarantined")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+        .toMap
+      assert(got(1L) == ((0L, false)),
+        s"doc 1 arrived BEFORE the rotation and must read clean: $got")
+      assert(got(2L) == ((1L, true)),
+        s"doc 2 arrived AFTER the rotation: the appended hash must be live: $got")
+    } finally qR.stop()
+
+    // --- the negative pin: the stream-static join's file listing is ------
+    // snapshotted at query start, so the SAME rotation is invisible to
+    // incrementalDedupStream — exactly why the rotating form exists (and
+    // why its Scaladoc routes advancing-index callers there)
+    val idxS = freshIndex("fp-stat")
+    val inS = tempDir("fp-stat-in")
+    land(inS, 1L)
+    val qS = Streaming.incrementalDedupStream(
+        spark.readStream.schema(schema).parquet(inS.toString),
+        "doc_id", "text", "ts", "1 hour",
+        FingerprintIndex.loadIndex(spark, idxS))
+      .writeStream.format("memory").queryName("fpstat")
+      .option("checkpointLocation", tempDir("fp-stat-ckpt").toString)
+      .outputMode("update").start()
+    try {
+      qS.processAllAvailable()
+      rotate(idxS)
+      land(inS, 2L)
+      qS.processAllAvailable()
+      val r2 = spark.table("fpstat").filter($"doc_id" === 2).head()
+      assert(r2.getAs[Long]("n_hist_dup") == 0L,
+        "static-join form unexpectedly saw appended part files — if Spark's " +
+          "listing semantics changed, incrementalDedupStream's Scaladoc and " +
+          "this pin should both be revisited")
+    } finally qS.stop()
+  }
 }
