@@ -72,7 +72,9 @@ class ContractCanarySpec extends GraftSuite {
   // here; any addition to the frozen set is a loud, reviewable diff.
 
   /** Pre-r10 queries exempt from the qN-token rule. FROZEN — do not add:
-    * new queries must carry a spec that names their qN id. */
+    * new queries must carry a spec that names their qN id. Burn-down is
+    * the only allowed direction (r12 verdict #4: r13 removed q35, q73,
+    * q74, q75, q77 by writing GrandfatherScalarSpec — 47 → 42). */
   private val scalarSpecGrandfather: Set[String] = Set(
     "q01_pricing_summary", "q02_filter_scan", "q03_join_revenue", "q04_broadcast_dim",
     "q05_anti_join", "q06_semi_join", "q07_distinct", "q08_topk",
@@ -82,9 +84,9 @@ class ContractCanarySpec extends GraftSuite {
     "q22_simhash", "q23_fingerprint", "q25_embedding_dup", "q26_multimodal",
     "q27_sessionize", "q28_salted_agg", "q29_salted_join", "q30_asof_join",
     "q31_exists_agg", "q32_pivot", "q33_cube", "q34_percentile",
-    "q35_ann_ivf", "q37_approx_sketches", "q49_grouped_topk", "q54_snapshot_diff",
-    "q57_repetition", "q63_leakage_safe_split", "q72_equidepth", "q73_token_budget",
-    "q74_heavy_hitters", "q75_canonical", "q76_source_profile", "q77_boilerplate",
+    "q37_approx_sketches", "q49_grouped_topk", "q54_snapshot_diff",
+    "q57_repetition", "q63_leakage_safe_split", "q72_equidepth",
+    "q76_source_profile",
     "q79_wav_decode", "q80_audio_stats", "q81_mp4_probe")
 
   test("scalar-spec gate: every non-grandfathered query is named by a spec file (mechanical, red on an unspec'd qN)") {
