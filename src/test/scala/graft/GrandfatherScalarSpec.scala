@@ -3,14 +3,21 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** r13 grandfather burn-down (the r12 verdict's #4): scalar / hand-
-  * derivation specs for the five riskiest queries the mechanical
-  * scalar-spec gate had frozen on operator-suite evidence alone — q73
-  * (token-budget integer division), q74 (CMS bound + exact-top-k tie
-  * law), q75 (canonical keep tie order), q77 (boilerplate strict-df
-  * law + short-doc branch), q35 (IVF probe-list selection edges). The
-  * r10 trap class these close: both engines can share the same wrong
-  * primitive semantics, so only an INDEPENDENT scalar re-derivation —
-  * not the oracle hash — can catch a drifted kernel. */
+  * derivation specs for the riskiest queries the mechanical
+  * scalar-spec gate had frozen on operator-suite evidence alone.
+  * Batch 1 — q73 (token-budget integer division), q74 (CMS bound +
+  * exact-top-k tie law), q75 (canonical keep tie order), q77
+  * (boilerplate strict-df law + short-doc branch), q35 (IVF
+  * probe-list selection edges). Batch 2 — the hash-signature/distance
+  * kernels: q119 (unrestricted-DL-not-OSA variant pin + independent
+  * DP), q21 (signed-min minhash slots, 4-slot band boundaries,
+  * ≥-threshold), q22 (simhash tie-sets-bit law, 16-bit pigeonhole
+  * bands, exact hamming verify), q23 (rotl5-xor order-sensitive fold
+  * vs unsigned-mod bag hash), q57 (Gopher repetition ratios incl. the
+  * n<2 branch and the >1 coverage ratio). The r10 trap class these
+  * close: both engines can share the same wrong primitive semantics,
+  * so only an INDEPENDENT scalar re-derivation — not the oracle hash —
+  * can catch a drifted kernel. */
 class GrandfatherScalarSpec extends GraftSuite {
   import spark.implicits._
 
@@ -240,5 +247,262 @@ class GrandfatherScalarSpec extends GraftSuite {
     assert(Ivf.search(idxHand, query, topK = 5, nProbe = 1)
       .collect().map(_.getAs[Long]("corpus_id")).toSeq == Seq(300L),
       "probe tie must break by centroid_id ASC")
+  }
+
+  // --- round-13 batch 2: the hash-signature / distance kernels --------------
+  //
+  // q119, q21, q22, q23, q57 — five more out of the frozen set. These are
+  // the queries whose primitives (FNV chains, band boundaries, signed-min
+  // conventions, tie signs, variant pins) both engines could share WRONG,
+  // which the oracle hash can never catch; each gets an independent scalar
+  // model in plain Scala from the documented definitions.
+
+  /** Scalar FNV-1a-64 over UTF-8 bytes — re-derived from the FNV spec,
+    * independent of TextHashKernels. */
+  private def fnv(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    s.getBytes("UTF-8").foreach { b => h = (h ^ (b & 0xffL)) * 1099511628211L }
+    h
+  }
+
+  private def toksOf(text: String): Seq[String] =
+    text.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  /** Scalar shingle list (Dedup.shinglesOf contract: k-windows joined by
+    * one space; fewer than k tokens ⇒ ONE shingle of all tokens). */
+  private def shinglesOf(ts: Seq[String], k: Int): Seq[String] = {
+    val nSh = math.max(ts.length - k, 0) + 1
+    (0 until nSh).map(i => ts.slice(i, math.min(i + k, ts.length)).mkString(" "))
+  }
+
+  private def writeDocsTable(dir: java.nio.file.Path,
+      rows: Seq[(Long, String)]): Unit =
+    rows.map { case (id, txt) => (id, txt, "en", "src0", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  test("q119 scalar law: UNRESTRICTED Damerau (Lowrance–Wagner), not OSA — CA→ABC is 2, and the full query re-derives from an independent DP") {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    // independent scalar model: textbook da/db formulation written from
+    // the Lowrance–Wagner recurrence over CODE POINTS
+    def dl(sa: String, sb: String): Int = {
+      val a = sa.codePoints().toArray; val b = sb.codePoints().toArray
+      val n = a.length; val m = b.length
+      if (n == 0) return m
+      if (m == 0) return n
+      val inf = n + m
+      val d = Array.fill(n + 2, m + 2)(0)
+      d(0)(0) = inf
+      for (i <- 0 to n) { d(i + 1)(0) = inf; d(i + 1)(1) = i }
+      for (j <- 0 to m) { d(0)(j + 1) = inf; d(1)(j + 1) = j }
+      val da = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
+      for (i <- 1 to n) {
+        var db = 0
+        for (j <- 1 to m) {
+          val k = da(b(j - 1)); val l = db
+          val cost = if (a(i - 1) == b(j - 1)) { db = j; 0 } else 1
+          d(i + 1)(j + 1) = Seq(d(i)(j) + cost, d(i + 1)(j) + 1,
+            d(i)(j + 1) + 1, d(k)(l) + (i - k - 1) + 1 + (j - l - 1)).min
+        }
+        da(a(i - 1)) = i
+      }
+      d(n + 1)(m + 1)
+    }
+    // the variant-discriminating pins (hand-verified, not model-derived):
+    //   OSA("CA","ABC") = 3; unrestricted DL = 2 (transpose CA→AC, insert B)
+    //   OSA cannot edit INSIDE a transposed pair; DL charges the gap
+    assert(dl("CA", "ABC") == 2)
+    assert(dl("ABC", "CA") == 2)
+    assert(dl("ab", "ba") == 1 && dl("abc", "acb") == 1)
+    assert(dl("a cat", "an act") == 2)   // insert 'n', transpose "ca"→"ac"
+    assert(dl("abcdef", "abcdef") == 0 && dl("", "xyz") == 3)
+    // engine expression ≡ the independent model on the pins + a fuzz band
+    val probe = Seq(("CA", "ABC"), ("ABC", "CA"), ("ab", "ba"), ("abc", "acb"),
+      ("a cat", "an act"), ("", "xyz"), ("kitten", "sitting"),
+      ("transpose", "tranpsose"), ("xx", "xxyy"))
+    val got = probe.toDF("a", "b")
+      .select(column(graft.functions.DamerauLevenshtein(
+        expression(col("a")), expression(col("b")))).as("dl"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == probe.map { case (a, b) => dl(a, b) })
+    // and the QUERY output re-derives: its dl column is the model's value
+    // over consecutive part names, sim = 1 - dl/max(len)
+    val dir = tempDir("q119-hand")
+    Seq((1L, "maroon antique olive"), (2L, "maroon antiqeu olive"),
+        (3L, "olive maroon antique"))
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val q = graft.ops.ScaleOps9.q119Damerau(spark, dir.toString)
+      .collect().map(r => (r.getAs[Long]("p_partkey"), r.getAs[Int]("dl"),
+        r.getAs[Double]("sim"))).toSeq
+    val names = Map(1L -> "maroon antique olive", 2L -> "maroon antiqeu olive",
+      3L -> "olive maroon antique")
+    val expect = Seq(1L, 2L).map { id =>
+      val (na, nb) = (names(id), names(id + 1))
+      val d = dl(na, nb)
+      (id, d, 1.0 - d.toDouble / math.max(na.length, nb.length).toDouble)
+    }
+    assert(q == expect)
+    // adjacent-transposition typo ("antiqeu") is distance 1: the dl arm
+    // must beat plain levenshtein (2) on exactly this class
+    assert(q.head._2 == 1)
+  }
+
+  test("q21 scalar law: minhash signature = SIGNED min of (fnv(shingle) xor seed)*prime per slot; banding at 4-slot boundaries; est_jaccard = matches/32 with >= threshold") {
+    val dir = tempDir("q21-hand")
+    val base = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val rows = Seq(
+      (1L, base),                                    // identical pair 1-2
+      (2L, base),
+      (3L, (1 to 11).map(i => s"tok$i").mkString(" ") + " zzz"), // near-dup of 1
+      (4L, (1 to 12).map(i => s"other$i").mkString(" ")))        // unrelated
+    writeDocsTable(dir, rows)
+    // scalar model from the documented definition
+    val golden = -7046029254386353131L
+    def sig(text: String): Seq[Long] = {
+      val shs = shinglesOf(toksOf(text), 3).map(fnv)
+      (0 until 32).map { s =>
+        val seed = (s + 1) * golden
+        shs.map(h => (h ^ seed) * 1099511628211L).min  // SIGNED Long min
+      }
+    }
+    val sigs = rows.map { case (id, t) => id -> sig(t) }.toMap
+    val expect = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+      sa = sigs(a); sb = sigs(b)
+      // candidates iff ANY 4-slot band agrees entirely
+      if (0 until 8).exists(bd => sa.slice(bd * 4, bd * 4 + 4) == sb.slice(bd * 4, bd * 4 + 4))
+      est = (0 until 32).count(i => sa(i) == sb(i)).toDouble / 32.0
+      if est >= 0.5
+    } yield (a, b, est)).sortBy(p => (p._1, p._2))
+    val got = graft.ops.ScaleOps.q21MinhashLsh(spark, dir.toString)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_jaccard"))).toSeq
+    assert(got == expect)
+    // the identical pair MUST estimate exactly 1.0, and it must be present
+    assert(got.contains((1L, 2L, 1.0)))
+    // doc 4 shares no shingle with anything: a signature that ever pairs
+    // it would mean the per-slot seeds collapsed
+    assert(got.forall(p => p._1 != 4L && p._2 != 4L))
+  }
+
+  test("q22 scalar law: simhash bit = sign of the per-bit vote with TIES SET (counter >= 0 -> 1); 16-bit band pigeonhole; exact hamming verify <= 3") {
+    val dir = tempDir("q22-hand")
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      (1L, base),
+      (2L, base),                                     // hamming 0
+      (3L, (1 to 39).map(i => s"w$i").mkString(" ") + " flip"), // near
+      (4L, (1 to 40).map(i => s"v$i").mkString(" ")))           // far
+    writeDocsTable(dir, rows)
+    def simhashScalar(text: String): Long = {
+      val counters = new Array[Int](64)
+      toksOf(text).foreach { t =>
+        val h = fnv(t)
+        (0 until 64).foreach { b =>
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1 }
+      }
+      (0 until 64).foldLeft(0L) { (acc, b) =>
+        if (counters(b) >= 0) acc | (1L << b) else acc } // TIE -> bit SET
+    }
+    val hs = rows.map { case (id, t) => id -> simhashScalar(t) }.toMap
+    val expect = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+      // candidate iff some 16-bit band agrees (maxDist 3 -> 4 bands)
+      if (0 until 4).exists(bd =>
+        ((hs(a) >>> (bd * 16)) & 0xffffL) == ((hs(b) >>> (bd * 16)) & 0xffffL))
+      ham = java.lang.Long.bitCount(hs(a) ^ hs(b))
+      if ham <= 3
+    } yield (a, b, ham)).sortBy(p => (p._1, p._2))
+    val got = graft.ops.ScaleOps.q22Simhash(spark, dir.toString)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSeq
+    assert(got == expect)
+    assert(got.contains((1L, 2L, 0)), "identical docs must pair at hamming 0")
+    // the empty-ish tie law pinned directly: a zero-token vote vector is
+    // all ties, and ties set the bit — the all-ones fingerprint
+    assert(simhashScalar("") == -1L)
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val engineEmpty = Seq(Seq.empty[String]).toDF("tk")
+      .select(column(graft.functions.SimHash64(expression(col("tk")))))
+      .collect().head.getLong(0)
+    assert(engineEmpty == -1L)
+  }
+
+  test("q23 scalar law: fingerprint = rotl5-xor LEFT fold (order-sensitive, seed 0); bag_hash = sum of fnv mod 2^31-1 UNSIGNED (order-free) — permuted docs split exactly one of the two") {
+    val dir = tempDir("q23-hand")
+    val rows = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"),  // permutation of 1
+      (3L, "alpha beta gamma delta"))  // identical to 1
+    writeDocsTable(dir, rows)
+    def fp(text: String): Long =
+      toksOf(text).foldLeft(0L)((acc, t) =>
+        ((acc << 5) | (acc >>> 59)) ^ fnv(t))
+    def bag(text: String): Long =
+      toksOf(text).map(t =>
+        java.lang.Long.remainderUnsigned(fnv(t), 2147483647L)).sum
+    val got = graft.ops.ScaleOps.q23Fingerprint(spark, dir.toString)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fingerprint"),
+        r.getAs[Long]("bag_hash"))).toSeq
+    assert(got == rows.map { case (id, t) => (id, fp(t), bag(t)) })
+    val byId = got.map(r => r._1 -> r).toMap
+    // the pair of laws that makes the two hashes a dedup instrument:
+    assert(byId(1L)._2 != byId(2L)._2,
+      "fingerprint must be ORDER-SENSITIVE: a permuted doc gets a new one")
+    assert(byId(1L)._3 == byId(2L)._3,
+      "bag_hash must be ORDER-FREE: a permuted doc keeps it")
+    assert(byId(1L)._2 == byId(3L)._2 && byId(1L)._3 == byId(3L)._3)
+    // unsigned-mod pin: a token whose fnv is NEGATIVE as a signed long
+    // must fold as UNSIGNED remainder — a floorMod (or abs) arm computes
+    // a different value (2⁶⁴ ≡ 4 mod 2³¹−1, so the two arms differ by
+    // exactly 4 for every negative hash), and the engine's one-token bag
+    // hash discriminates. Short same-prefix tokens all hash into one
+    // positive band, so the probe pool uses longer varied tokens;
+    // "neg10x" is a known-negative member (hand-checked: fnv =
+    // −3976726914049493464, unsigned mod 150461965, floor mod 150461961).
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val neg = (1 to 2000).map(i => s"neg${i}x").find { t =>
+      fnv(t) < 0 && java.lang.Long.remainderUnsigned(fnv(t), 2147483647L) !=
+        java.lang.Math.floorMod(fnv(t), 2147483647L)
+    }.get
+    assert(fnv("neg10x") == -3976726914049493464L,
+      "scalar fnv model drifted from the hand-checked constant")
+    val engineBag = Seq(Seq(neg)).toDF("tk")
+      .select(column(graft.functions.BagHash64(expression(col("tk")))))
+      .collect().head.getLong(0)
+    assert(engineBag == java.lang.Long.remainderUnsigned(fnv(neg), 2147483647L))
+    assert(engineBag != java.lang.Math.floorMod(fnv(neg), 2147483647L))
+  }
+
+  test("q57 scalar law: dup_token_frac = 1 - distinct/n; top_bigram_frac = 2*max adjacent-bigram multiplicity/n with the n<2 -> 0.0 branch") {
+    val dir = tempDir("q57-hand")
+    val rows = Seq(
+      (1L, "a b a b a b c"),  // n=7, distinct=3, top bigram "a b" x3
+      (2L, "x y z"),          // no repetition: dup 0, top bigram 1
+      (3L, "solo"),           // n=1: the n<2 branch -> 0.0 (NOT NaN/null)
+      (4L, "t t t t"))        // n=4, distinct=1, "t t" x3
+    writeDocsTable(dir, rows)
+    def stats(text: String): (Int, Double, Double) = {
+      val ts = toksOf(text)
+      val n = ts.length
+      val dup = 1.0 - ts.distinct.length.toDouble / n.toDouble
+      val top = if (n < 2) 0.0 else {
+        val best = ts.sliding(2).toSeq.groupBy(identity).values.map(_.size).max
+        2.0 * best.toDouble / n.toDouble
+      }
+      (n, dup, top)
+    }
+    val got = graft.ops.ScaleOps.q57Repetition(spark, dir.toString)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens"),
+        r.getAs[Double]("dup_token_frac"), r.getAs[Double]("top_bigram_frac"))).toSeq
+    assert(got == rows.map { case (id, t) =>
+      val (n, d, tb) = stats(t); (id, n, d, tb) })
+    val byId = got.map(r => r._1 -> r).toMap
+    // hand values (not model-derived): "a b" appears 3x in 7 tokens
+    assert(byId(1L) == ((1L, 7, 1.0 - 3.0 / 7.0, 6.0 / 7.0)))
+    assert(byId(3L) == ((3L, 1, 0.0, 0.0)))
+    assert(byId(4L) == ((4L, 4, 0.75, 1.5)),
+      "top_bigram_frac is a COVERAGE ratio (2*count/n) and may exceed 1 on a run of one token — the documented Gopher-style semantics")
   }
 }
