@@ -131,6 +131,64 @@ object FingerprintIndex {
     oldRows + dn
   }
 
+  /** Number of data part files currently backing the index — the
+    * small-files readout that tells an operator the append loop is due
+    * a [[compactIndex]]. Listing-only, no data read. */
+  def indexDataFiles(spark: SparkSession, path: String): Int = {
+    val hp = new org.apache.hadoop.fs.Path(s"$path/hashes")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) 0
+    else fs.listStatus(hp).count(st => !st.getPath.getName.startsWith("_") &&
+      !st.getPath.getName.startsWith("."))
+  }
+
+  /** Rewrite the index's data files into `targetFiles` part files
+    * WITHOUT changing its content — the compaction half of the
+    * append/compact lifecycle: every [[appendIndex]] batch lands its
+    * delta as new part files, so a long-running incremental-dedup loop
+    * accumulates one small file-set per batch and the probe's scan
+    * eventually pays more in file opens than in bytes. Content identity
+    * is enforced, not assumed: the compacted copy is written BESIDE the
+    * live data, its (count, xor) is re-derived from what landed and
+    * must equal the live stamps BEFORE the swap, and the stamps
+    * themselves never change (compaction is invisible to every reader
+    * by construction).
+    *
+    * Crash windows, by step: dying during the side write leaves a stray
+    * `hashes.compact` the next compaction overwrites (readers never
+    * look at it); dying between the delete and the rename leaves no
+    * data directory, which [[loadIndex]] refuses loudly and the
+    * callers' signature-validation branch rebuilds (the q174 self-heal
+    * discipline — same terminal state as a torn write, same recovery).
+    * Single-writer contract, like the vocab.
+    *
+    * Cost: one pass over the COMPACT index (8 bytes/shingle) + one
+    * exchange to `targetFiles` partitions — never touches the corpus.
+    * Returns the (unchanged) stamped row count. */
+  def compactIndex(spark: SparkSession, path: String,
+      targetFiles: Int = 8): Long = {
+    require(targetFiles >= 1,
+      s"compactIndex: targetFiles must be >= 1, got $targetFiles")
+    val df = loadIndex(spark, path) // validates stamp == on-disk count
+    val n = indexRows(spark, path)
+    val x = indexXor(spark, path).getOrElse(
+      sys.error(s"compactIndex: index at $path has no _xor stamp — rebuild"))
+    val side = s"$path/hashes.compact"
+    df.repartition(targetFiles).write.mode("overwrite").parquet(side)
+    val landed = spark.read.parquet(side)
+      .agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("x")).head()
+    require(landed.getLong(0) == n && landed.getLong(1) == x,
+      s"compactIndex: compacted copy at $side reads (${landed.getLong(0)}, " +
+        s"${landed.getLong(1)}), live stamps say ($n, $x) — refusing the swap")
+    val hp = new org.apache.hadoop.fs.Path(s"$path/hashes")
+    val sp = new org.apache.hadoop.fs.Path(side)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.delete(hp, true), s"compactIndex: could not remove $hp")
+    require(fs.rename(sp, hp), s"compactIndex: could not swap $sp into place")
+    n
+  }
+
   /** Stamped row count; -1 if never stamped or the stamp is torn
     * garbage (same tolerant contract as [[graft.text.Bpe.vocabRows]]:
     * both mean "no valid stamp" and the caller's rebuild branch is the

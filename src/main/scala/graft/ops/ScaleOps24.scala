@@ -105,12 +105,16 @@ object ScaleOps24 {
     val index =
       try FingerprintIndex.loadIndex(s, path)
       catch {
-        case _: IllegalArgumentException =>
-          // the torn-APPEND window: a writer that died between landing
-          // delta part files and restamping leaves stamps that still
-          // match the OLD signature while the data files diverged — the
-          // metadata check above cannot see it, only the load's
-          // stamp-vs-on-disk-count comparison can. Self-heal in place.
+        case _: IllegalArgumentException |
+            _: org.apache.spark.sql.AnalysisException =>
+          // two crash windows share this terminal state: the torn APPEND
+          // (a writer that died between landing delta part files and
+          // restamping leaves stamps that still match the OLD signature
+          // while the data files diverged — the metadata check above
+          // cannot see it, only the load's stamp-vs-on-disk-count
+          // comparison can) and the mid-swap COMPACTION death (stamps
+          // intact, data directory missing entirely — the load's read
+          // fails as an AnalysisException). Self-heal in place for both.
           rebuild()
           FingerprintIndex.loadIndex(s, path)
       }
@@ -153,4 +157,137 @@ object ScaleOps24 {
       |  n_hist_dup * 1000000 // n_shingles >= 300000 AS quarantined
       |FROM rolled ORDER BY doc_id""".stripMargin
   }
+
+  // --- smoothed bigram-LM document scoring (q175) ----------------------------
+
+  /** How many lowest-scoring held-out documents q175 surfaces. */
+  val Q175BottomK = 15
+
+  /** Smoothing constant k at 10⁻⁶ fixed point: k = 0.01 (the small-k
+    * regime real CCNet-class filters run — add-1 would drown the
+    * observed counts on a small vocabulary). */
+  val Q175KFp = 10000L
+
+  /** q175: ADD-k SMOOTHED bigram-LM document scoring — the fix for
+    * q167's known MLE failure mode: an MLE model scores any bigram it
+    * never saw to the 0 floor, so ONE out-of-vocabulary pair drags a
+    * held-out document to the bottom regardless of everything else in
+    * it, which is exactly why production LM filters (CCNet and
+    * successors) score with a smoothed model. q167 dodges the issue by
+    * scoring the training corpus with itself; q175 runs the honest
+    * setup — train on the doc_id-even half, score the doc_id-odd half —
+    * where unseen pairs and unseen CONTEXTS actually occur.
+    *
+    * Add-k in exact 10⁻⁶ fixed point (k·10⁶ = [[Q175KFp]] keeps every
+    * step integer — the r12 verdict's prescription):
+    *
+    *   p_fp = 10⁶·(10⁶·c(w1,w2) + k_fp) div (10⁶·ctx(w1) + k_fp·V)
+    *
+    * with ctx the PREFIX totals Σ_w2 c(w1,w2) (the q167 doc-final-token
+    * trap, re-asserted in the scalar spec: a train token with no
+    * successor contributes to V but NOT to its own context total) and V
+    * the training vocabulary size (distinct tokens, doc-final included).
+    * Both misses coalesce to 0 through the same formula: an unseen pair
+    * under a seen context scores k_fp·10⁶ div (10⁶·ctx + k_fp·V) > 0,
+    * and an entirely unseen context scores 10⁶ div V (= k/(k·V) — the
+    * uniform prior), so no held-out bigram can hit the MLE zero floor.
+    * Products ride DECIMAL(38): 10⁶·c·10⁶ passes int64 only below ~9·10⁶
+    * pair occurrences, nowhere near corpus scale. An EMPTY training half
+    * (V = 0) yields an empty result on both engines — there is no model
+    * to score with, and the k_fp·V divisor floor that makes every
+    * division total needs V ≥ 1 (the q168 perSourceTokens discipline).
+    *
+    * Per held-out document (≥2 tokens, the q167/q150 sequence guard):
+    * n_bigrams, n_oov (pairs the model never saw — the readout that
+    * separates smoothed from MLE scoring), and score_fp = the integer
+    * mean of its bigram scores; the [[Q175BottomK]] lowest surface.
+    *
+    * Scale shape: one train-half token-sized bigram partial agg + a
+    * vocab-sized prefix rollup + a 1-row vocabulary count; the held
+    * stream pays TWO co-partitioned token-sized joins — (w1,w2) for the
+    * pair count, then w1 for the context total — inherent to smoothing:
+    * a missing pair still needs its context's denominator, so the
+    * q167 trick of pre-joining score onto the bigram table cannot cover
+    * the misses. Both joins are left outer on the smaller (model) side,
+    * partial-agg'd per doc, then a distributed TakeOrdered of
+    * [[Q175BottomK]]. No window, no driver loop. */
+  def q175SmoothedLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
+      graft.text.TextAnalysis.tokens(col("text")).as("ts"))
+    def bigrams(half: DataFrame): DataFrame = half
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> named_struct('w1', element_at(ts, i), 'w2', element_at(ts, i + 1)))"))
+        .as("b"))
+      .filter(length(col("b.w1")) >= 1 && length(col("b.w2")) >= 1)
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val train = toks.filter(col("doc_id") % 2 === 0)
+    val held = toks.filter(col("doc_id") % 2 === 1)
+    val trainBi = bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cxy"))
+    val ctx = trainBi.groupBy(col("w1")).agg(sum(col("cxy")).as("cx"))
+    val vocab = train
+      .select(explode(col("ts")).as("tok")).filter(length(col("tok")) >= 1)
+      .agg(count_distinct(col("tok")).as("vv"))
+    bigrams(held)
+      .join(trainBi, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .withColumn("cxy", coalesce(col("cxy"), lit(0L)))
+      .withColumn("cx", coalesce(col("cx"), lit(0L)))
+      .crossJoin(broadcast(vocab))
+      .filter(col("vv") >= 1)
+      .withColumn("p_fp", expr(
+        s"CAST((CAST(cxy AS DECIMAL(38,0)) * 1000000 + $Q175KFp) * 1000000 " +
+          s"div (CAST(cx AS DECIMAL(38,0)) * 1000000 + $Q175KFp * vv) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((col("cxy") === 0L).cast("long")).as("n_oov"),
+        sum(col("p_fp")).as("sfp"))
+      .withColumn("score_fp", expr("CAST(sfp div n_bigrams AS BIGINT)"))
+      .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
+        col("n_oov").cast("long").as("n_oov"), col("score_fp"))
+      .orderBy(col("score_fp"), col("doc_id"))
+      .limit(Q175BottomK)
+  }
+
+  /** Mirror: identical train/held halves, prefix totals, vocabulary
+    * count, and the same DECIMAL/HUGEINT add-k fixed point — misses
+    * coalesce to 0 through the same single formula. */
+  val q175Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      |  FROM documents
+      |), bi AS (
+      |  SELECT doc_id, ts[g] AS w1, ts[g + 1] AS w2 FROM (
+      |    SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS g
+      |    FROM toks WHERE len(ts) >= 2)
+      |  WHERE len(ts[g]) >= 1 AND len(ts[g + 1]) >= 1
+      |), train_bi AS (
+      |  SELECT w1, w2, COUNT(*) AS cxy FROM bi WHERE doc_id % 2 = 0
+      |  GROUP BY w1, w2
+      |), ctx AS (
+      |  SELECT w1, SUM(cxy) AS cx FROM train_bi GROUP BY w1
+      |), vocab AS (
+      |  SELECT COUNT(DISTINCT tok) AS vv FROM (
+      |    SELECT unnest(ts) AS tok FROM toks WHERE doc_id % 2 = 0)
+      |  WHERE len(tok) >= 1
+      |), held AS (
+      |  SELECT h.doc_id, COALESCE(tb.cxy, 0) AS cxy, COALESCE(c.cx, 0) AS cx, v.vv
+      |  FROM bi h
+      |  LEFT JOIN train_bi tb ON h.w1 = tb.w1 AND h.w2 = tb.w2
+      |  LEFT JOIN ctx c ON h.w1 = c.w1
+      |  CROSS JOIN vocab v
+      |  WHERE h.doc_id % 2 = 1 AND v.vv >= 1
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(CASE WHEN cxy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(SUM((CAST(cxy AS HUGEINT) * 1000000 + ${Q175KFp}) * 1000000
+      |      // (CAST(cx AS HUGEINT) * 1000000 + ${Q175KFp} * vv))
+      |    // COUNT(*) AS BIGINT) AS score_fp
+      |FROM held GROUP BY doc_id
+      |ORDER BY score_fp, doc_id LIMIT ${Q175BottomK}""".stripMargin
 }

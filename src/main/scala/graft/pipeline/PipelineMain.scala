@@ -11,8 +11,11 @@ import org.apache.spark.sql.SparkSession
   * Runs [[TrainingPipeline.curateToTraining]] (production curation preset)
   * over the documents table, optionally decontaminating against a test
   * parquet, writes the packed corpus partitioned by split to
-  * `<outDir>/packed`, and prints one line per stage (the same counts land
-  * in the job-statistics ledger under the printed run id). */
+  * `<outDir>/packed` plus the hash-sharded training-release layout to
+  * `<outDir>/shards` ([[TrainingPipeline.writeSharded]] — one ledger row
+  * per shard with the q169 skew readout), and prints one line per stage
+  * (the same counts land in the job-statistics ledger under the printed
+  * run id). */
 object PipelineMain {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
@@ -40,6 +43,13 @@ object PipelineMain {
       r.packed.write.mode("overwrite").partitionBy("split")
         .parquet(s"$outDir/packed")
       println(s"[pipeline] run ${r.runId}: packed corpus written to $outDir/packed")
+      // writer stage: the training-release layout — hash-sharded files a
+      // loader streams, with the per-shard balance readout in the ledger
+      val stats = TrainingPipeline.writeSharded(spark, r.packed,
+        s"$outDir/shards", runId = r.runId)
+      val worst = stats.maxBy(s => math.abs(s.skewPpm))
+      println(s"[pipeline] ${stats.size} shards written to $outDir/shards " +
+        s"(worst skew: shard ${worst.shard} at ${worst.skewPpm} ppm)")
       r.free()
     } finally spark.stop()
   }

@@ -297,4 +297,101 @@ object TrainingPipeline {
 
     Result(packed, stages.toSeq, runId)
   }
+
+  /** Per-shard balance readout [[writeSharded]] returns (and ledgers):
+    * q169's schema over what actually LANDED on disk. */
+  final case class ShardStat(shard: Long, nDocs: Long, nTokens: Long,
+      shareFp: Long, skewPpm: Long)
+
+  /** Default output shard count — [[graft.ops.ScaleOps23.Q169Shards]]. */
+  val DefaultShards: Int = graft.ops.ScaleOps23.Q169Shards.toInt
+
+  /** The pipeline's WRITER stage (r12 verdict #6): lay the packed corpus
+    * out as `shards` parquet shards under `outDir/shard=N/`, sharded by
+    * q169's portable multiplicative hash of the document id
+    * ([[graft.ops.Relational3.splitBucket]] mod shards — engine/
+    * partitioning/run-independent, so the same corpus always lands in
+    * the same shard layout), and ledger ONE row per shard carrying the
+    * q169 skew_ppm balance readout.
+    *
+    * Determinism: rows are routed ALL-of-shard-i-to-one-task
+    * (`repartition(shards, shard)` — a shard never splits across tasks,
+    * so each shard directory holds exactly one data file) and sorted
+    * within the task by (shard, id), so re-running the writer over the
+    * same frame produces byte-identical shard files (spec-asserted) —
+    * the reproducibility a training-data release needs.
+    *
+    * Accounting discipline: the per-shard stats are aggregated from the
+    * files that LANDED (one read-back of the written output), not from
+    * the input frame — the [[graft.dedup.FingerprintIndex.writeIndex]]
+    * certify-only-what-landed rule. Every shard id 0..shards-1 gets a
+    * ledger row, INCLUDING empty shards (n_docs = 0, skew −10⁶): a
+    * balance readout that silently omits empty shards hides exactly the
+    * imbalance it exists to surface. The skew readout rides the ledger's
+    * free-text column (`ErrorMessage`, on a Completed row) because the
+    * JobStats schema is the reference's EtlJobStats contract
+    * (FIXTURES.md §3) — adding a column would break mirror parity.
+    * Share/skew are exact BigInt integer division at 10⁻⁶ fixed point on
+    * the ≤shards-row driver-side table (q169's arithmetic; the collect
+    * is shard-count-bounded, never corpus-bounded).
+    *
+    * Scale shape: one pure-map shard assignment, ONE exchange on the
+    * shard id, one task-local sort per shard, one read-back partial agg
+    * (≤shards groups). At 100 TB the per-shard file is the unit a
+    * training loader streams; shards ≫ 64 is one parameter, same plan. */
+  def writeSharded(spark: SparkSession, packed: DataFrame, outDir: String,
+      idCol: String = "doc_id", tokenCol: String = "n_tokens",
+      shards: Int = DefaultShards, runId: String = java.util.UUID.randomUUID().toString,
+      ledger: Boolean = true): Seq[ShardStat] = {
+    require(shards >= 1, s"writeSharded: shards must be >= 1, got $shards")
+    require(packed.columns.contains(tokenCol),
+      s"writeSharded: no '$tokenCol' column in ${packed.columns.toSeq} " +
+        "(pass tokenCol = \"n_bpe_tokens\" for a packByBpe corpus)")
+    val t0 = System.currentTimeMillis()
+    val nIn = packed.count()
+    packed
+      .withColumn("shard",
+        pmod(Relational3.splitBucket(col(idCol)), lit(shards.toLong)))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    // an all-empty write leaves no shard dirs to infer a schema from —
+    // the readout is all-zeros by definition, not a read failure
+    val landed: Map[Long, (Long, Long)] =
+      if (nIn == 0L) Map.empty
+      else spark.read.parquet(outDir)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("n_tokens"))
+        .collect()
+        .map(r => r.getAs[Number]("shard").longValue() ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    val tt = BigInt(landed.values.map(_._2).sum)
+    val stats = (0L until shards.toLong).map { sh =>
+      val (nd, nt) = landed.getOrElse(sh, (0L, 0L))
+      if (tt == 0) ShardStat(sh, nd, nt, 0L, 0L)
+      else ShardStat(sh, nd, nt,
+        (BigInt(nt) * 1000000 / tt).toLong,
+        (BigInt(nt) * shards * 1000000 / tt - 1000000).toLong)
+    }
+    if (ledger) {
+      val now = System.currentTimeMillis()
+      stats.foreach { st =>
+        graft.ledger.Ledger.writeJobStats(spark, graft.core.JobStats(
+          JobRunID = java.util.UUID.randomUUID().toString,
+          JobStartTime = new java.sql.Timestamp(t0),
+          JobEndTime = new java.sql.Timestamp(now),
+          JobDurationSeconds = (now - t0) / 1000,
+          JobStatus = "Completed",
+          SourceFile = s"pipeline:shard:${st.shard}",
+          TargetTable = s"$outDir/shard=${st.shard}",
+          RowsRead = nIn, RowsInserted = st.nDocs, RowsUpdated = 0,
+          RowsFailed = 0,
+          ErrorMessage = Some(
+            s"n_tokens=${st.nTokens};share_fp=${st.shareFp};skew_ppm=${st.skewPpm}"),
+          BatchJobID = Some(runId),
+          TableMode = "shard", TransactionMode = "strict"))
+      }
+    }
+    stats
+  }
 }
