@@ -1,0 +1,236 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Relational.t
+
+/** Batch 25: a trainable document-quality classifier — the fastText-class
+  * component a production LLM-data pipeline runs after the heuristic
+  * filters (CCNet and successors train a linear classifier to keep
+  * wiki-like text; the reference pipeline has no learning stage, so this
+  * is beyond-reference surface like the rest of the q1xx family).
+  *
+  * The model is a BATCH perceptron over hashed bag-of-words features:
+  * exact integer arithmetic end to end, so the trained weights — and
+  * therefore every downstream keep/drop decision — are bit-reproducible
+  * on any engine with 64-bit integers (the q51/q23 portability contract).
+  * SGD-style per-row updates would be order-dependent (a shuffle
+  * reordering retrains a different model); the batch form's epoch update
+  * is one order-free aggregate, which is exactly what makes it both
+  * distributed-friendly and oracle-checkable.
+  *
+  *   - features: token → FNV-1a-64 → bucket = low log₂(B) bits; B is a
+  *     POWER OF TWO so the signed-`&` and the mirror's unsigned-`%` agree
+  *     bit-for-bit (2⁶⁴ ≡ 0 mod 2ᵏ — spec-pinned; a non-power-of-two B
+  *     would need floorMod-vs-unsigned adjudication like q23's bag hash);
+  *     feature value x = token count in the bucket, plus a constant-1
+  *     bias feature at bucket B
+  *   - label: y = +1 if lang = 'en' else −1 (binary en-vs-rest; the
+  *     corpus carries both classes at every SF)
+  *   - epoch: margin m_d = Σ_b w_b·x_db; misclassified iff y_d·m_d ≤ 0
+  *     (ties count as wrong — with w⁰ = 0 EVERY doc is misclassified in
+  *     epoch 1, so epoch 1's update is Σ_d y_d·x_d, spec-pinned);
+  *     w ← w + Σ_{misclassified d} y_d·x_d
+  *   - [[Q176Epochs]] epochs, trained on the doc_id-EVEN half (the q175
+  *     train/held convention); q177 scores the odd half with the result.
+  */
+object ScaleOps25 {
+
+  /** Hashed feature buckets — MUST stay a power of two (see above). */
+  val Q176Buckets = 64
+
+  /** Fixed epoch count: the driver loop is K-bounded (the BPE argmax
+    * discipline — K tiny jobs, never a per-row driver loop). */
+  val Q176Epochs = 4
+
+  /** How many lowest-scoring held-out docs q177 surfaces. */
+  val Q177BottomK = 15
+
+  /** Per-corpus memo of the trained weight vector (the q127/q148/q164
+    * memo discipline): training is deterministic in the corpus, so q176
+    * and q177 share one training run per JVM per corpus, and oracle
+    * reruns don't pay the epoch loop twice. */
+  private val weightsMemo =
+    scala.collection.concurrent.TrieMap[String, Array[Long]]()
+
+  /** The (doc_id, y, bucket, x) feature table over non-empty docs:
+    * hashed token counts plus the bias row. Token-bucket bounded —
+    * ≤ (B+1) rows per doc regardless of doc length. */
+  private def features(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+      filter(graft.text.TextAnalysis.tokens(col("text")),
+        tk => length(tk) >= 1).as("ts"))
+      .filter(size(col("ts")) >= 1)
+    val counts = toks.select(col("doc_id"), col("y"),
+      explode(column(graft.functions.SlidingShingleHashes(
+        expression(col("ts")), 1))).as("h"))
+      .select(col("doc_id"), col("y"),
+        col("h").bitwiseAND(lit((Q176Buckets - 1).toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("y"), col("bucket"))
+      .agg(count(lit(1)).as("x"))
+    val bias = toks.select(col("doc_id"), col("y"),
+      lit(Q176Buckets.toLong).as("bucket"), lit(1L).as("x"))
+    counts.unionByName(bias)
+  }
+
+  /** The epoch loop. Scale shape per epoch: margins ride a BROADCAST
+    * join of the (B+1)-row weight table onto the cached feature table
+    * (already hash-partitioned by doc_id, so the doc rollup and the
+    * misclassified-join are exchange-free), then ONE (B+1)-group partial
+    * agg collects the delta — the only driver-side data is B+1 longs per
+    * epoch. Margins ride DECIMAL(38): w is bounded by K·Σtokens, so
+    * w·x can pass int64 at corpus scale even though the final weights
+    * cannot (K·Σtokens ≈ 4·10¹³ at 100 TB — comfortably BIGINT). */
+  private def trainWeights(s: SparkSession, feats: DataFrame): Array[Long] = {
+    import s.implicits._
+    val w = Array.fill(Q176Buckets + 1)(0L)
+    val cached = feats.repartition(col("doc_id")).persist()
+    try {
+      for (_ <- 1 to Q176Epochs) {
+        val wDf = w.zipWithIndex
+          .map { case (wt, b) => (b.toLong, wt) }.toSeq.toDF("bucket", "w")
+        val delta = cached
+          .join(broadcast(wDf), Seq("bucket"))
+          .groupBy(col("doc_id"), col("y"))
+          .agg(sum(expr("CAST(x AS DECIMAL(38,0)) * w")).as("m"))
+          // y·m ≤ 0 without the y·m product: y ∈ {1,−1}, and multiplying
+          // a near-38-digit DECIMAL margin is the one step that could
+          // overflow where the comparison cannot (the mirror's HUGEINT
+          // y*m is exact, so the two forms agree everywhere both run)
+          .filter((col("y") > 0 && col("m") <= 0) ||
+            (col("y") < 0 && col("m") >= 0))
+          .select(col("doc_id"))
+          .join(cached, Seq("doc_id"))
+          .groupBy(col("bucket"))
+          .agg(sum(col("y") * col("x")).as("d"))
+          .collect()
+        delta.foreach { r =>
+          w(r.getAs[Long]("bucket").toInt) += r.getAs[Long]("d")
+        }
+      }
+      w
+    } finally { cached.unpersist() }
+  }
+
+  private def trainedWeights(s: SparkSession, dir: String): Array[Long] =
+    weightsMemo.getOrElseUpdate(
+      s"$dir|${Relational.corpusSignature(s, dir, "documents")}",
+      trainWeights(s,
+        features(Relational.fanOut(t(s, dir, "documents")))
+          .filter(col("doc_id") % 2 === 0)))
+
+  /** q176: the trained weight vector — (bucket, weight), B+1 rows. */
+  def q176PerceptronTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainedWeights(s, dir).zipWithIndex
+      .map { case (wt, b) => (b.toLong, wt) }.toSeq
+      .toDF("bucket", "weight")
+      .orderBy(col("bucket"))
+  }
+
+  /** q177: APPLY the trained model to the held-out (doc_id-odd) half —
+    * per doc: integer score Σ w_b·x_db, predicted class (score ≤ 0 → −1,
+    * the same tie sign training uses), actual label, and a correct flag;
+    * the [[Q177BottomK]] lowest-scoring docs surface (the "most
+    * confidently non-English" readout a curation review samples).
+    *
+    * Scale shape: one broadcast join of the (B+1)-row weight table, one
+    * doc-grouped partial agg, one distributed TakeOrdered. The trained
+    * weights come from the per-corpus memo, so the epoch loop runs once
+    * per corpus, not once per query. score rides DECIMAL(38) and lands
+    * as BIGINT with the ANSI loud-overflow contract on both engines. */
+  def q177PerceptronApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = trainedWeights(s, dir)
+    val wDf = w.zipWithIndex
+      .map { case (wt, b) => (b.toLong, wt) }.toSeq.toDF("bucket", "w")
+    features(Relational.fanOut(t(s, dir, "documents")))
+      .filter(col("doc_id") % 2 === 1)
+      .join(broadcast(wDf), Seq("bucket"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(expr("CAST(x AS DECIMAL(38,0)) * w")).as("m"))
+      .select(col("doc_id"),
+        expr("CAST(m AS BIGINT)").as("score"),
+        col("y"),
+        when(col("m") > 0, 1L).otherwise(-1L).as("predicted"),
+        when((col("m") > 0) === (col("y") > 0), 1L).otherwise(0L).as("correct"))
+      .orderBy(col("score"), col("doc_id"))
+      .limit(Q177BottomK)
+  }
+
+  // --- DuckDB mirrors ---------------------------------------------------
+  //
+  // The epoch loop unrolls into K chained CTE triples (m_e, d_e, w_e) —
+  // standard SQL forbids aggregating over a recursive reference, so the
+  // K-bounded unroll IS the portable restatement of the bounded driver
+  // loop. Margins ride HUGEINT (the DECIMAL(38) twin); weights land as
+  // BIGINT with the same loud-overflow cast.
+
+  private val mirrorFnv =
+    """list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        [ord(substr(tk, i, 1))::HUGEINT FOR i IN range(1, length(tk) + 1)]),
+      |      (acc, b) -> (xor(acc, b) * 1099511628211) % 18446744073709551616::HUGEINT)""".stripMargin
+
+  /** Shared prologue: feature table + w0, then Q176Epochs unrolled. */
+  private def mirrorChain: String = {
+    val prologue =
+      raw"""WITH toksall AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CASE WHEN lang = 'en' THEN 1::BIGINT ELSE -1::BIGINT END AS y,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                s -> length(s) >= 1) AS ts
+        |  FROM documents
+        |), nz AS (
+        |  SELECT * FROM toksall WHERE len(ts) >= 1
+        |), tokh AS (
+        |  SELECT doc_id, y, unnest([$mirrorFnv FOR tk IN ts]) AS h FROM nz
+        |), feat AS (
+        |  SELECT doc_id, y, CAST(h % ${Q176Buckets} AS BIGINT) AS bucket,
+        |    COUNT(*)::BIGINT AS x
+        |  FROM tokh GROUP BY doc_id, y, bucket
+        |  UNION ALL
+        |  SELECT doc_id, y, ${Q176Buckets}::BIGINT, 1::BIGINT FROM nz
+        |), tr AS (
+        |  SELECT * FROM feat WHERE doc_id % 2 = 0
+        |), w0 AS (
+        |  SELECT CAST(b AS BIGINT) AS bucket, 0::HUGEINT AS w
+        |  FROM range(${Q176Buckets + 1}) s(b)
+        |)""".stripMargin
+    val epochs = (1 to Q176Epochs).map { e =>
+      raw""", m$e AS (
+        |  SELECT f.doc_id, f.y, SUM(f.x::HUGEINT * w.w) AS m
+        |  FROM tr f JOIN w${e - 1} w USING (bucket) GROUP BY f.doc_id, f.y
+        |), d$e AS (
+        |  SELECT f.bucket, SUM(f.y * f.x)::HUGEINT AS d
+        |  FROM tr f JOIN m$e m USING (doc_id) WHERE m.y * m.m <= 0
+        |  GROUP BY f.bucket
+        |), w$e AS (
+        |  SELECT w.bucket, w.w + COALESCE(d.d, 0::HUGEINT) AS w
+        |  FROM w${e - 1} w LEFT JOIN d$e d USING (bucket)
+        |)""".stripMargin
+    }.mkString
+    prologue + epochs
+  }
+
+  val q176Sql: String =
+    raw"""$mirrorChain
+      |SELECT bucket, CAST(w AS BIGINT) AS weight
+      |FROM w${Q176Epochs} ORDER BY bucket""".stripMargin
+
+  val q177Sql: String =
+    raw"""$mirrorChain, ap AS (
+      |  SELECT * FROM feat WHERE doc_id % 2 = 1
+      |), sc AS (
+      |  SELECT f.doc_id, f.y, SUM(f.x::HUGEINT * w.w) AS m
+      |  FROM ap f JOIN w${Q176Epochs} w USING (bucket) GROUP BY f.doc_id, f.y
+      |)
+      |SELECT doc_id,
+      |  CAST(m AS BIGINT) AS score,
+      |  y,
+      |  CASE WHEN m > 0 THEN 1::BIGINT ELSE -1::BIGINT END AS predicted,
+      |  CASE WHEN (m > 0) = (y > 0) THEN 1::BIGINT ELSE 0::BIGINT END AS correct
+      |FROM sc ORDER BY score, doc_id LIMIT ${Q177BottomK}""".stripMargin
+}

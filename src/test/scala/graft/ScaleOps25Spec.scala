@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ground-truth laws for the batch-25 quality classifier (q176 train /
+  * q177 apply): an INDEPENDENT scalar batch-perceptron written from the
+  * documented definitions (BigInt margins, plain Maps), so a drifted
+  * engine kernel can't hide behind an oracle that shares it. */
+class ScaleOps25Spec extends GraftSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def writeDocs(dir: java.nio.file.Path,
+      rows: Seq[(Long, String, String)]): Unit =
+    rows.map { case (id, txt, lang) => (id, txt, lang, "src0", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  // --- the independent scalar model ------------------------------------
+
+  private def fnv(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    s.getBytes("UTF-8").foreach { b => h = (h ^ (b & 0xffL)) * 1099511628211L }
+    h
+  }
+
+  private def toksOf(t: String): Seq[String] =
+    t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  /** (doc_id, y, bucket -> x) over non-empty docs, bias at bucket 64. */
+  private def featuresOf(rows: Seq[(Long, String, String)])
+      : Seq[(Long, Long, Map[Long, Long])] =
+    rows.flatMap { case (id, text, lang) =>
+      val ts = toksOf(text)
+      if (ts.isEmpty) None
+      else {
+        val y = if (lang == "en") 1L else -1L
+        val counts = ts.groupBy(tk => fnv(tk) & 63L)
+          .map { case (b, g) => b -> g.size.toLong }
+        Some((id, y, counts + (64L -> 1L)))
+      }
+    }
+
+  /** K epochs of the batch perceptron over the doc_id-even half. */
+  private def trainScalar(rows: Seq[(Long, String, String)],
+      epochs: Int = graft.ops.ScaleOps25.Q176Epochs): Array[Long] = {
+    val tr = featuresOf(rows).filter(_._1 % 2 == 0)
+    val w = Array.fill(65)(0L)
+    for (_ <- 1 to epochs) {
+      val delta = Array.fill(65)(0L)
+      tr.foreach { case (_, y, xs) =>
+        val m = xs.map { case (b, x) => BigInt(x) * w(b.toInt) }.sum
+        if (BigInt(y) * m <= 0)                       // tie counts as WRONG
+          xs.foreach { case (b, x) => delta(b.toInt) += y * x }
+      }
+      (0 until 65).foreach(i => w(i) += delta(i))
+    }
+    w
+  }
+
+  private def scoreScalar(rows: Seq[(Long, String, String)], w: Array[Long])
+      : Seq[(Long, Long, Long, Long, Long)] =
+    featuresOf(rows).filter(_._1 % 2 == 1)
+      .map { case (id, y, xs) =>
+        val m = xs.map { case (b, x) => BigInt(x) * w(b.toInt) }.sum
+        (id, m.toLong, y, if (m > 0) 1L else -1L,
+          if ((m > 0) == (y > 0)) 1L else 0L)
+      }
+      .sortBy(r => (r._2, r._1)).take(graft.ops.ScaleOps25.Q177BottomK)
+
+  private def runQ176(dir: String): Seq[(Long, Long)] =
+    graft.ops.ScaleOps25.q176PerceptronTrain(spark, dir)
+      .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("weight"))).toSeq
+
+  private def runQ177(dir: String): Seq[(Long, Long, Long, Long, Long)] =
+    graft.ops.ScaleOps25.q177PerceptronApply(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"),
+        r.getAs[Long]("y"), r.getAs[Long]("predicted"),
+        r.getAs[Long]("correct"))).toSeq
+
+  // --- laws -------------------------------------------------------------
+
+  test("q176 scalar law: hand corpus — engine weights equal the independent BigInt batch perceptron; epoch 1 updates on EVERY doc (y·0 <= 0, the tie-is-wrong law)") {
+    val dir = tempDir("q176-hand")
+    val rows = Seq(
+      (0L, "good solid prose here", "en"),
+      (2L, "bon texte ici oui", "fr"),
+      (4L, "good prose good prose good", "en"),
+      (6L, "texte oui bon bon", "fr"),
+      (8L, "   ", "en"),                  // all-whitespace: no features
+      (1L, "good prose oui", "en"),       // held out (odd) — not trained on
+      (3L, "bon texte here", "de"))
+    writeDocs(dir, rows)
+    val w = trainScalar(rows)
+    assert(runQ176(dir.toString) ==
+      w.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }.toSeq)
+    // the tie law, derived independently: with w0 = 0 every margin is 0
+    // and y·0 <= 0, so epoch 1's update is Σ y·x over ALL trained docs —
+    // including the bias bucket, whose epoch-1 weight is (#en − #rest)
+    val e1 = trainScalar(rows, epochs = 1)
+    val tr = featuresOf(rows).filter(_._1 % 2 == 0)
+    val sumYX = Array.fill(65)(0L)
+    tr.foreach { case (_, y, xs) =>
+      xs.foreach { case (b, x) => sumYX(b.toInt) += y * x } }
+    assert(e1.toSeq == sumYX.toSeq)
+    assert(e1(64) == tr.count(_._2 == 1L) - tr.count(_._2 == -1L))
+    // the whitespace-only doc contributed nothing anywhere (not even bias)
+    assert(tr.forall(_._1 != 8L))
+    // label law: en -> +1, anything else (fr, de) -> -1
+    assert(featuresOf(rows).find(_._1 == 3L).get._2 == -1L)
+  }
+
+  test("q176 bucket law: B is a power of two, so the signed & 63 equals the mirror's UNSIGNED % 64 for every hash — including negative ones (2^64 = 0 mod 64)") {
+    assert(Integer.bitCount(graft.ops.ScaleOps25.Q176Buckets) == 1)
+    // a known-negative fnv (the q23 pin constant) and a sweep
+    assert(fnv("neg10x") == -3976726914049493464L)
+    val probes = "neg10x" +: (1 to 100).map(i => s"tk$i")
+    probes.foreach { t =>
+      val h = fnv(t)
+      val unsignedMod = BigInt(java.lang.Long.toUnsignedString(h)).mod(64).toLong
+      assert((h & 63L) == unsignedMod, s"token $t: signed & vs unsigned % split")
+    }
+  }
+
+  test("q177 scalar law: held-out scores, predicted sign (score <= 0 -> -1), and correct flag re-derive; disjoint-vocab corpus ranks every non-en doc below every en doc") {
+    val dir = tempDir("q177-hand")
+    // vocabularies chosen DISJOINT in bucket space (verified below), so
+    // the trained weights must separate the halves and the bottom of the
+    // q177 ranking must be exactly the non-en docs
+    val enToks = Seq("alpha", "bravo", "charlie")
+    val frToks = Seq("zulu", "yankee", "xray")
+    val enB = enToks.map(t => fnv(t) & 63L).toSet
+    val frB = frToks.map(t => fnv(t) & 63L).toSet
+    assert(enB.intersect(frB).isEmpty, "fixture bug: bucket collision — pick other tokens")
+    val rows = Seq(
+      (0L, "alpha bravo charlie alpha", "en"),
+      (2L, "zulu yankee xray", "fr"),
+      (4L, "alpha charlie bravo", "en"),
+      (6L, "zulu xray zulu", "fr"),
+      (1L, "alpha bravo", "en"),
+      (3L, "zulu yankee", "fr"),
+      (5L, "charlie alpha charlie", "en"),
+      (7L, "xray xray", "fr"))
+    writeDocs(dir, rows)
+    val w = trainScalar(rows)
+    val expect = scoreScalar(rows, w)
+    val got = runQ177(dir.toString)
+    assert(got == expect)
+    // predicted law holds row-by-row on the engine output
+    got.foreach { case (_, score, y, predicted, correct) =>
+      assert(predicted == (if (score > 0) 1L else -1L))
+      assert(correct == (if ((score > 0) == (y > 0)) 1L else 0L))
+    }
+    // separation: every non-en held-out doc scores strictly below every
+    // en held-out doc (disjoint buckets make this a theorem, not luck)
+    val en = got.filter(_._3 == 1L).map(_._2)
+    val fr = got.filter(_._3 == -1L).map(_._2)
+    assert(en.nonEmpty && fr.nonEmpty && fr.max < en.min)
+    assert(got.forall(_._5 == 1L), "disjoint-vocab model must classify all held-out docs correctly")
+  }
+
+  test("q176/q177: empty training half -> all-zero weights; q177 then scores 0 with predicted -1 everywhere (the tie sign)") {
+    val dir = tempDir("q176-empty")
+    writeDocs(dir, Seq((1L, "a b c", "en"), (3L, "d e f", "fr")))
+    assert(runQ176(dir.toString).forall(_._2 == 0L))
+    val got = runQ177(dir.toString)
+    assert(got.map(_._1) == Seq(1L, 3L))
+    got.foreach { case (_, score, y, predicted, correct) =>
+      assert(score == 0L && predicted == -1L)
+      assert(correct == (if (y == -1L) 1L else 0L))
+    }
+  }
+
+  test("q176/q177 differential at sf0.001: engine == independent scalar model over the real corpus") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val w = trainScalar(rows)
+    assert(runQ176(sf) ==
+      w.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }.toSeq)
+    assert(runQ177(sf) == scoreScalar(rows, w))
+    // the model actually learned something: weights are not all zero and
+    // epoch 4 differs from epoch 1 (the loop ran, not just the first pass)
+    assert(w.exists(_ != 0L))
+    assert(w.toSeq != trainScalar(rows, epochs = 1).toSeq)
+  }
+
+  test("q176 memo identity: rewriting the corpus retrains — the weight memo keys on corpus identity, not the path") {
+    val dir = tempDir("q176-memo")
+    writeDocs(dir, Seq((0L, "alpha bravo", "en"), (2L, "zulu xray", "fr")))
+    val first = runQ176(dir.toString)
+    // same path, different corpus: flipped labels must flip the model
+    writeDocs(dir, Seq((0L, "alpha bravo", "fr"), (2L, "zulu xray", "en")))
+    val second = runQ176(dir.toString)
+    assert(first != second, "memo served a stale model for a rewritten corpus")
+    assert(second == runQ176(dir.toString), "warm rerun must be stable")
+  }
+}
