@@ -475,6 +475,341 @@ class GrandfatherScalarSpec extends GraftSuite {
     assert(engineBag != java.lang.Math.floorMod(fnv(neg), 2147483647L))
   }
 
+  // --- round-13 batch 3: media-decode + float-kernel queries ----------------
+  //
+  // q79, q80, q81, q20, q34. The decode family is the STRONGEST case of
+  // the r10 trap class: the DuckDB mirrors re-derive outputs from the
+  // fixture FORMULA (never touching bytes), so a header-layout bug shared
+  // by the in-repo encoder AND decoder is invisible to the oracle. The
+  // independent instruments here: literal hand-rolled bytes written from
+  // the PUBLISHED file layouts (not via Wav.encode/Mp4.encode), an
+  // independent little-endian/big-endian test parser, and — for WAV —
+  // the JDK's own javax.sound reference parser.
+
+  /** Hand-rolled WAV builder: literal byte layout from the RIFF/WAVE
+    * spec, independent of graft.multimodal.Wav.encode. */
+  private def handWav(ch: Int, sr: Int, bits: Int, samples: Seq[Int],
+      preDataChunks: Seq[Byte] = Nil): Array[Byte] = {
+    def u16(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def u32(v: Long) = Seq(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def cc(s: String) = s.getBytes("US-ASCII").toSeq
+    val bps = bits / 8
+    val data =
+      if (bits == 8) samples.map(v => (v + 128).toByte)
+      else samples.flatMap(v => u16(v & 0xffff))
+    val pad = if (data.size % 2 == 1) Seq(0.toByte) else Nil
+    val fmt = cc("fmt ") ++ u32(16) ++ u16(1) ++ u16(ch) ++ u32(sr.toLong) ++
+      u32(sr.toLong * ch * bps) ++ u16(ch * bps) ++ u16(bits)
+    val payload = cc("WAVE") ++ fmt ++ preDataChunks ++
+      cc("data") ++ u32(data.size.toLong) ++ data ++ pad
+    (cc("RIFF") ++ u32(payload.size.toLong) ++ payload).toArray
+  }
+
+  /** Independent WAV parser (java.nio ByteBuffer LE reads — a different
+    * implementation idiom than Wav.decode's manual masking). */
+  private def parseWav(b: Array[Byte]): (Int, Int, Int, Seq[Int]) = {
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(b, 8, 4, "US-ASCII") == "WAVE")
+    var i = 12
+    var (ch, sr, bits) = (0, 0, 0)
+    var samples: Seq[Int] = null
+    while (i + 8 <= b.length && samples == null) {
+      val id = new String(b, i, 4, "US-ASCII"); val sz = bb.getInt(i + 4)
+      if (id == "fmt ") {
+        ch = bb.getShort(i + 10).toInt; sr = bb.getInt(i + 12)
+        bits = bb.getShort(i + 22).toInt
+      }
+      if (id == "data")
+        samples = if (bits == 8) (0 until sz).map(j => (b(i + 8 + j) & 0xff) - 128)
+                  else (0 until sz / 2).map(j => bb.getShort(i + 8 + 2 * j).toInt)
+      i += 8 + sz + (sz & 1)
+    }
+    (ch, sr, bits, samples)
+  }
+
+  test("q79 scalar law: hand-rolled RIFF bytes decode exactly (chunk skip, pad byte, refusal grammar); javax.sound independently confirms the fixture headers; full query re-derives via an independent LE parser") {
+    import graft.multimodal.Wav
+    // 16-bit stereo with a LIST chunk (odd size -> pad byte) BEFORE data:
+    // unknown-chunk skip and word alignment both on the path
+    val list = "LIST".getBytes("US-ASCII").toSeq ++
+      Seq[Byte](3, 0, 0, 0) ++ "abc".getBytes("US-ASCII").toSeq ++ Seq(0.toByte)
+    val w1 = handWav(2, 8000, 16, Seq(1000, -2000, 3000, -4000), list)
+    val a1 = Wav.decode(w1)
+    assert(a1 != null && a1.channels == 2 && a1.sampleRate == 8000 &&
+      a1.bitsPerSample == 16 && a1.samples.toSeq == Seq(1000, -2000, 3000, -4000))
+    assert(a1.nFrames == 2L && a1.durationMs == 0L) // floor(2*1000/8000)
+    // 8-bit mono, odd data size (pad byte after data): disk bytes are
+    // UNSIGNED and center at -128..127 — 0x00 -> -128, 0x80 -> 0, 0xFF -> 127
+    val w2 = handWav(1, 11025, 8, Seq(-128, 0, 127))
+    val a2 = Wav.decode(w2)
+    assert(a2 != null && a2.samples.toSeq == Seq(-128, 0, 127) &&
+      a2.bitsPerSample == 8 && w2.length % 2 == 0)
+    // refusal grammar, each from a hand-mutated valid file
+    def mut(b: Array[Byte])(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = b.clone(); f(c); c }
+    assert(Wav.decode(mut(w2)(_(3) = 'X'.toByte)) == null)       // RIFX magic
+    assert(Wav.decode(mut(w2)(_(20) = 2.toByte)) == null)        // non-PCM codec id
+    assert(Wav.decode(mut(w2)(_(32) = 2.toByte)) == null)        // blockAlign contradiction
+    assert(Wav.decode(w2.take(40)) == null)                      // truncated
+    // data BEFORE fmt must refuse (the stream can't be interpreted yet)
+    val dataFirst = {
+      def cc(s: String) = s.getBytes("US-ASCII").toSeq
+      val d = cc("data") ++ Seq[Byte](2, 0, 0, 0) ++ Seq[Byte](1, 2)
+      val f = cc("fmt ") ++ Seq[Byte](16, 0, 0, 0) ++
+        Seq[Byte](1, 0, 1, 0) ++ Seq[Byte](0x40, 0x1f, 0, 0) ++
+        Seq[Byte](0x40, 0x1f, 0, 0) ++ Seq[Byte](1, 0, 8, 0)
+      val payload = cc("WAVE") ++ d ++ f
+      (cc("RIFF") ++ Seq[Byte]((payload.size & 0xff).toByte, 0, 0, 0) ++ payload).toArray
+    }
+    assert(Wav.decode(dataFirst) == null)
+    // the JDK's own WAV parser agrees with the fixture's headers — an
+    // encoder bug shared with our decoder cannot hide from this one
+    (0L to 9L).foreach { id =>
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(Wav.fixtureBytes(id)))
+      val f = aff.getFormat
+      assert(f.getChannels == (1 + id % 2).toInt, s"id $id channels")
+      assert(f.getSampleRate == (8000 + (id % 4) * 2000).toFloat, s"id $id rate")
+      assert(f.getSampleSizeInBits == (if (id % 3 == 0) 8 else 16), s"id $id bits")
+      assert(aff.getFrameLength == (4 + id % 5).toInt, s"id $id frames")
+    }
+    // full query output re-derived through the INDEPENDENT parser
+    val dir = tempDir("q79-hand")
+    writeDocsTable(dir, (0L to 9L).map(id => (id, s"doc $id")))
+    val got = graft.ops.ScaleOps4.q79WavDecode(spark, dir.toString)
+      .collect().map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("n_bytes"),
+        r.getAs[Int]("channels"), r.getAs[Int]("sample_rate"),
+        r.getAs[Int]("bits_per_sample"), r.getAs[Long]("n_frames"),
+        r.getAs[Long]("duration_ms"), r.getAs[Int]("peak_abs"),
+        r.getAs[Double]("mean_abs"))).toSeq
+    val expect = (0L to 9L).map { id =>
+      val bytes = Wav.fixtureBytes(id)
+      val (ch, sr, bits, ss) = parseWav(bytes)
+      (id, bytes.length.toLong, ch, sr, bits, (ss.length / ch).toLong,
+        ss.length / ch * 1000L / sr, ss.map(math.abs).max,
+        ss.map(v => math.abs(v).toLong).sum.toDouble / ss.length.toDouble)
+    }
+    assert(got == expect)
+  }
+
+  test("q80 scalar law: zero crossings compare sample j to its PER-CHANNEL neighbor j-ch with the >= 0 sign (0 is non-negative); silence threshold is the integer 2^(bits-1)/100; rms = sqrt(sum_sq/n)") {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    def analyze(bytes: Array[Byte]): (Long, Long, Long, Double, Double) = {
+      val r = Seq(Tuple1(bytes)).toDF("content")
+        .select(column(graft.multimodal.WavAnalyze(
+          expression(col("content")))).as("st"))
+        .select(col("st.n_samples"), col("st.zero_crossings"),
+          col("st.n_silent"), col("st.silence_ratio"), col("st.rms"))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    }
+    // hand pins on hand-rolled bytes (16-bit thr = 32768/100 = 327):
+    // mono [5,-5,5]: crossings at j=1 and j=2; all |v| < 327 silent
+    assert(analyze(handWav(1, 8000, 16, Seq(5, -5, 5))) ==
+      ((3L, 2L, 3L, 1.0, 5.0)))
+    // the 0-is-non-negative sign law: [0,-1] is ONE crossing, [-1,0] too
+    assert(analyze(handWav(1, 8000, 16, Seq(0, -1)))._2 == 1L)
+    assert(analyze(handWav(1, 8000, 16, Seq(-1, 0)))._2 == 1L)
+    // stereo neighbors are j-2, not j-1: [L=0 R=-1][L=0 R=-1] never crosses
+    assert(analyze(handWav(2, 8000, 16, Seq(0, -1, 0, -1)))._2 == 0L)
+    // 8-bit thr = 128/100 = 1: ONLY exact zero counts as silent
+    val (_, _, sil8, _, _) = analyze(handWav(1, 8000, 8, Seq(0, 1, -1, 100)))
+    assert(sil8 == 1L)
+    // full query vs the independent parser + scalar laws
+    val dir = tempDir("q80-hand")
+    writeDocsTable(dir, (0L to 9L).map(id => (id, s"doc $id")))
+    val got = graft.ops.ScaleOps4.q80AudioStats(spark, dir.toString)
+      .collect().map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("n_samples"),
+        r.getAs[Long]("zero_crossings"), r.getAs[Long]("n_silent"),
+        r.getAs[Double]("silence_ratio"), r.getAs[Double]("rms"))).toSeq
+    val expect = (0L to 9L).map { id =>
+      val (ch, _, bits, ss) = parseWav(graft.multimodal.Wav.fixtureBytes(id))
+      val thr = (1 << (bits - 1)) / 100
+      val zc = ss.indices.count(j => j >= ch && (ss(j) >= 0) != (ss(j - ch) >= 0))
+      val sil = ss.count(v => math.abs(v) < thr)
+      val sumSq = ss.map(v => v.toLong * v).sum
+      (id, ss.length.toLong, zc.toLong, sil.toLong,
+        sil.toDouble / ss.length.toDouble,
+        math.sqrt(sumSq.toDouble / ss.length.toDouble))
+    }
+    assert(got == expect)
+  }
+
+  test("q81 scalar law: hand-rolled ISO-BMFF bytes (v0 AND v1 mvhd) probe to the planted fields; no-ftyp/zero-timescale refuse; full query re-derives via an independent BE parser") {
+    import graft.multimodal.Mp4
+    def be32(v: Long) = Seq((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def cc(s: String) = s.getBytes("US-ASCII").toSeq
+    def box(typ: String, payload: Seq[Byte]): Seq[Byte] =
+      be32(8L + payload.size) ++ cc(typ) ++ payload
+    // v0 mvhd: ver/flags + ctime + mtime + timescale + duration + rate +
+    // volume + 2 reserved + 8 reserved + 36 matrix + 24 predefined + next id
+    val mvhdV0 = box("mvhd", Seq[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(5500) ++ be32(0x00010000L) ++
+      Seq[Byte](1, 0, 0, 0) ++ Seq.fill[Byte](8)(0) ++
+      Seq.fill[Byte](36)(0) ++ Seq.fill[Byte](24)(0) ++ be32(1))
+    val handV0 = (box("ftyp", cc("isom") ++ be32(0)) ++ box("moov", mvhdV0) ++
+      box("mdat", Seq[Byte](1, 2, 3))).toArray
+    val m0 = Mp4.decode(handV0)
+    assert(m0 == Mp4.Meta("isom", 1000, 5500L, 3))
+    assert(m0.durationMs == 5500L)
+    // v1 mvhd carries 64-bit times: a duration beyond 2^32 pins the be64 read
+    val mvhdV1 = box("mvhd", Seq[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(90000) ++ be64(5000000000L) ++ be32(0x00010000L) ++
+      Seq[Byte](1, 0, 0, 0) ++ Seq.fill[Byte](8)(0) ++
+      Seq.fill[Byte](36)(0) ++ Seq.fill[Byte](24)(0) ++ be32(1))
+    val handV1 = (box("ftyp", cc("mp42") ++ be32(0)) ++ box("moov", mvhdV1)).toArray
+    val m1 = Mp4.decode(handV1)
+    assert(m1 == Mp4.Meta("mp42", 90000, 5000000000L, 2))
+    assert(m1.durationMs == 5000000000L * 1000L / 90000L)
+    // refusals: no ftyp; zero timescale
+    assert(Mp4.decode((box("moov", mvhdV0) ++ box("mdat", Seq[Byte](1))).toArray) == null)
+    val mvhdZeroTs = box("mvhd", Seq[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(5500) ++ be32(0x00010000L) ++ Seq[Byte](1, 0, 0, 0) ++
+      Seq.fill[Byte](8)(0) ++ Seq.fill[Byte](36)(0) ++ Seq.fill[Byte](24)(0) ++ be32(1))
+    assert(Mp4.decode(
+      (box("ftyp", cc("isom") ++ be32(0)) ++ box("moov", mvhdZeroTs)).toArray) == null)
+    // full query output re-derived via an independent BE walk of the fixture
+    val dir = tempDir("q81-hand")
+    writeDocsTable(dir, (0L to 9L).map(id => (id, s"doc $id")))
+    val got = graft.ops.ScaleOps4.q81Mp4Probe(spark, dir.toString)
+      .collect().map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("n_bytes"),
+        r.getAs[String]("major_brand"), r.getAs[Int]("timescale"),
+        r.getAs[Long]("duration"), r.getAs[Long]("duration_ms"),
+        r.getAs[Int]("n_top_boxes"))).toSeq
+    val expect = (0L to 9L).map { id =>
+      val b = Mp4.fixtureBytes(id)
+      val bb = java.nio.ByteBuffer.wrap(b) // BIG-endian by default: the BMFF order
+      var (i, nTop) = (0, 0)
+      var brand: String = null; var ts = 0; var dur = 0L
+      while (i < b.length) {
+        val sz = bb.getInt(i); val typ = new String(b, i + 4, 4, "US-ASCII")
+        nTop += 1
+        if (typ == "ftyp") brand = new String(b, i + 8, 4, "US-ASCII")
+        if (typ == "moov") {
+          // child walk: find mvhd, read v0 fields at fixed offsets
+          var j = i + 8
+          while (j < i + sz) {
+            val csz = bb.getInt(j)
+            if (new String(b, j + 4, 4, "US-ASCII") == "mvhd") {
+              assert(b(j + 8) == 0, "fixture writes v0 movie headers")
+              ts = bb.getInt(j + 8 + 12); dur = bb.getInt(j + 8 + 16).toLong
+            }
+            j += csz
+          }
+        }
+        i += sz
+      }
+      (id, b.length.toLong, brand, ts, dur, dur * 1000L / ts, nTop)
+    }
+    assert(got == expect)
+  }
+
+  test("q20 scalar law: cos = in-order float->double dot / (sqrt-norm product); selection is top-5 by (cos DESC, corpus_id ASC) excluding self; duplicate vectors tie-break by id") {
+    // independent scalar model from the documented accumulation order
+    def dotD(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def model(vecs: Seq[(Long, Seq[Float])], k: Int)
+        : Seq[(Long, Int, Long, Double)] =
+      vecs.filter(_._1 < 20).sortBy(_._1).flatMap { case (qid, qv) =>
+        val qn = math.sqrt(dotD(qv, qv))
+        vecs.filter(_._1 != qid)
+          .map { case (cid, cv) =>
+            (cid, dotD(cv, qv) / (math.sqrt(dotD(cv, cv)) * qn)) }
+          .sortBy { case (cid, cos) => (-cos, cid) }
+          .take(k).zipWithIndex
+          .map { case ((cid, cos), r) => (qid, r + 1, cid, cos) }
+      }
+    // planted corpus with EXACT duplicate vectors: ids 3 and 4 are the
+    // same vector, so their cos ties bit-for-bit and id order decides
+    val dir = tempDir("q20-hand")
+    val base = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.5f, 0.5f, 0.1f)),
+      (4L, Seq(0.5f, 0.5f, 0.1f)),
+      (5L, Seq(-1.0f, 0.0f, 0.0f)))
+    base.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.ops.ScaleOps.q20AnnBruteForce(spark, dir.toString)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("corpus_id"), r.getAs[Double]("cos"))).toSeq
+    assert(got == model(base, 5))
+    // the tie rows, pinned by hand: for query 3 the duplicate vector 4
+    // maximizes cos (≈1.0 — NOT asserted exactly 1.0: sqrt(acc)² can be
+    // an ulp off acc, and the model must reproduce the engine's exact
+    // expression, not an idealized one) and must take rank 1; for every
+    // query the 3-before-4 order holds wherever their cos ties
+    val q3 = got.filter(_._1 == 3L)
+    assert(q3.head._2 == 1 && q3.head._3 == 4L)
+    assert(math.abs(q3.head._4 - 1.0) < 1e-9)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val r3 = rows.find(_._3 == 3L).map(_._2)
+      val r4 = rows.find(_._3 == 4L).map(_._2)
+      if (r3.isDefined && r4.isDefined)
+        assert(r3.get < r4.get, "equal-cos tie must order by corpus_id")
+    }
+    // differential at sf0.001: engine == model over the real 500 vectors
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val gotReal = graft.ops.ScaleOps.q20AnnBruteForce(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("corpus_id"), r.getAs[Double]("cos"))).toSeq
+    assert(gotReal == model(real, 5))
+  }
+
+  test("q34 scalar law: percentile is linear interpolation at position p*(n-1) over the sorted group; exact-hit positions interpolate to the value itself; engine == independent model at sf0.001") {
+    // the shared definition both engines implement — in the exact FLOAT
+    // FORM they use: the TWO-SIDED weighted sum lower·(hi−pos) +
+    // higher·(pos−lo), NOT the algebraically-equal one-sided
+    // lower + frac·(higher−lower), which differs by an ulp on real data
+    // (measured on sf0.001 'O'/p90: 451016.341 vs …34099999996 — this
+    // test exists to pin exactly such form-level drift)
+    def pct(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted
+      val pos = p * (s.length - 1)
+      val lo = pos.floor.toInt
+      if (lo + 1 >= s.length) s(s.length - 1)
+      else s(lo) * (lo + 1 - pos) + s(lo + 1) * (pos - lo)
+    }
+    // hand pins on binary-exact values (no float-form ambiguity):
+    assert(pct(Seq(1.0, 2.0, 3.0, 4.0), 0.5) == 2.5)     // n=4: midpoint
+    assert(pct(Seq(1.0, 2.0, 3.0, 4.0, 5.0), 0.5) == 3.0) // n=5: exact hit
+    assert(pct(Seq(10.0), 0.9) == 10.0)                   // n=1: the value
+    assert(pct(Seq(0.0, 8.0), 0.75) == 6.0)               // pos 0.75 exact frac
+    val dir = tempDir("q34-hand")
+    val rows = Seq(
+      ("F", 1.0), ("F", 2.0), ("F", 3.0), ("F", 4.0),
+      ("O", 10.0),
+      ("P", 0.0), ("P", 8.0), ("P", 16.0), ("P", 24.0), ("P", 32.0))
+    rows.toDF("o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    def run(d: String): Seq[(String, Double, Double, Long)] =
+      graft.ops.Relational2.q34Percentile(spark, d)
+        .collect().map(r => (r.getAs[String]("o_orderstatus"),
+          r.getAs[Double]("p50"), r.getAs[Double]("p90"),
+          r.getAs[Long]("n"))).toSeq
+    def modelOf(rs: Seq[(String, Double)]): Seq[(String, Double, Double, Long)] =
+      rs.groupBy(_._1).toSeq.sortBy(_._1).map { case (st, g) =>
+        val vs = g.map(_._2)
+        (st, pct(vs, 0.5), pct(vs, 0.9), vs.size.toLong)
+      }
+    assert(run(dir.toString) == modelOf(rows))
+    // differential over the real corpus
+    val real = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(run("/root/testdata/sf0.001") == modelOf(real))
+  }
+
   test("q57 scalar law: dup_token_frac = 1 - distinct/n; top_bigram_frac = 2*max adjacent-bigram multiplicity/n with the n<2 -> 0.0 branch") {
     val dir = tempDir("q57-hand")
     val rows = Seq(
