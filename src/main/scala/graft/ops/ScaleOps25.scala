@@ -114,6 +114,37 @@ object ScaleOps25 {
     } finally { cached.unpersist() }
   }
 
+  /** Library surface for the pipeline's learned gate: train the batch
+    * perceptron on the doc_id-EVEN half of `docs` (en-vs-rest weak
+    * label from `langCol`) — the q176 train/held hygiene, so the gate's
+    * threshold behavior can be audited on the odd half the model never
+    * saw. Returns the (B+1)-long weight vector. */
+  def trainClassifier(s: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): Array[Long] =
+    trainWeights(s, features(docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"), col(langCol).as("lang")))
+      .filter(col("doc_id") % 2 === 0))
+
+  /** Integer model score per document — (idCol, score BIGINT). Docs with
+    * no features (empty after tokenization) are absent; the caller
+    * decides their fate (the pipeline gate coalesces them to 0 — a model
+    * cannot vouch for a doc it has no evidence about). */
+  def scoreDocs(docs: DataFrame, w: Array[Long],
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val s2 = docs.sparkSession
+    import s2.implicits._
+    val wDf = w.zipWithIndex
+      .map { case (wt, b) => (b.toLong, wt) }.toSeq.toDF("bucket", "w")
+    features(docs.select(col(idCol).as("doc_id"),
+        col(textCol).as("text"), col(langCol).as("lang")))
+      .join(broadcast(wDf), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("CAST(x AS DECIMAL(38,0)) * w")).as("m"))
+      .select(col("doc_id").as(idCol), expr("CAST(m AS BIGINT)").as("score"))
+  }
+
   private def trainedWeights(s: SparkSession, dir: String): Array[Long] =
     weightsMemo.getOrElseUpdate(
       s"$dir|${Relational.corpusSignature(s, dir, "documents")}",
@@ -141,9 +172,12 @@ object ScaleOps25 {
     * weights come from the per-corpus memo, so the epoch loop runs once
     * per corpus, not once per query. score rides DECIMAL(38) and lands
     * as BIGINT with the ANSI loud-overflow contract on both engines. */
-  def q177PerceptronApply(s: SparkSession, dir: String): DataFrame = {
+  def q177PerceptronApply(s: SparkSession, dir: String): DataFrame =
+    applyModel(s, dir, trainedWeights(s, dir))
+
+  private def applyModel(s: SparkSession, dir: String,
+      w: Array[Long]): DataFrame = {
     import s.implicits._
-    val w = trainedWeights(s, dir)
     val wDf = w.zipWithIndex
       .map { case (wt, b) => (b.toLong, wt) }.toSeq.toDF("bucket", "w")
     features(Relational.fanOut(t(s, dir, "documents")))
@@ -159,6 +193,46 @@ object ScaleOps25 {
       .orderBy(col("score"), col("doc_id"))
       .limit(Q177BottomK)
   }
+
+  /** q178: q177 THROUGH the persisted model artifact — the full
+    * classifier lifecycle as an oracle-checked arm (the q161/q164
+    * pattern applied to the trained weights): train (per-corpus memo) →
+    * persist ([[graft.ml.PerceptronModel.writeModel]], stamp LAST) →
+    * reload (validated) → score the held-out half with the LOADED
+    * vector. The mirror is q177's — the artifact round-trip must be
+    * provably invisible to the result.
+    *
+    * Idempotent persist with SELF-HEAL (the q161 discipline): a
+    * stamp-valid artifact of the right size is loaded and trusted only
+    * if its CONTENT equals the trained weights; never-stamped, torn
+    * stamp (modelRows -1), load-time validation failure, or
+    * same-size-different-weights all rewrite in place and reload, so
+    * the query converges instead of failing until /tmp is hand-cleaned.
+    *
+    * Scale note: the artifact is B+1 longs regardless of corpus size —
+    * persist/reload are metadata-cost next to the K training passes,
+    * which is exactly why a production run ships the model rather than
+    * retraining per consumer. */
+  def q178PerceptronArtifact(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.PerceptronModel
+    val w = trainedWeights(s, dir)
+    val path = PerceptronModel.modelPathFor(s, dir)
+    val existing =
+      if (PerceptronModel.modelRows(s, path) == w.length)
+        scala.util.Try(PerceptronModel.loadModel(s, path)).toOption
+      else None
+    val loaded = existing.filter(_.sameElements(w)).getOrElse {
+      PerceptronModel.writeModel(s, w, path)
+      PerceptronModel.loadModel(s, path)
+    }
+    require(loaded.sameElements(w),
+      s"q178: freshly rewritten model at $path does not round-trip")
+    applyModel(s, dir, loaded)
+  }
+
+  /** Mirror: identical to q177's — the artifact round-trip must be
+    * invisible to the result. */
+  def q178Sql: String = q177Sql
 
   // --- DuckDB mirrors ---------------------------------------------------
   //

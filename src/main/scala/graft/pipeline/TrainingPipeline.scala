@@ -64,6 +64,19 @@ object TrainingPipeline {
       imageCol: Option[String] = None,
       audioCol: Option[String] = None,
       media: Curation.MediaParams = Curation.MediaParams(),
+      /** Optional LEARNED quality gate (the q176 batch perceptron) after
+        * curation: train on the doc_id-even half of the curated corpus
+        * with the en-vs-rest weak label from the PREDICTED language
+        * (`lang_pred` — the CCNet pattern: a cheap heuristic supplies
+        * weak labels, the linear model smooths and generalizes it),
+        * score EVERY curated doc, and drop those with score ≤
+        * [[Config.learnedGateMinScore]]. Docs the tokenizer leaves
+        * featureless score 0 (a model cannot vouch for a doc it has no
+        * evidence about). Exact integer scores — the gate decision is
+        * engine/partitioning/run-reproducible like every other stage
+        * predicate. Adds a `learned_gate` ledger stage. Off by default. */
+      learnedGate: Boolean = false,
+      learnedGateMinScore: Long = 0L,
       reliableCheckpoints: Boolean = false,
       /** Build the near-dup PAIR GRAPH once and share it between the
         * curation drop and the split's cluster formation, instead of
@@ -202,19 +215,44 @@ object TrainingPipeline {
     if (!(docs1 eq docs0)) free(docs1)
     record("curation", nDocs, nCurated, t0)
 
+    // 1.5 learned gate (cfg.learnedGate): the q176 batch perceptron as a
+    //     pipeline stage — train on the even half of the curated corpus
+    //     (weak label: lang_pred en-vs-rest), score everyone, drop
+    //     score <= min. Runs BEFORE decontamination so the (expensive)
+    //     shingle machinery never sees docs the model already rejects.
+    //     Exact integers: re-running the pipeline gates the same set.
+    t0 = System.currentTimeMillis()
+    val gated: DataFrame =
+      if (!cfg.learnedGate) curated
+      else {
+        val w = graft.ops.ScaleOps25.trainClassifier(spark, curated,
+          idCol, textCol, langCol = "lang_pred")
+        val scores = graft.ops.ScaleOps25.scoreDocs(curated, w,
+          idCol, textCol, langCol = "lang_pred")
+        val g = ckpt(curated.join(scores, Seq(idCol), "left")
+          .withColumn("__sc", coalesce(col("score"), lit(0L)))
+          .filter(col("__sc") > cfg.learnedGateMinScore)
+          .drop("score", "__sc"))
+        val n = g.count()
+        free(curated)
+        record("learned_gate", nCurated, n, t0)
+        g
+      }
+    val nGated = if (gated eq curated) nCurated else stages.last.rowsOut
+
     // 2. decontamination (q58): drop train docs leaking test content
     t0 = System.currentTimeMillis()
     val decontaminated = test match {
-      case None => curated
+      case None => gated
       case Some(te) =>
-        val d = ckpt(Dedup.decontaminate(curated, te, idCol, textCol,
+        val d = ckpt(Dedup.decontaminate(gated, te, idCol, textCol,
           cfg.decontShingleK, cfg.decontThreshold))
         Dedup.freeCandidateCaches(spark)
         d
     }
     val nDecont = decontaminated.count()
-    if (test.isDefined) free(curated)
-    record("decontamination", nCurated, nDecont, t0)
+    if (test.isDefined) free(gated)
+    record("decontamination", nGated, nDecont, t0)
 
     // 3. mixing (q62): deterministic per-source keep rates — a pure map
     t0 = System.currentTimeMillis()

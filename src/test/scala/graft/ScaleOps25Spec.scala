@@ -186,6 +186,132 @@ class ScaleOps25Spec extends GraftSuite {
     assert(w.toSeq != trainScalar(rows, epochs = 1).toSeq)
   }
 
+  // --- q178 / PerceptronModel: the persisted classifier artifact ---------
+
+  test("q178 artifact law: score-through-the-loaded-model is IDENTICAL to q177 (round-trip invisibility), and a warm rerun trusts the artifact (stamp mtime unchanged)") {
+    import graft.ml.PerceptronModel
+    val dir = tempDir("q178-hand")
+    writeDocs(dir, Seq(
+      (0L, "alpha bravo charlie alpha", "en"), (2L, "zulu yankee xray", "fr"),
+      (1L, "alpha bravo", "en"), (3L, "zulu yankee", "fr")))
+    val q177 = runQ177(dir.toString)
+    val got = graft.ops.ScaleOps25.q178PerceptronArtifact(spark, dir.toString)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"),
+        r.getAs[Long]("y"), r.getAs[Long]("predicted"),
+        r.getAs[Long]("correct"))).toSeq
+    assert(got == q177 && got.nonEmpty)
+    val path = PerceptronModel.modelPathFor(spark, dir.toString)
+    val stamp = new java.io.File(s"$path/_rows")
+    assert(stamp.exists)
+    assert(PerceptronModel.modelRows(spark, path) == 65L)
+    val mtime = stamp.lastModified
+    assert(graft.ops.ScaleOps25.q178PerceptronArtifact(spark, dir.toString)
+      .collect().map(_.toSeq).toSeq == got.map(t => Seq(t._1, t._2, t._3, t._4, t._5)))
+    assert(stamp.lastModified == mtime,
+      "warm rerun must LOAD the artifact, not rewrite it")
+  }
+
+  test("q178 self-heal: a torn stamp AND a same-size-different-weights artifact both rewrite in place; loadModel is loud on a parsing-but-wrong stamp") {
+    import graft.ml.PerceptronModel
+    val dir = tempDir("q178-heal")
+    writeDocs(dir, Seq(
+      (0L, "alpha bravo charlie", "en"), (2L, "zulu yankee xray", "fr"),
+      (1L, "alpha charlie", "en"), (3L, "xray xray", "fr")))
+    val expect = graft.ops.ScaleOps25.q178PerceptronArtifact(spark, dir.toString)
+      .collect().map(_.toSeq).toSeq
+    val path = PerceptronModel.modelPathFor(spark, dir.toString)
+    // tamper through the Hadoop FS (raw NIO would desync the
+    // LocalFileSystem's .crc sidecar and fail on checksum, not on the
+    // validation under test)
+    def writeStamp(v: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(s"$path/_rows")
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(hp, true)
+      try out.write(v.getBytes("UTF-8")) finally out.close()
+    }
+    // torn stamp: garbage bytes read as "never stamped" -> rewrite
+    writeStamp("garbage")
+    assert(PerceptronModel.modelRows(spark, path) == -1L)
+    assert(graft.ops.ScaleOps25.q178PerceptronArtifact(spark, dir.toString)
+      .collect().map(_.toSeq).toSeq == expect)
+    assert(PerceptronModel.modelRows(spark, path) == 65L)
+    // same-size-different-weights (a semantics change under one corpus
+    // signature): stamp validates, loadModel validates, only the CONTENT
+    // compare catches it — q178 must rewrite, not trust
+    val tampered = PerceptronModel.loadModel(spark, path).clone()
+    tampered(0) += 1000000L
+    PerceptronModel.writeModel(spark, tampered, path)
+    assert(graft.ops.ScaleOps25.q178PerceptronArtifact(spark, dir.toString)
+      .collect().map(_.toSeq).toSeq == expect)
+    assert(PerceptronModel.loadModel(spark, path)(0) == tampered(0) - 1000000L,
+      "the tampered artifact must have been rewritten with the trained weights")
+    // a stamp that PARSES but disagrees is the loud path
+    writeStamp("7")
+    intercept[IllegalArgumentException] {
+      PerceptronModel.loadModel(spark, path)
+    }
+  }
+
+  // --- the pipeline's learned gate ---------------------------------------
+
+  test("pipeline learned gate E2E: trains on the curated corpus, drops model-rejected docs before decontamination, ledgers the stage, and reruns bit-stably") {
+    import graft.pipeline.{TrainingPipeline, Curation}
+    // the gate trains on lang_pred == "en" vs rest: plant REAL stopword-y
+    // English for the en half (langId must predict en) and gibberish for
+    // the rest (predicts und — kept through curation via keepLangs so the
+    // LEARNED gate, not the heuristic, does the dropping). Gibberish
+    // tokens chosen bucket-DISJOINT from every English token (verified
+    // below), so the separation is a theorem, not hash luck.
+    val enTexts = Map(
+      0L -> "the quick brown fox and the lazy dog are here",
+      4L -> "this is a good and plain piece of english text",
+      1L -> "the cat sat on the mat and it was happy there",
+      5L -> "we should keep this document because it is fine")
+    val gibTexts = Map(
+      2L -> "gib1x gib3x gib4x gib5x",
+      6L -> "gib5x gib7x gib12x gib16x",
+      3L -> "gib3x gib15x gib16x gib1x",
+      7L -> "gib12x gib15x gib4x gib7x")
+    def fnvB(t: String): Long = fnv(t) & 63L
+    val enB = enTexts.values.flatMap(_.split(" ")).map(fnvB).toSet
+    val gibB = gibTexts.values.flatMap(_.split(" ")).map(fnvB).toSet
+    assert(enB.intersect(gibB).isEmpty, "fixture bug: bucket collision")
+    val docsReal = (enTexts ++ gibTexts).toSeq.sortBy(_._1)
+      .map { case (id, tx) => (id, tx, "src0") }
+      .toDF("doc_id", "text", "source")
+    val cfg = TrainingPipeline.Config(
+      curation = Curation.Params(minQuality = 0.0, minTokens = 1,
+        keepLangs = Seq("en", "es", "de", "fr", "und"),
+        nearDupThreshold = None),
+      ctxTokens = 64L, learnedGate = true)
+    val r = TrainingPipeline.curateToTraining(spark, docsReal, None,
+      cfg = cfg, ledger = false)
+    val kept = r.packed.select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    r.free()
+    // the learned_gate stage ran between curation and decontamination
+    val names = r.stages.map(_.stage)
+    assert(names.containsSlice(Seq("curation", "learned_gate", "decontamination")))
+    val gateStage = r.stages.find(_.stage == "learned_gate").get
+    assert(gateStage.rowsIn == 8 && gateStage.rowsOut == kept.size)
+    // the en half survived, the gibberish half did not
+    assert(kept == Set(0L, 1L, 4L, 5L),
+      s"expected the english docs to survive the learned gate, got $kept")
+    // rerun: the exact-integer gate keeps the same set
+    val r2 = TrainingPipeline.curateToTraining(spark, docsReal, None,
+      cfg = cfg, ledger = false)
+    val kept2 = r2.packed.select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    r2.free()
+    assert(kept2 == kept)
+    // gate off: everyone curation kept flows through
+    val rOff = TrainingPipeline.curateToTraining(spark, docsReal, None,
+      cfg = cfg.copy(learnedGate = false), ledger = false)
+    assert(rOff.packed.count() == 8)
+    assert(!rOff.stages.map(_.stage).contains("learned_gate"))
+    rOff.free()
+  }
+
   test("q176 memo identity: rewriting the corpus retrains — the weight memo keys on corpus identity, not the path") {
     val dir = tempDir("q176-memo")
     writeDocs(dir, Seq((0L, "alpha bravo", "en"), (2L, "zulu xray", "fr")))
