@@ -75,19 +75,18 @@ class ContractCanarySpec extends GraftSuite {
     * new queries must carry a spec that names their qN id. Burn-down is
     * the only allowed direction (r12 verdict #4: r13 batch 1 removed
     * q35, q73, q74, q75, q77; batch 2 removed q119, q21, q22, q23, q57;
-    * batch 3 removed q79, q80, q81, q20, q34 — all via
-    * GrandfatherScalarSpec — 47 → 32). */
+    * batch 3 removed q79, q80, q81, q20, q34; batch 4 removed q18, q17,
+    * q37, q72, q30 — all via GrandfatherScalarSpec — 47 → 27). */
   private val scalarSpecGrandfather: Set[String] = Set(
     "q01_pricing_summary", "q02_filter_scan", "q03_join_revenue", "q04_broadcast_dim",
     "q05_anti_join", "q06_semi_join", "q07_distinct", "q08_topk",
     "q09_last_wins", "q10_upsert_merge", "q11_union",
     "q12_rollup", "q13_window_running", "q15_dedup_exact", "q16_token_count",
-    "q17_quality_score", "q18_lang_id",
     "q25_embedding_dup", "q26_multimodal",
-    "q27_sessionize", "q28_salted_agg", "q29_salted_join", "q30_asof_join",
+    "q27_sessionize", "q28_salted_agg", "q29_salted_join",
     "q31_exists_agg", "q32_pivot", "q33_cube",
-    "q37_approx_sketches", "q49_grouped_topk", "q54_snapshot_diff",
-    "q63_leakage_safe_split", "q72_equidepth",
+    "q49_grouped_topk", "q54_snapshot_diff",
+    "q63_leakage_safe_split",
     "q76_source_profile")
 
   test("scalar-spec gate: every non-grandfathered query is named by a spec file (mechanical, red on an unspec'd qN)") {

@@ -810,6 +810,231 @@ class GrandfatherScalarSpec extends GraftSuite {
     assert(run("/root/testdata/sf0.001") == modelOf(real))
   }
 
+  // --- round-13 batch 4: heuristics, sketches, boundaries, as-of ------------
+  //
+  // q18, q17, q37, q72, q30. The heuristic kernels (langId, qualityScore)
+  // are engine POLICY mirrored verbatim into the oracle SQL — the purest
+  // case of both-engines-share-the-definition, so each gets an independent
+  // scalar restatement (stopword lists restated literally: a silent list
+  // edit then fails HERE, not nowhere).
+
+  /** The contract stopword lists, restated independently. */
+  private val stopEn = Set("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+  private val stopEs = Set("el", "la", "de", "que", "y", "en", "los", "del", "se", "las")
+  private val stopDe = Set("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein")
+  private val stopFr = Set("le", "la", "les", "et", "des", "est", "un", "une", "du", "que")
+
+  private def langOf(text: String): String = {
+    val ts = text.trim.toLowerCase.split("\\s+").toSeq // split semantics: [""] for blank
+    def hits(s: Set[String]) = ts.count(s.contains)
+    val (en, es, de, fr) = (hits(stopEn), hits(stopEs), hits(stopDe), hits(stopFr))
+    if (en == 0 && es == 0 && de == 0 && fr == 0) "und"
+    else if (en >= es && en >= de && en >= fr) "en"
+    else if (es >= de && es >= fr) "es"
+    else if (de >= fr) "de"
+    else "fr"
+  }
+
+  test("q18 scalar law: argmax of stopword hits with the FIXED tie order en > es > de > fr; duplicates count; zero hits -> und; full rollup re-derives at sf0.001") {
+    // tie pins, hand-derived: 'la' is in BOTH es and fr lists
+    assert(langOf("the el") == "en")        // en ties es -> en
+    assert(langOf("el le") == "es")         // es ties fr -> es
+    assert(langOf("der le") == "de")        // de ties fr -> de
+    assert(langOf("le") == "fr")            // fr alone
+    assert(langOf("la") == "es")            // la hits es AND fr -> tie -> es
+    assert(langOf("xyz abc") == "und")
+    assert(langOf("the the el") == "en")    // duplicates count: en 2 > es 1
+    assert(langOf("") == "und")
+    val dir = tempDir("q18-hand")
+    val rows = Seq((1L, "the el"), (2L, "el le"), (3L, "der le"), (4L, "le"),
+      (5L, "la"), (6L, "xyz"), (7L, "the the el"), (8L, "que"))
+    writeDocsTable(dir, rows)
+    def run(d: String) = graft.ops.ScaleOps.q18LangId(spark, d)
+      .collect().map(r => (r.getAs[String]("lang_pred"), r.getAs[Long]("n"),
+        r.getAs[Long]("min_doc"), r.getAs[Long]("max_doc"))).toSeq
+    def model(rs: Seq[(Long, String)]) = rs
+      .map { case (id, t) => (langOf(t), id) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (l, g) => (l, g.size.toLong, g.map(_._2).min, g.map(_._2).max) }
+    assert(run(dir.toString) == model(rows))
+    // 'que' is es AND fr -> es by the tie order (hand pin on the rollup)
+    assert(langOf("que") == "es")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(run("/root/testdata/sf0.001") == model(real))
+  }
+
+  test("q17 scalar law: alpha ratio keeps spaces and divides by RAW length; stop ratio divides by the size of split-tokens ([''] counts 1 for blank text); quality = 0.4a + 0.3 min(4s,1) + 0.3 min(w/8,1) in that float order") {
+    def q17Of(text: String): (Double, Double, Double, Double) = {
+      val alpha = text.toLowerCase.count(c => (c >= 'a' && c <= 'z') || c == ' ')
+        .toDouble / text.length.toDouble
+      val ts = text.trim.toLowerCase.split("\\s+").toSeq // [""] when blank
+      val nTok = ts.length
+      val stop = ts.count(stopEn.contains).toDouble / nTok.toDouble
+      val awl = text.length.toDouble / nTok.toDouble
+      val q = 0.4 * alpha + 0.3 * math.min(stop * 4.0, 1.0) +
+        0.3 * math.min(awl / 8.0, 1.0)
+      (alpha, stop, awl, q)
+    }
+    val dir = tempDir("q17-hand")
+    val rows = Seq(
+      (1L, "The quick, BROWN fox!! 123"),  // case + punct + digits in alpha
+      (2L, "the of to in"),                // all stopwords: stop ratio 1 (capped)
+      (3L, "   "),                         // blank: alpha 1.0 (spaces kept), 1 token
+      (4L, "supercalifragilistic"),        // long word: awl/8 capped at 1
+      (5L, "a b"))
+    writeDocsTable(dir, rows)
+    def run(d: String) = graft.ops.ScaleOps.q17Quality(spark, d)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("alpha_ratio"),
+        r.getAs[Double]("stop_ratio"), r.getAs[Double]("avg_word_len"),
+        r.getAs[Double]("quality"))).toSeq
+    assert(run(dir.toString) == rows.map { case (id, t) =>
+      val (a, s, w, q) = q17Of(t); (id, a, s, w, q) })
+    // hand pins (not model-derived): blank text keeps spaces -> alpha 1.0,
+    // split yields [""] -> ONE token, so awl = 3 chars / 1 token
+    val blank = run(dir.toString).find(_._1 == 3L).get
+    assert(blank._2 == 1.0 && blank._4 == 3.0)
+    // all-stopword doc: raw ratio 1.0, capped term contributes exactly 0.3
+    val stops = run(dir.toString).find(_._1 == 2L).get
+    assert(stops._3 == 1.0)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(run("/root/testdata/sf0.001") ==
+      real.sortBy(_._1).map { case (id, t) => val (a, s, w, q) = q17Of(t); (id, a, s, w, q) })
+  }
+
+  test("q37 scalar law: the exact arms re-derive (countDistinct + two-sided percentile), and the within-eps booleans are REAL predicates — recomputed from the sketch values, not constants") {
+    // scalar exact arms over the real corpus
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_orderkey").cast("long"),
+        col("l_partkey").cast("long"), col("l_extendedprice").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    def pct(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted; val pos = p * (s.length - 1); val lo = pos.floor.toInt
+      if (lo + 1 >= s.length) s(s.length - 1)
+      else s(lo) * (lo + 1 - pos) + s(lo + 1) * (pos - lo)
+    }
+    val byFlag = li.groupBy(_._1).toSeq.sortBy(_._1)
+    val got = graft.ops.ScaleOps.q37ApproxSketches(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[String]("l_returnflag"),
+        r.getAs[Long]("exact_orders"), r.getAs[Long]("exact_parts"),
+        r.getAs[Double]("exact_median_price"), r.getAs[Boolean]("orders_within_eps"),
+        r.getAs[Boolean]("parts_within_eps"), r.getAs[Boolean]("median_in_band"))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3, g._4)) == byFlag.map { case (f, g) =>
+      (f, g.map(_._2).distinct.size.toLong, g.map(_._3).distinct.size.toLong,
+        pct(g.map(_._4), 0.5)) })
+    // the booleans must equal the RECOMPUTED predicates over the actual
+    // sketch values (a vacuously-true boolean would pass the oracle and
+    // fail here)
+    // recompute over the SAME physical input shape as q37 (fanOut) so the
+    // merge-order-sensitive GK quantile summary sees the same partitions
+    val sk = graft.ops.Relational.fanOut(
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"))
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("ao"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("ap"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("am"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    got.foreach { case (f, eo, ep, _, bo, bp, bm) =>
+      val (ao, ap, am) = sk(f)
+      val vs = byFlag.find(_._1 == f).get._2.map(_._4)
+      assert(bo == (math.abs(ao - eo) <= eo * 0.05), s"$f orders boolean drifted")
+      assert(bp == (math.abs(ap - ep) <= ep * 0.05), s"$f parts boolean drifted")
+      assert(bm == (am >= pct(vs, 0.49) && am <= pct(vs, 0.51)), s"$f band boolean drifted")
+    }
+    // and on this corpus the sketches genuinely are within bounds
+    assert(got.forall(g => g._5 && g._6 && g._7))
+  }
+
+  test("q72 scalar law: boundaries are the i/10 two-sided percentiles; bin = 1 + #boundaries STRICTLY exceeded (boundary-equal values stay low); empty bins are absent; share = n/total") {
+    def pct(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted; val pos = p * (s.length - 1); val lo = pos.floor.toInt
+      if (lo + 1 >= s.length) s(s.length - 1)
+      else s(lo) * (lo + 1 - pos) + s(lo + 1) * (pos - lo)
+    }
+    def model(vals: Seq[Long]): Seq[(Long, Long, Long, Long, Double)] = {
+      val ds = vals.map(_.toDouble)
+      val bounds = (1 until 10).map(i => pct(ds, i / 10.0))
+      val binned = vals.groupBy(v => 1L + bounds.count(b => v.toDouble > b))
+      binned.toSeq.sortBy(_._1).map { case (bin, g) =>
+        (bin, g.size.toLong, g.min, g.max, g.size.toDouble / vals.size.toDouble) }
+    }
+    def run(d: String) = graft.ops.ScaleOps4.q72EquiDepth(spark, d)
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("min_v"), r.getAs[Long]("max_v"),
+        r.getAs[Double]("share"))).toSeq
+    // planted: massive duplication ON the boundary — equal-to-boundary
+    // values must stay in the LOWER bin (v > b strict), leaving bins empty
+    val dir = tempDir("q72-hand")
+    val vals = Seq.fill(50)(100L) ++ Seq.fill(30)(200L) ++ (1L to 20L).map(i => 200L + i)
+    vals.zipWithIndex.map { case (v, i) => (i.toLong, s"doc $i", "en", "src0", v) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run(dir.toString)
+    assert(got == model(vals))
+    // the 100-run: every i/10 percentile through p50 EQUALS 100.0, so all
+    // fifty 100s sit in bin 1 (strictness pinned: > not >=)
+    assert(got.head._1 == 1L && got.head._2 == 50L)
+    assert(got.map(_._1) == got.map(_._1).distinct, "bins must not repeat")
+    assert(got.map(_._2).sum == vals.size.toLong)
+    // real corpus differential
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("n_chars").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(run("/root/testdata/sf0.001") == model(real))
+  }
+
+  test("q30 scalar law: last signup AT-OR-BEFORE the event (inclusive on ts ties — signup sorts first), later event_id wins between same-ts signups, null before any signup") {
+    def model(evts: Seq[(Long, java.sql.Timestamp, Long, String)])
+        : Seq[(Long, Long, java.sql.Timestamp, String, Option[java.sql.Timestamp])] =
+      evts.groupBy(_._3).toSeq.flatMap { case (_, g) =>
+        val ordered = g.sortBy(e =>
+          (e._2.getTime, if (e._4 == "signup") 0 else 1, e._1))
+        var last: Option[java.sql.Timestamp] = None
+        ordered.flatMap { case (eid, ts, uid, typ) =>
+          if (typ == "signup") { last = Some(ts); None }
+          else Some((uid, eid, ts, typ, last))
+        }
+      }.sortBy(e => (e._1, e._2))
+    def run(d: String) = graft.ops.Relational2.q30AsofJoin(spark, d)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[String]("event_type"),
+        Option(r.getAs[java.sql.Timestamp]("last_signup_ts")))).toSeq
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000)
+    // (event_id, ts, user_id, event_type)
+    val evts = Seq(
+      (1L, ts(10), 1L, "click"),    // BEFORE any signup -> null
+      (2L, ts(20), 1L, "signup"),
+      (3L, ts(20), 1L, "click"),    // same ts as signup -> INCLUSIVE, sees ts(20)
+      (4L, ts(30), 1L, "view"),
+      (5L, ts(40), 1L, "signup"),   // two signups same ts: later event_id wins
+      (6L, ts(40), 1L, "signup"),
+      (7L, ts(50), 1L, "click"),    // last() in window order -> signup 6's ts(40)
+      (8L, ts(5), 2L, "view"))      // user with no signup at all
+    val dir = tempDir("q30-hand")
+    evts.map { case (eid, t, uid, typ) => (eid, t, uid, typ, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = run(dir.toString)
+    assert(got == model(evts))
+    val byEid = got.map(e => e._2 -> e._5).toMap
+    assert(byEid(1L).isEmpty, "event before any signup must carry null")
+    assert(byEid(3L).contains(ts(20)), "same-ts signup must be visible (inclusive)")
+    assert(byEid(8L).isEmpty)
+    assert(byEid(7L).contains(ts(40)))
+    // real corpus differential
+    val real = graft.ops.Relational.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getAs[java.sql.Timestamp]("ts"),
+        r.getLong(2), r.getString(3))).toSeq
+    assert(run("/root/testdata/sf0.001") == model(real))
+  }
+
   test("q57 scalar law: dup_token_frac = 1 - distinct/n; top_bigram_frac = 2*max adjacent-bigram multiplicity/n with the n<2 -> 0.0 branch") {
     val dir = tempDir("q57-hand")
     val rows = Seq(
