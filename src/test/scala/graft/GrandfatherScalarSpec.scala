@@ -1035,6 +1035,261 @@ class GrandfatherScalarSpec extends GraftSuite {
     assert(run("/root/testdata/sf0.001") == model(real))
   }
 
+  // --- round-13 batch 5: image decode, clustering split, top-k, CDC, gaps ---
+  //
+  // q26, q63, q49, q54, q27.
+
+  test("q26 scalar law: hand-rolled P6 bytes (comments + 2-byte samples + refusals) decode exactly; the full query re-derives via an independent parser + block-average model") {
+    import graft.multimodal.Ppm
+    // hand bytes with a COMMENT in the header (the in-repo encoder never
+    // writes one, so only independent bytes exercise the skip) and the
+    // one-whitespace-after-maxval law
+    val hand = ("P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60))
+    val img = Ppm.decode(hand)
+    assert(img != null && img.width == 2 && img.height == 1 && img.maxval == 255)
+    assert(img.samples.toSeq == Seq(10, 20, 30, 40, 50, 60))
+    // 2-byte samples when maxval >= 256: big-endian pairs
+    val hand16 = ("P6\n1 1\n65535\n".getBytes("US-ASCII") ++
+      Array[Byte](0x01, 0x02, 0x03, 0x04, 0x05, 0x06))
+    val img16 = Ppm.decode(hand16)
+    assert(img16 != null && img16.samples.toSeq ==
+      Seq(0x0102, 0x0304, 0x0506))
+    // refusals: bad magic, zero dim, maxval 65536, truncated raster
+    assert(Ppm.decode("P5\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)) == null)
+    assert(Ppm.decode("P6\n0 1\n255\n".getBytes("US-ASCII")) == null)
+    assert(Ppm.decode("P6\n1 1\n65536\n".getBytes("US-ASCII") ++ new Array[Byte](6)) == null)
+    assert(Ppm.decode("P6\n2 2\n255\n".getBytes("US-ASCII") ++ new Array[Byte](11)) == null)
+    // full query re-derivation through an INDEPENDENT parser + the
+    // documented block-average law
+    def parsePpm(b: Array[Byte]): (Int, Int, Seq[Int]) = {
+      val s = new String(b, "ISO-8859-1")
+      val m = "^P6\\s+(\\d+)\\s+(\\d+)\\s+(\\d+)\\s".r
+        .findFirstMatchIn(s).get
+      val (w, h) = (m.group(1).toInt, m.group(2).toInt)
+      val off = m.end
+      (w, h, (0 until w * h * 3).map(j => b(off + j) & 0xff))
+    }
+    def f0Of(w: Int, h: Int, ss: Seq[Int]): Float = {
+      // cell (0,0) of the 8x8 grid: x0 = 0, x1 = max(1, w/8); same for y
+      val x1 = math.max(1, w / 8); val y1 = math.max(1, h / 8)
+      var sum = 0L; var np = 0L
+      for (y <- 0 until y1; x <- 0 until x1) {
+        val p = (y * w + x) * 3
+        sum += ss(p) + ss(p + 1) + ss(p + 2); np += 1
+      }
+      ((sum.toDouble / (np * 3).toDouble) / 255.0).toFloat
+    }
+    val dir = tempDir("q26-hand")
+    writeDocsTable(dir, (0L to 9L).map(id => (id, s"doc $id")))
+    val got = graft.ops.ScaleOps.q26Multimodal(spark, dir.toString)
+      .collect().map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("n_bytes"),
+        r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[Float]("f0"), r.getAs[Int]("n_feat"))).toSeq
+    val expect = (0L to 9L).map { id =>
+      val b = Ppm.fixtureBytes(id)
+      val (w, h, ss) = parsePpm(b)
+      (id, b.length.toLong, w, h, f0Of(w, h, ss), 64)
+    }
+    assert(got == expect)
+  }
+
+  /** Independent scalar restatement of the q51 portable split hash. */
+  private def splitBucketOf(id: Long): Long = {
+    val a = 2654435761L
+    val id32 = java.lang.Math.floorMod(id, 4294967296L)
+    val hi = id32 >> 16; val lo = id32 % 65536L
+    java.lang.Math.floorMod((hi * a % 65536L) * 65536L + lo * a, 4294967296L)
+  }
+
+  private def splitOf(id: Long): String = {
+    val b = splitBucketOf(id)
+    if (b < 3435973836L) "train" else if (b < 3865470565L) "val" else "test"
+  }
+
+  test("q63 scalar law: clusters are connected components (min id) of the jaccard >= 0.5 shingle graph; the split keys on CLUSTER id so components never straddle; rollup re-derives at sf0.001") {
+    def shingleSet(t: String): Set[String] = {
+      val ts = t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      if (ts.length < 3) Set(ts.mkString(" "))
+      else (0 to ts.length - 3).map(i => ts.slice(i, i + 3).mkString(" ")).toSet
+    }
+    def model(rows: Seq[(Long, String)]): Seq[(String, Long, Long)] = {
+      val sh = rows.map { case (id, t) => id -> shingleSet(t) }.toMap
+      // union-find, min-id component label
+      val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1): _*)
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        r
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+          parent(hi) = lo }
+      }
+      for {
+        a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+        inter = sh(a).intersect(sh(b)).size
+        uni = sh(a).size + sh(b).size - inter
+        if uni > 0 && inter.toDouble / uni.toDouble >= 0.5
+      } union(a, b)
+      rows.map(r => (r._1, find(r._1)))
+        .groupBy { case (_, c) => splitOf(c) }.toSeq.sortBy(_._1)
+        .map { case (s, g) =>
+          (s, g.size.toLong, g.map(_._2).distinct.size.toLong) }
+    }
+    def run(d: String) = graft.ops.ScaleOps2.q63LeakageSafeSplit(spark, d)
+      .collect().map(r => (r.getAs[String]("split"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_clusters"))).toSeq
+    // planted: a 3-doc near-dup CHAIN (1~2, 2~3, but 1 !~ 3) must land in
+    // ONE cluster (transitivity) and therefore one split
+    val dir = tempDir("q63-hand")
+    val rows = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e zz"),       // jacc(1,2) = 3/5 >= 0.5
+      (3L, "b c d e zz qq"),      // jacc(2,3) = 2/5 ... build a real chain below
+      (4L, "u v w x y z"),        // singleton
+      (5L, "completely different words here now"))
+    // verify the chain shape ON the scalar model before trusting the pin
+    val sh = rows.map { case (id, t) => id -> shingleSet(t) }.toMap
+    def jac(a: Long, b: Long): Double = {
+      val i = sh(a).intersect(sh(b)).size
+      i.toDouble / (sh(a).size + sh(b).size - i).toDouble }
+    assume(jac(1L, 2L) >= 0.5 && jac(1L, 3L) < 0.5,
+      "fixture must form a chain, not a clique")
+    writeDocsTable(dir, rows)
+    val got = run(dir.toString)
+    assert(got == model(rows))
+    if (jac(2L, 3L) >= 0.5) {
+      // chain closed: docs 1,2,3 share min-id cluster 1 -> one split entry
+      // carries all three (whole-cluster-moves, via transitivity)
+      val s123 = splitOf(1L)
+      assert(got.find(_._1 == s123).get._2 >= 3L)
+    }
+    // real corpus differential (sf0.001: every shingle df << the 1000 cap,
+    // so the scalar uncapped model is exact)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val dfMax = real.flatMap { case (_, t) => shingleSet(t) }
+      .groupBy(identity).values.map(_.size).max
+    assert(dfMax < 1000, s"cap would bind (df $dfMax) — the scalar model assumes it can't")
+    assert(run("/root/testdata/sf0.001") == model(real))
+  }
+
+  test("q49 scalar law: per-group top-3 by (price DESC, p_partkey ASC) with rank = position; equal-price ties order by id; differential at sf0.001") {
+    def model(rows: Seq[(String, Double, Long)]): Seq[(String, Long, Double, Long)] =
+      rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (tp, g) =>
+        g.sortBy { case (_, p, id) => (-p, id) }.take(3).zipWithIndex
+          .map { case ((_, p, id), r) => (tp, (r + 1).toLong, p, id) }
+      }
+    def run(d: String) = graft.ops.Relational3.q49GroupedTopK(spark, d)
+      .collect().map(r => (r.getAs[String]("p_type"), r.getAs[Long]("rank"),
+        r.getAs[Double]("price"), r.getAs[Long]("p_partkey"))).toSeq
+    // planted ties: three parts at the SAME price — ranks must follow ids
+    val dir = tempDir("q49-hand")
+    val rows = Seq(
+      ("tA", 100.0, 11L), ("tA", 100.0, 10L), ("tA", 100.0, 12L), ("tA", 50.0, 9L),
+      ("tB", 7.0, 2L), ("tB", 9.0, 1L))
+    rows.map { case (tp, p, id) => (id, tp, p) }
+      .toDF("p_partkey", "p_type", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = run(dir.toString)
+    assert(got == model(rows))
+    assert(got.filter(_._1 == "tA").map(_._4) == Seq(10L, 11L, 12L),
+      "equal-price top-3 must rank by ascending id")
+    assert(got.filter(_._1 == "tB").map(_._4) == Seq(1L, 2L),
+      "a 2-row group yields 2 ranks, not a padded 3")
+    // real corpus differential
+    val real = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select(col("p_type"), col("p_retailprice").cast("double"),
+        col("p_partkey").cast("long"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(run("/root/testdata/sf0.001") == model(real))
+  }
+
+  test("q54 scalar law: change classes follow the pure modular mutation law — %11 deleted beats %5 changed; inserts keep the ORIGINAL price; counts re-derive at sf0.001") {
+    def model(keys: Seq[Long]): Seq[(String, Long)] = {
+      val deleted = keys.count(_ % 11 == 0).toLong
+      val inserted = keys.count(_ % 13 == 0).toLong
+      val changed = keys.count(k => k % 11 != 0 && k % 5 == 0).toLong
+      val unchanged = keys.count(k => k % 11 != 0 && k % 5 != 0).toLong
+      Seq(("changed", changed), ("deleted", deleted),
+        ("inserted", inserted), ("unchanged", unchanged))
+        .filter(_._2 > 0)
+    }
+    def run(d: String) = graft.ops.Relational3.q54SnapshotDiff(spark, d)
+      .collect().map(r => (r.getAs[String]("change"), r.getAs[Long]("n"))).toSeq
+    // planted keys pin every class INCLUDING the %55 overlap (divisible by
+    // both 5 and 11 -> the row is gone from the new snapshot, so deletion
+    // wins over mutation) and a %65 overlap (5 and 13: changed AND its
+    // shifted copy inserted)
+    val dir = tempDir("q54-hand")
+    val keys = Seq(1L, 5L, 11L, 13L, 55L, 65L, 7L)
+    keys.map(k => (k, k % 100, "O", k * 10.0,
+        java.sql.Date.valueOf("2024-01-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = run(dir.toString)
+    assert(got == model(keys))
+    // 55 counted deleted (not changed); 65 counted changed AND inserted
+    assert(got.toMap.apply("deleted") == 2L)   // 11, 55
+    assert(got.toMap.apply("changed") == 2L)   // 5, 65
+    assert(got.toMap.apply("inserted") == 2L)  // 13's copy, 65's copy
+    assert(got.toMap.apply("unchanged") == 3L) // 1, 7, and 13 itself (the
+    // %13 row stays untouched — only its SHIFTED COPY is the insert)
+    val real = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(run("/root/testdata/sf0.001") == model(real))
+  }
+
+  test("q27 scalar law: a session breaks only when the gap STRICTLY exceeds 30 min (boundary-equal stays); session_seq counts breaks from 1; rollup re-derives over the real events") {
+    def model(evts: Seq[(Long, java.sql.Timestamp)])
+        : Seq[(Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long)] =
+      evts.groupBy(_._1).toSeq.flatMap { case (uid, g) =>
+        val ts = g.map(_._2).sortBy(_.getTime)
+        var seq = 0L
+        var prev: Option[Long] = None
+        val tagged = ts.map { t =>
+          if (prev.isEmpty || t.getTime - prev.get > 1800000L) seq += 1
+          prev = Some(t.getTime)
+          (seq, t)
+        }
+        tagged.groupBy(_._1).toSeq.map { case (s, tsg) =>
+          (uid, s, tsg.map(_._2).minBy(_.getTime), tsg.map(_._2).maxBy(_.getTime),
+            tsg.size.toLong) }
+      }.sortBy(e => (e._1, e._2))
+    def run(d: String) = graft.ops.ScaleOps.q27Sessionize(spark, d)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),
+        r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"),
+        r.getAs[Long]("n_events"))).toSeq
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(ms: Long) = new java.sql.Timestamp(t0.getTime + ms)
+    // boundary pins: +1800000 EXACTLY stays in session 1; +1800001 breaks
+    val evts = Seq(
+      (1L, ts(0)), (1L, ts(1800000L)),                    // same session
+      (2L, ts(0)), (2L, ts(1800001L)),                    // breaks
+      (3L, ts(0)), (3L, ts(0)),                           // duplicate ts: one session, 2 events
+      (4L, ts(0)), (4L, ts(1000)), (4L, ts(2000000L)), (4L, ts(2001000L)))
+    val dir = tempDir("q27-hand")
+    evts.zipWithIndex.map { case ((uid, t), i) =>
+        (i.toLong + 1, t, uid, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = run(dir.toString)
+    assert(got == model(evts))
+    assert(got.filter(_._1 == 1L).map(_._2) == Seq(1L), "boundary-equal gap must NOT break")
+    assert(got.filter(_._1 == 2L).map(_._2) == Seq(1L, 2L), "boundary+1 must break")
+    assert(got.find(e => e._1 == 3L).get._5 == 2L)
+    // real corpus differential
+    val real = graft.ops.Relational.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id").cast("long"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getAs[java.sql.Timestamp]("ts"))).toSeq
+    assert(run("/root/testdata/sf0.001") == model(real))
+  }
+
   test("q57 scalar law: dup_token_frac = 1 - distinct/n; top_bigram_frac = 2*max adjacent-bigram multiplicity/n with the n<2 -> 0.0 branch") {
     val dir = tempDir("q57-hand")
     val rows = Seq(
