@@ -76,17 +76,15 @@ class ContractCanarySpec extends GraftSuite {
     * the only allowed direction (r12 verdict #4: r13 batch 1 removed
     * q35, q73, q74, q75, q77; batch 2 removed q119, q21, q22, q23, q57;
     * batch 3 removed q79, q80, q81, q20, q34; batch 4 removed q18, q17,
-    * q37, q72, q30; batch 5 removed q26, q63, q49, q54, q27 — all via
-    * GrandfatherScalarSpec — 47 → 22). */
+    * q37, q72, q30; batch 5 removed q26, q63, q49, q54, q27; batch 6
+    * removed q15, q16, q25, q28, q29, q76 — all via
+    * GrandfatherScalarSpec — 47 → 16). */
   private val scalarSpecGrandfather: Set[String] = Set(
     "q01_pricing_summary", "q02_filter_scan", "q03_join_revenue", "q04_broadcast_dim",
     "q05_anti_join", "q06_semi_join", "q07_distinct", "q08_topk",
     "q09_last_wins", "q10_upsert_merge", "q11_union",
-    "q12_rollup", "q13_window_running", "q15_dedup_exact", "q16_token_count",
-    "q25_embedding_dup",
-    "q28_salted_agg", "q29_salted_join",
-    "q31_exists_agg", "q32_pivot", "q33_cube",
-    "q76_source_profile")
+    "q12_rollup", "q13_window_running",
+    "q31_exists_agg", "q32_pivot", "q33_cube")
 
   test("scalar-spec gate: every non-grandfathered query is named by a spec file (mechanical, red on an unspec'd qN)") {
     // Plan audits (PlanShapeSpec) and this file's own lists don't count as

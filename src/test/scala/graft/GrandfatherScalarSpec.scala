@@ -1290,6 +1290,157 @@ class GrandfatherScalarSpec extends GraftSuite {
     assert(run("/root/testdata/sf0.001") == model(real))
   }
 
+  // --- round-13 batch 6: dedup keys, counts, profiles, skew plumbing --------
+  //
+  // q15, q16, q25, q28, q29, q76.
+
+  private def pctTwoSided(vs: Seq[Double], p: Double): Double = {
+    val s = vs.sorted; val pos = p * (s.length - 1); val lo = pos.floor.toInt
+    if (lo + 1 >= s.length) s(s.length - 1)
+    else s(lo) * (lo + 1 - pos) + s(lo + 1) * (pos - lo)
+  }
+
+  test("q15 scalar law: the dedup key is md5 of the RAW text bytes (not trimmed/lowered), keeper is MIN doc_id; re-derives at sf0.001") {
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def model(rows: Seq[(Long, String)]): Seq[(String, Long, Long)] =
+      rows.groupBy(r => md5hex(r._2)).toSeq
+        .map { case (h, g) => (h, g.map(_._1).min, g.size.toLong) }
+        .sortBy(_._2)
+    def run(d: String) = graft.ops.ScaleOps.q15DedupExact(spark, d)
+      .collect().map(r => (r.getAs[String]("content_md5"),
+        r.getAs[Long]("keeper_id"), r.getAs[Long]("n_copies"))).toSeq
+    val dir = tempDir("q15-hand")
+    // raw-bytes pin: trailing space and case CHANGE the key (exact dedup
+    // is byte-exact, not normalized — normalization is q92's job)
+    val rows = Seq((5L, "Hello World"), (2L, "Hello World"),
+      (3L, "Hello World "), (4L, "hello world"))
+    writeDocsTable(dir, rows)
+    val got = run(dir.toString)
+    assert(got == model(rows))
+    assert(got.map(_._2) == Seq(2L, 3L, 4L), "three distinct keys, min-id keepers")
+    assert(got.find(_._2 == 2L).get._3 == 2L)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(run("/root/testdata/sf0.001") == model(real))
+  }
+
+  test("q16 scalar law: n_tokens counts the raw split ([''] -> 1 for blank); n_bpe_units = sum of max(1, ceil(len/6)) per token (empty token floors at 1); re-derives at sf0.001") {
+    def model(rows: Seq[(Long, String)]): Seq[(Long, Long, Long)] =
+      rows.sortBy(_._1).map { case (id, t) =>
+        val ts = t.trim.toLowerCase.split("\\s+").toSeq // [""] when blank
+        val bpe = ts.map(tk => math.max(1L, math.ceil(tk.length / 6.0).toLong)).sum
+        (id, ts.length.toLong, bpe)
+      }
+    def run(d: String) = graft.ops.ScaleOps.q16TokenCount(spark, d)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_bpe_units"))).toSeq
+    val dir = tempDir("q16-hand")
+    val rows = Seq(
+      (1L, "one two three"),            // 3 tokens, all < 6 chars -> 3 units
+      (2L, "abcdef"),                   // exactly 6 -> ceil(6/6) = 1
+      (3L, "abcdefg"),                  // 7 -> 2 units
+      (4L, "   "),                      // blank: 1 empty token, floors at 1
+      (5L, "twelvecharss exactly12chr"))// 12 -> 2 each
+    writeDocsTable(dir, rows)
+    val got = run(dir.toString)
+    assert(got == model(rows))
+    assert(got.find(_._1 == 2L).get._3 == 1L, "6 chars is ONE unit (ceil boundary)")
+    assert(got.find(_._1 == 3L).get._3 == 2L, "7 chars is TWO units")
+    assert(got.find(_._1 == 4L).get == ((4L, 1L, 1L)), "blank floors at 1/1")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(run("/root/testdata/sf0.001") == model(real))
+  }
+
+  test("q25 scalar law: every pair at cos >= 0.999 over corpus ∪ shifted copy surfaces (the LSH path owes FULL recall here); cos arithmetic is the q20 in-order form; re-derives at sf0.001") {
+    def dotD(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val all = emb ++ emb.map { case (id, v) => (id + 1000000L, v) }
+    val byId = all.toMap
+    val expect = (for {
+      a <- all.map(_._1); b <- all.map(_._1) if a < b
+      cos = dotD(byId(a), byId(b)) /
+        (math.sqrt(dotD(byId(a), byId(a))) * math.sqrt(dotD(byId(b), byId(b))))
+      if cos >= 0.999
+    } yield (a, b, cos)).sortBy(p => (p._1, p._2))
+    val got = graft.ops.ScaleOps.q25EmbeddingDup(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("cos"))).toSeq
+    assert(got == expect)
+    // every vector's planted twin is found — the recall floor the shifted
+    // union exists to assert (identical arrays -> the exact same cos
+    // expression on both sides of the comparison)
+    val pairsSet = got.map(p => (p._1, p._2)).toSet
+    emb.foreach { case (id, _) =>
+      assert(pairsSet.contains((id, id + 1000000L)),
+        s"vector $id must pair with its exact twin") }
+  }
+
+  test("q28/q29 scalar law: the salted two-phase agg and salted join are value-IDENTICAL to the plain forms — exact decimal sums, no row lost or duplicated by the salt") {
+    val evts = graft.ops.Relational.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("value").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    def dec(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val byType = evts.groupBy(_._1).toSeq.sortBy(_._1)
+    val expect28 = byType.map { case (tpe, g) =>
+      (tpe, g.map(e => dec(e._2)).sum.toDouble, g.size.toLong) }
+    val got28 = graft.ops.Scale.q28SaltedAgg(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Double]("sum_value"), r.getAs[Long]("n"))).toSeq
+    assert(got28 == expect28)
+    val got29 = graft.ops.Scale.q29SaltedJoin(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("type_total"), r.getAs[Double]("sum_value"))).toSeq
+    assert(got29 == byType.map { case (tpe, g) =>
+      (tpe, g.size.toLong, g.map(e => dec(e._2)).sum.toDouble) })
+    // the dimension fan-out trap: type_total joined onto every event and
+    // re-grouped must equal the plain per-type count, never a multiple
+    assert(got29.map(r => (r._1, r._2)) == got28.map(r => (r._1, r._3)))
+  }
+
+  test("q76 scalar law: per-source percentiles are the two-sided form over chars(double) and the q17 quality; min/max cast to long; re-derives at sf0.001") {
+    val stop = stopEn
+    def quality(t: String): Double = {
+      val lower = t.toLowerCase
+      val alpha = lower.count(c => (c >= 'a' && c <= 'z') || c == ' ').toDouble / lower.length
+      val ts = lower.trim.split("\\s+").toSeq
+      val stopR = ts.count(stop.contains).toDouble / ts.size
+      val awl = lower.length.toDouble / ts.size
+      0.4 * alpha + 0.3 * math.min(stopR * 4.0, 1.0) + 0.3 * math.min(awl / 8.0, 1.0)
+    }
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val expect = real.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, g) =>
+      val chars = g.map(_._2.length.toDouble)
+      val qs = g.map(r => quality(r._2))
+      (src, g.size.toLong,
+        pctTwoSided(chars, 0.25), pctTwoSided(chars, 0.5),
+        pctTwoSided(chars, 0.9), pctTwoSided(chars, 0.99),
+        pctTwoSided(qs, 0.5), pctTwoSided(qs, 0.9),
+        chars.min.toLong, chars.max.toLong)
+    }
+    val got = graft.ops.ScaleOps4.q76SourceProfile(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("p25_chars"), r.getAs[Double]("p50_chars"),
+        r.getAs[Double]("p90_chars"), r.getAs[Double]("p99_chars"),
+        r.getAs[Double]("p50_quality"), r.getAs[Double]("p90_quality"),
+        r.getAs[Long]("min_chars"), r.getAs[Long]("max_chars"))).toSeq
+    assert(got == expect)
+    assert(got.map(_._2).sum == real.size.toLong)
+  }
+
   test("q57 scalar law: dup_token_frac = 1 - distinct/n; top_bigram_frac = 2*max adjacent-bigram multiplicity/n with the n<2 -> 0.0 branch") {
     val dir = tempDir("q57-hand")
     val rows = Seq(
