@@ -71,20 +71,16 @@ class ContractCanarySpec extends GraftSuite {
   // the execution canary above. Any query added without a spec goes red
   // here; any addition to the frozen set is a loud, reviewable diff.
 
-  /** Pre-r10 queries exempt from the qN-token rule. FROZEN — do not add:
-    * new queries must carry a spec that names their qN id. Burn-down is
-    * the only allowed direction (r12 verdict #4: r13 batch 1 removed
-    * q35, q73, q74, q75, q77; batch 2 removed q119, q21, q22, q23, q57;
-    * batch 3 removed q79, q80, q81, q20, q34; batch 4 removed q18, q17,
-    * q37, q72, q30; batch 5 removed q26, q63, q49, q54, q27; batch 6
-    * removed q15, q16, q25, q28, q29, q76 — all via
-    * GrandfatherScalarSpec — 47 → 16). */
-  private val scalarSpecGrandfather: Set[String] = Set(
-    "q01_pricing_summary", "q02_filter_scan", "q03_join_revenue", "q04_broadcast_dim",
-    "q05_anti_join", "q06_semi_join", "q07_distinct", "q08_topk",
-    "q09_last_wins", "q10_upsert_merge", "q11_union",
-    "q12_rollup", "q13_window_running",
-    "q31_exists_agg", "q32_pivot", "q33_cube")
+  /** Pre-r10 queries exempt from the qN-token rule. EMPTY since r13:
+    * seven burn-down batches (GrandfatherScalarSpec) wrote an
+    * independent scalar/hand-derivation spec for every one of the 47
+    * queries the r10 gate originally froze — q35/q73/q74/q75/q77, the
+    * hash-signature kernels, the media decoders, the heuristics/sketch/
+    * boundary/as-of family, clustering/top-k/CDC/sessionize, dedup keys
+    * and skew plumbing, and finally the relational core. Every query on
+    * the surface now carries scalar evidence; keep it that way — new
+    * queries must name their qN id in a spec BEFORE registering. */
+  private val scalarSpecGrandfather: Set[String] = Set.empty
 
   test("scalar-spec gate: every non-grandfathered query is named by a spec file (mechanical, red on an unspec'd qN)") {
     // Plan audits (PlanShapeSpec) and this file's own lists don't count as

@@ -1441,6 +1441,259 @@ class GrandfatherScalarSpec extends GraftSuite {
     assert(got.map(_._2).sum == real.size.toLong)
   }
 
+  // --- round-13 batch 7: the relational core — the set goes to EMPTY --------
+  //
+  // q01–q13, q31, q32, q33. Plain-SQL shapes, but the float/decimal
+  // DISCIPLINE is engine policy shared verbatim with the mirrors (exact
+  // decimal sums, scale-4/6 casts, double division last), so each gets an
+  // independent BigDecimal/Double restatement over the collected sf0.001
+  // tables plus targeted tie/null/boundary pins.
+
+  private def d4(v: Double): BigDecimal =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+  private def dsumOf(vs: Seq[Double]): Double = vs.map(d4).sum.toDouble
+  private def davgOf(vs: Seq[Double]): Double = vs.map(d4).sum.toDouble / vs.size
+
+  private lazy val liRows: Seq[(Long, Long, Long, Double, Double, Double, Double, String, String, java.sql.Timestamp)] =
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        // NTZ -> LTZ under the UTC session: a monotonic bijection, so the
+        // scalar model's Timestamp ordering/boundaries match the engine's
+        col("l_shipdate").cast("timestamp").as("l_shipdate"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getString(7), r.getString(8), r.getAs[java.sql.Timestamp](9))).toSeq
+
+  private lazy val ordRows: Seq[(Long, Long, String, Double, java.sql.Timestamp, String)] =
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        col("o_orderpriority"))
+      .collect().map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("o_custkey"),
+        r.getAs[String]("o_orderstatus"), r.getAs[Double]("o_totalprice"),
+        r.getAs[java.sql.Timestamp]("o_orderdate"),
+        r.getAs[String]("o_orderpriority"))).toSeq
+
+  private lazy val custRows: Seq[(Long, String, Long, Double, String)] =
+    spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .collect().map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("c_name"),
+        r.getAs[Number]("c_nationkey").longValue(), r.getAs[Double]("c_acctbal"),
+        r.getAs[String]("c_mktsegment"))).toSeq
+
+  test("q01/q02 scalar law: exact decimal products (12,4)x(6,4), scale-4/6 sum casts, double division LAST for averages; the shipdate/discount/quantity boundaries are inclusive as written") {
+    val cut = java.sql.Timestamp.valueOf("1998-09-02 00:00:00")
+    val kept = liRows.filter(r => !r._10.after(cut))
+    val expect1 = kept.groupBy(r => (r._8, r._9)).toSeq.sortBy(_._1).map { case ((f, st), g) =>
+      val disc = g.map { r =>
+        d4(r._5) * (BigDecimal(1) - d4(r._6)) }
+      val charge = g.zip(disc).map { case (r, dp) => dp * (BigDecimal(1) + d4(r._7)) }
+      (f, st, dsumOf(g.map(_._4)), dsumOf(g.map(_._5)),
+        disc.sum.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        charge.sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        davgOf(g.map(_._4)), davgOf(g.map(_._5)), davgOf(g.map(_._6)),
+        g.size.toLong)
+    }
+    val got1 = graft.ops.Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8), r.getLong(9))).toSeq
+    assert(got1 == expect1)
+    // q02: the double-space range filter + exact decimal revenue
+    val k2 = liRows.filter(r =>
+      !r._10.before(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+      r._10.before(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+      r._6 >= 0.05 && r._6 <= 0.07 && r._4 < 24)
+    val expect2 = (k2.map(r => d4(r._5) * d4(r._6)).sum
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, k2.size.toLong)
+    val got2 = graft.ops.Relational.q02FilterScan(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).head
+    assert(got2 == expect2 && got2._2 > 0)
+  }
+
+  test("q03/q04 scalar law: the 5-way and 2-way join rollups re-derive from hand-joined maps — no row lost or duplicated by the join chain") {
+    val nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .collect().map(r => r.getAs[Number]("n_nationkey").longValue() ->
+        (r.getAs[String]("n_name"), r.getAs[Number]("n_regionkey").longValue())).toMap
+    val reg = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .collect().map(r => r.getAs[Number]("r_regionkey").longValue() ->
+        r.getAs[String]("r_name")).toMap
+    val custNation = custRows.map(c => c._1 -> c._3).toMap
+    val ordCust = ordRows.map(o => o._1 -> o._2).toMap
+    val expect3 = liRows.flatMap { r =>
+      ordCust.get(r._1).flatMap(ck => custNation.get(ck)).map { nk =>
+        val (nn, rk) = nat(nk)
+        ((reg(rk), nn), d4(r._5) * (BigDecimal(1) - d4(r._6)))
+      }
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case ((rn, nn), g) =>
+      (rn, nn, g.map(_._2).sum.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        g.size.toLong) }
+    val got3 = graft.ops.Relational.q03JoinRevenue(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(got3 == expect3 && got3.nonEmpty)
+    val brand = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .collect().map(r => r.getAs[Long]("p_partkey") -> r.getAs[String]("p_brand")).toMap
+    val expect4 = liRows.flatMap(r => brand.get(r._2).map(b => (b, r)))
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (b, g) =>
+        (b, dsumOf(g.map(_._2._5)), dsumOf(g.map(_._2._4)), g.size.toLong) }
+    val got4 = graft.ops.Relational.q04BroadcastDim(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(got4 == expect4 && got4.nonEmpty)
+  }
+
+  test("q05/q06/q07 scalar law: anti keeps EXACTLY the customers with zero orders, semi keeps suppliers with ANY heavy lineitem exactly once, distinct pairs re-derive") {
+    val orderCusts = ordRows.map(_._2).toSet
+    val expect5 = custRows.filterNot(c => orderCusts(c._1))
+      .sortBy(_._1).map(c => (c._1, c._2))
+    val got5 = graft.ops.Relational.q05AntiJoin(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got5 == expect5)
+    val heavySupp = liRows.filter(_._4 > 45).map(_._3).toSet
+    val supp = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+      .collect().map(r => (r.getAs[Long]("s_suppkey"), r.getAs[String]("s_name"),
+        r.getAs[Double]("s_acctbal"))).toSeq
+    val expect6 = supp.filter(s => heavySupp(s._1)).sortBy(_._1)
+    val got6 = graft.ops.Relational.q06SemiJoin(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got6 == expect6)
+    // semi = set membership, never multiplicity: a supplier with MANY
+    // heavy lineitems appears once
+    assert(got6.map(_._1).distinct == got6.map(_._1))
+    val expect7 = ordRows.map(o => (o._3, o._6)).distinct.sorted
+    val got7 = graft.ops.Relational.q07Distinct(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got7 == expect7)
+  }
+
+  test("q08/q09 scalar law: top-10 by (exact-decimal total DESC, custkey ASC); last-wins picks the (ts DESC, event_id DESC) head per user") {
+    val names = custRows.map(c => c._1 -> c._2).toMap
+    // INNER join: an order whose custkey is absent from customer drops
+    val expect8 = ordRows.groupBy(_._2).toSeq
+      .flatMap { case (ck, g) =>
+        names.get(ck).map(nm => (ck, nm, dsumOf(g.map(_._4)), g.size.toLong)) }
+      .sortBy { case (ck, _, tot, _) => (-tot, ck) }.take(10)
+    val got8 = graft.ops.Relational.q08TopK(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(got8 == expect8 && got8.size == 10)
+    val evts = graft.ops.Relational.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id").cast("long"), col("ts"), col("user_id").cast("long"),
+        col("event_type"), col("value").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getAs[java.sql.Timestamp]("ts"),
+        r.getLong(2), r.getString(3), r.getDouble(4))).toSeq
+    val expect9 = evts.groupBy(_._3).toSeq.sortBy(_._1).map { case (uid, g) =>
+      val top = g.maxBy(e => (e._2.getTime, e._1))
+      (uid, top._1, top._4, top._5) }
+    val got9 = graft.ops.Relational.q09LastWins(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSeq
+    assert(got9 == expect9)
+  }
+
+  test("q10 scalar law: full-outer MERGE classifies updated/inserted/kept; acctbal rounds through DECIMAL(18,4) HALF_UP; the +25 id shift creates BOTH matched and unmatched rows") {
+    val source = ordRows.groupBy(_._2).map { case (ck, g) =>
+      (ck + 25L) -> (s"upserted#${ck + 25L}", BigDecimal(g.size)) }
+    val target = custRows.map(c => c._1 -> (c._2, d4(c._4))).toMap
+    val ids = (source.keySet ++ target.keySet).toSeq.sorted
+    val expect = ids.map { id =>
+      (source.get(id), target.get(id)) match {
+        case (Some((sn, sb)), Some(_)) => (id, sn, sb.toDouble, "updated")
+        case (Some((sn, sb)), None)    => (id, sn, sb.toDouble, "inserted")
+        case (None, Some((tn, tb)))    => (id, tn, tb.toDouble, "kept")
+        case _ => sys.error("unreachable")
+      }
+    }
+    val got = graft.ops.Relational.q10UpsertMerge(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3))).toSeq
+    assert(got == expect)
+    val classes = got.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(classes.keySet == Set("updated", "inserted", "kept"),
+      "the +25 shift must produce all three merge actions on this corpus")
+  }
+
+  test("q11/q12/q33 scalar law: disjoint union buckets; rollup emits (f,l),(f,·),(·,·) levels and cube adds (·,l); nulls-first ordering re-derives") {
+    val hi = ordRows.filter(_._4 > 300000).map(_._1)
+    val lo = ordRows.filter(_._4 < 50000).map(_._1)
+    val expect11 = Seq(("high", hi), ("low", lo)).filter(_._2.nonEmpty)
+      .map { case (b, ks) => (b, ks.size.toLong, ks.min, ks.max) }.sortBy(_._1)
+    val got11 = graft.ops.Relational.q11Union(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got11 == expect11)
+    // rollup/cube: grouping levels as Option[String]
+    def key(o: Option[String]) = (o.isDefined, o.getOrElse(""))
+    val base = liRows.map(r => (r._8, r._9, r._4))
+    def agg(g: Seq[(String, String, Double)]) = (g.size.toLong, dsumOf(g.map(_._3)))
+    val full = base.groupBy(r => (Option(r._1), Option(r._2)))
+    val byFlag = base.groupBy(r => (Option(r._1), None: Option[String]))
+    val byStat = base.groupBy(r => (None: Option[String], Option(r._2)))
+    val grand = Map((None: Option[String], None: Option[String]) -> base)
+    def rows(m: Map[(Option[String], Option[String]), Seq[(String, String, Double)]]) =
+      m.toSeq.map { case ((f, l), g) => val (n, sq) = agg(g); (f, l, n, sq) }
+    val expect12 = (rows(full) ++ rows(byFlag) ++ rows(grand))
+      .sortBy { case (f, l, _, _) => (key(f), key(l)) }
+    val got12 = graft.ops.Relational.q12Rollup(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getDouble(3))).toSeq
+    assert(got12 == expect12)
+    assert(got12.head._1.isEmpty && got12.head._2.isEmpty, "grand total sorts first (nulls first)")
+    val expect33 = (rows(full) ++ rows(byFlag) ++ rows(byStat) ++ rows(grand))
+      .sortBy { case (f, l, _, _) => (key(f), key(l)) }
+      .map { case (f, l, n, sq) => (f, l, n, sq) }
+    val got33 = graft.ops.Relational2.q33Cube(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getDouble(3))).toSeq
+    assert(got33 == expect33)
+    assert(got33.size == got12.size + byStat.size, "cube adds exactly the (·,l) level")
+  }
+
+  test("q13 scalar law: running total accumulates exact DECIMAL(18,4) in (o_orderdate, o_orderkey) order per customer, cast double ONCE at the end of each prefix") {
+    val expect = ordRows.groupBy(_._2).toSeq.flatMap { case (ck, g) =>
+      val ordered = g.sortBy(o => (o._5.getTime, o._1))
+      var acc = BigDecimal(0)
+      ordered.zipWithIndex.map { case (o, i) =>
+        acc += d4(o._4)
+        (ck, o._1, i + 1, acc.toDouble)
+      }
+    }.sortBy(e => (e._1, e._3))
+    val got = graft.ops.Relational.q13WindowRunning(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"),
+        r.getAs[Int]("order_rank"), r.getAs[Double]("running_total"))).toSeq
+    assert(got == expect)
+    // the last rank's running total equals the customer's exact total —
+    // the prefix-sum/total consistency law
+    val totals = ordRows.groupBy(_._2).view.mapValues(g => dsumOf(g.map(_._4))).toMap
+    got.groupBy(_._1).foreach { case (ck, rs) =>
+      assert(rs.maxBy(_._3)._4 == totals(ck)) }
+  }
+
+  test("q31/q32 scalar law: EXISTS counts each order once regardless of heavy-lineitem multiplicity; the pivot's conditional sums partition the order count exactly") {
+    val heavyOrders = liRows.filter(_._4 > 49).map(_._1).toSet
+    val expect31 = ordRows.filter(o => heavyOrders(o._1))
+      .groupBy(_._6).toSeq.sortBy(_._1).map { case (p, g) => (p, g.size.toLong) }
+    val got31 = graft.ops.Relational2.q31ExistsAgg(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got31 == expect31)
+    val seg = custRows.map(c => c._1 -> c._5).toMap
+    val joined = ordRows.flatMap(o => seg.get(o._2).map(s => (s, o._3, o._4)))
+    val expect32 = joined.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, g) =>
+      (s, g.count(_._2 == "O").toLong, g.count(_._2 == "F").toLong,
+        g.count(_._2 == "P").toLong,
+        g.filter(_._2 == "O").map(r => d4(r._3)).sum.toDouble) }
+    val got32 = graft.ops.Relational2.q32Pivot(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got32 == expect32)
+    got32.foreach { case (s, o, f, p, _) =>
+      assert(o + f + p == joined.count(_._1 == s).toLong,
+        "status counts must partition the segment's orders") }
+  }
+
   test("q57 scalar law: dup_token_frac = 1 - distinct/n; top_bigram_frac = 2*max adjacent-bigram multiplicity/n with the n<2 -> 0.0 branch") {
     val dir = tempDir("q57-hand")
     val rows = Seq(
