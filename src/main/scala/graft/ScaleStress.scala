@@ -77,6 +77,8 @@ object ScaleStress {
       args.lift(2).map(_.toInt).getOrElse(400000))
     case Some("apnd") => apnd(args.lift(1).getOrElse("/tmp/stress_apnd"),
       args.lift(2).map(_.toInt).getOrElse(100000))
+    case Some("clf") => clf(args.lift(1).getOrElse("/tmp/stress_clf"),
+      args.lift(2).map(_.toInt).getOrElse(200000))
     case _ => facts(args.headOption.getOrElse("/tmp/sfbig"))
   }
 
@@ -954,6 +956,43 @@ object ScaleStress {
       }
       spark.catalog.clearCache()
     }
+    spark.stop()
+  }
+
+  /** Classifier training-cost rep (q176): train the batch perceptron on
+    * n and 4n synthetic docs. The claim under test: cost scales
+    * ~LINEARLY in corpus size and nothing else — K bounded epochs, each
+    * one token-sized partial agg + a broadcast of 65 longs; the model,
+    * the driver traffic, and the epoch count are all corpus-independent.
+    * A super-linear ratio (≳ 6× for the 4× corpus) means an epoch is
+    * paying something corpus-quadratic and the rep fails the claim. */
+  def clf(base: String, nDocs: Int): Unit = {
+    val spark = session()
+    def mkDocs(n: Int): DataFrame =
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 16).map(j =>
+          concat(lit("w"), (col("id") * 31 + lit(j)) % 9973)): _*).as("text"),
+        when(col("id") % 4 < 2, "en").otherwise("zz").as("lang"))
+    def materialize(n: Int, name: String): DataFrame = {
+      mkDocs(n).write.mode("overwrite").parquet(s"$base/$name.parquet")
+      spark.read.parquet(s"$base/$name.parquet")
+    }
+    val x1 = materialize(nDocs, "clf_x1")
+    val x4 = materialize(4 * nDocs, "clf_x4")
+    // warm the codegen/JIT path once on the small corpus
+    graft.ops.ScaleOps25.trainClassifier(spark, x1)
+    def timedTrain(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val w = graft.ops.ScaleOps25.trainClassifier(spark, df)
+      require(w.exists(_ != 0L), "training degenerated to a zero model")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val s1 = timedTrain(x1)
+    val s4 = timedTrain(x4)
+    println(f"CLF x1($nDocs docs) ${s1}%.2fs  x4(${4 * nDocs}) ${s4}%.2fs  " +
+      f"ratio ${s4 / s1}%.2f (linear target ~4, fail > 6)")
+    require(s4 / s1 < 6.0,
+      f"classifier training scaled super-linearly: ${s4 / s1}%.2fx for a 4x corpus")
     spark.stop()
   }
 }

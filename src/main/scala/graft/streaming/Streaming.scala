@@ -200,6 +200,41 @@ object Streaming {
       }
       .start()
 
+  /** MODEL-ROTATION-AWARE streaming classifier scoring — the continuous
+    * form of the pipeline's learned gate: score each arriving document
+    * against the PERSISTED perceptron artifact
+    * ([[graft.ml.PerceptronModel]]), reopening the model per micro-batch
+    * inside `foreachBatch` (the [[incrementalDedupRotatingStream]]
+    * discipline) so a RETRAINED model written mid-stream — same path,
+    * new weights, stamp-last — is live in the next micro-batch, and a
+    * torn artifact refuses loudly instead of scoring with garbage.
+    * Scoring goes through the BATCH kernel
+    * ([[graft.ops.ScaleOps25.scoreDocs]]), so stream and batch scores
+    * cannot drift by construction.
+    *
+    * State shape: NONE — the score is a per-document projection + one
+    * batch-local rollup; no watermark, no window, no cross-batch state.
+    * Per micro-batch cost: one (B+1)-long model load (metadata-sized),
+    * one broadcast join, one batch-sized agg, one parquet append.
+    * foreachBatch is at-least-once — a replayed batch re-scores
+    * idempotently under whatever model is then current; exactly-once
+    * sinks dedup on (batch_id, doc id) downstream, which is why the
+    * batch id is emitted as a column. */
+  def classifierScoreStream(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, modelPath: String, outPath: String, ckptPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", ckptPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val w = graft.ml.PerceptronModel.loadModel(spark, modelPath)
+        graft.ops.ScaleOps25.scoreDocs(batch.toDF(), w, idCol, textCol, langCol)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+
   /** Continuous corpus curation — the streaming form of
     * `pipeline.Curation.curate`: exact content dedup becomes
     * watermark-bounded dropDuplicatesWithinWatermark on the md5 (state

@@ -795,4 +795,59 @@ class StreamingSpec extends GraftSuite {
           "this pin should both be revisited")
     } finally qS.stop()
   }
+
+  test("model rotation mid-stream: a RETRAINED perceptron written between micro-batches scores the next batch; stream == batch kernel; a torn model refuses loudly") {
+    import graft.ml.PerceptronModel
+    val modelPath = tempDir("clf-rot").toString + "/model"
+    // model A: trained on en="alpha"-vocab corpus
+    val trainA = Seq((0L, "alpha bravo alpha", "en"), (2L, "zulu xray", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val wA = graft.ops.ScaleOps25.trainClassifier(spark, trainA)
+    PerceptronModel.writeModel(spark, wA, modelPath)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val in = tempDir("clf-rot-in"); val out = tempDir("clf-rot-out")
+    def land(id: Long): Unit =
+      Seq((id, "alpha bravo", "en")).toDF("doc_id", "text", "lang")
+        .write.mode("append").parquet(in.toString)
+    land(1L)
+    val q = Streaming.classifierScoreStream(
+      spark.readStream.schema(schema).parquet(in.toString),
+      "doc_id", "text", "lang", modelPath, out.toString,
+      tempDir("clf-rot-ckpt").toString)
+    try {
+      q.processAllAvailable()
+      // rotation: model B = labels flipped -> weights negate; same doc
+      // text must score OPPOSITE sign in the next micro-batch
+      val trainB = Seq((0L, "alpha bravo alpha", "fr"), (2L, "zulu xray", "en"))
+        .toDF("doc_id", "text", "lang")
+      val wB = graft.ops.ScaleOps25.trainClassifier(spark, trainB)
+      PerceptronModel.writeModel(spark, wB, modelPath)
+      land(2L)
+      q.processAllAvailable()
+      val got = spark.read.parquet(out.toString)
+        .select("doc_id", "score")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val doc = Seq((9L, "alpha bravo", "en")).toDF("doc_id", "text", "lang")
+      val sA = graft.ops.ScaleOps25.scoreDocs(doc, wA)
+        .collect().head.getLong(1)
+      val sB = graft.ops.ScaleOps25.scoreDocs(doc, wB)
+        .collect().head.getLong(1)
+      assert(got(1L) == sA && got(2L) == sB,
+        s"stream scores $got must equal the batch kernel under each epoch's model ($sA, $sB)")
+      assert(sA > 0 && sB < 0 && sB == -sA,
+        "flipped labels on a disjoint-vocab corpus negate the model exactly")
+      // torn model mid-stream: the next micro-batch must refuse LOUDLY,
+      // never score with garbage
+      val hp = new org.apache.hadoop.fs.Path(s"$modelPath/_rows")
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val os = fs.create(hp, true)
+      try os.write("3".getBytes("UTF-8")) finally os.close()
+      land(3L)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
 }
