@@ -598,4 +598,24 @@ class PlanShapeSpec extends GraftSuite {
       }
     }
   }
+
+  test("q175/q177: the model/weight side always BROADCASTS (never shuffles the token stream against it); aggregations are partial; no cartesian beyond the 1-row vocab") {
+    // q175: the vocab count is the only nested-loop input (1 row,
+    // explicitly broadcast); the bigram-model joins must be hash joins
+    val p175 = plan(graft.ops.ScaleOps24.q175SmoothedLmScore(spark, sf))
+    assert(p175.contains("partial_"), p175)
+    val bnl175 = p175.linesIterator
+      .count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl175 <= 1, s"q175 grew a second nested-loop join:\n$p175")
+    assert(!p175.contains("CartesianProduct"), p175)
+    // q177: the 65-row weight table rides a broadcast hash join — the
+    // corpus-token-sized feature stream must never exchange FOR the join
+    val p177 = plan(graft.ops.ScaleOps25.q177PerceptronApply(spark, sf))
+    assert(p177.contains("BroadcastHashJoin"), p177)
+    assert(!p177.contains("CartesianProduct") &&
+      !p177.contains("SortMergeJoin"), p177)
+    assert(p177.contains("partial_"), p177)
+    assert(p177.contains("TakeOrderedAndProject"),
+      s"q177's bottom-k must be a distributed TakeOrdered, not a global sort:\n$p177")
+  }
 }
