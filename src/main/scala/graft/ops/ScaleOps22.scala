@@ -41,7 +41,11 @@ object ScaleOps22 {
     * TakeOrdered of [[Q167BottomK]] — no global window, no driver loop
     * (train and score are the same two scans fused by the shared
     * lineage). */
-  def q167BigramLmScore(s: SparkSession, dir: String): DataFrame = {
+  /** The q167 MLE scoring chain WITHOUT the bottom-K cut: per ≥2-token
+    * document (doc_id, n_bigrams, score_fp). Shared by q167 and q179 so
+    * the corpus-LM semantics (prefix-total denominators, the DECIMAL(38)
+    * fixed point, the integer mean) can never drift between the two. */
+  private[ops] def mleDocScores(s: SparkSession, dir: String): DataFrame = {
     val docs = Relational.fanOut(t(s, dir, "documents"))
     val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
       graft.text.TextAnalysis.tokens(col("text")).as("ts"))
@@ -66,14 +70,18 @@ object ScaleOps22 {
       .withColumn("score_fp", expr("CAST(sfp div n_bigrams AS BIGINT)"))
       .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
         col("score_fp"))
-      .orderBy(col("score_fp"), col("doc_id"))
-      .limit(Q167BottomK)
   }
 
-  /** Mirror: identical bigram/prefix tables, the same DECIMAL(38)
-    * fixed-point per-bigram score, the same integer mean. */
-  val q167Sql: String =
-    raw"""WITH toks AS (
+  def q167BigramLmScore(s: SparkSession, dir: String): DataFrame =
+    mleDocScores(s, dir)
+      .orderBy(col("score_fp"), col("doc_id"))
+      .limit(Q167BottomK)
+
+  /** The q167 mirror's scoring chain (ends with `scored(doc_id,
+    * n_bigrams, score_fp)`) — the shared SQL twin of [[mleDocScores]],
+    * opened with WITH by both q167Sql and the q179 mirror. */
+  private[ops] val mleScoreCtes: String =
+    raw"""toks AS (
       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
       |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
       |  FROM documents
@@ -90,12 +98,19 @@ object ScaleOps22 {
       |  SELECT b.w1, b.w2,
       |    CAST((CAST(b.cxy AS HUGEINT) * 1000000) // c.cx AS BIGINT) AS p_fp
       |  FROM bi_cnt b JOIN ctx c ON b.w1 = c.w1
-      |)
-      |SELECT d.doc_id,
-      |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-      |  CAST(SUM(s.p_fp) // COUNT(*) AS BIGINT) AS score_fp
-      |FROM doc_bi d JOIN bi_scored s ON d.w1 = s.w1 AND d.w2 = s.w2
-      |GROUP BY d.doc_id
+      |), scored AS (
+      |  SELECT d.doc_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(s.p_fp) // COUNT(*) AS BIGINT) AS score_fp
+      |  FROM doc_bi d JOIN bi_scored s ON d.w1 = s.w1 AND d.w2 = s.w2
+      |  GROUP BY d.doc_id
+      |)""".stripMargin
+
+  /** Mirror: identical bigram/prefix tables, the same DECIMAL(38)
+    * fixed-point per-bigram score, the same integer mean. */
+  val q167Sql: String =
+    raw"""WITH $mleScoreCtes
+      |SELECT doc_id, n_bigrams, score_fp FROM scored
       |ORDER BY score_fp, doc_id LIMIT ${Q167BottomK}""".stripMargin
 
   // --- temperature-based source mixing (q168) --------------------------------

@@ -234,6 +234,87 @@ object ScaleOps25 {
     * invisible to the result. */
   def q178Sql: String = q177Sql
 
+  // --- LM-score tertile bucketing (q179) ----------------------------------
+
+  /** q179: PER-LANGUAGE PERPLEXITY TERTILES — the CCNet step between LM
+    * scoring and mixing: bucket every scored document into head/middle/
+    * tail by its corpus-LM score within its OWN language (a language's
+    * score distribution is its own — bucketing globally would dump every
+    * low-resource language into the tail). Higher score_fp = higher mean
+    * bigram probability = LOWER perplexity, so `head` is the top tertile.
+    *
+    *   - doc scores: the exact q167 chain ([[ScaleOps22.mleDocScores]] —
+    *     shared code, so the LM semantics cannot drift between the two);
+    *   - boundaries per language: the 1/3 and 2/3 two-sided-interpolated
+    *     percentiles over score_fp-as-double (the q34/q72/q76 shared
+    *     definition — both engines' exact-percentile kernels);
+    *   - bucket by STRICT comparison (the q72 law): score > b2 → head,
+    *     score > b1 → middle, else tail — boundary-equal scores stay in
+    *     the LOWER bucket, so a language with one distinct score is all
+    *     tail (never a fabricated head);
+    *   - rollup per (lang, bucket): doc count, score span, corpus share
+    *     at 10⁻⁶ fixed point.
+    *
+    * Scale shape: q167's two token-sized co-partitioned shuffles, one
+    * doc-sized co-partitioned lang join, one per-language exact
+    * percentile agg (value-buffering — at true corpus scale run the
+    * boundary pass on a profiling sample or approx_percentile, the
+    * documented q72/q76 caveat; the exact arm is what the oracle mirrors
+    * bit-for-bit), a ≤#langs-row broadcast back, one partial-agg rollup. */
+  def q179LmTertiles(s: SparkSession, dir: String): DataFrame = {
+    val scored = ScaleOps22.mleDocScores(s, dir)
+    val langs = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+    val wl = scored.join(langs, Seq("doc_id"))
+      .select(col("lang"), col("score_fp").cast("double").as("sd"),
+        col("score_fp"))
+    val bounds = wl.groupBy(col("lang"))
+      .agg(percentile(col("sd"), typedLit(Seq(1.0 / 3.0, 2.0 / 3.0))).as("bs"))
+      .select(col("lang"), col("bs")(0).as("b1"), col("bs")(1).as("b2"))
+    val total = wl.agg(count(lit(1)).as("tt"))
+    wl.join(broadcast(bounds), Seq("lang"))
+      .withColumn("bucket",
+        when(col("sd") > col("b2"), "head")
+          .when(col("sd") > col("b1"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score_fp")).as("min_score_fp"),
+        max(col("score_fp")).as("max_score_fp"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_fp", expr("CAST(n_docs * 1000000 div tt AS BIGINT)"))
+      .select(col("lang"), col("bucket"), col("n_docs"),
+        col("min_score_fp"), col("max_score_fp"), col("share_fp"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** Mirror: the shared q167 scoring CTEs + quantile_cont boundaries
+    * (DuckDB's exact percentile shares the two-sided interpolation) and
+    * the same strict bucket comparison. */
+  val q179Sql: String =
+    raw"""WITH ${ScaleOps22.mleScoreCtes}, wl AS (
+      |  SELECT d.lang, CAST(sc.score_fp AS DOUBLE) AS sd, sc.score_fp
+      |  FROM scored sc JOIN (
+      |    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents) d
+      |  ON sc.doc_id = d.doc_id
+      |), bounds AS (
+      |  SELECT lang, quantile_cont(sd, 1.0/3.0) AS b1,
+      |    quantile_cont(sd, 2.0/3.0) AS b2
+      |  FROM wl GROUP BY lang
+      |), total AS (
+      |  SELECT COUNT(*) AS tt FROM wl
+      |), bucketed AS (
+      |  SELECT wl.lang,
+      |    CASE WHEN sd > b2 THEN 'head'
+      |         WHEN sd > b1 THEN 'middle' ELSE 'tail' END AS bucket,
+      |    score_fp
+      |  FROM wl JOIN bounds ON wl.lang = bounds.lang
+      |)
+      |SELECT lang, bucket, COUNT(*) AS n_docs,
+      |  MIN(score_fp) AS min_score_fp, MAX(score_fp) AS max_score_fp,
+      |  CAST(COUNT(*) * 1000000 // (SELECT tt FROM total) AS BIGINT) AS share_fp
+      |FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+
   // --- DuckDB mirrors ---------------------------------------------------
   //
   // The epoch loop unrolls into K chained CTE triples (m_e, d_e, w_e) —

@@ -312,6 +312,98 @@ class ScaleOps25Spec extends GraftSuite {
     rOff.free()
   }
 
+  // --- q179: per-language LM-score tertiles --------------------------------
+
+  /** Scalar MLE doc scores from the q167 definition (BigInt fixed point,
+    * prefix-total denominators) — independent of the engine chain. */
+  private def scalarMleScores(rows: Seq[(Long, String, String)])
+      : Seq[(Long, String, Long)] = {
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val docBi = rows.flatMap { case (id, t, _) =>
+      val ts = toks(t)
+      if (ts.length < 2) Nil
+      else ts.sliding(2).map(p => (id, p(0), p(1))).toSeq
+    }
+    val cxy = docBi.groupBy(b => (b._2, b._3)).view.mapValues(_.size.toLong).toMap
+    val cx = docBi.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def pFp(w1: String, w2: String): BigInt =
+      BigInt(cxy((w1, w2))) * 1000000 / cx(w1)
+    val langOfId = rows.map(r => r._1 -> r._3).toMap
+    docBi.groupBy(_._1).toSeq.map { case (id, bs) =>
+      val ps = bs.map(b => pFp(b._2, b._3))
+      (id, langOfId(id), (ps.sum / ps.size).toLong)
+    }
+  }
+
+  private def pct2(vs: Seq[Double], p: Double): Double = {
+    val s = vs.sorted; val pos = p * (s.length - 1); val lo = pos.floor.toInt
+    if (lo + 1 >= s.length) s(s.length - 1)
+    else s(lo) * (lo + 1 - pos) + s(lo + 1) * (pos - lo)
+  }
+
+  private def scalarTertiles(scored: Seq[(Long, String, Long)])
+      : Seq[(String, String, Long, Long, Long, Long)] = {
+    val tt = scored.size.toLong
+    scored.groupBy(_._2).toSeq.flatMap { case (lang, g) =>
+      val ds = g.map(_._3.toDouble)
+      val (b1, b2) = (pct2(ds, 1.0 / 3.0), pct2(ds, 2.0 / 3.0))
+      g.groupBy { r =>
+        if (r._3.toDouble > b2) "head"
+        else if (r._3.toDouble > b1) "middle" else "tail"
+      }.toSeq.map { case (bucket, bg) =>
+        (lang, bucket, bg.size.toLong, bg.map(_._3).min, bg.map(_._3).max,
+          bg.size.toLong * 1000000L / tt)
+      }
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  private def runQ179(dir: String): Seq[(String, String, Long, Long, Long, Long)] =
+    graft.ops.ScaleOps25.q179LmTertiles(spark, dir)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[String]("bucket"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("min_score_fp"),
+        r.getAs[Long]("max_score_fp"), r.getAs[Long]("share_fp"))).toSeq
+
+  test("q179 scalar law: per-LANGUAGE tertiles by the q167 MLE score; STRICT boundary comparison (equal-score languages are all tail, never a fabricated head); single-doc languages are tail; re-derives at sf0.001") {
+    val dir = tempDir("q179-hand")
+    val rows = Seq(
+      // lang A: four docs with DISTINCT scores -> all three buckets land.
+      // 'a a a' scores 10^6 (p(a|a)=5/6... derived by the scalar model,
+      // not asserted by hand); repetition level varies the score
+      (1L, "a a a a a a", "aa"),
+      (2L, "a a a b a a", "aa"),
+      (3L, "a b a b a b", "aa"),
+      (4L, "b c d e f g", "aa"),
+      // lang B: three docs with IDENTICAL text -> identical scores ->
+      // b1 = b2 = the score and the strict > sends ALL to tail
+      (5L, "x y x y", "bb"), (6L, "x y x y", "bb"), (7L, "x y x y", "bb"),
+      // lang C: one doc -> its own b1 = b2 -> tail
+      (8L, "q r q r", "cc"),
+      // a sub-2-token doc: no bigrams, excluded from scoring entirely
+      (9L, "solo", "aa"))
+    writeDocs(dir, rows)
+    val scored = scalarMleScores(rows)
+    assert(!scored.exists(_._1 == 9L), "single-token docs never score")
+    val expect = scalarTertiles(scored)
+    val got = runQ179(dir.toString)
+    assert(got == expect)
+    val aa = got.filter(_._1 == "aa").map(_._2).toSet
+    assert(aa == Set("head", "middle", "tail"),
+      s"distinct-score language must populate all three buckets: $got")
+    assert(got.filter(_._1 == "bb") ==
+      Seq(("bb", "tail", 3L, got.find(_._1 == "bb").get._4,
+        got.find(_._1 == "bb").get._4, 3000000L / (scored.size.toLong))),
+      s"equal-score language must be ALL tail: $got")
+    assert(got.filter(_._1 == "cc").map(_._2) == Seq("tail"))
+    // share conservation: buckets partition the scored corpus
+    assert(got.map(_._3).sum == scored.size.toLong)
+    // real corpus differential
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(runQ179("/root/testdata/sf0.001") ==
+      scalarTertiles(scalarMleScores(real)))
+  }
+
   test("q176 memo identity: rewriting the corpus retrains — the weight memo keys on corpus identity, not the path") {
     val dir = tempDir("q176-memo")
     writeDocs(dir, Seq((0L, "alpha bravo", "en"), (2L, "zulu xray", "fr")))
