@@ -261,22 +261,31 @@ object ScaleOps25 {
     * boundary pass on a profiling sample or approx_percentile, the
     * documented q72/q76 caveat; the exact arm is what the oracle mirrors
     * bit-for-bit), a ≤#langs-row broadcast back, one partial-agg rollup. */
-  def q179LmTertiles(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document tertile assignment — (doc_id, lang, score_fp, bucket)
+    * — shared by q179 (the distribution report) and q180 (the mixing
+    * pass), so the bucket semantics cannot drift between them. */
+  private def tertileAssignments(s: SparkSession, dir: String): DataFrame = {
     val scored = ScaleOps22.mleDocScores(s, dir)
     val langs = t(s, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
     val wl = scored.join(langs, Seq("doc_id"))
-      .select(col("lang"), col("score_fp").cast("double").as("sd"),
-        col("score_fp"))
+      .select(col("doc_id"), col("lang"),
+        col("score_fp").cast("double").as("sd"), col("score_fp"))
     val bounds = wl.groupBy(col("lang"))
       .agg(percentile(col("sd"), typedLit(Seq(1.0 / 3.0, 2.0 / 3.0))).as("bs"))
       .select(col("lang"), col("bs")(0).as("b1"), col("bs")(1).as("b2"))
-    val total = wl.agg(count(lit(1)).as("tt"))
     wl.join(broadcast(bounds), Seq("lang"))
       .withColumn("bucket",
         when(col("sd") > col("b2"), "head")
           .when(col("sd") > col("b1"), "middle")
           .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("score_fp"), col("bucket"))
+  }
+
+  def q179LmTertiles(s: SparkSession, dir: String): DataFrame = {
+    val assigned = tertileAssignments(s, dir)
+    val total = assigned.agg(count(lit(1)).as("tt"))
+    assigned
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("score_fp")).as("min_score_fp"),
@@ -288,12 +297,49 @@ object ScaleOps25 {
       .orderBy(col("lang"), col("bucket"))
   }
 
-  /** Mirror: the shared q167 scoring CTEs + quantile_cont boundaries
-    * (DuckDB's exact percentile shares the two-sided interpolation) and
-    * the same strict bucket comparison. */
-  val q179Sql: String =
-    raw"""WITH ${ScaleOps22.mleScoreCtes}, wl AS (
-      |  SELECT d.lang, CAST(sc.score_fp AS DOUBLE) AS sd, sc.score_fp
+  /** Per-bucket keep rates for q180 — the CCNet disposition: keep the
+    * head, sample the middle, keep a thin audit slice of the tail. */
+  val Q180HeadRate = 1.0
+  val Q180MiddleRate = 0.5
+  val Q180TailRate = 0.1
+
+  /** q180: MIX BY TERTILE — the step after q179's report: apply
+    * deterministic per-bucket keep rates through the portable-hash
+    * sampler ([[graft.pipeline.Packing.mixKeep]]: keep iff
+    * splitBucket(doc_id) < FLOOR(rate·2³²) — floor, not round, and the
+    * SQL mirror restates the same floored constants), then roll up per
+    * (lang, bucket): docs seen, docs kept, kept share at 10⁻⁶ fixed
+    * point. Completes the CCNet loop (score → bucket → mix) as one
+    * oracle-checked composition; the same kept set lands on any engine,
+    * any partitioning, any run — and because the sampler nests
+    * (rate₁ ≤ rate₂ ⇒ keep₁ ⊆ keep₂), tightening a bucket's rate only
+    * ever REMOVES documents.
+    *
+    * Scale shape: q179's chain + one pure-map keep flag + one
+    * partial-agg rollup on ≤ langs×3 groups — the mixing decision never
+    * adds an exchange. */
+  def q180TertileMix(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("bucket") === "head", Q180HeadRate)
+      .when(col("bucket") === "middle", Q180MiddleRate)
+      .otherwise(Q180TailRate)
+    tertileAssignments(s, dir)
+      .withColumn("keep",
+        graft.pipeline.Packing.mixKeep(col("doc_id"), rate))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"))
+      .withColumn("kept_share_fp",
+        expr("CAST(n_kept * 1000000 div n_docs AS BIGINT)"))
+      .select(col("lang"), col("bucket"), col("n_docs"), col("n_kept"),
+        col("kept_share_fp"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** The shared mirror chain ending in `bucketed(doc_id, lang, bucket,
+    * score_fp)` — the SQL twin of [[tertileAssignments]]. */
+  private val tertileCtes: String =
+    raw"""${ScaleOps22.mleScoreCtes}, wl AS (
+      |  SELECT sc.doc_id, d.lang, CAST(sc.score_fp AS DOUBLE) AS sd, sc.score_fp
       |  FROM scored sc JOIN (
       |    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents) d
       |  ON sc.doc_id = d.doc_id
@@ -301,19 +347,46 @@ object ScaleOps25 {
       |  SELECT lang, quantile_cont(sd, 1.0/3.0) AS b1,
       |    quantile_cont(sd, 2.0/3.0) AS b2
       |  FROM wl GROUP BY lang
-      |), total AS (
-      |  SELECT COUNT(*) AS tt FROM wl
       |), bucketed AS (
-      |  SELECT wl.lang,
+      |  SELECT wl.doc_id, wl.lang,
       |    CASE WHEN sd > b2 THEN 'head'
       |         WHEN sd > b1 THEN 'middle' ELSE 'tail' END AS bucket,
       |    score_fp
       |  FROM wl JOIN bounds ON wl.lang = bounds.lang
+      |)""".stripMargin
+
+  /** Mirror: the shared q167 scoring CTEs + quantile_cont boundaries
+    * (DuckDB's exact percentile shares the two-sided interpolation) and
+    * the same strict bucket comparison. */
+  val q179Sql: String =
+    raw"""WITH $tertileCtes, total AS (
+      |  SELECT COUNT(*) AS tt FROM bucketed
       |)
       |SELECT lang, bucket, COUNT(*) AS n_docs,
       |  MIN(score_fp) AS min_score_fp, MAX(score_fp) AS max_score_fp,
       |  CAST(COUNT(*) * 1000000 // (SELECT tt FROM total) AS BIGINT) AS share_fp
       |FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+
+  /** Mirror: the shared bucket chain + the q51 portable-hash restatement
+    * (the q63 mirror's arithmetic) against the same FLOORED rate
+    * constants Spark's mixKeep computes. */
+  val q180Sql: String = {
+    def floorRate(r: Double): Long = (r * 4294967296.0).toLong
+    raw"""WITH $tertileCtes, kept AS (
+      |  SELECT lang, bucket,
+      |    CASE WHEN (((((doc_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+      |               + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296
+      |         < CASE bucket WHEN 'head' THEN ${floorRate(Q180HeadRate)}
+      |                       WHEN 'middle' THEN ${floorRate(Q180MiddleRate)}
+      |                       ELSE ${floorRate(Q180TailRate)} END
+      |         THEN 1 ELSE 0 END AS keep
+      |  FROM bucketed
+      |)
+      |SELECT lang, bucket, COUNT(*) AS n_docs,
+      |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+      |  CAST(SUM(keep) * 1000000 // COUNT(*) AS BIGINT) AS kept_share_fp
+      |FROM kept GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+  }
 
   // --- DuckDB mirrors ---------------------------------------------------
   //

@@ -404,6 +404,67 @@ class ScaleOps25Spec extends GraftSuite {
       scalarTertiles(scalarMleScores(real)))
   }
 
+  // --- q180: mix by tertile -------------------------------------------------
+
+  test("q180 scalar law: per-bucket keep = portable hash < FLOOR(rate*2^32) (floor, not round — pinned on the 0.1 constant); head keeps EVERYTHING; the kept set nests under rate tightening; re-derives at sf0.001") {
+    // the floor pin: 0.1 * 2^32 = 429496729.6 — floor 429496729, round
+    // would be ...730; one doc whose bucket lands exactly on 429496729
+    // would split the engines if either side rounded
+    assert((0.1 * 4294967296.0).toLong == 429496729L)
+    def splitBucketScalar(id: Long): Long = {
+      val a = 2654435761L
+      val id32 = java.lang.Math.floorMod(id, 4294967296L)
+      val hi = id32 >> 16; val lo = id32 % 65536L
+      java.lang.Math.floorMod((hi * a % 65536L) * 65536L + lo * a, 4294967296L)
+    }
+    val rates = Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1)
+    def scalarMix(rows: Seq[(Long, String, String)])
+        : Seq[(String, String, Long, Long, Long)] = {
+      val scored = scalarMleScores(rows)
+      // per-doc buckets from the q179 scalar machinery
+      val buckets = scored.groupBy(_._2).toSeq.flatMap { case (lang, g) =>
+        val ds = g.map(_._3.toDouble)
+        val (b1, b2) = (pct2(ds, 1.0 / 3.0), pct2(ds, 2.0 / 3.0))
+        g.map { r =>
+          val b = if (r._3.toDouble > b2) "head"
+                  else if (r._3.toDouble > b1) "middle" else "tail"
+          (r._1, lang, b)
+        }
+      }
+      buckets.groupBy(r => (r._2, r._3)).toSeq.sortBy(_._1)
+        .map { case ((lang, b), g) =>
+          val kept = g.count(r =>
+            splitBucketScalar(r._1) < (rates(b) * 4294967296.0).toLong)
+          (lang, b, g.size.toLong, kept.toLong,
+            kept.toLong * 1000000L / g.size)
+        }
+    }
+    def run(d: String) = graft.ops.ScaleOps25.q180TertileMix(spark, d)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[String]("bucket"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("kept_share_fp"))).toSeq
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val got = run("/root/testdata/sf0.001")
+    assert(got == scalarMix(real))
+    // the head law: rate 1.0 keeps every document, bit-for-bit
+    val heads = got.filter(_._2 == "head")
+    assert(heads.nonEmpty)
+    heads.foreach { h => assert(h._4 == h._3 && h._5 == 1000000L,
+      s"head must keep everything: $h") }
+    // sampling actually bites somewhere (tail rate 0.1 over real corpora)
+    assert(got.filter(_._2 == "tail").exists(t => t._4 < t._3))
+    // nesting law on the scalar model: every tail-kept doc would also be
+    // kept at the middle rate (rate1 <= rate2 => keep1 subset of keep2)
+    val tailThr = (0.1 * 4294967296.0).toLong
+    val midThr = (0.5 * 4294967296.0).toLong
+    real.foreach { case (id, _, _) =>
+      if (splitBucketScalar(id) < tailThr)
+        assert(splitBucketScalar(id) < midThr)
+    }
+  }
+
   test("q176 memo identity: rewriting the corpus retrains — the weight memo keys on corpus identity, not the path") {
     val dir = tempDir("q176-memo")
     writeDocs(dir, Seq((0L, "alpha bravo", "en"), (2L, "zulu xray", "fr")))
