@@ -115,7 +115,9 @@ object FingerprintIndex {
     val hp = new org.apache.hadoop.fs.Path(s"$path/hashes")
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(): Map[String, org.apache.hadoop.fs.Path] =
-      fs.listStatus(hp).filterNot(_.getPath.getName.startsWith("_"))
+      fs.listStatus(hp).filterNot(st =>
+          st.getPath.getName.startsWith("_") ||
+            st.getPath.getName.startsWith("."))
         .map(st => st.getPath.getName -> st.getPath).toMap
     val before = dataFiles()
     novel.write.mode("append").parquet(s"$path/hashes")

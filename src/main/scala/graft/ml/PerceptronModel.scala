@@ -32,7 +32,7 @@ object PerceptronModel {
     val sig = graft.ops.Relational.corpusSignature(spark, dir, "documents")
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|$sig".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"/tmp/graft_perceptron/$key"
+    s"${sys.props("java.io.tmpdir")}/graft_perceptron/$key"
   }
 
   /** Persist a trained weight vector. Stamp written LAST. */

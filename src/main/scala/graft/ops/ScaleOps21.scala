@@ -90,11 +90,16 @@ object ScaleOps21 {
     val index =
       try FingerprintIndex.loadIndex(s, path)
       catch {
-        case _: IllegalArgumentException =>
+        case _: IllegalArgumentException |
+            _: org.apache.spark.sql.AnalysisException =>
           // stamps can match the signature while the data files diverged
           // (extra unstamped part files from an out-of-API writer — the
           // q174 torn-append window, hardened here identically): only
-          // the load's stamp-vs-on-disk-count check sees it. Self-heal.
+          // the load's stamp-vs-on-disk-count check sees it. And a
+          // mid-swap compaction death leaves stamps intact with the data
+          // directory gone — that read fails as an AnalysisException
+          // (the q174 catch, matched here so both index arms share the
+          // same terminal-state recovery). Self-heal for both.
           rebuild()
           FingerprintIndex.loadIndex(s, path)
       }

@@ -291,7 +291,10 @@ object ScaleOps25 {
         min(col("score_fp")).as("min_score_fp"),
         max(col("score_fp")).as("max_score_fp"))
       .crossJoin(broadcast(total))
-      .withColumn("share_fp", expr("CAST(n_docs * 1000000 div tt AS BIGINT)"))
+      // ×1e6 through DECIMAL(38) (the q171 discipline): n_docs·10⁶ passes
+      // int64 at >9.2e12 docs — loud under ANSI, but the recurring class
+      .withColumn("share_fp", expr(
+        "CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 div tt AS BIGINT)"))
       .select(col("lang"), col("bucket"), col("n_docs"),
         col("min_score_fp"), col("max_score_fp"), col("share_fp"))
       .orderBy(col("lang"), col("bucket"))
@@ -328,8 +331,10 @@ object ScaleOps25 {
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("keep").cast("long")).as("n_kept"))
+      // same DECIMAL(38) route as q179's share_fp: n_kept ≤ n_docs, so
+      // the ×1e6 product overflows int64 at exactly the same scale
       .withColumn("kept_share_fp",
-        expr("CAST(n_kept * 1000000 div n_docs AS BIGINT)"))
+        expr("CAST(CAST(n_kept AS DECIMAL(38,0)) * 1000000 div n_docs AS BIGINT)"))
       .select(col("lang"), col("bucket"), col("n_docs"), col("n_kept"),
         col("kept_share_fp"))
       .orderBy(col("lang"), col("bucket"))
@@ -364,7 +369,7 @@ object ScaleOps25 {
       |)
       |SELECT lang, bucket, COUNT(*) AS n_docs,
       |  MIN(score_fp) AS min_score_fp, MAX(score_fp) AS max_score_fp,
-      |  CAST(COUNT(*) * 1000000 // (SELECT tt FROM total) AS BIGINT) AS share_fp
+      |  CAST(CAST(COUNT(*) AS HUGEINT) * 1000000 // (SELECT tt FROM total) AS BIGINT) AS share_fp
       |FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
 
   /** Mirror: the shared bucket chain + the q51 portable-hash restatement
@@ -384,7 +389,7 @@ object ScaleOps25 {
       |)
       |SELECT lang, bucket, COUNT(*) AS n_docs,
       |  CAST(SUM(keep) AS BIGINT) AS n_kept,
-      |  CAST(SUM(keep) * 1000000 // COUNT(*) AS BIGINT) AS kept_share_fp
+      |  CAST(CAST(SUM(keep) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS kept_share_fp
       |FROM kept GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
   }
 

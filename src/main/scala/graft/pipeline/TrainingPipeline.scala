@@ -401,8 +401,17 @@ object TrainingPipeline {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("n_tokens"))
         .collect()
-        .map(r => r.getAs[Number]("shard").longValue() ->
-          (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+        .map { r =>
+          // loud-null contract: a shard whose token column is entirely
+          // NULL sums to NULL, which would silently unbox to 0 in the
+          // ledger stats — a balance readout certifying tokens it never
+          // counted. Fail the readout instead.
+          require(!r.isNullAt(r.fieldIndex("n_tokens")),
+            s"writeSharded: shard ${r.getAs[Number]("shard")} has an " +
+              s"all-NULL '$tokenCol' column — refusing a 0-token stat row")
+          r.getAs[Number]("shard").longValue() ->
+            (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))
+        }.toMap
     val tt = BigInt(landed.values.map(_._2).sum)
     val stats = (0L until shards.toLong).map { sh =>
       val (nd, nt) = landed.getOrElse(sh, (0L, 0L))
