@@ -77,6 +77,8 @@ object ScaleStress {
       args.lift(2).map(_.toInt).getOrElse(400000))
     case Some("apnd") => apnd(args.lift(1).getOrElse("/tmp/stress_apnd"),
       args.lift(2).map(_.toInt).getOrElse(100000))
+    case Some("tert") => tert(args.lift(1).getOrElse("/tmp/stress_tert"),
+      args.lift(2).map(_.toInt).getOrElse(4000000))
     case Some("clf") => clf(args.lift(1).getOrElse("/tmp/stress_clf"),
       args.lift(2).map(_.toInt).getOrElse(200000))
     case _ => facts(args.headOption.getOrElse("/tmp/sfbig"))
@@ -326,6 +328,44 @@ object ScaleStress {
     val diff = h.unionByName(w).except(h.intersect(w)).count()
     println(f"PACKSKEW hierarchical ${hierSec}%.2fs rows=$hierRows | " +
       f"windowed ${winSec}%.2fs rows=$winRows | sym_diff=$diff")
+    spark.stop()
+  }
+
+  /** Tertile-boundary route evidence (q179 /
+    * [[graft.ops.ScaleOps25.assignTertiles]], r13 verdict #2): a
+    * 95%-one-language scored corpus — the exact `percentile` arm funnels
+    * the dominant language's per-(value, count) state through ONE
+    * aggregation buffer, the HISTOGRAM arm never holds more than a
+    * constant per group (its exchange carries the value histogram,
+    * ≤ 10⁶+1 rows per language, and its window runs over histogram rows).
+    * Evidence: identical assignments (sym diff 0 — the differential spec's
+    * bit-equality, re-checked at stress scale) and the measured cost of
+    * each arm. Scores are synthesized directly: the boundary pass is what
+    * routes; the scoring chain is shared by both arms and orthogonal. */
+  def tert(base: String, nDocs: Int): Unit = {
+    import graft.ops.ScaleOps25
+    val spark = session()
+    val dir = s"$base/scored"
+    spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(20)) === 19,
+        concat(lit("minor"), pmod(col("id"), lit(8))))
+        .otherwise(lit("dominant")).as("lang"),
+      pmod(col("id") * 7919, lit(1000001L)).as("score_fp"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(dir)
+    val wl = spark.read.parquet(dir)
+    val domRows = wl.filter(col("lang") === "dominant").count()
+    println(f"TERT n=$nDocs dominant_fraction=${domRows.toDouble / nDocs}%.3f")
+    val (exSec, exRows) = timed(spark, 3)(
+      ScaleOps25.assignTertiles(wl, 0L).count())            // exact route
+    val (hiSec, hiRows) = timed(spark, 3)(
+      ScaleOps25.assignTertiles(wl, Long.MaxValue).count()) // histogram route
+    val e = ScaleOps25.assignTertiles(wl, 0L)
+    val h = ScaleOps25.assignTertiles(wl, Long.MaxValue)
+    val diff = e.unionByName(h).except(e.intersect(h)).count()
+    println(f"TERT exact ${exSec}%.2fs rows=$exRows | " +
+      f"histogram ${hiSec}%.2fs rows=$hiRows | sym_diff=$diff")
     spark.stop()
   }
 

@@ -45,10 +45,20 @@ object ScaleOps22 {
     * document (doc_id, n_bigrams, score_fp). Shared by q167 and q179 so
     * the corpus-LM semantics (prefix-total denominators, the DECIMAL(38)
     * fixed point, the integer mean) can never drift between the two. */
-  private[ops] def mleDocScores(s: SparkSession, dir: String): DataFrame = {
-    val docs = Relational.fanOut(t(s, dir, "documents"))
-    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
-      graft.text.TextAnalysis.tokens(col("text")).as("ts"))
+  private[ops] def mleDocScores(s: SparkSession, dir: String): DataFrame =
+    mleDocScoresOf(Relational.fanOut(t(s, dir, "documents")))
+
+  /** [[mleDocScores]] generalized over ANY document frame (r13 verdict
+    * #1: the chain was corpus-table-bound, so the composed pipeline
+    * could not reach it) — `docs` carries (`idCol` castable to BIGINT,
+    * `textCol`); returns (doc_id, n_bigrams, score_fp) for every
+    * ≥2-token document. Same exact chain, same scale shape; the caller
+    * owns partitioning (the dir arm wraps the scan in fanOut, the
+    * pipeline passes its checkpointed stage frame). */
+  def mleDocScoresOf(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      graft.text.TextAnalysis.tokens(col(textCol)).as("ts"))
     val docBi = toks
       .filter(size(col("ts")) >= 2)
       .select(col("doc_id"), explode(expr(

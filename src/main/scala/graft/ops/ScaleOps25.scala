@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Relational.t
 
@@ -261,25 +261,143 @@ object ScaleOps25 {
     * boundary pass on a profiling sample or approx_percentile, the
     * documented q72/q76 caveat; the exact arm is what the oracle mirrors
     * bit-for-bit), a ≤#langs-row broadcast back, one partial-agg rollup. */
-  /** Per-document tertile assignment — (doc_id, lang, score_fp, bucket)
-    * — shared by q179 (the distribution report) and q180 (the mixing
-    * pass), so the bucket semantics cannot drift between them. */
-  private def tertileAssignments(s: SparkSession, dir: String): DataFrame = {
-    val scored = ScaleOps22.mleDocScores(s, dir)
-    val langs = t(s, dir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
-    val wl = scored.join(langs, Seq("doc_id"))
-      .select(col("doc_id"), col("lang"),
-        col("score_fp").cast("double").as("sd"), col("score_fp"))
-    val bounds = wl.groupBy(col("lang"))
+  /** Routing bound for the tertile boundary pass: languages whose doc
+    * count exceeds it take the HISTOGRAM arm (r13 verdict #2 — the exact
+    * `percentile` aggregate buffers per-language (value, count) state,
+    * the one surviving value-buffering aggregate on the surface).
+    * Override per session via `graft.tertile.maxLangRows`. Both arms are
+    * boundary-identical (differential spec), so a misroute can cost
+    * time, never a different bucket. */
+  private[graft] val TertileMaxLangRows = 4000000L
+
+  /** Per-(corpus identity) memo of the routing measurement for the dir
+    * arms (the q61/q127/q148 memo discipline). */
+  private val langRowsMemo =
+    scala.collection.concurrent.TrieMap[(String, String), Long]()
+
+  /** Per-language rank-selection table over `(lang, v)` rows — the
+    * shared kernel of the histogram boundary arm and q181: for the
+    * two-sided 1/3 and 2/3 percentile positions pos_p = (n_l − 1)·p,
+    * the EXACT values at the floor and ceil ranks, found from a
+    * per-(lang, value) HISTOGRAM instead of a value-buffering aggregate.
+    *
+    * Output per language: (lang, nl, l1, r1, l2, r2, vl1, vh1, vl2,
+    * vh2) with l_p = the integer floor rank ((n−1)·1 div 3 resp.
+    * (2(n−1)) div 3 — pure integer arithmetic; for p ∈ {1/3, 2/3} the
+    * double product (n−1)·p Spark's percentile floors sits ≥ a half-ulp
+    * margin from the wrong integer, so the two agree everywhere int64
+    * reaches — differentially spec-pinned against `percentile` itself),
+    * r_p = the corresponding remainder mod 3 (r_p > 0 ⇔ interpolation
+    * is needed), and v at rank k = the first histogram value whose
+    * cumulative count exceeds k.
+    *
+    * Scale shape: one (lang, value) partial-agg groupBy — the exchange
+    * carries the HISTOGRAM, bounded by distinct values per language
+    * (≤ 10⁶ + 1 for the fixed-point LM score), never by docs — one
+    * per-language window over histogram rows, one ≤#langs-group rollup.
+    * No aggregation buffer ever holds more than a constant per group. */
+  private[graft] def tertileRankSelect(wl: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = wl.groupBy(col("lang"), col("v")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("nl", sum(col("c")).over(wAll))
+      .withColumn("l1", expr("(nl - 1) div 3"))
+      .withColumn("r1", expr("(nl - 1) % 3"))
+      .withColumn("l2", expr("(2 * (nl - 1)) div 3"))
+      .withColumn("r2", expr("(2 * (nl - 1)) % 3"))
+      .groupBy(col("lang"))
+      .agg(max(col("nl")).as("nl"),
+        max(col("l1")).as("l1"), max(col("r1")).as("r1"),
+        max(col("l2")).as("l2"), max(col("r2")).as("r2"),
+        min(when(col("cum") > col("l1"), col("v"))).as("vl1"),
+        min(when(col("cum") > col("l1") + least(col("r1"), lit(1L)), col("v")))
+          .as("vh1"),
+        min(when(col("cum") > col("l2"), col("v"))).as("vl2"),
+        min(when(col("cum") > col("l2") + least(col("r2"), lit(1L)), col("v")))
+          .as("vh2"))
+  }
+
+  /** The EXACT boundary arm — Spark's two-sided interpolated
+    * `percentile` per language: the oracle-mirrored form (DuckDB's
+    * quantile_cont shares the interpolation), value-buffering per
+    * language, which is why routing exists. `wl` carries (lang, sd). */
+  private def tertileBoundsExact(wl: DataFrame): DataFrame =
+    wl.groupBy(col("lang"))
       .agg(percentile(col("sd"), typedLit(Seq(1.0 / 3.0, 2.0 / 3.0))).as("bs"))
       .select(col("lang"), col("bs")(0).as("b1"), col("bs")(1).as("b2"))
+
+  /** The SCALE boundary arm (r13 verdict #2): the same (b1, b2) doubles
+    * from [[tertileRankSelect]]'s histogram, restated through EXACTLY
+    * the double arithmetic Spark's `Percentile.getPercentile` runs —
+    * position = (n−1 as double)·p, result = lowerValue when the two
+    * rank values coincide (the early return that skips interpolation —
+    * load-bearing for bit-equality: (1−g)·v + g·v can be an ulp off v),
+    * else (ceilRank − position)·lowerValue + (position − floorRank)·
+    * higherValue with the rank operands as integers promoted to double.
+    * Differentially pinned bit-equal to [[tertileBoundsExact]], so the
+    * route can never change a bucket. */
+  private[graft] def tertileBoundsHistogram(wl: DataFrame): DataFrame = {
+    def interp(vl: Column, vh: Column, l: Column, pos: Column): Column =
+      when(vl === vh, vl.cast("double")).otherwise(
+        (l.cast("double") + 1.0d - pos) * vl.cast("double")
+          + (pos - l.cast("double")) * vh.cast("double"))
+    val sel = tertileRankSelect(
+      wl.select(col("lang"), col("score_fp").as("v")))
+    val pos1 = (col("nl") - 1).cast("double") * lit(1.0 / 3.0)
+    val pos2 = (col("nl") - 1).cast("double") * lit(2.0 / 3.0)
+    sel.select(col("lang"),
+      interp(col("vl1"), col("vh1"), col("l1"), pos1).as("b1"),
+      interp(col("vl2"), col("vh2"), col("l2"), pos2).as("b2"))
+  }
+
+  /** Tertile assignment over ANY scored frame (r13 verdict #1 widened
+    * this from the private dir-bound form so the composed pipeline can
+    * reach it): `scored` carries (doc_id, lang, score_fp); returns
+    * (doc_id, lang, score_fp, bucket) with the q179 strict-boundary
+    * semantics. ROUTED on the caller-measured largest per-language row
+    * count: exact `percentile` under [[TertileMaxLangRows]], the
+    * histogram arm above it — both arms produce bit-identical
+    * boundaries (differential spec), so routing is invisible to every
+    * bucket. The measurement is an upper bound; callers may pass any
+    * bound they already know (the q166 measured-routing contract). */
+  def assignTertiles(scored: DataFrame, largestLangRows: Long): DataFrame = {
+    val wl = scored.select(col("doc_id"), col("lang"),
+      col("score_fp").cast("double").as("sd"), col("score_fp"))
+    val bound = wl.sparkSession.conf
+      .getOption("graft.tertile.maxLangRows").map(_.toLong)
+      .getOrElse(TertileMaxLangRows)
+    val bounds =
+      if (largestLangRows <= bound) tertileBoundsExact(wl)
+      else tertileBoundsHistogram(wl)
     wl.join(broadcast(bounds), Seq("lang"))
       .withColumn("bucket",
         when(col("sd") > col("b2"), "head")
           .when(col("sd") > col("b1"), "middle")
           .otherwise("tail"))
       .select(col("doc_id"), col("lang"), col("score_fp"), col("bucket"))
+  }
+
+  /** Per-document tertile assignment — (doc_id, lang, score_fp, bucket)
+    * — shared by q179 (the distribution report) and q180 (the mixing
+    * pass), so the bucket semantics cannot drift between them. The
+    * routing bound is measured on the RAW documents table (scored docs
+    * ⊆ docs per language, so the per-language doc count is a valid
+    * upper bound that costs one cheap scan, not the scoring chain) and
+    * memoized per corpus identity. */
+  private def tertileAssignments(s: SparkSession, dir: String): DataFrame = {
+    val scored = ScaleOps22.mleDocScores(s, dir)
+    val langs = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+    val bound = langRowsMemo.getOrElseUpdate(
+      (dir, Relational.corpusSignature(s, dir, "documents")),
+      graft.pipeline.Packing.largestGroupRows(
+        t(s, dir, "documents").select(col("lang")), "lang"))
+    assignTertiles(scored.join(langs, Seq("doc_id")), bound)
   }
 
   def q179LmTertiles(s: SparkSession, dir: String): DataFrame = {

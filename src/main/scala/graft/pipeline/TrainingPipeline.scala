@@ -77,6 +77,30 @@ object TrainingPipeline {
         * predicate. Adds a `learned_gate` ledger stage. Off by default. */
       learnedGate: Boolean = false,
       learnedGateMinScore: Long = 0L,
+      /** Optional CCNet LM-TERTILE MIX (r13 verdict #1 — the composed
+        * score → bucket → mix loop as a pipeline stage; until now the
+        * pieces were only reachable as the q179/q180 oracle arms):
+        * after the learned gate and before decontamination, score the
+        * surviving corpus with the shared corpus-LM chain
+        * ([[graft.ops.ScaleOps22.mleDocScoresOf]] — the exact q167
+        * fixed-point semantics, the corpus itself as training text),
+        * bucket each document into head/middle/tail within its
+        * PREDICTED language ([[graft.ops.ScaleOps25.assignTertiles]] —
+        * the routed boundary pass: exact percentile under the measured
+        * per-language bound, the histogram arm above it, boundary-
+        * identical either way), and keep each bucket at its
+        * (head, middle, tail) rate through the portable-hash sampler
+        * ([[Packing.mixKeep]] — the q180 disposition: FLOOR(rate·2³²),
+        * so the same documents survive on any engine, any partitioning,
+        * any run, and tightening a rate only ever REMOVES documents).
+        * Documents the scorer cannot score (fewer than two non-empty
+        * tokens — no bigram evidence) take the TAIL rate: the audit
+        * slice is where evidence-free documents belong, the learned
+        * gate's "a model cannot vouch for a doc it has no evidence
+        * about" applied to the LM. Adds an `lm_mix` ledger stage.
+        * Runs BEFORE the expensive shingle machinery for the same
+        * reason the learned gate does. */
+      lmTertileMix: Option[(Double, Double, Double)] = None,
       reliableCheckpoints: Boolean = false,
       /** Build the near-dup PAIR GRAPH once and share it between the
         * curation drop and the split's cluster formation, instead of
@@ -240,19 +264,55 @@ object TrainingPipeline {
       }
     val nGated = if (gated eq curated) nCurated else stages.last.rowsOut
 
+    // 1.6 LM-tertile mix (cfg.lmTertileMix): the CCNet disposition as a
+    //     stage — score with the shared corpus-LM chain, bucket per
+    //     predicted language through the ROUTED boundary pass, keep per
+    //     bucket through the portable-hash sampler. Unscored (<2-token)
+    //     docs take the tail rate. Exact integers + hash sampling: a
+    //     rerun gates the same set bit-for-bit.
+    t0 = System.currentTimeMillis()
+    val lmMixed: DataFrame = cfg.lmTertileMix match {
+      case None => gated
+      case Some((headRate, middleRate, tailRate)) =>
+        val wl = graft.ops.ScaleOps22.mleDocScoresOf(gated, idCol, textCol)
+          .join(gated.select(col(idCol).cast("long").as("doc_id"),
+            col("lang_pred").as("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("score_fp"))
+        // routing bound: per-language doc count of the (checkpointed)
+        // gated corpus — a cheap upper bound on scored docs per language
+        val assigned = graft.ops.ScaleOps25.assignTertiles(wl,
+          Packing.largestGroupRows(
+            gated.select(col("lang_pred").as("lang")), "lang"))
+        val g = ckpt(gated
+          .join(assigned.select(col("doc_id").as("__mid"), col("bucket")),
+            col(idCol).cast("long") === col("__mid"), "left")
+          .withColumn("__bkt", coalesce(col("bucket"), lit("tail")))
+          .withColumn("__rate",
+            when(col("__bkt") === "head", headRate)
+              .when(col("__bkt") === "middle", middleRate)
+              .otherwise(tailRate))
+          .filter(Packing.mixKeep(col(idCol).cast("long"), col("__rate")))
+          .drop("__mid", "bucket", "__bkt", "__rate"))
+        val n = g.count()
+        free(gated)
+        record("lm_mix", nGated, n, t0)
+        g
+    }
+    val nLm = if (lmMixed eq gated) nGated else stages.last.rowsOut
+
     // 2. decontamination (q58): drop train docs leaking test content
     t0 = System.currentTimeMillis()
     val decontaminated = test match {
-      case None => gated
+      case None => lmMixed
       case Some(te) =>
-        val d = ckpt(Dedup.decontaminate(gated, te, idCol, textCol,
+        val d = ckpt(Dedup.decontaminate(lmMixed, te, idCol, textCol,
           cfg.decontShingleK, cfg.decontThreshold))
         Dedup.freeCandidateCaches(spark)
         d
     }
     val nDecont = decontaminated.count()
-    if (test.isDefined) free(gated)
-    record("decontamination", nGated, nDecont, t0)
+    if (test.isDefined) free(lmMixed)
+    record("decontamination", nLm, nDecont, t0)
 
     // 3. mixing (q62): deterministic per-source keep rates — a pure map
     t0 = System.currentTimeMillis()
@@ -376,23 +436,53 @@ object TrainingPipeline {
     * Scale shape: one pure-map shard assignment, ONE exchange on the
     * shard id, one task-local sort per shard, one read-back partial agg
     * (≤shards groups). At 100 TB the per-shard file is the unit a
-    * training loader streams; shards ≫ 64 is one parameter, same plan. */
+    * training loader streams; shards ≫ 64 is one parameter, same plan.
+    *
+    * `filesPerShard` (r13 verdict #4 — the scale-free file contract):
+    * at the default 1, each shard is ONE task and ONE file (~1.5 TB per
+    * file at 100 TB/64 shards — honest but tunable only by changing the
+    * release's shard layout). At F > 1 each shard splits into F leaf
+    * directories `shard=N/file=M` with file = the NEXT portable-hash
+    * bits up ((bucket div shards) mod F — a pure function of the doc id,
+    * oracle-checked as q182), each leaf holding exactly one data file
+    * sorted by id. Raising F never moves a document across SHARDS (the
+    * shard bits are untouched), so the shard-level stats, ledger rows,
+    * and a consumer's shard→worker assignment are F-invariant; the unit
+    * of parallelism becomes shards·F tasks and the byte-stable rerun
+    * contract holds PER LEAF FILE (spec-asserted at F > 1). */
   def writeSharded(spark: SparkSession, packed: DataFrame, outDir: String,
       idCol: String = "doc_id", tokenCol: String = "n_tokens",
       shards: Int = DefaultShards, runId: String = java.util.UUID.randomUUID().toString,
-      ledger: Boolean = true): Seq[ShardStat] = {
+      ledger: Boolean = true, filesPerShard: Int = 1): Seq[ShardStat] = {
     require(shards >= 1, s"writeSharded: shards must be >= 1, got $shards")
+    require(filesPerShard >= 1,
+      s"writeSharded: filesPerShard must be >= 1, got $filesPerShard")
     require(packed.columns.contains(tokenCol),
       s"writeSharded: no '$tokenCol' column in ${packed.columns.toSeq} " +
         "(pass tokenCol = \"n_bpe_tokens\" for a packByBpe corpus)")
     val t0 = System.currentTimeMillis()
     val nIn = packed.count()
-    packed
-      .withColumn("shard",
-        pmod(Relational3.splitBucket(col(idCol)), lit(shards.toLong)))
-      .repartition(shards, col("shard"))
-      .sortWithinPartitions(col("shard"), col(idCol))
-      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    val bucketed = packed
+      .withColumn("__bucket", Relational3.splitBucket(col(idCol)))
+      .withColumn("shard", pmod(col("__bucket"), lit(shards.toLong)))
+    if (filesPerShard == 1)
+      bucketed.drop("__bucket")
+        .repartition(shards, col("shard"))
+        .sortWithinPartitions(col("shard"), col(idCol))
+        .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    else
+      bucketed
+        .withColumn("file",
+          pmod(expr(s"__bucket div $shards"), lit(filesPerShard.toLong)))
+        .drop("__bucket")
+        // all rows of a (shard, file) leaf hash to ONE task, and
+        // partitionBy splits a task's output by leaf directory — so each
+        // leaf holds exactly one data file even when two leaves share a
+        // task, and the within-task sort makes that file's bytes a pure
+        // function of the leaf's row set
+        .repartition(shards * filesPerShard, col("shard"), col("file"))
+        .sortWithinPartitions(col("shard"), col("file"), col(idCol))
+        .write.mode("overwrite").partitionBy("shard", "file").parquet(outDir)
     // an all-empty write leaves no shard dirs to infer a schema from —
     // the readout is all-zeros by definition, not a read failure
     val landed: Map[Long, (Long, Long)] =
@@ -420,6 +510,27 @@ object TrainingPipeline {
         (BigInt(nt) * 1000000 / tt).toLong,
         (BigInt(nt) * shards * 1000000 / tt - 1000000).toLong)
     }
+    // per-shard data-file count from what LANDED (one recursive listing
+    // per shard dir — the FingerprintIndex.indexDataFiles readout applied
+    // to the release layout): the operator-facing signal that the
+    // filesPerShard contract was honored on disk, ledgered per shard
+    val landedFiles: Map[Long, Int] = {
+      val root = new org.apache.hadoop.fs.Path(outDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def countData(p: org.apache.hadoop.fs.Path): Int =
+        fs.listStatus(p).iterator.map { st =>
+          val nm = st.getPath.getName
+          if (nm.startsWith("_") || nm.startsWith(".")) 0
+          else if (st.isDirectory) countData(st.getPath)
+          else 1
+        }.sum
+      if (!fs.exists(root)) Map.empty
+      else fs.listStatus(root).iterator
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+        .map(st => st.getPath.getName.stripPrefix("shard=").toLong ->
+          countData(st.getPath))
+        .toMap
+    }
     if (ledger) {
       val now = System.currentTimeMillis()
       stats.foreach { st =>
@@ -434,7 +545,8 @@ object TrainingPipeline {
           RowsRead = nIn, RowsInserted = st.nDocs, RowsUpdated = 0,
           RowsFailed = 0,
           ErrorMessage = Some(
-            s"n_tokens=${st.nTokens};share_fp=${st.shareFp};skew_ppm=${st.skewPpm}"),
+            s"n_tokens=${st.nTokens};share_fp=${st.shareFp};" +
+              s"skew_ppm=${st.skewPpm};n_files=${landedFiles.getOrElse(st.shard, 0)}"),
           BatchJobID = Some(runId),
           TableMode = "shard", TransactionMode = "strict"))
       }
