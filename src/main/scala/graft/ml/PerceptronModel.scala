@@ -35,15 +35,38 @@ object PerceptronModel {
     s"${sys.props("java.io.tmpdir")}/graft_perceptron/$key"
   }
 
-  /** Persist a trained weight vector. Stamp written LAST. */
+  /** Persist a trained weight vector — SIDE-WRITE-THEN-SWAP (r13 verdict
+    * #6: the earlier in-place overwrite left a window where a reader
+    * racing a retrain saw a half-rewritten table; correct — stamp ≠ rows
+    * refuses loudly — but the `FingerprintIndex.compactIndex` discipline
+    * closes even that window for free): the new table lands BESIDE the
+    * live one, is validated from what LANDED (row-for-row against the
+    * in-memory weights — B+1 rows, driver-cheap), and only then swaps in
+    * via delete + rename. A reader races either the old complete table,
+    * the new complete table, or — in the delete→rename window only — a
+    * missing directory, which [[loadModel]]'s read fails LOUDLY
+    * (AnalysisException), never a torn mix. The `_rows` stamp is written
+    * LAST, as before. Single-writer contract, like the vocab/index. */
   def writeModel(spark: SparkSession, weights: Array[Long], path: String): Unit = {
     require(weights.nonEmpty, "writeModel: refusing to persist an empty model")
     import spark.implicits._
-    weights.zipWithIndex.map { case (w, b) => (b.toLong, w) }.toSeq
-      .toDF("bucket", "weight")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/weights")
+    val side = new org.apache.hadoop.fs.Path(s"$path/weights.swap")
+    weights.zipWithIndex.map { case (w, b) => (b.toLong, w) }.toSeq
+      .toDF("bucket", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(side.toString)
+    val landed = spark.read.parquet(side.toString)
+      .select(col("bucket").cast("long"), col("weight").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(landed.map(_._1).sameElements(weights.indices.map(_.toLong)) &&
+        landed.map(_._2).sameElements(weights),
+      s"writeModel: side copy at $side does not read back as the trained " +
+        "weights — refusing the swap")
+    if (fs.exists(live))
+      require(fs.delete(live, true), s"writeModel: could not remove $live")
+    require(fs.rename(side, live), s"writeModel: could not swap $side into place")
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_rows"), true)
     try out.write(weights.length.toString.getBytes("UTF-8")) finally out.close()
   }

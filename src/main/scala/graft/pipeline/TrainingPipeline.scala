@@ -284,15 +284,16 @@ object TrainingPipeline {
           Packing.largestGroupRows(
             gated.select(col("lang_pred").as("lang")), "lang"))
         val g = ckpt(gated
-          .join(assigned.select(col("doc_id").as("__mid"), col("bucket")),
+          .join(assigned.select(col("doc_id").as("__mid"),
+            col("bucket").as("__mbkt")),
             col(idCol).cast("long") === col("__mid"), "left")
-          .withColumn("__bkt", coalesce(col("bucket"), lit("tail")))
+          .withColumn("__bkt", coalesce(col("__mbkt"), lit("tail")))
           .withColumn("__rate",
             when(col("__bkt") === "head", headRate)
               .when(col("__bkt") === "middle", middleRate)
               .otherwise(tailRate))
           .filter(Packing.mixKeep(col(idCol).cast("long"), col("__rate")))
-          .drop("__mid", "bucket", "__bkt", "__rate"))
+          .drop("__mid", "__mbkt", "__bkt", "__rate"))
         val n = g.count()
         free(gated)
         record("lm_mix", nGated, n, t0)

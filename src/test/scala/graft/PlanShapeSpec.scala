@@ -618,4 +618,32 @@ class PlanShapeSpec extends GraftSuite {
     assert(p177.contains("TakeOrderedAndProject"),
       s"q177's bottom-k must be a distributed TakeOrdered, not a global sort:\n$p177")
   }
+
+  test("q181/q182 + the tertile histogram route: histogram aggs are partial, the boundary table broadcasts back, the shard-file rollup is one partial-agg exchange with no join") {
+    import org.apache.spark.sql.functions.col
+    // q181: the rank-selection chain aggregates partially and never
+    // grows a cartesian/nested-loop join anywhere
+    val p181 = plan(graft.ops.ScaleOps26.q181TertileBoundaries(spark, sf))
+    assert(p181.contains("partial_"), p181)
+    assert(!p181.contains("CartesianProduct") &&
+      !p181.contains("BroadcastNestedLoopJoin"), p181)
+    // the ROUTED assignment on the histogram arm: the ≤#langs boundary
+    // table must BROADCAST back onto the doc stream — a doc-sided
+    // shuffle for the lang join would defeat the arm's purpose
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val wl = graft.ops.ScaleOps22.mleDocScoresOf(docs)
+      .join(docs.select(col("doc_id").cast("long").as("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("score_fp"))
+    val pa = plan(graft.ops.ScaleOps25.assignTertiles(wl, Long.MaxValue))
+    assert(pa.contains("BroadcastHashJoin"), pa)
+    assert(!pa.contains("CartesianProduct"), pa)
+    // q182: pure-map assignment + ONE partial-agg exchange on the
+    // (shard, file) cell — no join, and no exchange ever carries text
+    val p182 = plan(graft.ops.ScaleOps26.q182ShardFiles(spark, sf))
+    assert(p182.contains("partial_"), p182)
+    assert(!p182.toLowerCase.contains("join"), p182)
+    p182.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .foreach { l => assert(!l.contains("text"), l) }
+  }
 }

@@ -201,6 +201,34 @@ class ScaleOps16Spec extends GraftSuite {
     } finally spark.conf.unset("graft.snm.maxBlockRows")
   }
 
+  test("q147 drift-bound edge (r13 verdict #5): the extremal corpus shape — one token owning EVERY occurrence at the 10^16 bound — overflows DECIMAL(38) and fails LOUDLY under ANSI, never a silently null-dropped row") {
+    import spark.implicits._
+    // na*nb = 10^16 == the hard default bound -> the EXACT branch runs
+    // (pre-scaling only engages strictly ABOVE it); with one token
+    // holding every half-A occurrence, diff = ca*nb = 10^16 exactly and
+    // diff*diff*10^6 = 10^38 — one past DECIMAL(38)'s ceiling. This is
+    // the single extremal point the q147 Scaladoc argues fails loudly;
+    // the argument is now a red-on-silent-overflow test.
+    val na = 100000000L; val nb = 100000000L
+    val byTok = Seq(("allofit", na, 0L)).toDF("tok", "ca", "cb")
+    val ex = intercept[Throwable] {
+      graft.ops.ScaleOps16.q147DriftScored(byTok, na, nb,
+        maxNaNb = BigInt(10).pow(16)).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(c => c.isInstanceOf[ArithmeticException] ||
+        String.valueOf(c.getMessage).toLowerCase.contains("overflow") ||
+        String.valueOf(c.getMessage).contains("NUMERIC_VALUE_OUT_OF_RANGE")),
+      s"expected a loud ANSI decimal overflow, got: $ex")
+    // one order of magnitude inside the bound, the same extremal shape
+    // computes: diff^2 * 10^6 = 10^34 fits DECIMAL(38) comfortably
+    val ok = graft.ops.ScaleOps16.q147DriftScored(
+      Seq(("allofit", 10000000L, 0L)).toDF("tok", "ca", "cb"),
+      10000000L, 10000000L, BigInt(10).pow(16)).collect()
+    assert(ok.length == 1 && ok.head.getAs[Long]("score_fp") > 0L)
+  }
+
   private def levenshteinScalar(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0

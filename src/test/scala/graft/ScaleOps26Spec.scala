@@ -314,6 +314,37 @@ class ScaleOps26Spec extends GraftSuite {
     }
   }
 
+  // --- PerceptronModel side-write-then-swap (r13 verdict #6) -------------------
+
+  test("writeModel side-write-then-swap: rewrites leave no swap residue, a reader in the delete->rename window refuses loudly, and the next write self-heals (the q176/q178 artifact)") {
+    import graft.ml.PerceptronModel
+    val path = tempDir("model-swap").toString + "/m"
+    val w1 = Array(1L, 2L, 3L)
+    PerceptronModel.writeModel(spark, w1, path)
+    assert(PerceptronModel.loadModel(spark, path).sameElements(w1))
+    assert(!new java.io.File(s"$path/weights.swap").exists,
+      "the side copy must be renamed away, not left behind")
+    // retrain over a LIVE artifact: the swap path, not in-place overwrite
+    val w2 = Array(9L, 8L, -7L)
+    PerceptronModel.writeModel(spark, w2, path)
+    assert(PerceptronModel.loadModel(spark, path).sameElements(w2))
+    assert(!new java.io.File(s"$path/weights.swap").exists)
+    // the mid-swap crash window, simulated exactly: delete succeeded,
+    // rename never ran — stamps intact, data gone; the reader must fail
+    // LOUDLY (the compactIndex terminal state, same recovery)
+    val hp = new org.apache.hadoop.fs.Path(s"$path/weights")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(hp, true))
+    assert(PerceptronModel.modelRows(spark, path) == 3L,
+      "the simulated crash must leave the stamp in place")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      PerceptronModel.loadModel(spark, path)
+    }
+    // self-heal: the next write converges
+    PerceptronModel.writeModel(spark, w2, path)
+    assert(PerceptronModel.loadModel(spark, path).sameElements(w2))
+  }
+
   // --- the pipeline lm_mix stage (r13 verdict #1) ------------------------------
 
   private def pipelineCfg(mix: Option[(Double, Double, Double)])

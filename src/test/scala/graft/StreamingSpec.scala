@@ -796,6 +796,114 @@ class StreamingSpec extends GraftSuite {
     } finally qS.stop()
   }
 
+  test("compaction under rotation: append -> compactIndex between micro-batches is INVISIBLE to the rotating stream (verdicts identical to the uncompacted run, stamps unchanged, file count collapsed)") {
+    import graft.dedup.FingerprintIndex
+    val novel = "c1 c2 c3 c4 c5 c6 c7 c8" // ONE shingle, absent from the base
+    def freshIndex(tag: String): String = {
+      val p = tempDir(tag).toString + "/idx"
+      FingerprintIndex.writeIndex(spark,
+        FingerprintIndex.buildIndex(
+          Seq((100L, "h1 h2 h3 h4 h5 h6 h7 h8 h9")).toDF("doc_id", "text"),
+          "doc_id", "text"), p)
+      p
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    def land(in: java.nio.file.Path, id: Long): Unit =
+      Seq((id, novel)).toDF("doc_id", "text")
+        .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
+        .write.mode("append").parquet(in.toString)
+    def rotate(idxPath: String): Unit =
+      FingerprintIndex.appendIndex(spark,
+        FingerprintIndex.shingleHashes(
+          Seq((200L, novel)).toDF("doc_id", "text"), "doc_id", "text")
+          .select("h"),
+        idxPath)
+    // two identical streams over identical inputs; one index compacts
+    // mid-stream, the other does not — the verdicts must be identical
+    def run(tag: String, compact: Boolean): (Map[Long, (Long, Boolean)], Int) = {
+      val idx = freshIndex(tag)
+      val in = tempDir(s"$tag-in"); val out = tempDir(s"$tag-out")
+      land(in, 1L)
+      val q = Streaming.incrementalDedupRotatingStream(
+        spark.readStream.schema(schema).parquet(in.toString),
+        "doc_id", "text", idx, out.toString, tempDir(s"$tag-ckpt").toString)
+      try {
+        q.processAllAvailable()
+        rotate(idx)
+        val (rowsBefore, xorBefore) =
+          (FingerprintIndex.indexRows(spark, idx),
+            FingerprintIndex.indexXor(spark, idx))
+        if (compact) {
+          FingerprintIndex.compactIndex(spark, idx, targetFiles = 1)
+          // compaction is stamp-invariant BY CONTRACT — pin it here, on
+          // the live rotating path
+          assert(FingerprintIndex.indexRows(spark, idx) == rowsBefore &&
+            FingerprintIndex.indexXor(spark, idx) == xorBefore,
+            "compactIndex changed the stamps")
+        }
+        land(in, 2L)
+        q.processAllAvailable()
+        (spark.read.parquet(out.toString)
+          .select("doc_id", "n_hist_dup", "quarantined")
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+          .toMap,
+          FingerprintIndex.indexDataFiles(spark, idx))
+      } finally q.stop()
+    }
+    val (gotC, filesC) = run("fp-cmp-c", compact = true)
+    val (gotU, filesU) = run("fp-cmp-u", compact = false)
+    assert(gotC == gotU,
+      s"mid-stream compaction changed a verdict: compacted $gotC vs $gotU")
+    assert(gotC(1L) == ((0L, false)) && gotC(2L) == ((1L, true)),
+      s"rotation semantics must hold under compaction too: $gotC")
+    // the compaction actually did something: the append's extra part
+    // files collapsed to the target on the compacted side only
+    assert(filesC == 1 && filesU > 1,
+      s"expected compacted=1 < uncompacted=$filesU data files")
+  }
+
+  test("torn mid-swap compaction: stamps intact but the data directory gone — the rotating stream's next micro-batch refuses LOUDLY via loadIndex, never a silent wrong verdict") {
+    import graft.dedup.FingerprintIndex
+    val idx = tempDir("fp-torn-cmp").toString + "/idx"
+    FingerprintIndex.writeIndex(spark,
+      FingerprintIndex.buildIndex(
+        Seq((100L, "t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text"),
+        "doc_id", "text"), idx)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    val in = tempDir("fp-torn-cmp-in"); val out = tempDir("fp-torn-cmp-out")
+    def land(id: Long): Unit =
+      Seq((id, "t1 t2 t3 t4 t5 t6 t7 t8")).toDF("doc_id", "text")
+        .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
+        .write.mode("append").parquet(in.toString)
+    land(1L)
+    val q = Streaming.incrementalDedupRotatingStream(
+      spark.readStream.schema(schema).parquet(in.toString),
+      "doc_id", "text", idx, out.toString, tempDir("fp-torn-cmp-ckpt").toString)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(out.toString).count() == 1L)
+      // the compactIndex mid-swap crash window, simulated exactly: the
+      // delete succeeded, the rename never ran — stamps intact, no data
+      val hp = new org.apache.hadoop.fs.Path(s"$idx/hashes")
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.delete(hp, true))
+      assert(FingerprintIndex.indexRows(spark, idx) > 0L,
+        "the simulated crash must leave the stamps in place")
+      land(2L)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      // and nothing was emitted for the batch that hit the torn artifact
+      assert(spark.read.parquet(out.toString)
+        .filter($"doc_id" === 2L).count() == 0L,
+        "a verdict landed from a micro-batch whose index load failed")
+    } finally q.stop()
+  }
+
   test("model rotation mid-stream: a RETRAINED perceptron written between micro-batches scores the next batch; stream == batch kernel; a torn model refuses loudly") {
     import graft.ml.PerceptronModel
     val modelPath = tempDir("clf-rot").toString + "/model"
