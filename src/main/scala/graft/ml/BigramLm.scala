@@ -1,0 +1,130 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted add-k bigram language model — the FOURTH stamped artifact
+  * (after the BPE vocab, the fingerprint index, and the perceptron
+  * weights), and the one CCNet actually ships: the reference-corpus LM
+  * is trained once and every curation run SCORES against it; retraining
+  * per consumer would repay the reference scan that dwarfs any single
+  * batch. Ref behavior class: the reference pipeline's persisted,
+  * validated state advancing between runs (`file-to-sql-loader.py:162-291`).
+  *
+  * Contents: the bigram count table `pairs/` (w1, w2, cxy) as parquet —
+  * a DISTRIBUTED artifact like the fingerprint index (vocab²-bounded,
+  * which at 100 TB is far too large to pass through a driver), plus the
+  * `_v` vocabulary-size meta (distinct non-empty training tokens —
+  * needed for the add-k denominator and NOT derivable from the pairs:
+  * a token that only ever appears in single-token documents is in V but
+  * in no bigram). Context totals ctx(w1) = Σ_w2 cxy are DERIVED on load
+  * by one vocab-sized rollup — exact by construction, so they are never
+  * stored (a stored copy could only drift).
+  *
+  * Write discipline: SIDE-WRITE-THEN-SWAP (the compactIndex /
+  * writeModel discipline) — the table lands beside the live one, its
+  * (count, xor-of-row-hash) is re-derived from what LANDED, then
+  * delete + rename, then `_v`, then `_xor`, then `_rows` LAST. A
+  * reader races old-complete, new-complete, or a loud missing
+  * directory; a writer dying after the swap but before the stamps
+  * leaves stamp ≠ count, which [[loadLm]] refuses loudly. The row hash
+  * is xxhash64(w1, w2, cxy) — Spark-side only (the cross-engine oracle
+  * re-derives the MODEL from scratch; the stamp never crosses engines),
+  * order-independent under xor, so the signature is insensitive to
+  * partitioning and write order. Single-writer contract. */
+object BigramLm {
+
+  /** Persist a trained model: `pairs` carries exactly (w1, w2, cxy);
+    * `v` is the training vocabulary size. Returns the stamped row
+    * count. An EMPTY model (no bigrams) is refused like the empty
+    * fingerprint index — there is nothing to score with, and callers'
+    * guard (V ≥ 1, pairs ≥ 1) should route around persistence. */
+  def writeLm(spark: SparkSession, pairs: DataFrame, v: Long, path: String): Long = {
+    require(pairs.columns.toSeq == Seq("w1", "w2", "cxy"),
+      s"writeLm: expected (w1, w2, cxy), got ${pairs.columns.toSeq}")
+    require(v >= 1, s"writeLm: vocabulary size must be >= 1, got $v")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/pairs")
+    val side = new org.apache.hadoop.fs.Path(s"$path/pairs.swap")
+    pairs.write.mode("overwrite").parquet(side.toString)
+    val landed = spark.read.parquet(side.toString)
+      .agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(w1, w2, cxy))"), lit(0L)).as("x"))
+      .head()
+    val n = landed.getLong(0); val x = landed.getLong(1)
+    require(n > 0, s"writeLm: refusing to stamp an empty model at $path")
+    if (fs.exists(live))
+      require(fs.delete(live, true), s"writeLm: could not remove $live")
+    require(fs.rename(side, live), s"writeLm: could not swap $side into place")
+    writeMeta(spark, path, "_v", v.toString)
+    writeMeta(spark, path, "_xor", x.toString)
+    writeMeta(spark, path, "_rows", n.toString)
+    n
+  }
+
+  /** Stamped pair-row count; -1 if never stamped or torn garbage (the
+    * vocab/index tolerant contract — the caller's rebuild branch is the
+    * right response to both). */
+  def lmRows(spark: SparkSession, path: String): Long =
+    readMeta(spark, path, "_rows").getOrElse(-1L)
+
+  /** Stamped content signature; None if absent or torn. */
+  def lmXor(spark: SparkSession, path: String): Option[Long] =
+    readMeta(spark, path, "_xor")
+
+  /** Stamped vocabulary size; None if absent or torn. */
+  def lmV(spark: SparkSession, path: String): Option[Long] =
+    readMeta(spark, path, "_v")
+
+  /** Reopen a persisted model, VALIDATED: (w1, w2, cxy) schema, stamp ==
+    * on-disk row count (metadata-cheap), `_v` present and ≥ 1. Returns
+    * the DISTRIBUTED pair table plus V — never collected; the derived
+    * context rollup stays a lazy plan the scorer's join consumes. */
+  def loadLm(spark: SparkSession, path: String): (DataFrame, Long) = {
+    val df = spark.read.parquet(s"$path/pairs")
+    require(df.columns.toSeq == Seq("w1", "w2", "cxy"),
+      s"bigram loadLm: unexpected schema ${df.schema.simpleString} at $path")
+    val v = lmV(spark, path).getOrElse(
+      sys.error(s"bigram loadLm: no _v stamp at $path — torn write; retrain"))
+    require(v >= 1, s"bigram loadLm: stamped vocabulary $v < 1 at $path")
+    val stamped = lmRows(spark, path)
+    val n = df.count()
+    require(stamped == n,
+      s"bigram loadLm: stamp $stamped != $n rows at $path — torn write or " +
+        "out-of-API mutation; retrain")
+    (df, v)
+  }
+
+  // --- stamp plumbing (the FingerprintIndex shape) ---------------------------
+
+  private def writeMeta(spark: SparkSession, path: String, name: String,
+      value: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, path: String,
+      name: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        var total = 0
+        var n = in.read(buf, total, buf.length - total)
+        while (n > 0 && total + n < buf.length) {
+          total += n
+          n = in.read(buf, total, buf.length - total)
+        }
+        if (n > 0) total += n
+        val s = new String(buf, 0, total, "UTF-8").trim
+        try Some(s.toLong) catch { case _: NumberFormatException => None }
+      } finally in.close()
+    }
+  }
+}

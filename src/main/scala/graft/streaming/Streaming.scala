@@ -235,6 +235,43 @@ object Streaming {
       }
       .start()
 
+  /** LM-ROTATION-AWARE streaming document scoring — the continuous form
+    * of the q183 reference-LM scorer: score each arriving document
+    * against the PERSISTED bigram LM ([[graft.ml.BigramLm]] — the
+    * fourth stamped artifact), reopening the model per micro-batch
+    * inside `foreachBatch` (the [[incrementalDedupRotatingStream]] /
+    * [[classifierScoreStream]] discipline) so a RETRAINED reference
+    * model written mid-stream — side-write-then-swap, stamps last — is
+    * live in the next micro-batch, and a torn artifact refuses loudly
+    * instead of scoring with garbage. Scoring goes through the BATCH
+    * kernel ([[graft.ops.ScaleOps27.scoreDocsWithLm]]), so stream and
+    * batch scores cannot drift by construction.
+    *
+    * State shape: NONE — a document's bigrams all ride in its one input
+    * row, the per-doc rollup completes within the micro-batch, the
+    * emission is final. Per micro-batch cost: one validated LM load
+    * (metadata counts; the pair table itself stays a distributed lazy
+    * scan the two model joins consume), two co-partitioned token-sized
+    * joins, one batch-sized rollup, one parquet append. foreachBatch is
+    * at-least-once — replays re-score idempotently under whatever model
+    * is then current; exactly-once sinks dedup on (batch_id, doc id)
+    * downstream, which is why the batch id is emitted as a column. */
+  def lmScoreStream(docs: DataFrame, idCol: String, textCol: String,
+      lmPath: String, outPath: String, ckptPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", ckptPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val (pairs, v) = graft.ml.BigramLm.loadLm(spark, lmPath)
+        graft.ops.ScaleOps27.scoreDocsWithLm(batch.toDF(), idCol, textCol,
+            pairs, v)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+
   /** Continuous corpus curation — the streaming form of
     * `pipeline.Curation.curate`: exact content dedup becomes
     * watermark-bounded dropDuplicatesWithinWatermark on the md5 (state

@@ -1,0 +1,233 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Batch-27 ground truth: an INDEPENDENT scalar add-k reference-LM
+  * (BigInt fixed point, plain Maps) for q183/q185, and the q184 /
+  * [[graft.ml.BigramLm]] artifact lifecycle — warm loads, tamper/torn
+  * self-heal, swap hygiene. */
+class ScaleOps27Spec extends GraftSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def writeDocs(dir: java.nio.file.Path,
+      rows: Seq[(Long, String, String)]): Unit =
+    rows.map { case (id, txt, lang) => (id, txt, lang, "src0", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  // --- the independent scalar model ------------------------------------
+
+  private val K = 10000L // ScaleOps24.Q175KFp, restated
+
+  private def toksOf(t: String): Seq[String] =
+    t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  /** (id, lang, n_bigrams, n_oov, score_fp) for every ≥2-token doc,
+    * scored against the lang='en' reference slice — from the documented
+    * definitions only. Nil when the reference has no tokens. */
+  private def scalarRefScores(rows: Seq[(Long, String, String)])
+      : Seq[(Long, String, Long, Long, Long)] = {
+    val ref = rows.filter(_._3 == "en")
+    val refBi = ref.flatMap { case (_, t, _) =>
+      val ts = toksOf(t)
+      if (ts.length < 2) Nil else ts.sliding(2).map(p => (p(0), p(1))).toSeq
+    }
+    val cxy = refBi.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cx = refBi.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val v = ref.flatMap(r => toksOf(r._2)).distinct.size.toLong
+    if (v == 0) return Nil
+    rows.flatMap { case (id, t, lang) =>
+      val ts = toksOf(t)
+      if (ts.length < 2) None
+      else {
+        val bs = ts.sliding(2).map(p => (p(0), p(1))).toSeq
+        val ps = bs.map { b =>
+          val c = cxy.getOrElse(b, 0L); val cxv = cx.getOrElse(b._1, 0L)
+          (BigInt(c) * 1000000 + K) * 1000000 / (BigInt(cxv) * 1000000 + K * v)
+        }
+        Some((id, lang, bs.size.toLong,
+          bs.count(b => !cxy.contains(b)).toLong,
+          (ps.sum / ps.size).toLong))
+      }
+    }
+  }
+
+  private def runQ183(dir: String): Seq[(Long, String, Long, Long, Long)] =
+    graft.ops.ScaleOps27.q183RefLmScore(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_oov"),
+        r.getAs[Long]("score_fp"))).toSeq
+
+  private def bottomK(scored: Seq[(Long, String, Long, Long, Long)])
+      : Seq[(Long, String, Long, Long, Long)] =
+    scored.sortBy(r => (r._5, r._1)).take(graft.ops.ScaleOps27.Q183BottomK)
+
+  // --- q183 -------------------------------------------------------------
+
+  test("q183 scalar law: reference docs carry ZERO OOV, fully-unseen text scores the uniform prior 10^6/V exactly, seen-context misses pay the context denominator; re-derives at sf0.001") {
+    val dir = tempDir("q183-hand")
+    val rows = Seq(
+      (0L, "the cat sat", "en"),       // reference
+      (2L, "the cat ran", "en"),       // reference; V = {the,cat,sat,ran} = 4
+      (1L, "le chat", "fr"),           // fully unseen: 1 bigram, OOV
+      (3L, "the dog", "de"),           // seen context 'the' (cx=2), unseen pair
+      (5L, "solo", "fr"))              // single token: out of scope
+    writeDocs(dir, rows)
+    val scored = scalarRefScores(rows)
+    val got = runQ183(dir.toString)
+    assert(got == bottomK(scored))
+    val byId = got.map(r => r._1 -> r).toMap
+    // reference docs: every bigram in-model, zero OOV
+    assert(byId(0L)._4 == 0L && byId(2L)._4 == 0L)
+    // the uniform prior, hand-derived: (0 + k)·10^6 / (0 + k·4) = 250000
+    assert(byId(1L) == ((1L, "fr", 1L, 1L, 250000L)))
+    // seen-context miss: k·10^6 / (2·10^6 + k·4) = 10^10 / 2040000 = 4901
+    assert(byId(3L) == ((3L, "de", 1L, 1L, 4901L)))
+    assert(!byId.contains(5L))
+    // the CCNet ordering: out-of-domain text sinks below reference text
+    assert(byId(1L)._5 < byId(0L)._5 && byId(3L)._5 < byId(0L)._5)
+    // real corpus re-derivation
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(runQ183(sf) == bottomK(scalarRefScores(real)))
+  }
+
+  test("q183: a corpus with NO reference-language tokens yields an EMPTY result — no model, no scores, no divide-by-zero") {
+    val dir = tempDir("q183-noref")
+    writeDocs(dir, Seq((1L, "le chat dort", "fr"), (2L, "der hund", "de")))
+    assert(graft.ops.ScaleOps27.q183RefLmScore(spark, dir.toString)
+      .collect().isEmpty)
+    assert(graft.ops.ScaleOps27.q185RefLmTertileMix(spark, dir.toString)
+      .collect().isEmpty)
+  }
+
+  // --- q184: the persisted LM artifact -----------------------------------
+
+  test("q184 artifact lifecycle: result == q183 bit-for-bit; warm runs LOAD (stamp untouched); torn stamps, tampered pair files, and the mid-swap window all self-heal") {
+    val dir = tempDir("q184-life")
+    writeDocs(dir, Seq(
+      (0L, "w1 w2 w3 w4 w2 w3", "en"),
+      (2L, "w2 w3 w5", "en"),
+      (1L, "w1 w2 w9", "fr"),
+      (3L, "x1 x2", "de")))
+    val expect = runQ183(dir.toString)
+    def runQ184() = graft.ops.ScaleOps27.q184LmArtifactScore(spark, dir.toString)
+      .collect().map(_.toSeq).toSeq
+    val first = runQ184()
+    assert(first == expect.map(r => Seq(r._1, r._2, r._3, r._4, r._5)),
+      "the artifact round-trip must be invisible vs q183")
+    val path = graft.ops.ScaleOps27.lmPathFor(spark, dir.toString)
+    val stamp = new java.io.File(s"$path/_rows")
+    assert(stamp.exists)
+    val mtime = stamp.lastModified
+    assert(runQ184() == first)
+    assert(stamp.lastModified == mtime,
+      "warm run must validate and LOAD the artifact, not rewrite the stamp")
+    // torn stamp (writer died before _rows): self-heal, converge
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(new org.apache.hadoop.fs.Path(s"$path/_rows"), true)
+    try os.write("999".getBytes("UTF-8")) finally os.close()
+    assert(runQ184() == first, "torn stamp must self-heal")
+    assert(graft.ml.BigramLm.lmRows(spark, path) > 0L &&
+      graft.ml.BigramLm.lmRows(spark, path) != 999L)
+    // the mid-swap crash window: pairs dir gone, stamps intact
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$path/pairs"), true))
+    assert(runQ184() == first, "mid-swap death must self-heal")
+    // out-of-API mutation: extra unstamped part file — stamps match the
+    // signature but the on-disk count diverges; only loadLm's check sees
+    // it, and the rebuild converges
+    Seq(("zz", "zz", 1L)).toDF("w1", "w2", "cxy")
+      .write.mode("append").parquet(s"$path/pairs")
+    assert(runQ184() == first, "tampered pair table must self-heal")
+    // no swap residue after all that
+    assert(!new java.io.File(s"$path/pairs.swap").exists)
+  }
+
+  test("q184/BigramLm hygiene: writeLm refuses an empty model and v < 1; loadLm refuses a missing _v; a rewritten corpus gets a NEW artifact path") {
+    import graft.ml.BigramLm
+    val p = tempDir("lm-hyg").toString + "/m"
+    intercept[IllegalArgumentException] {
+      BigramLm.writeLm(spark,
+        Seq.empty[(String, String, Long)].toDF("w1", "w2", "cxy"), 3L, p)
+    }
+    intercept[IllegalArgumentException] {
+      BigramLm.writeLm(spark, Seq(("a", "b", 1L)).toDF("w1", "w2", "cxy"), 0L, p)
+    }
+    BigramLm.writeLm(spark, Seq(("a", "b", 1L)).toDF("w1", "w2", "cxy"), 2L, p)
+    val (pairs, v) = BigramLm.loadLm(spark, p)
+    assert(v == 2L && pairs.collect().map(_.toSeq).toSeq == Seq(Seq("a", "b", 1L)))
+    // kill _v: the load must refuse loudly, not default
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$p/_v"), false))
+    intercept[RuntimeException] { BigramLm.loadLm(spark, p) }
+    // artifact path keys off corpus identity
+    val d1 = tempDir("lm-key")
+    writeDocs(d1, Seq((0L, "a b", "en")))
+    val p1 = graft.ops.ScaleOps27.lmPathFor(spark, d1.toString)
+    writeDocs(d1, Seq((0L, "a b c", "en")))
+    val p2 = graft.ops.ScaleOps27.lmPathFor(spark, d1.toString)
+    assert(p1 != p2, "a rewritten corpus must key a NEW artifact path")
+  }
+
+  // --- q185 -------------------------------------------------------------
+
+  private def splitBucketScalar(id: Long): Long = {
+    val a = 2654435761L
+    val id32 = java.lang.Math.floorMod(id, 4294967296L)
+    val hi = id32 >> 16; val lo = id32 % 65536L
+    java.lang.Math.floorMod((hi * a % 65536L) * 65536L + lo * a, 4294967296L)
+  }
+
+  private def pct2(vs: Seq[Double], p: Double): Double = {
+    val s = vs.sorted; val pos = p * (s.length - 1); val lo = pos.floor.toInt
+    if (lo + 1 >= s.length) s(s.length - 1)
+    else s(lo) * (lo + 1 - pos) + s(lo + 1) * (pos - lo)
+  }
+
+  test("q185 scalar law: reference-LM scores through per-language tertiles and the q180 keep rates — re-derives at sf0.001; head keeps everything; buckets partition the scored corpus") {
+    val rates = Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1)
+    def scalarMix(rows: Seq[(Long, String, String)])
+        : Seq[(String, String, Long, Long, Long)] = {
+      val scored = scalarRefScores(rows).map(r => (r._1, r._2, r._5))
+      val buckets = scored.groupBy(_._2).toSeq.flatMap { case (lang, g) =>
+        val ds = g.map(_._3.toDouble)
+        val (b1, b2) = (pct2(ds, 1.0 / 3.0), pct2(ds, 2.0 / 3.0))
+        g.map { r =>
+          val b = if (r._3.toDouble > b2) "head"
+                  else if (r._3.toDouble > b1) "middle" else "tail"
+          (r._1, lang, b)
+        }
+      }
+      buckets.groupBy(r => (r._2, r._3)).toSeq.sortBy(_._1)
+        .map { case ((lang, b), g) =>
+          val kept = g.count(r =>
+            splitBucketScalar(r._1) < (rates(b) * 4294967296.0).toLong)
+          (lang, b, g.size.toLong, kept.toLong,
+            kept.toLong * 1000000L / g.size)
+        }
+    }
+    def run(d: String) = graft.ops.ScaleOps27.q185RefLmTertileMix(spark, d)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[String]("bucket"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("kept_share_fp"))).toSeq
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val got = run(sf)
+    assert(got == scalarMix(real))
+    // head law + coverage
+    val heads = got.filter(_._2 == "head")
+    assert(heads.nonEmpty)
+    heads.foreach { h => assert(h._4 == h._3 && h._5 == 1000000L) }
+    assert(got.map(_._3).sum == scalarRefScores(real).size.toLong)
+    // the REFERENCE language's docs score against their own training
+    // text, so 'en' must populate a head (the CCNet shape: reference-like
+    // text floats)
+    assert(got.exists(r => r._1 == "en" && r._2 == "head" && r._3 > 0))
+  }
+}

@@ -904,6 +904,59 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("LM rotation mid-stream: a RETRAINED reference bigram-LM written between micro-batches scores the next batch (q183/q184 kernel); stream == batch; a torn LM refuses loudly") {
+    import graft.ml.BigramLm
+    val lmPath = tempDir("lm-rot").toString + "/lm"
+    // model A: one known pair, vocab {a, b}
+    val pairsA = Seq(("a", "b", 2L)).toDF("w1", "w2", "cxy")
+    BigramLm.writeLm(spark, pairsA, 2L, lmPath)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val in = tempDir("lm-rot-in"); val out = tempDir("lm-rot-out")
+    def land(id: Long): Unit =
+      Seq((id, "a b c")).toDF("doc_id", "text")
+        .write.mode("append").parquet(in.toString)
+    land(1L)
+    val q = Streaming.lmScoreStream(
+      spark.readStream.schema(schema).parquet(in.toString),
+      "doc_id", "text", lmPath, out.toString,
+      tempDir("lm-rot-ckpt").toString)
+    try {
+      q.processAllAvailable()
+      // rotation: retrained reference — new pair table AND new V land
+      // via the side-write-then-swap; the same text must score
+      // differently in the next micro-batch
+      val pairsB = Seq(("a", "b", 1L), ("b", "c", 3L)).toDF("w1", "w2", "cxy")
+      BigramLm.writeLm(spark, pairsB, 3L, lmPath)
+      land(2L)
+      q.processAllAvailable()
+      val got = spark.read.parquet(out.toString)
+        .select("doc_id", "score_fp", "n_oov")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val doc = Seq((9L, "a b c")).toDF("doc_id", "text")
+      def batchScore(pairs: org.apache.spark.sql.DataFrame, v: Long) = {
+        val r = graft.ops.ScaleOps27.scoreDocsWithLm(doc, "doc_id", "text",
+          pairs, v).collect().head
+        (r.getAs[Long]("score_fp"), r.getAs[Long]("n_oov"))
+      }
+      val sA = batchScore(pairsA, 2L); val sB = batchScore(pairsB, 3L)
+      assert(got(1L) == sA && got(2L) == sB,
+        s"stream scores $got must equal the batch kernel under each model ($sA, $sB)")
+      assert(sA != sB, "the rotation fixture must actually change the score")
+      // under model A the pair (b, c) is OOV; under model B it is not
+      assert(sA._2 == 1L && sB._2 == 0L)
+      // torn LM mid-stream: the next micro-batch must refuse LOUDLY
+      val hp = new org.apache.hadoop.fs.Path(s"$lmPath/_rows")
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val os = fs.create(hp, true)
+      try os.write("17".getBytes("UTF-8")) finally os.close()
+      land(3L)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
+
   test("model rotation mid-stream: a RETRAINED perceptron written between micro-batches scores the next batch; stream == batch kernel; a torn model refuses loudly") {
     import graft.ml.PerceptronModel
     val modelPath = tempDir("clf-rot").toString + "/model"
