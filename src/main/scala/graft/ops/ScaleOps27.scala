@@ -69,20 +69,33 @@ object ScaleOps27 {
       .filter(length(col("b.w1")) >= 1 && length(col("b.w2")) >= 1)
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
 
+  /** Library surface: train the (w1, w2, cxy) bigram count table over
+    * ANY reference frame — the model half [[scoreDocsWithLm]] consumes
+    * and [[graft.ml.BigramLm.writeLm]] persists. One token-sized
+    * partial-agg exchange. */
+  def trainLmPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    bigramsOf(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+
+  /** Library surface: the training vocabulary size (distinct non-empty
+    * tokens — doc-final and single-token-doc tokens included, which is
+    * why V is not derivable from the pair table). One distinct agg. */
+  def vocabSize(docs: DataFrame, textCol: String = "text"): Long =
+    docs.select(explode(graft.text.TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .agg(count_distinct(col("tok"))).head().getLong(0)
+
   /** The reference slice's bigram count table (w1, w2, cxy). */
   private[ops] def refPairs(s: SparkSession, dir: String): DataFrame =
-    bigramsOf(Relational.fanOut(t(s, dir, "documents"))
-        .filter(col("lang") === RefLang), "doc_id", "text")
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+    trainLmPairs(Relational.fanOut(t(s, dir, "documents"))
+      .filter(col("lang") === RefLang))
 
   private def refSig(s: SparkSession, dir: String): (Long, Long, Long) =
     sigMemo.getOrElseUpdate(
       (dir, Relational.corpusSignature(s, dir, "documents")), {
-        val v = Relational.fanOut(t(s, dir, "documents"))
-          .filter(col("lang") === RefLang)
-          .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
-          .filter(length(col("tok")) >= 1)
-          .agg(count_distinct(col("tok"))).head().getLong(0)
+        val v = vocabSize(Relational.fanOut(t(s, dir, "documents"))
+          .filter(col("lang") === RefLang))
         val px = refPairs(s, dir)
           .agg(count(lit(1)).as("n"),
             coalesce(expr("bit_xor(xxhash64(w1, w2, cxy))"), lit(0L)).as("x"))

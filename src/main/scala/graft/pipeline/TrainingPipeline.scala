@@ -101,6 +101,18 @@ object TrainingPipeline {
         * Runs BEFORE the expensive shingle machinery for the same
         * reason the learned gate does. */
       lmTertileMix: Option[(Double, Double, Double)] = None,
+      /** Scorer for the `lm_mix` stage: None (default) scores with the
+        * corpus as its own MLE LM (the q167/q179 semantics — no
+        * external dependency, the bootstrap form); Some(lang) trains an
+        * add-k bigram LM on the gated corpus's documents whose
+        * PREDICTED language equals `lang` and scores everyone with it —
+        * the honest CCNet shape (q183: the reference slice stands in
+        * for the wiki LM, out-of-domain text pays real OOV penalties).
+        * A reference language with no tokens in the gated corpus fails
+        * LOUDLY (a mix keyed to a model that does not exist is a config
+        * error, not an empty stage). Ignored unless [[lmTertileMix]] is
+        * set. */
+      lmRefLang: Option[String] = None,
       reliableCheckpoints: Boolean = false,
       /** Build the near-dup PAIR GRAPH once and share it between the
         * curation drop and the split's cluster formation, instead of
@@ -274,7 +286,20 @@ object TrainingPipeline {
     val lmMixed: DataFrame = cfg.lmTertileMix match {
       case None => gated
       case Some((headRate, middleRate, tailRate)) =>
-        val wl = graft.ops.ScaleOps22.mleDocScoresOf(gated, idCol, textCol)
+        val scores = cfg.lmRefLang match {
+          case None =>
+            graft.ops.ScaleOps22.mleDocScoresOf(gated, idCol, textCol)
+              .select(col("doc_id"), col("score_fp"))
+          case Some(refLang) =>
+            val ref = gated.filter(col("lang_pred") === refLang)
+            val v = graft.ops.ScaleOps27.vocabSize(ref, textCol)
+            require(v >= 1, s"lm_mix: reference language '$refLang' has no " +
+              "tokens in the gated corpus — no model to mix with")
+            graft.ops.ScaleOps27.scoreDocsWithLm(gated, idCol, textCol,
+                graft.ops.ScaleOps27.trainLmPairs(ref, idCol, textCol), v)
+              .select(col(idCol).cast("long").as("doc_id"), col("score_fp"))
+        }
+        val wl = scores
           .join(gated.select(col(idCol).cast("long").as("doc_id"),
             col("lang_pred").as("lang")), Seq("doc_id"))
           .select(col("doc_id"), col("lang"), col("score_fp"))

@@ -646,4 +646,14 @@ class PlanShapeSpec extends GraftSuite {
     p182.linesIterator.filter(_.contains("Exchange hashpartitioning"))
       .foreach { l => assert(!l.contains("text"), l) }
   }
+
+  test("q183: the reference-LM scorer has ZERO nested-loop joins (V rides as a literal, unlike q175's 1-row vocab cross join); model joins are equi; bottom-k distributed") {
+    val p = plan(graft.ops.ScaleOps27.q183RefLmScore(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q183 must carry no nested-loop join at all:\n$p")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q183's bottom-k must be a distributed TakeOrdered:\n$p")
+  }
 }

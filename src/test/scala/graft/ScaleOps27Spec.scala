@@ -174,6 +174,54 @@ class ScaleOps27Spec extends GraftSuite {
     assert(p1 != p2, "a rewritten corpus must key a NEW artifact path")
   }
 
+  // --- the pipeline's reference-LM mix (Config.lmRefLang) -----------------
+
+  test("pipeline lm_mix with a REFERENCE LM (lmRefLang = 'en', the q183 kernel): the (1,0,0) stage equals the manual composition; an absent reference language fails loudly; the bootstrap and reference scorers really differ") {
+    import graft.pipeline.{Curation, TrainingPipeline}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val params = Curation.Params(minQuality = 0.0, minTokens = 1,
+      keepLangs = Seq("en", "es", "de", "fr", "und"))
+    val cfg = TrainingPipeline.Config(curation = params, ctxTokens = 256L,
+      lmTertileMix = Some((1.0, 0.0, 0.0)), lmRefLang = Some("en"))
+    val r = TrainingPipeline.curateToTraining(spark, docs, None,
+      cfg = cfg, ledger = false)
+    val gotIds = r.packed.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    r.free()
+    // manual composition of the same pieces
+    val curated = Curation.curate(docs, "doc_id", "text", params)
+    val ref = curated.filter(col("lang_pred") === "en")
+    val v = graft.ops.ScaleOps27.vocabSize(ref)
+    assert(v >= 1)
+    val refScores = graft.ops.ScaleOps27.scoreDocsWithLm(
+        curated, "doc_id", "text",
+        graft.ops.ScaleOps27.trainLmPairs(ref), v)
+      .select(col("doc_id"), col("score_fp"))
+    val wl = refScores
+      .join(curated.select(col("doc_id").cast("long").as("doc_id"),
+        col("lang_pred").as("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("score_fp"))
+    val heads = graft.ops.ScaleOps25.assignTertiles(wl, Long.MaxValue)
+      .filter(col("bucket") === "head")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(heads.nonEmpty && gotIds == heads,
+      s"pipeline ref-LM head set (${gotIds.size}) != composed (${heads.size})")
+    // a reference language with no tokens in the gated corpus: LOUD
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.curateToTraining(spark, docs, None,
+        cfg = cfg.copy(lmRefLang = Some("zz")), ledger = false)
+    }
+    // the bootstrap (corpus-as-own-LM) and reference scorers genuinely
+    // differ on this corpus — otherwise lmRefLang would be untestable
+    val mle = graft.ops.ScaleOps22.mleDocScoresOf(curated)
+      .select(col("doc_id"), col("score_fp")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val rl = refScores.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(mle.exists { case (id, s) => rl.get(id).exists(_ != s) },
+      "reference-LM scores coincide with the MLE bootstrap everywhere")
+  }
+
   // --- q185 -------------------------------------------------------------
 
   private def splitBucketScalar(id: Long): Long = {
