@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Relational.t
+
+/** Round-14 batch 28: interpolated KNESER–NEY discounted bigram scoring
+  * (q186) — the smoothing family production LMs actually use, next to
+  * q175's add-k as the ablation pair. Add-k spreads probability mass by
+  * inflating every count; KN DISCOUNTS each seen bigram by a fixed d
+  * and redistributes exactly the reclaimed mass through a CONTINUATION
+  * distribution — "how many distinct contexts does w2 complete?" — so a
+  * word that appears often but only ever in one collocation ("Francisco")
+  * stops soaking up unseen-pair mass. Same train/held protocol as q175
+  * (train on the doc_id-even half, score the odd half), so the two
+  * smoothers are directly comparable on identical splits.
+  *
+  * Exact 10⁻⁶ fixed point with d = 3/4 cleared to integers (×4 — no
+  * float anywhere on either engine):
+  *
+  *   pc_fp(w2)    = (10⁶·(N1+(·w2) + 1)) div (T + V)          — add-1-smoothed
+  *                  continuation (T = distinct train bigram types, V =
+  *                  train vocabulary; +1/+V so unseen words keep a
+  *                  nonzero continuation, the q175 no-zero-floor rule)
+  *   seen ctx w1  : p_fp = [c ≥ 1: (10⁶·(4c − 3)) div (4·ctx)  else 0]
+  *                        + (3·N1+(w1·)·pc_fp) div (4·ctx)
+  *                  — max(c − ¾, 0)/ctx plus λ(w1)·pc with
+  *                  λ = ¾·N1+(w1·)/ctx, each term floored once (the
+  *                  composed form IS the definition both engines state)
+  *   unseen ctx   : p_fp = pc_fp(w2) — full backoff to continuation
+  *
+  * with ctx(w1) the PREFIX totals (the q167 doc-final-token trap) and
+  * N1+(w1·) / N1+(·w2) the distinct-successor / distinct-predecessor
+  * counts — both are plain row counts of the grouped pair table, no
+  * extra distinct pass. Per held document: n_bigrams, n_unseen_ctx
+  * (bigrams that fell back entirely), score_fp = the integer mean; the
+  * [[Q186BottomK]] lowest surface. V = 0 (no train tokens) → empty on
+  * both engines; V ≥ 1 makes every division total (T + V ≥ 1, and the
+  * seen-ctx branch only runs at ctx ≥ 1).
+  *
+  * Scale shape: q175's — one train-half bigram partial agg, two
+  * vocab-sized rollups that are FREE projections of it (count over the
+  * same groups), the held stream's two co-partitioned token-sized joins
+  * ((w1,w2) then w1) plus one more on w2 for the continuation count —
+  * the price of KN over add-k is exactly that third join; (T, V) ride
+  * as memoized driver literals, so no nested-loop join anywhere
+  * (the q183 discipline). Products ride DECIMAL(38)/HUGEINT. */
+object ScaleOps28 {
+
+  /** How many lowest-scoring held-out documents q186 surfaces. */
+  val Q186BottomK = 15
+
+  /** Per-corpus memo of (V, T) — the two driver literals. */
+  private val sigMemo =
+    scala.collection.concurrent.TrieMap[(String, String), (Long, Long)]()
+
+  private def bigramsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        graft.text.TextAnalysis.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> named_struct('w1', element_at(ts, i), 'w2', element_at(ts, i + 1)))"))
+        .as("b"))
+      .filter(length(col("b.w1")) >= 1 && length(col("b.w2")) >= 1)
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  private def trainBi(s: SparkSession, dir: String): DataFrame =
+    bigramsOf(Relational.fanOut(t(s, dir, "documents"))
+        .filter(col("doc_id").cast("long") % 2 === 0))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+
+  private def vAndT(s: SparkSession, dir: String): (Long, Long) =
+    sigMemo.getOrElseUpdate(
+      (dir, Relational.corpusSignature(s, dir, "documents")), {
+        val v = Relational.fanOut(t(s, dir, "documents"))
+          .filter(col("doc_id").cast("long") % 2 === 0)
+          .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")) >= 1)
+          .agg(count_distinct(col("tok"))).head().getLong(0)
+        val tt = trainBi(s, dir).count()
+        (v, tt)
+      })
+
+  def q186KneserNeyScore(s: SparkSession, dir: String): DataFrame = {
+    val (v, tt) = vAndT(s, dir)
+    if (v == 0L)
+      return s.range(0).select(col("id").as("doc_id"),
+        col("id").as("n_bigrams"), col("id").as("n_unseen_ctx"),
+        col("id").as("score_fp"))
+    val docs = Relational.fanOut(t(s, dir, "documents"))
+    val pairs = trainBi(s, dir)
+    // ctx totals AND distinct-successor counts from ONE rollup of the
+    // grouped pair table (n1 = row count per w1 — already distinct)
+    val ctx = pairs.groupBy(col("w1"))
+      .agg(sum(col("cxy")).as("cx"), count(lit(1)).as("n1"))
+    val cont = pairs.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
+    bigramsOf(docs.filter(col("doc_id").cast("long") % 2 === 1))
+      .join(pairs, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .withColumn("pc_fp", expr(
+        s"CAST((CAST(coalesce(ncont, 0) + 1 AS DECIMAL(38,0)) * 1000000) " +
+          s"div ${tt + v} AS BIGINT)"))
+      .withColumn("p_fp", expr(
+        "CASE WHEN cx IS NULL THEN pc_fp ELSE " +
+          "CAST(CASE WHEN cxy IS NOT NULL THEN " +
+          "(CAST(4 * cxy - 3 AS DECIMAL(38,0)) * 1000000) div (4 * cx) " +
+          "ELSE 0 END " +
+          "+ (CAST(3 AS DECIMAL(38,0)) * n1 * pc_fp) div (4 * cx) AS BIGINT) END"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("cx").isNull.cast("long")).as("n_unseen_ctx"),
+        sum(col("p_fp")).as("sfp"))
+      .withColumn("score_fp", expr("CAST(sfp div n_bigrams AS BIGINT)"))
+      .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
+        col("n_unseen_ctx").cast("long").as("n_unseen_ctx"), col("score_fp"))
+      .orderBy(col("score_fp"), col("doc_id"))
+      .limit(Q186BottomK)
+  }
+
+  /** Mirror: identical halves, grouped-pair-derived ctx/N1+/continuation
+    * tables, the same ×4-cleared discount arithmetic in HUGEINT, the
+    * same per-term floors, the same vv ≥ 1 guard. */
+  val q186Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      |  FROM documents
+      |), bi AS (
+      |  SELECT doc_id, ts[g] AS w1, ts[g + 1] AS w2 FROM (
+      |    SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS g
+      |    FROM toks WHERE len(ts) >= 2)
+      |  WHERE len(ts[g]) >= 1 AND len(ts[g + 1]) >= 1
+      |), train_bi AS (
+      |  SELECT w1, w2, COUNT(*) AS cxy FROM bi WHERE doc_id % 2 = 0
+      |  GROUP BY w1, w2
+      |), ctx AS (
+      |  SELECT w1, SUM(cxy) AS cx, COUNT(*) AS n1 FROM train_bi GROUP BY w1
+      |), cont AS (
+      |  SELECT w2, COUNT(*) AS ncont FROM train_bi GROUP BY w2
+      |), consts AS (
+      |  SELECT
+      |    (SELECT COUNT(DISTINCT tok) FROM (
+      |       SELECT unnest(ts) AS tok FROM toks WHERE doc_id % 2 = 0)
+      |     WHERE len(tok) >= 1) AS vv,
+      |    (SELECT COUNT(*) FROM train_bi) AS tt
+      |), held AS (
+      |  SELECT h.doc_id, tb.cxy, c.cx, c.n1,
+      |    COALESCE(ct.ncont, 0) AS ncont, k.vv, k.tt
+      |  FROM bi h
+      |  LEFT JOIN train_bi tb ON h.w1 = tb.w1 AND h.w2 = tb.w2
+      |  LEFT JOIN ctx c ON h.w1 = c.w1
+      |  LEFT JOIN cont ct ON h.w2 = ct.w2
+      |  CROSS JOIN consts k
+      |  WHERE h.doc_id % 2 = 1 AND k.vv >= 1
+      |), scoredp AS (
+      |  SELECT doc_id, cx,
+      |    CASE WHEN cx IS NULL
+      |      THEN ((ncont + 1)::HUGEINT * 1000000) // (tt + vv)
+      |      ELSE (CASE WHEN cxy IS NOT NULL
+      |              THEN ((4 * cxy - 3)::HUGEINT * 1000000) // (4 * cx)
+      |              ELSE 0 END)
+      |           + (3::HUGEINT * n1 *
+      |              (((ncont + 1)::HUGEINT * 1000000) // (tt + vv))) // (4 * cx)
+      |    END AS p_fp
+      |  FROM held
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(CASE WHEN cx IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen_ctx,
+      |  CAST(SUM(p_fp) // COUNT(*) AS BIGINT) AS score_fp
+      |FROM scoredp GROUP BY doc_id
+      |ORDER BY score_fp, doc_id LIMIT ${Q186BottomK}""".stripMargin
+}
