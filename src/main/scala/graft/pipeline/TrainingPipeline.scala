@@ -113,6 +113,15 @@ object TrainingPipeline {
         * error, not an empty stage). Ignored unless [[lmTertileMix]] is
         * set. */
       lmRefLang: Option[String] = None,
+      /** Score the `lm_mix` stage against a PERSISTED bigram-LM
+        * artifact ([[graft.ml.BigramLm]] — a reference model trained by
+        * an earlier run or on another corpus entirely, the q184
+        * lifecycle's whole point: ship the model, not the reference
+        * scan). Takes precedence over [[lmRefLang]]. The load is
+        * VALIDATED — a torn or tampered artifact fails the stage
+        * LOUDLY, never scores with garbage. Ignored unless
+        * [[lmTertileMix]] is set. */
+      lmArtifactPath: Option[String] = None,
       reliableCheckpoints: Boolean = false,
       /** Build the near-dup PAIR GRAPH once and share it between the
         * curation drop and the split's cluster formation, instead of
@@ -286,11 +295,13 @@ object TrainingPipeline {
     val lmMixed: DataFrame = cfg.lmTertileMix match {
       case None => gated
       case Some((headRate, middleRate, tailRate)) =>
-        val scores = cfg.lmRefLang match {
-          case None =>
-            graft.ops.ScaleOps22.mleDocScoresOf(gated, idCol, textCol)
-              .select(col("doc_id"), col("score_fp"))
-          case Some(refLang) =>
+        val scores = (cfg.lmArtifactPath, cfg.lmRefLang) match {
+          case (Some(path), _) =>
+            val (pairs, v) = graft.ml.BigramLm.loadLm(spark, path)
+            graft.ops.ScaleOps27.scoreDocsWithLm(gated, idCol, textCol,
+                pairs, v)
+              .select(col(idCol).cast("long").as("doc_id"), col("score_fp"))
+          case (None, Some(refLang)) =>
             val ref = gated.filter(col("lang_pred") === refLang)
             val v = graft.ops.ScaleOps27.vocabSize(ref, textCol)
             require(v >= 1, s"lm_mix: reference language '$refLang' has no " +
@@ -298,6 +309,9 @@ object TrainingPipeline {
             graft.ops.ScaleOps27.scoreDocsWithLm(gated, idCol, textCol,
                 graft.ops.ScaleOps27.trainLmPairs(ref, idCol, textCol), v)
               .select(col(idCol).cast("long").as("doc_id"), col("score_fp"))
+          case (None, None) =>
+            graft.ops.ScaleOps22.mleDocScoresOf(gated, idCol, textCol)
+              .select(col("doc_id"), col("score_fp"))
         }
         val wl = scores
           .join(gated.select(col(idCol).cast("long").as("doc_id"),

@@ -222,6 +222,54 @@ class ScaleOps27Spec extends GraftSuite {
       "reference-LM scores coincide with the MLE bootstrap everywhere")
   }
 
+  test("pipeline lm_mix against a PERSISTED artifact (lmArtifactPath — the q184 ship-the-model loop): equals the manual loadLm composition; a torn artifact fails the stage loudly") {
+    import graft.pipeline.{Curation, TrainingPipeline}
+    import graft.ml.BigramLm
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val params = Curation.Params(minQuality = 0.0, minTokens = 1,
+      keepLangs = Seq("en", "es", "de", "fr", "und"))
+    // an EXTERNAL reference model, trained on a planted corpus that is
+    // NOT the pipeline's input — the cross-corpus shipping shape
+    val refDocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox runs")).toDF("doc_id", "text")
+    val pairs = graft.ops.ScaleOps27.trainLmPairs(refDocs)
+    val v = graft.ops.ScaleOps27.vocabSize(refDocs)
+    val lmPath = tempDir("lm-pipe").toString + "/lm"
+    BigramLm.writeLm(spark, pairs, v, lmPath)
+    val cfg = TrainingPipeline.Config(curation = params, ctxTokens = 256L,
+      lmTertileMix = Some((1.0, 0.0, 0.0)), lmArtifactPath = Some(lmPath))
+    val r = TrainingPipeline.curateToTraining(spark, docs, None,
+      cfg = cfg, ledger = false)
+    val gotIds = r.packed.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    r.free()
+    // manual composition through the loaded artifact
+    val curated = Curation.curate(docs, "doc_id", "text", params)
+    val (lp, lv) = BigramLm.loadLm(spark, lmPath)
+    val wl = graft.ops.ScaleOps27.scoreDocsWithLm(curated, "doc_id", "text",
+        lp, lv)
+      .select(col("doc_id"), col("score_fp"))
+      .join(curated.select(col("doc_id").cast("long").as("doc_id"),
+        col("lang_pred").as("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("score_fp"))
+    val heads = graft.ops.ScaleOps25.assignTertiles(wl, Long.MaxValue)
+      .filter(col("bucket") === "head")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(heads.nonEmpty && gotIds == heads,
+      s"pipeline artifact-LM head set (${gotIds.size}) != composed (${heads.size})")
+    // torn artifact: the stage must refuse loudly, never score with it
+    val fs = new org.apache.hadoop.fs.Path(lmPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(new org.apache.hadoop.fs.Path(s"$lmPath/_rows"), true)
+    try os.write("12345".getBytes("UTF-8")) finally os.close()
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.curateToTraining(spark, docs, None,
+        cfg = cfg, ledger = false)
+    }
+  }
+
   // --- q185 -------------------------------------------------------------
 
   private def splitBucketScalar(id: Long): Long = {
