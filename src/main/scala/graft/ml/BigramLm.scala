@@ -21,17 +21,32 @@ import org.apache.spark.sql.functions._
   * by one vocab-sized rollup — exact by construction, so they are never
   * stored (a stored copy could only drift).
   *
-  * Write discipline: SIDE-WRITE-THEN-SWAP (the compactIndex /
-  * writeModel discipline) — the table lands beside the live one, its
-  * (count, xor-of-row-hash) is re-derived from what LANDED, then
-  * delete + rename, then `_v`, then `_xor`, then `_rows` LAST. A
-  * reader races old-complete, new-complete, or a loud missing
-  * directory; a writer dying after the swap but before the stamps
-  * leaves stamp ≠ count, which [[loadLm]] refuses loudly. The row hash
-  * is xxhash64(w1, w2, cxy) — Spark-side only (the cross-engine oracle
-  * re-derives the MODEL from scratch; the stamp never crosses engines),
-  * order-independent under xor, so the signature is insensitive to
-  * partitioning and write order. Single-writer contract. */
+  * Write discipline: UNSTAMP → SIDE-WRITE-THEN-SWAP → RESTAMP (the
+  * compactIndex / writeModel swap, hardened r15): the table lands
+  * beside the live one, its (count, xor-of-row-hash) is re-derived
+  * from what LANDED, then the OLD stamps are deleted (`_rows` first —
+  * the gate [[loadLm]] validates), then delete + rename, then `_v`,
+  * `_xor`, and `_rows` LAST. A reader races old-complete,
+  * new-complete, a loud missing directory, or — anywhere in the
+  * unstamp→restamp window — a NEVER-STAMPED artifact (lmRows = -1),
+  * which callers' rebuild branch heals; before r15 a writer dying
+  * between the rename and the stamps left the OLD stamps on NEW pairs,
+  * silently accepted whenever the two models happened to share a row
+  * count. The row hash is xxhash64(w1, w2, cxy) — Spark-side only (the
+  * cross-engine oracle re-derives the MODEL from scratch; the stamp
+  * never crosses engines), order-independent under xor, so the
+  * signature is insensitive to partitioning and write order.
+  * Single-writer contract.
+  *
+  * Load contract (decided once for all artifacts, r15): DISTRIBUTED
+  * artifacts — this LM and the fingerprint index — validate the
+  * CONTENT SIGNATURE on load (one partial-agg scan of a
+  * vocab²-bounded table), because their paths cross runs and machines
+  * (`Config.lmArtifactPath` is user-supplied) where an out-of-API
+  * content swap preserving the row count is exactly the cheap-to-miss
+  * tamper. Driver-sized artifacts (BPE vocab, perceptron weights)
+  * validate stamp == rows plus FULL STRUCTURE (contiguity, ranges) —
+  * they are collected whole anyway, and carry no content stamp. */
 object BigramLm {
 
   /** Persist a trained model: `pairs` carries exactly (w1, w2, cxy);
@@ -54,6 +69,13 @@ object BigramLm {
       .head()
     val n = landed.getLong(0); val x = landed.getLong(1)
     require(n > 0, s"writeLm: refusing to stamp an empty model at $path")
+    // UNSTAMP before the swap — `_rows` first (it is the gate loadLm
+    // validates): a writer dying anywhere between here and the final
+    // restamp reads as NEVER-STAMPED (lmRows = -1 → rebuild), never as
+    // old stamps over new pairs
+    deleteMeta(spark, path, "_rows")
+    deleteMeta(spark, path, "_xor")
+    deleteMeta(spark, path, "_v")
     if (fs.exists(live))
       require(fs.delete(live, true), s"writeLm: could not remove $live")
     require(fs.rename(side, live), s"writeLm: could not swap $side into place")
@@ -78,21 +100,39 @@ object BigramLm {
     readMeta(spark, path, "_v")
 
   /** Reopen a persisted model, VALIDATED: (w1, w2, cxy) schema, stamp ==
-    * on-disk row count (metadata-cheap), `_v` present and ≥ 1. Returns
-    * the DISTRIBUTED pair table plus V — never collected; the derived
+    * on-disk row count, AND `_xor` == the xor-of-row-hash of what is
+    * actually on disk (one partial-agg scan of the vocab²-bounded pair
+    * table — r15, the distributed-artifact load contract: an
+    * out-of-API content swap that preserves the row count must refuse
+    * loudly, because `Config.lmArtifactPath` crosses runs and
+    * machines), `_v` present and ≥ 1. Every failure is a `require`
+    * (IllegalArgumentException) so callers' self-heal catch covers ALL
+    * torn-state classes with one exception type. Returns the
+    * DISTRIBUTED pair table plus V — never collected; the derived
     * context rollup stays a lazy plan the scorer's join consumes. */
   def loadLm(spark: SparkSession, path: String): (DataFrame, Long) = {
     val df = spark.read.parquet(s"$path/pairs")
     require(df.columns.toSeq == Seq("w1", "w2", "cxy"),
       s"bigram loadLm: unexpected schema ${df.schema.simpleString} at $path")
-    val v = lmV(spark, path).getOrElse(
-      sys.error(s"bigram loadLm: no _v stamp at $path — torn write; retrain"))
+    val vOpt = lmV(spark, path)
+    require(vOpt.isDefined,
+      s"bigram loadLm: no _v stamp at $path — torn write; retrain")
+    val v = vOpt.get
     require(v >= 1, s"bigram loadLm: stamped vocabulary $v < 1 at $path")
     val stamped = lmRows(spark, path)
-    val n = df.count()
+    val xorOpt = lmXor(spark, path)
+    require(xorOpt.isDefined,
+      s"bigram loadLm: no _xor stamp at $path — torn write; retrain")
+    // count + content signature from ONE scan
+    val sig = df.agg(count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(w1, w2, cxy))"), lit(0L)).as("x")).head()
+    val n = sig.getLong(0); val x = sig.getLong(1)
     require(stamped == n,
       s"bigram loadLm: stamp $stamped != $n rows at $path — torn write or " +
         "out-of-API mutation; retrain")
+    require(xorOpt.get == x,
+      s"bigram loadLm: content signature ${xorOpt.get} != $x at $path — " +
+        "out-of-API content swap; retrain")
     (df, v)
   }
 
@@ -104,6 +144,14 @@ object BigramLm {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def deleteMeta(spark: SparkSession, path: String,
+      name: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      require(fs.delete(p, false), s"could not delete stamp $p")
   }
 
   private def readMeta(spark: SparkSession, path: String,

@@ -182,10 +182,21 @@ object ScaleOps27 {
   def q184LmArtifactScore(s: SparkSession, dir: String): DataFrame = {
     import graft.ml.BigramLm
     val (v, n, x) = refSig(s, dir)
-    if (v == 0L || n == 0L)
-      // no reference tokens / no reference bigrams: there is no model to
-      // persist (writeLm refuses empty stamps); both engines yield empty
+    if (v == 0L)
+      // no reference tokens at all: there is no model — both engines
+      // yield empty by the vv >= 1 guard
       return emptyScores(s)
+    if (n == 0L)
+      // reference tokens but ZERO bigrams (every reference doc is
+      // single-token): the model EXISTS — every probability is the
+      // uniform add-k prior — but there is nothing to PERSIST (writeLm
+      // rightly refuses an empty pair table), so skip the artifact and
+      // score with the in-memory empty pair table exactly as q183 does
+      // (r14 advice: the earlier empty return diverged from q183 and
+      // from the shared oracle mirror on this corner)
+      return fullScores(s, dir, refPairs(s, dir), v)
+        .orderBy(col("score_fp"), col("doc_id"))
+        .limit(Q183BottomK)
     val path = lmPathFor(s, dir)
     def rebuild(): Unit = {
       val written = BigramLm.writeLm(s, refPairs(s, dir), v, path)

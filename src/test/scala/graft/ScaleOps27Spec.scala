@@ -174,6 +174,72 @@ class ScaleOps27Spec extends GraftSuite {
     assert(p1 != p2, "a rewritten corpus must key a NEW artifact path")
   }
 
+  test("q184 degenerate corpus (reference tokens but ZERO reference bigrams): the model EXISTS — uniform add-k prior — so q184 scores like q183 instead of returning empty, and nothing is persisted") {
+    val dir = tempDir("q184-nobigram")
+    // every en doc single-token: v = 2 ({hello, hi}), zero en bigrams;
+    // the fr doc still scores — 1 bigram, OOV, uniform prior
+    writeDocs(dir, Seq(
+      (0L, "hello", "en"), (2L, "hi", "en"), (1L, "le chat", "fr")))
+    val q183 = runQ183(dir.toString)
+    val q184 = graft.ops.ScaleOps27.q184LmArtifactScore(spark, dir.toString)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_oov"),
+        r.getAs[Long]("score_fp"))).toSeq
+    assert(q183.nonEmpty, "the uniform-prior model must score the fr doc")
+    assert(q184 == q183, "q184 must match q183 on the no-bigram corner")
+    // uniform prior hand-derived: (0 + k)·10^6 / (0 + k·2) = 500000
+    assert(q184 == Seq((1L, "fr", 1L, 1L, 500000L)))
+    // nothing persisted: writeLm refuses an empty pair table, so the
+    // artifact path must not exist
+    assert(!new java.io.File(
+      graft.ops.ScaleOps27.lmPathFor(spark, dir.toString)).exists)
+  }
+
+  test("loadLm content-signature contract (r15): an out-of-API content swap that PRESERVES the row count refuses loudly at load — the stale-stamp / tampered-path window Config.lmArtifactPath crosses machines with") {
+    import graft.ml.BigramLm
+    val p = tempDir("lm-xor").toString + "/m"
+    BigramLm.writeLm(spark, Seq(("a", "b", 1L)).toDF("w1", "w2", "cxy"), 2L, p)
+    // same row count, different content — only the xor can see this
+    Seq(("c", "d", 7L)).toDF("w1", "w2", "cxy")
+      .write.mode("overwrite").parquet(s"$p/pairs")
+    val e = intercept[IllegalArgumentException] { BigramLm.loadLm(spark, p) }
+    assert(e.getMessage.contains("content signature"))
+    // a missing _xor stamp is the same refusal class (one exception type
+    // for ALL torn states — the r14 advice: sys.error escaped q184's
+    // self-heal catch)
+    BigramLm.writeLm(spark, Seq(("a", "b", 1L)).toDF("w1", "w2", "cxy"), 2L, p)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$p/_xor"), false))
+    intercept[IllegalArgumentException] { BigramLm.loadLm(spark, p) }
+    // ... and missing _v is now the same class too
+    BigramLm.writeLm(spark, Seq(("a", "b", 1L)).toDF("w1", "w2", "cxy"), 2L, p)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$p/_v"), false))
+    intercept[IllegalArgumentException] { BigramLm.loadLm(spark, p) }
+  }
+
+  test("writeLm unstamp-before-swap (r15): rewriting over a live artifact leaves fresh stamps; the formerly-silent same-count stale-stamp torn state is now refused by the xor check") {
+    import graft.ml.BigramLm
+    val p = tempDir("lm-order").toString + "/m"
+    BigramLm.writeLm(spark, Seq(("a", "b", 3L)).toDF("w1", "w2", "cxy"), 2L, p)
+    val x1 = BigramLm.lmXor(spark, p).get
+    // rewrite with a DIFFERENT same-row-count model: stamps must follow
+    BigramLm.writeLm(spark, Seq(("c", "d", 9L)).toDF("w1", "w2", "cxy"), 5L, p)
+    val x2 = BigramLm.lmXor(spark, p).get
+    assert(x1 != x2 && BigramLm.lmV(spark, p).contains(5L) &&
+      BigramLm.lmRows(spark, p) == 1L)
+    val (pairs, v) = BigramLm.loadLm(spark, p)
+    assert(v == 5L &&
+      pairs.collect().map(_.toSeq).toSeq == Seq(Seq("c", "d", 9L)))
+    // emulate the pre-r15 torn state by hand: new pairs under OLD stamps
+    // with the SAME row count — loadLm must refuse via the signature
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(new org.apache.hadoop.fs.Path(s"$p/_xor"), true)
+    try os.write(x1.toString.getBytes("UTF-8")) finally os.close()
+    intercept[IllegalArgumentException] { BigramLm.loadLm(spark, p) }
+  }
+
   // --- the pipeline's reference-LM mix (Config.lmRefLang) -----------------
 
   test("pipeline lm_mix with a REFERENCE LM (lmRefLang = 'en', the q183 kernel): the (1,0,0) stage equals the manual composition; an absent reference language fails loudly; the bootstrap and reference scorers really differ") {
