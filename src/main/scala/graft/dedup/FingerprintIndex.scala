@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.StampedArtifact
 
 /** Persisted shingle-fingerprint index — the artifact form of q157's
   * history side (ref behavior class: the reference's checkpoint/resume
@@ -57,14 +58,20 @@ object FingerprintIndex {
   def writeIndex(spark: SparkSession, hashes: DataFrame, path: String): Long = {
     require(hashes.columns.toSeq == Seq("h"),
       s"writeIndex: expected a single 'h' column, got ${hashes.columns.toSeq}")
+    // UNSTAMP before the overwrite (`_rows` first — the shared
+    // StampedArtifact discipline, r15): the overwrite destroys the old
+    // data, so from here until the restamp the artifact must read as
+    // NEVER-STAMPED, not as old stamps over whatever landed
+    StampedArtifact.deleteMeta(spark, path, "_rows")
+    StampedArtifact.deleteMeta(spark, path, "_xor")
     hashes.write.mode("overwrite").parquet(s"$path/hashes")
     val landed = spark.read.parquet(s"$path/hashes")
       .agg(count(lit(1)).as("n"),
         coalesce(expr("bit_xor(h)"), lit(0L)).as("x")).head()
     val n = landed.getLong(0); val x = landed.getLong(1)
     require(n > 0, s"writeIndex: refusing to stamp an empty index at $path")
-    writeMeta(spark, path, "_xor", x.toString)
-    writeMeta(spark, path, "_rows", n.toString)
+    StampedArtifact.writeMeta(spark, path, "_xor", x.toString)
+    StampedArtifact.writeMeta(spark, path, "_rows", n.toString)
     n
   }
 
@@ -108,8 +115,10 @@ object FingerprintIndex {
       s"appendIndex: expected a single 'h' column, got ${newHashes.columns.toSeq}")
     val existing = loadIndex(spark, path)
     val oldRows = indexRows(spark, path)
-    val oldXor = indexXor(spark, path).getOrElse(
-      sys.error(s"appendIndex: index at $path has no _xor stamp — rebuild"))
+    val oldXorOpt = indexXor(spark, path)
+    require(oldXorOpt.isDefined,
+      s"appendIndex: index at $path has no _xor stamp — rebuild")
+    val oldXor = oldXorOpt.get
     val novel = newHashes.select(col("h")).distinct()
       .join(existing, Seq("h"), "left_anti")
     val hp = new org.apache.hadoop.fs.Path(s"$path/hashes")
@@ -128,8 +137,8 @@ object FingerprintIndex {
         coalesce(expr("bit_xor(h)"), lit(0L)).as("x")).head()
     val dn = landed.getLong(0); val dx = landed.getLong(1)
     if (dn == 0L) return oldRows // only empty part files landed
-    writeMeta(spark, path, "_xor", (oldXor ^ dx).toString)
-    writeMeta(spark, path, "_rows", (oldRows + dn).toString)
+    StampedArtifact.writeMeta(spark, path, "_xor", (oldXor ^ dx).toString)
+    StampedArtifact.writeMeta(spark, path, "_rows", (oldRows + dn).toString)
     oldRows + dn
   }
 
@@ -173,8 +182,10 @@ object FingerprintIndex {
       s"compactIndex: targetFiles must be >= 1, got $targetFiles")
     val df = loadIndex(spark, path) // validates stamp == on-disk count
     val n = indexRows(spark, path)
-    val x = indexXor(spark, path).getOrElse(
-      sys.error(s"compactIndex: index at $path has no _xor stamp — rebuild"))
+    val xOpt = indexXor(spark, path)
+    require(xOpt.isDefined,
+      s"compactIndex: index at $path has no _xor stamp — rebuild")
+    val x = xOpt.get
     val side = s"$path/hashes.compact"
     df.repartition(targetFiles).write.mode("overwrite").parquet(side)
     val landed = spark.read.parquet(side)
@@ -183,11 +194,10 @@ object FingerprintIndex {
     require(landed.getLong(0) == n && landed.getLong(1) == x,
       s"compactIndex: compacted copy at $side reads (${landed.getLong(0)}, " +
         s"${landed.getLong(1)}), live stamps say ($n, $x) — refusing the swap")
-    val hp = new org.apache.hadoop.fs.Path(s"$path/hashes")
-    val sp = new org.apache.hadoop.fs.Path(side)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.delete(hp, true), s"compactIndex: could not remove $hp")
-    require(fs.rename(sp, hp), s"compactIndex: could not swap $sp into place")
+    // swap WITHOUT unstamping: content identity was just enforced, so
+    // the live stamps are correct for both the old and the new files —
+    // compaction must stay invisible to a reader racing it
+    StampedArtifact.unstampAndSwap(spark, path, "hashes", side, Nil)
     n
   }
 
@@ -196,28 +206,53 @@ object FingerprintIndex {
     * both mean "no valid stamp" and the caller's rebuild branch is the
     * right response to both). */
   def indexRows(spark: SparkSession, path: String): Long =
-    readMeta(spark, path, "_rows").getOrElse(-1L)
+    StampedArtifact.stampedRows(spark, path)
 
   /** Stamped content signature (bit-xor of all hashes); None if absent
     * or torn. Order-independent, so it is insensitive to partitioning
     * and write order — exactly what a distributed set identity needs. */
   def indexXor(spark: SparkSession, path: String): Option[Long] =
-    readMeta(spark, path, "_xor")
+    StampedArtifact.readMetaLong(spark, path, "_xor")
 
   /** Reopen a persisted index, VALIDATED: single long `h` column, stamp
     * == on-disk row count (metadata-cheap). A torn or out-of-API
     * mutated artifact surfaces as a loud require, never a silently
     * different dedup verdict. Returns the DISTRIBUTED hash set — never
-    * collected. */
-  def loadIndex(spark: SparkSession, path: String): DataFrame = {
+    * collected.
+    *
+    * Load contract (decided once, r15 — see
+    * [[graft.core.StampedArtifact]]): this load runs INSIDE hot loops —
+    * the incremental-dedup stream reopens the index per MICRO-BATCH —
+    * and the index is corpus-bounded (one row per distinct shingle), so
+    * the default validation is stamp == count; the `_xor` signature is
+    * enforced at every WRITE boundary instead (writeIndex and
+    * appendIndex re-derive it from what landed; compactIndex refuses a
+    * swap whose copy mismatches the live stamps). Pass
+    * `verifyContent = true` for the cross-machine hand-off case (an
+    * index shipped by path between runs, the `Config.lmArtifactPath`
+    * threat model) — one extra xor partial-agg scan per load. */
+  def loadIndex(spark: SparkSession, path: String,
+      verifyContent: Boolean = false): DataFrame = {
     val df = spark.read.parquet(s"$path/hashes")
     require(df.columns.toSeq == Seq("h") &&
         df.schema("h").dataType == org.apache.spark.sql.types.LongType,
       s"fingerprint loadIndex: unexpected schema ${df.schema.simpleString} at $path")
     val stamped = indexRows(spark, path)
-    val n = df.count()
-    require(stamped == n,
-      s"fingerprint loadIndex: stamp $stamped != $n rows at $path — torn write or out-of-API mutation; rebuild")
+    if (verifyContent) {
+      val xorOpt = indexXor(spark, path)
+      require(xorOpt.isDefined,
+        s"fingerprint loadIndex: no _xor stamp at $path — torn write; rebuild")
+      val sig = df.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("x")).head()
+      require(stamped == sig.getLong(0),
+        s"fingerprint loadIndex: stamp $stamped != ${sig.getLong(0)} rows at $path — torn write or out-of-API mutation; rebuild")
+      require(xorOpt.get == sig.getLong(1),
+        s"fingerprint loadIndex: content signature ${xorOpt.get} != ${sig.getLong(1)} at $path — out-of-API content swap; rebuild")
+    } else {
+      val n = df.count()
+      require(stamped == n,
+        s"fingerprint loadIndex: stamp $stamped != $n rows at $path — torn write or out-of-API mutation; rebuild")
+    }
     df
   }
 
@@ -242,35 +277,4 @@ object FingerprintIndex {
         col("dup_fp"), col("quarantined"))
   }
 
-  // --- stamp plumbing (the Bpe._rows read/write, shared shape) -------------
-
-  private def writeMeta(spark: SparkSession, path: String, name: String,
-      value: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/$name")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(value.getBytes("UTF-8")) finally out.close()
-  }
-
-  private def readMeta(spark: SparkSession, path: String,
-      name: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/$name")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](64)
-        var total = 0
-        var n = in.read(buf, total, buf.length - total)
-        while (n > 0 && total + n < buf.length) {
-          total += n
-          n = in.read(buf, total, buf.length - total)
-        }
-        if (n > 0) total += n
-        val s = new String(buf, 0, total, "UTF-8").trim
-        try Some(s.toLong) catch { case _: NumberFormatException => None }
-      } finally in.close()
-    }
-  }
 }

@@ -2,6 +2,7 @@ package graft.ml
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.StampedArtifact
 
 /** Persisted add-k bigram language model — the FOURTH stamped artifact
   * (after the BPE vocab, the fingerprint index, and the perceptron
@@ -58,9 +59,6 @@ object BigramLm {
     require(pairs.columns.toSeq == Seq("w1", "w2", "cxy"),
       s"writeLm: expected (w1, w2, cxy), got ${pairs.columns.toSeq}")
     require(v >= 1, s"writeLm: vocabulary size must be >= 1, got $v")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"$path/pairs")
     val side = new org.apache.hadoop.fs.Path(s"$path/pairs.swap")
     pairs.write.mode("overwrite").parquet(side.toString)
     val landed = spark.read.parquet(side.toString)
@@ -69,19 +67,15 @@ object BigramLm {
       .head()
     val n = landed.getLong(0); val x = landed.getLong(1)
     require(n > 0, s"writeLm: refusing to stamp an empty model at $path")
-    // UNSTAMP before the swap — `_rows` first (it is the gate loadLm
-    // validates): a writer dying anywhere between here and the final
-    // restamp reads as NEVER-STAMPED (lmRows = -1 → rebuild), never as
-    // old stamps over new pairs
-    deleteMeta(spark, path, "_rows")
-    deleteMeta(spark, path, "_xor")
-    deleteMeta(spark, path, "_v")
-    if (fs.exists(live))
-      require(fs.delete(live, true), s"writeLm: could not remove $live")
-    require(fs.rename(side, live), s"writeLm: could not swap $side into place")
-    writeMeta(spark, path, "_v", v.toString)
-    writeMeta(spark, path, "_xor", x.toString)
-    writeMeta(spark, path, "_rows", n.toString)
+    // UNSTAMP (`_rows` first — the gate loadLm validates) → swap →
+    // RESTAMP (`_rows` last): a writer dying anywhere in the window
+    // reads as NEVER-STAMPED (lmRows = -1 → rebuild), never as old
+    // stamps over new pairs
+    StampedArtifact.unstampAndSwap(spark, path, "pairs", side.toString,
+      Seq("_rows", "_xor", "_v"))
+    StampedArtifact.writeMeta(spark, path, "_v", v.toString)
+    StampedArtifact.writeMeta(spark, path, "_xor", x.toString)
+    StampedArtifact.writeMeta(spark, path, "_rows", n.toString)
     n
   }
 
@@ -89,15 +83,15 @@ object BigramLm {
     * vocab/index tolerant contract — the caller's rebuild branch is the
     * right response to both). */
   def lmRows(spark: SparkSession, path: String): Long =
-    readMeta(spark, path, "_rows").getOrElse(-1L)
+    StampedArtifact.stampedRows(spark, path)
 
   /** Stamped content signature; None if absent or torn. */
   def lmXor(spark: SparkSession, path: String): Option[Long] =
-    readMeta(spark, path, "_xor")
+    StampedArtifact.readMetaLong(spark, path, "_xor")
 
   /** Stamped vocabulary size; None if absent or torn. */
   def lmV(spark: SparkSession, path: String): Option[Long] =
-    readMeta(spark, path, "_v")
+    StampedArtifact.readMetaLong(spark, path, "_v")
 
   /** Reopen a persisted model, VALIDATED: (w1, w2, cxy) schema, stamp ==
     * on-disk row count, AND `_xor` == the xor-of-row-hash of what is
@@ -136,43 +130,4 @@ object BigramLm {
     (df, v)
   }
 
-  // --- stamp plumbing (the FingerprintIndex shape) ---------------------------
-
-  private def writeMeta(spark: SparkSession, path: String, name: String,
-      value: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/$name")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(value.getBytes("UTF-8")) finally out.close()
-  }
-
-  private def deleteMeta(spark: SparkSession, path: String,
-      name: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/$name")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      require(fs.delete(p, false), s"could not delete stamp $p")
-  }
-
-  private def readMeta(spark: SparkSession, path: String,
-      name: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/$name")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](64)
-        var total = 0
-        var n = in.read(buf, total, buf.length - total)
-        while (n > 0 && total + n < buf.length) {
-          total += n
-          n = in.read(buf, total, buf.length - total)
-        }
-        if (n > 0) total += n
-        val s = new String(buf, 0, total, "UTF-8").trim
-        try Some(s.toLong) catch { case _: NumberFormatException => None }
-      } finally in.close()
-    }
-  }
 }

@@ -50,9 +50,6 @@ object PerceptronModel {
   def writeModel(spark: SparkSession, weights: Array[Long], path: String): Unit = {
     require(weights.nonEmpty, "writeModel: refusing to persist an empty model")
     import spark.implicits._
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"$path/weights")
     val side = new org.apache.hadoop.fs.Path(s"$path/weights.swap")
     weights.zipWithIndex.map { case (w, b) => (b.toLong, w) }.toSeq
       .toDF("bucket", "weight")
@@ -64,41 +61,33 @@ object PerceptronModel {
         landed.map(_._2).sameElements(weights),
       s"writeModel: side copy at $side does not read back as the trained " +
         "weights — refusing the swap")
-    if (fs.exists(live))
-      require(fs.delete(live, true), s"writeModel: could not remove $live")
-    require(fs.rename(side, live), s"writeModel: could not swap $side into place")
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_rows"), true)
-    try out.write(weights.length.toString.getBytes("UTF-8")) finally out.close()
+    // UNSTAMP → swap → RESTAMP (the shared [[graft.core.StampedArtifact]]
+    // discipline, r15): a writer dying between the rename and the stamp
+    // reads as never-stamped, never as an old stamp over new weights
+    graft.core.StampedArtifact.unstampAndSwap(spark, path, "weights",
+      side.toString, Seq("_rows"))
+    graft.core.StampedArtifact.writeMeta(spark, path, "_rows",
+      weights.length.toString)
   }
 
   /** Stamped weight count; -1 if never stamped or the stamp is torn
     * garbage (the Bpe.vocabRows tolerant contract: both mean "no valid
     * stamp" and the caller's rebuild branch is the right response). */
-  def modelRows(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_rows")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](64)
-        var total = 0
-        var n = in.read(buf, total, buf.length - total)
-        while (n > 0 && total + n < buf.length) {
-          total += n
-          n = in.read(buf, total, buf.length - total)
-        }
-        if (n > 0) total += n
-        val s = new String(buf, 0, total, "UTF-8").trim
-        try s.toLong catch { case _: NumberFormatException => -1L }
-      } finally in.close()
-    }
-  }
+  def modelRows(spark: SparkSession, path: String): Long =
+    graft.core.StampedArtifact.stampedRows(spark, path)
 
   /** Reopen a persisted model, VALIDATED on load: stamp == row count,
     * buckets exactly 0..n-1 with one weight each. Loud require on any
     * mismatch — a silently different weight vector would flip keep/drop
-    * decisions downstream with no error anywhere. */
+    * decisions downstream with no error anywhere. Load contract
+    * (decided once, r15 — see [[graft.core.StampedArtifact]]): this is
+    * a DRIVER-SIZED artifact, collected whole, so the structural checks
+    * are the full validation; it carries no `_xor` content stamp — the
+    * write site already validated the side copy row-for-row against the
+    * in-memory weights. A content swap inside those structural bounds
+    * (same count, contiguous buckets, different weight values) is
+    * accepted: these paths are internal, corpus-signature-keyed, and
+    * cheap to retrain, unlike the cross-machine LM/index paths. */
   def loadModel(spark: SparkSession, path: String): Array[Long] = {
     val rows = spark.read.parquet(s"$path/weights")
       .select(col("bucket").cast("long"), col("weight").cast("long"))

@@ -219,12 +219,15 @@ object Bpe {
   def writeVocab(spark: SparkSession, merges: Seq[Merge], path: String): Unit = {
     require(merges.nonEmpty, "writeVocab: refusing to persist an empty merge list")
     import spark.implicits._
+    // UNSTAMP before the overwrite (the shared StampedArtifact
+    // discipline, r15): the overwrite destroys the old table, so until
+    // the restamp the artifact must read as never-stamped, not as the
+    // old stamp over whatever landed
+    graft.core.StampedArtifact.deleteMeta(spark, path, "_rows")
     merges.toDF("round", "p1", "p2", "cnt")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_rows"), true)
-    try out.write(merges.size.toString.getBytes("UTF-8")) finally out.close()
+    graft.core.StampedArtifact.writeMeta(spark, path, "_rows",
+      merges.size.toString)
   }
 
   /** Stamped merge count of a persisted vocab. -1 if never stamped OR
@@ -233,26 +236,8 @@ object Bpe {
     * mean "no valid stamp", and callers' never-stamped branch (rewrite /
     * retrain) is the right response to both. [[loadVocab]]'s mismatch
     * require stays the loud path for a stamp that parses but disagrees. */
-  def vocabRows(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_rows")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](64)
-        var total = 0
-        var n = in.read(buf, total, buf.length - total)
-        while (n > 0 && total + n < buf.length) {
-          total += n
-          n = in.read(buf, total, buf.length - total)
-        }
-        if (n > 0) total += n
-        val s = new String(buf, 0, total, "UTF-8").trim
-        try s.toLong catch { case _: NumberFormatException => -1L }
-      } finally in.close()
-    }
-  }
+  def vocabRows(spark: SparkSession, path: String): Long =
+    graft.core.StampedArtifact.stampedRows(spark, path)
 
   /** Reopen a persisted vocab, VALIDATED on load so a torn or
     * hand-mutated artifact surfaces as a loud require, never a silently
@@ -260,7 +245,11 @@ object Bpe {
     * 1..n, symbols non-empty and space-free (a symbol containing a
     * space would corrupt the separator grammar every merge rides on),
     * counts positive. The table is vocab-sized — a driver collect by
-    * design, like the PQ codebooks. */
+    * design, like the PQ codebooks. Load contract (decided once, r15 —
+    * see [[graft.core.StampedArtifact]]): DRIVER-SIZED artifact, so the
+    * structural checks below are the full validation; no `_xor` content
+    * stamp (the internal paths are corpus-signature-keyed, and a
+    * structurally-valid content swap is cheap to retrain past). */
   def loadVocab(spark: SparkSession, path: String): Seq[Merge] = {
     val rows = spark.read.parquet(s"$path/merges")
       .select(col("round").cast("int"), col("p1"), col("p2"),
