@@ -91,6 +91,15 @@ object ScaleOps27 {
     trainLmPairs(Relational.fanOut(t(s, dir, "documents"))
       .filter(col("lang") === RefLang))
 
+  /** (V, T) of the reference model for sibling arms — q187 scores the
+    * same slice under KN, and T (the distinct-bigram-type count) is by
+    * construction the pair-table row count the artifact stamps as
+    * `_rows`. Memoized with the corpus signature via [[refSig]]. */
+  private[ops] def refSigOf(s: SparkSession, dir: String): (Long, Long) = {
+    val (v, n, _) = refSig(s, dir)
+    (v, n)
+  }
+
   private def refSig(s: SparkSession, dir: String): (Long, Long, Long) =
     sigMemo.getOrElseUpdate(
       (dir, Relational.corpusSignature(s, dir, "documents")), {

@@ -50,13 +50,17 @@ object ScaleOps28 {
   /** How many lowest-scoring held-out documents q186 surfaces. */
   val Q186BottomK = 15
 
+  /** How many lowest-scoring documents q187 surfaces. */
+  val Q187BottomK = 15
+
   /** Per-corpus memo of (V, T) — the two driver literals. */
   private val sigMemo =
     scala.collection.concurrent.TrieMap[(String, String), (Long, Long)]()
 
-  private def bigramsOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id").cast("long").as("doc_id"),
-        graft.text.TextAnalysis.tokens(col("text")).as("ts"))
+  private def bigramsOf(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        graft.text.TextAnalysis.tokens(col(textCol)).as("ts"))
       .filter(size(col("ts")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ts) - 1), " +
@@ -64,6 +68,55 @@ object ScaleOps28 {
         .as("b"))
       .filter(length(col("b.w1")) >= 1 && length(col("b.w2")) >= 1)
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** Library surface (r14 verdict #1 — until r15 this chain lived only
+    * inside q186, so `Config.lmSmoothing` could not reach it): score ANY
+    * document frame against a bigram model with interpolated KNESER–NEY
+    * at d = ¾ — the exact ×4-integer arithmetic the object doc derives.
+    * `pairs` is the (w1, w2, cxy) count table ([[ScaleOps27.trainLmPairs]]
+    * or a loaded [[graft.ml.BigramLm]] artifact), `v` the training
+    * vocabulary size, `t` the DISTINCT-BIGRAM-TYPE count — exactly the
+    * artifact's `_rows` stamp, which is why the persisted model needs no
+    * extra metadata for KN. Per ≥2-token document: (idCol, n_bigrams,
+    * n_unseen_ctx, score_fp). The add-k twin is
+    * [[ScaleOps27.scoreDocsWithLm]]; the two smoothers are one config
+    * choice apart in the pipeline's `lm_mix` stage.
+    *
+    * Scale shape: the ctx/N1+ and continuation tables are FREE
+    * projections of the grouped pair table (one rollup each); the
+    * scored stream pays three co-partitioned token-sized joins —
+    * (w1, w2), w1, then w2 — the third being KN's inherent price over
+    * add-k; (T, V) ride as driver literals so no nested-loop join
+    * anywhere. */
+  def scoreDocsWithLmKn(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, v: Long, t: Long): DataFrame = {
+    require(v >= 1, s"scoreDocsWithLmKn: vocabulary size must be >= 1, got $v")
+    require(t >= 0, s"scoreDocsWithLmKn: bigram type count must be >= 0, got $t")
+    val ctx = pairs.groupBy(col("w1"))
+      .agg(sum(col("cxy")).as("cx"), count(lit(1)).as("n1"))
+    val cont = pairs.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
+    bigramsOf(docs, idCol, textCol)
+      .join(pairs, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .withColumn("pc_fp", expr(
+        s"CAST((CAST(coalesce(ncont, 0) + 1 AS DECIMAL(38,0)) * 1000000) " +
+          s"div ${t + v} AS BIGINT)"))
+      .withColumn("p_fp", expr(
+        "CASE WHEN cx IS NULL THEN pc_fp ELSE " +
+          "CAST(CASE WHEN cxy IS NOT NULL THEN " +
+          "(CAST(4 * cxy - 3 AS DECIMAL(38,0)) * 1000000) div (4 * cx) " +
+          "ELSE 0 END " +
+          "+ (CAST(3 AS DECIMAL(38,0)) * n1 * pc_fp) div (4 * cx) AS BIGINT) END"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("cx").isNull.cast("long")).as("n_unseen_ctx"),
+        sum(col("p_fp")).as("sfp"))
+      .withColumn("score_fp", expr("CAST(sfp div n_bigrams AS BIGINT)"))
+      .select(col("doc_id").as(idCol),
+        col("n_bigrams").cast("long").as("n_bigrams"),
+        col("n_unseen_ctx").cast("long").as("n_unseen_ctx"), col("score_fp"))
+  }
 
   private def trainBi(s: SparkSession, dir: String): DataFrame =
     bigramsOf(Relational.fanOut(t(s, dir, "documents"))
@@ -89,34 +142,44 @@ object ScaleOps28 {
         col("id").as("n_bigrams"), col("id").as("n_unseen_ctx"),
         col("id").as("score_fp"))
     val docs = Relational.fanOut(t(s, dir, "documents"))
-    val pairs = trainBi(s, dir)
-    // ctx totals AND distinct-successor counts from ONE rollup of the
-    // grouped pair table (n1 = row count per w1 — already distinct)
-    val ctx = pairs.groupBy(col("w1"))
-      .agg(sum(col("cxy")).as("cx"), count(lit(1)).as("n1"))
-    val cont = pairs.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
-    bigramsOf(docs.filter(col("doc_id").cast("long") % 2 === 1))
-      .join(pairs, Seq("w1", "w2"), "left")
-      .join(ctx, Seq("w1"), "left")
-      .join(cont, Seq("w2"), "left")
-      .withColumn("pc_fp", expr(
-        s"CAST((CAST(coalesce(ncont, 0) + 1 AS DECIMAL(38,0)) * 1000000) " +
-          s"div ${tt + v} AS BIGINT)"))
-      .withColumn("p_fp", expr(
-        "CASE WHEN cx IS NULL THEN pc_fp ELSE " +
-          "CAST(CASE WHEN cxy IS NOT NULL THEN " +
-          "(CAST(4 * cxy - 3 AS DECIMAL(38,0)) * 1000000) div (4 * cx) " +
-          "ELSE 0 END " +
-          "+ (CAST(3 AS DECIMAL(38,0)) * n1 * pc_fp) div (4 * cx) AS BIGINT) END"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("cx").isNull.cast("long")).as("n_unseen_ctx"),
-        sum(col("p_fp")).as("sfp"))
-      .withColumn("score_fp", expr("CAST(sfp div n_bigrams AS BIGINT)"))
-      .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
-        col("n_unseen_ctx").cast("long").as("n_unseen_ctx"), col("score_fp"))
+    // the shared KN kernel over the held (odd) half — q186 IS the
+    // kernel's oracle arm, so the pipeline-reachable surface and the
+    // cross-engine-checked chain are one piece of code
+    scoreDocsWithLmKn(docs.filter(col("doc_id").cast("long") % 2 === 1),
+        "doc_id", "text", trainBi(s, dir), v, tt)
       .orderBy(col("score_fp"), col("doc_id"))
       .limit(Q186BottomK)
+  }
+
+  /** q187: the honest CCNet scorer under KNESER–NEY — q183's protocol
+    * (train on the `lang = 'en'` reference slice, score EVERY ≥2-token
+    * document) with q186's smoothing, so the two smoothers are directly
+    * comparable on the reference-LM split the pipeline actually runs:
+    * q183 vs q187 is `Config.lmSmoothing = AddK` vs `KneserNey` over
+    * identical training text. (V, T) come from [[ScaleOps27]]'s memoized
+    * reference signature — T is the pair-table row count, the same value
+    * the persisted artifact stamps as `_rows`, which is what makes the
+    * artifact KN-ready with no extra metadata. Out-of-reference text
+    * pays the continuation-only backoff; a reference slice with tokens
+    * but zero bigrams still scores everyone at the uniform continuation
+    * floor 10⁶ div V (T = 0 — the q184 no-bigram corner, no special
+    * case needed: the formula is total for V ≥ 1). Surfaces the
+    * [[Q187BottomK]] lowest (score asc, doc_id). */
+  def q187RefLmKnScore(s: SparkSession, dir: String): DataFrame = {
+    val (v, tt) = ScaleOps27.refSigOf(s, dir)
+    if (v == 0L)
+      return s.range(0).select(col("id").as("doc_id"), lit("").as("lang"),
+        col("id").as("n_bigrams"), col("id").as("n_unseen_ctx"),
+        col("id").as("score_fp"))
+    scoreDocsWithLmKn(Relational.fanOut(t(s, dir, "documents")),
+        "doc_id", "text", ScaleOps27.refPairs(s, dir), v, tt)
+      .join(t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("n_unseen_ctx"), col("score_fp"))
+      .orderBy(col("score_fp"), col("doc_id"))
+      .limit(Q187BottomK)
   }
 
   /** Mirror: identical halves, grouped-pair-derived ctx/N1+/continuation
@@ -172,4 +235,59 @@ object ScaleOps28 {
       |  CAST(SUM(p_fp) // COUNT(*) AS BIGINT) AS score_fp
       |FROM scoredp GROUP BY doc_id
       |ORDER BY score_fp, doc_id LIMIT ${Q186BottomK}""".stripMargin
+
+  /** Mirror: q183's reference slice (train on lang = 'en', score
+    * everyone) under q186's KN arithmetic — same grouped-pair-derived
+    * ctx/N1+/continuation tables, same ×4-cleared discounts, same
+    * per-term floors, same vv ≥ 1 guard. */
+  val q187Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      |  FROM documents
+      |), bi AS (
+      |  SELECT doc_id, lang, ts[g] AS w1, ts[g + 1] AS w2 FROM (
+      |    SELECT doc_id, lang, ts, unnest(generate_series(1, len(ts) - 1)) AS g
+      |    FROM toks WHERE len(ts) >= 2)
+      |  WHERE len(ts[g]) >= 1 AND len(ts[g + 1]) >= 1
+      |), train_bi AS (
+      |  SELECT w1, w2, COUNT(*) AS cxy FROM bi WHERE lang = '${ScaleOps27.RefLang}'
+      |  GROUP BY w1, w2
+      |), ctx AS (
+      |  SELECT w1, SUM(cxy) AS cx, COUNT(*) AS n1 FROM train_bi GROUP BY w1
+      |), cont AS (
+      |  SELECT w2, COUNT(*) AS ncont FROM train_bi GROUP BY w2
+      |), consts AS (
+      |  SELECT
+      |    (SELECT COUNT(DISTINCT tok) FROM (
+      |       SELECT unnest(ts) AS tok FROM toks WHERE lang = '${ScaleOps27.RefLang}')
+      |     WHERE len(tok) >= 1) AS vv,
+      |    (SELECT COUNT(*) FROM train_bi) AS tt
+      |), held AS (
+      |  SELECT h.doc_id, h.lang, tb.cxy, c.cx, c.n1,
+      |    COALESCE(ct.ncont, 0) AS ncont, k.vv, k.tt
+      |  FROM bi h
+      |  LEFT JOIN train_bi tb ON h.w1 = tb.w1 AND h.w2 = tb.w2
+      |  LEFT JOIN ctx c ON h.w1 = c.w1
+      |  LEFT JOIN cont ct ON h.w2 = ct.w2
+      |  CROSS JOIN consts k
+      |  WHERE k.vv >= 1
+      |), scoredp AS (
+      |  SELECT doc_id, lang, cx,
+      |    CASE WHEN cx IS NULL
+      |      THEN ((ncont + 1)::HUGEINT * 1000000) // (tt + vv)
+      |      ELSE (CASE WHEN cxy IS NOT NULL
+      |              THEN ((4 * cxy - 3)::HUGEINT * 1000000) // (4 * cx)
+      |              ELSE 0 END)
+      |           + (3::HUGEINT * n1 *
+      |              (((ncont + 1)::HUGEINT * 1000000) // (tt + vv))) // (4 * cx)
+      |    END AS p_fp
+      |  FROM held
+      |)
+      |SELECT doc_id, lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(CASE WHEN cx IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen_ctx,
+      |  CAST(SUM(p_fp) // COUNT(*) AS BIGINT) AS score_fp
+      |FROM scoredp GROUP BY doc_id, lang
+      |ORDER BY score_fp, doc_id LIMIT ${Q187BottomK}""".stripMargin
 }

@@ -28,6 +28,18 @@ import graft.ops.Relational3
   * stable storage for executor-loss survival. */
 object TrainingPipeline {
 
+  /** Smoothing family for the `lm_mix` stage's reference-model scorers
+    * — see [[Config.lmSmoothing]]. */
+  sealed trait LmSmoothing
+  object LmSmoothing {
+    /** Add-k at k = 10⁻⁶ fixed point — q183's arithmetic
+      * ([[graft.ops.ScaleOps27.scoreDocsWithLm]]). */
+    case object AddK extends LmSmoothing
+    /** Interpolated Kneser–Ney at d = ¾ in exact ×4 integers — q186/
+      * q187's arithmetic ([[graft.ops.ScaleOps28.scoreDocsWithLmKn]]). */
+    case object KneserNey extends LmSmoothing
+  }
+
   final case class Config(
       curation: Curation.Params = Curation.Params.production,
       decontShingleK: Int = 3,
@@ -122,6 +134,20 @@ object TrainingPipeline {
         * LOUDLY, never scores with garbage. Ignored unless
         * [[lmTertileMix]] is set. */
       lmArtifactPath: Option[String] = None,
+      /** Smoothing family for the `lm_mix` reference-model scorers
+        * (r14 verdict #1 — until r15 the KN kernel was oracle-green as
+        * q186 but unreachable from the stage): [[LmSmoothing.AddK]]
+        * (default — the q183 arithmetic) or [[LmSmoothing.KneserNey]]
+        * (the q186/q187 ×4-integer interpolated-KN kernel,
+        * [[graft.ops.ScaleOps28.scoreDocsWithLmKn]]). Applies to BOTH
+        * [[lmRefLang]] and [[lmArtifactPath]] scorers — the artifact
+        * needs no extra metadata because KN's T (distinct bigram types)
+        * is exactly its `_rows` stamp. A KN request with NEITHER
+        * reference scorer configured fails LOUDLY: the corpus-as-own-LM
+        * MLE bootstrap has no discount machinery, and silently falling
+        * back to it would mix under a different ranking than the one
+        * asked for. Ignored unless [[lmTertileMix]] is set. */
+      lmSmoothing: LmSmoothing = LmSmoothing.AddK,
       reliableCheckpoints: Boolean = false,
       /** Build the near-dup PAIR GRAPH once and share it between the
         * curation drop and the split's cluster formation, instead of
@@ -295,21 +321,45 @@ object TrainingPipeline {
     val lmMixed: DataFrame = cfg.lmTertileMix match {
       case None => gated
       case Some((headRate, middleRate, tailRate)) =>
+        // smoothing dispatch shared by both reference scorers: add-k is
+        // the q183 kernel; KN is the q186/q187 kernel, whose extra T
+        // literal is the pair-table row count (the artifact's `_rows`
+        // stamp — no new metadata, one partial-agg count for the
+        // in-run-trained model)
+        var pairsCkpt: Option[DataFrame] = None
+        def scoreWith(pairs: DataFrame, v: Long, t: => Long): DataFrame =
+          (cfg.lmSmoothing match {
+            case LmSmoothing.AddK =>
+              graft.ops.ScaleOps27.scoreDocsWithLm(gated, idCol, textCol,
+                pairs, v)
+            case LmSmoothing.KneserNey =>
+              graft.ops.ScaleOps28.scoreDocsWithLmKn(gated, idCol, textCol,
+                pairs, v, t)
+          }).select(col(idCol).cast("long").as("doc_id"), col("score_fp"))
         val scores = (cfg.lmArtifactPath, cfg.lmRefLang) match {
           case (Some(path), _) =>
             val (pairs, v) = graft.ml.BigramLm.loadLm(spark, path)
-            graft.ops.ScaleOps27.scoreDocsWithLm(gated, idCol, textCol,
-                pairs, v)
-              .select(col(idCol).cast("long").as("doc_id"), col("score_fp"))
+            // loadLm just validated stamp == on-disk rows, so the stamp
+            // IS the type count T
+            scoreWith(pairs, v, graft.ml.BigramLm.lmRows(spark, path))
           case (None, Some(refLang)) =>
             val ref = gated.filter(col("lang_pred") === refLang)
             val v = graft.ops.ScaleOps27.vocabSize(ref, textCol)
             require(v >= 1, s"lm_mix: reference language '$refLang' has no " +
               "tokens in the gated corpus — no model to mix with")
-            graft.ops.ScaleOps27.scoreDocsWithLm(gated, idCol, textCol,
-                graft.ops.ScaleOps27.trainLmPairs(ref, idCol, textCol), v)
-              .select(col(idCol).cast("long").as("doc_id"), col("score_fp"))
+            // checkpoint the pair table: the KN chain consumes it three
+            // times (pairs/ctx/cont joins) plus the T count — without
+            // the cut each consumer would replan the train agg over the
+            // gated frame
+            val pairs = ckpt(graft.ops.ScaleOps27.trainLmPairs(ref,
+              idCol, textCol))
+            pairsCkpt = Some(pairs)
+            scoreWith(pairs, v, pairs.count())
           case (None, None) =>
+            require(cfg.lmSmoothing == LmSmoothing.AddK,
+              "lm_mix: Kneser-Ney needs a reference model (set lmRefLang " +
+                "or lmArtifactPath) — the corpus-as-own-LM MLE bootstrap " +
+                "has no discount machinery")
             graft.ops.ScaleOps22.mleDocScoresOf(gated, idCol, textCol)
               .select(col("doc_id"), col("score_fp"))
         }
@@ -335,6 +385,7 @@ object TrainingPipeline {
           .drop("__mid", "__mbkt", "__bkt", "__rate"))
         val n = g.count()
         free(gated)
+        pairsCkpt.foreach(free) // the in-run-trained model served its joins
         record("lm_mix", nGated, n, t0)
         g
     }
