@@ -1,0 +1,105 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.StampedArtifact
+
+/** Persisted per-language tertile boundaries — the FIFTH stamped
+  * artifact (r14 verdict #4), and the piece that lets a STREAM run the
+  * full CCNet disposition: `lmScoreStream` can score continuously
+  * against the shipped LM, but head/middle/tail bucketing needs global
+  * per-language boundaries only a batch pass over the whole scored
+  * corpus can compute ([[graft.ops.ScaleOps25.tertileBounds]] — the
+  * routed exact/histogram pass). So the batch computes and ships
+  * (lang, b1, b2); the stream reopens it per micro-batch and applies it
+  * statelessly ([[graft.streaming.Streaming.lmMixStream]]). Ref
+  * behavior class: the reference's persisted state advancing between
+  * runs (`file-to-sql-loader.py:162-291`).
+  *
+  * Contents: `bounds/` (lang string, b1 double, b2 double) as parquet —
+  * ≤ #languages rows, driver-sized. The doubles round-trip bit-exactly
+  * through parquet, so a bucket decided against the loaded table equals
+  * one decided against the in-memory table (the parity specs pin this).
+  *
+  * Write discipline: the shared [[StampedArtifact]] lifecycle — UNSTAMP
+  * (`_rows` first) → side-write-then-swap → RESTAMP (`_rows` last), the
+  * (count, xor) re-derived from what LANDED. An empty boundary table is
+  * refused like the empty LM/index: no languages means nothing to
+  * bucket with, and callers' guard should route around persistence.
+  *
+  * Load contract: although driver-SIZED, this table's path crosses the
+  * batch→stream hand-off (and machines) exactly like
+  * `Config.lmArtifactPath`, so it takes the DISTRIBUTED-artifact side
+  * of the contract — `_xor` content signature validated on load (free
+  * at ≤ #langs rows) — PLUS the full structural checks a driver-sized
+  * artifact gets: non-null distinct languages, finite b1 ≤ b2. Every
+  * failure is a `require` (IllegalArgumentException), one exception
+  * class for all torn states. Single-writer contract. */
+object TertileBounds {
+
+  /** Persist a boundary table: `bounds` carries exactly (lang, b1, b2).
+    * Returns the stamped row count. */
+  def writeBounds(spark: SparkSession, bounds: DataFrame, path: String): Long = {
+    require(bounds.columns.toSeq == Seq("lang", "b1", "b2"),
+      s"writeBounds: expected (lang, b1, b2), got ${bounds.columns.toSeq}")
+    val side = new org.apache.hadoop.fs.Path(s"$path/bounds.swap")
+    bounds.write.mode("overwrite").parquet(side.toString)
+    val landed = spark.read.parquet(side.toString)
+      .agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(lang, b1, b2))"), lit(0L)).as("x"))
+      .head()
+    val n = landed.getLong(0); val x = landed.getLong(1)
+    require(n > 0, s"writeBounds: refusing to stamp an empty boundary table at $path")
+    StampedArtifact.unstampAndSwap(spark, path, "bounds", side.toString,
+      Seq("_rows", "_xor"))
+    StampedArtifact.writeMeta(spark, path, "_xor", x.toString)
+    StampedArtifact.writeMeta(spark, path, "_rows", n.toString)
+    n
+  }
+
+  /** Stamped boundary-row count; -1 if never stamped or torn garbage. */
+  def boundsRows(spark: SparkSession, path: String): Long =
+    StampedArtifact.stampedRows(spark, path)
+
+  /** Stamped content signature; None if absent or torn. */
+  def boundsXor(spark: SparkSession, path: String): Option[Long] =
+    StampedArtifact.readMetaLong(spark, path, "_xor")
+
+  /** Reopen a persisted boundary table, VALIDATED: (lang, b1, b2)
+    * schema, stamp == on-disk rows, `_xor` == the content signature of
+    * what is actually on disk, languages non-null and DISTINCT (two
+    * rows for one language would bucket nondeterministically), b1 and
+    * b2 finite with b1 ≤ b2. Returns the ≤ #langs-row table — small
+    * enough that the consumer's join broadcasts it. */
+  def loadBounds(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(s"$path/bounds")
+    require(df.columns.toSeq == Seq("lang", "b1", "b2"),
+      s"loadBounds: unexpected schema ${df.schema.simpleString} at $path")
+    val xorOpt = boundsXor(spark, path)
+    require(xorOpt.isDefined,
+      s"loadBounds: no _xor stamp at $path — torn write; rebuild")
+    // count + signature + every structural invariant from ONE scan of
+    // the ≤#langs-row table
+    val sig = df.agg(count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(lang, b1, b2))"), lit(0L)).as("x"),
+      count_distinct(col("lang")).as("nlang"),
+      sum((col("lang").isNull || isnan(col("b1")) || isnan(col("b2")) ||
+        col("b1").isNull || col("b2").isNull ||
+        col("b1") > col("b2")).cast("long")).as("bad"))
+      .head()
+    val n = sig.getLong(0)
+    require(StampedArtifact.stampedRows(spark, path) == n,
+      s"loadBounds: stamp ${StampedArtifact.stampedRows(spark, path)} != $n " +
+        s"rows at $path — torn write or out-of-API mutation; rebuild")
+    require(xorOpt.get == sig.getLong(1),
+      s"loadBounds: content signature ${xorOpt.get} != ${sig.getLong(1)} at " +
+        s"$path — out-of-API content swap; rebuild")
+    require(sig.getLong(2) == n,
+      s"loadBounds: duplicate language rows at $path (${sig.getLong(2)} " +
+        s"distinct of $n) — rebuild")
+    require(sig.getLong(3) == 0L,
+      s"loadBounds: ${sig.getLong(3)} structurally invalid rows at $path " +
+        "(null/NaN boundary or b1 > b2) — rebuild")
+    df
+  }
+}

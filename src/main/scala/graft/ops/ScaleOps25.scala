@@ -365,22 +365,41 @@ object ScaleOps25 {
     * boundaries (differential spec), so routing is invisible to every
     * bucket. The measurement is an upper bound; callers may pass any
     * bound they already know (the q166 measured-routing contract). */
-  def assignTertiles(scored: DataFrame, largestLangRows: Long): DataFrame = {
-    val wl = scored.select(col("doc_id"), col("lang"),
+  def assignTertiles(scored: DataFrame, largestLangRows: Long): DataFrame =
+    bucketWithBounds(scored, tertileBounds(scored, largestLangRows))
+
+  /** The boundary TABLE of [[assignTertiles]] on its own — (lang, b1,
+    * b2) doubles, routed between the exact and histogram arms exactly
+    * as the fused form is (r14 verdict #4 widened this out: a STREAM
+    * can apply boundaries statelessly per micro-batch, but only a batch
+    * pass can compute them — so the table must be computable, and then
+    * persistable ([[graft.ml.TertileBounds]]), on its own). */
+  def tertileBounds(scored: DataFrame, largestLangRows: Long): DataFrame = {
+    val wl = scored.select(col("lang"),
       col("score_fp").cast("double").as("sd"), col("score_fp"))
     val bound = wl.sparkSession.conf
       .getOption("graft.tertile.maxLangRows").map(_.toLong)
       .getOrElse(TertileMaxLangRows)
-    val bounds =
-      if (largestLangRows <= bound) tertileBoundsExact(wl)
-      else tertileBoundsHistogram(wl)
-    wl.join(broadcast(bounds), Seq("lang"))
+    if (largestLangRows <= bound) tertileBoundsExact(wl)
+    else tertileBoundsHistogram(wl)
+  }
+
+  /** Bucket `scored` (doc_id, lang, score_fp) against a boundary table
+    * (lang, b1, b2) — the q179 strict-comparison semantics, shared by
+    * the fused batch pass and the streaming applier so the bucket rule
+    * cannot drift between them. The join is INNER: a language absent
+    * from the boundary table yields no rows here — the caller decides
+    * what an unbounded language means (the streaming mix routes it to
+    * the tail rate, the audit slice). ≤#langs boundary rows broadcast. */
+  def bucketWithBounds(scored: DataFrame, bounds: DataFrame): DataFrame =
+    scored.select(col("doc_id"), col("lang"),
+        col("score_fp").cast("double").as("sd"), col("score_fp"))
+      .join(broadcast(bounds), Seq("lang"))
       .withColumn("bucket",
         when(col("sd") > col("b2"), "head")
           .when(col("sd") > col("b1"), "middle")
           .otherwise("tail"))
       .select(col("doc_id"), col("lang"), col("score_fp"), col("bucket"))
-  }
 
   /** Per-document tertile assignment — (doc_id, lang, score_fp, bucket)
     * — shared by q179 (the distribution report) and q180 (the mixing

@@ -150,6 +150,32 @@ object ScaleOps27 {
     * n_oov, score_fp), no cut; shared by q183 (bottom-K) and q185 (the
     * tertile mix). Empty when the reference slice has no tokens (V = 0:
     * there is no model — both engines agree by the vv ≥ 1 guard). */
+  /** The q183 full-corpus score frame for sibling arms — q188 feeds it
+    * through the persisted boundary artifact. */
+  private[ops] def refFullScores(s: SparkSession, dir: String): DataFrame = {
+    val (v, _, _) = refSig(s, dir)
+    fullScores(s, dir, refPairs(s, dir), v)
+  }
+
+  /** The q185 per-(lang, bucket) keep rollup, shared with q188 so the
+    * artifact round-trip's mirror (q185Sql) pins identical arithmetic. */
+  private[ops] def mixRollup(assigned: DataFrame): DataFrame = {
+    val rate = when(col("bucket") === "head", ScaleOps25.Q180HeadRate)
+      .when(col("bucket") === "middle", ScaleOps25.Q180MiddleRate)
+      .otherwise(ScaleOps25.Q180TailRate)
+    assigned
+      .withColumn("keep",
+        graft.pipeline.Packing.mixKeep(col("doc_id"), rate))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"))
+      .withColumn("kept_share_fp",
+        expr("CAST(CAST(n_kept AS DECIMAL(38,0)) * 1000000 div n_docs AS BIGINT)"))
+      .select(col("lang"), col("bucket"), col("n_docs"), col("n_kept"),
+        col("kept_share_fp"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   private def fullScores(s: SparkSession, dir: String,
       pairs: DataFrame, v: Long): DataFrame = {
     if (v == 0L) return emptyScores(s)
@@ -247,20 +273,7 @@ object ScaleOps27 {
     val bound = graft.pipeline.Packing.largestGroupRowsMemo(
       t(s, dir, "documents").select(col("lang")), "lang",
       s"q185|$dir|${Relational.corpusSignature(s, dir, "documents")}")
-    val rate = when(col("bucket") === "head", ScaleOps25.Q180HeadRate)
-      .when(col("bucket") === "middle", ScaleOps25.Q180MiddleRate)
-      .otherwise(ScaleOps25.Q180TailRate)
-    ScaleOps25.assignTertiles(scored, bound)
-      .withColumn("keep",
-        graft.pipeline.Packing.mixKeep(col("doc_id"), rate))
-      .groupBy(col("lang"), col("bucket"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("keep").cast("long")).as("n_kept"))
-      .withColumn("kept_share_fp",
-        expr("CAST(CAST(n_kept AS DECIMAL(38,0)) * 1000000 div n_docs AS BIGINT)"))
-      .select(col("lang"), col("bucket"), col("n_docs"), col("n_kept"),
-        col("kept_share_fp"))
-      .orderBy(col("lang"), col("bucket"))
+    mixRollup(ScaleOps25.assignTertiles(scored, bound))
   }
 
   // --- DuckDB mirrors ---------------------------------------------------

@@ -272,6 +272,73 @@ object Streaming {
       }
       .start()
 
+  /** The FULL CCNet disposition as a stream (r14 verdict #4): score
+    * each arriving document against the persisted bigram LM, bucket it
+    * head/middle/tail against the persisted per-language tertile
+    * boundaries ([[graft.ml.TertileBounds]] — the fifth stamped
+    * artifact: boundaries are a GLOBAL property only a batch pass can
+    * compute, so the batch ships them and the stream applies them
+    * statelessly), and keep it at its bucket's rate through the
+    * portable-hash sampler ([[graft.pipeline.Packing.mixKeep]] — the
+    * same documents survive in batch and stream by construction).
+    * Emits the kept rows: (doc id, lang, score_fp, bucket, batch_id).
+    *
+    * Both artifacts reopen per micro-batch inside `foreachBatch` (the
+    * [[lmScoreStream]] discipline), so a retrained LM or re-computed
+    * boundary table written mid-stream — side-write-then-swap, stamps
+    * last — is live in the next micro-batch, and a torn artifact of
+    * either kind refuses loudly instead of mixing with garbage.
+    * Bucketing goes through the BATCH kernel
+    * ([[graft.ops.ScaleOps25.bucketWithBounds]] — the q179 strict
+    * comparisons), so batch and stream buckets cannot drift.
+    *
+    * Tail-rate documents, decided exactly as the batch `lm_mix` stage
+    * decides them: a document the scorer cannot score (< 2 non-empty
+    * tokens — no bigram evidence) takes the TAIL rate; so does a
+    * document whose language has NO boundary row (a language unseen by
+    * the boundary-computing batch — the stream-only case). The audit
+    * slice is where evidence-free documents belong.
+    *
+    * State shape: NONE — scoring is per-document, the boundary join is
+    * a ≤#langs broadcast, the keep decision a pure map; no watermark,
+    * no cross-batch state. foreachBatch is at-least-once — replays
+    * re-decide idempotently under whatever artifacts are then current
+    * (the keep decision is a pure function of (doc id, bucket), so a
+    * replay under unchanged artifacts emits identical rows);
+    * exactly-once sinks dedup on (batch_id, doc id) downstream. */
+  def lmMixStream(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, lmPath: String, boundsPath: String,
+      headRate: Double, middleRate: Double, tailRate: Double,
+      outPath: String, ckptPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", ckptPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val (pairs, v) = graft.ml.BigramLm.loadLm(spark, lmPath)
+        val bounds = graft.ml.TertileBounds.loadBounds(spark, boundsPath)
+        val b = batch.toDF()
+        val scored = graft.ops.ScaleOps27.scoreDocsWithLm(b, idCol, textCol,
+            pairs, v)
+          .select(col(idCol).cast("long").as("doc_id"), col("score_fp"))
+        val wl = b.select(col(idCol).cast("long").as("doc_id"),
+            col(langCol).as("lang"))
+          .join(scored, Seq("doc_id"), "left")
+        val bucketed = graft.ops.ScaleOps25.bucketWithBounds(
+          wl.filter(col("score_fp").isNotNull), bounds)
+        val rate = when(col("bucket") === "head", headRate)
+          .when(col("bucket") === "middle", middleRate)
+          .otherwise(tailRate)
+        wl.join(bucketed.select(col("doc_id"), col("bucket")),
+            Seq("doc_id"), "left")
+          .withColumn("bucket", coalesce(col("bucket"), lit("tail")))
+          .filter(graft.pipeline.Packing.mixKeep(col("doc_id"), rate))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+
   /** Continuous corpus curation — the streaming form of
     * `pipeline.Curation.curate`: exact content dedup becomes
     * watermark-bounded dropDuplicatesWithinWatermark on the md5 (state

@@ -957,6 +957,118 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("lmMixStream == the batch CCNet disposition: kept docs and buckets match the composed batch kernels over the real corpus, unscored docs take the tail rate, a language with no boundary row takes the tail rate") {
+    import graft.ml.{BigramLm, TertileBounds}
+    import graft.ops.{ScaleOps25, ScaleOps27}
+    import graft.pipeline.Packing
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"))
+    // the shipped artifacts: reference LM (en slice) + boundary table
+    // computed by the batch pass over the whole scored corpus
+    val ref = docs.filter(col("lang") === "en")
+    val pairs = ScaleOps27.trainLmPairs(ref)
+    val v = ScaleOps27.vocabSize(ref)
+    val lmPath = tempDir("mix-lm").toString + "/lm"
+    val bPath = tempDir("mix-bounds").toString + "/b"
+    BigramLm.writeLm(spark, pairs, v, lmPath)
+    val scoredWl = ScaleOps27.scoreDocsWithLm(docs, "doc_id", "text", pairs, v)
+      .select(col("doc_id"), col("score_fp"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("score_fp"))
+    TertileBounds.writeBounds(spark,
+      ScaleOps25.tertileBounds(scoredWl, Long.MaxValue), bPath)
+    // batch expectation: every doc gets a bucket (scored via the strict
+    // boundary comparisons, unscored/unknown-lang coalesced to tail),
+    // kept iff the portable-hash sampler keeps it at its bucket's rate
+    val (hr, mr, tr) = (1.0, 0.5, 0.1)
+    val assigned = ScaleOps25.bucketWithBounds(scoredWl,
+      TertileBounds.loadBounds(spark, bPath))
+    val extra = Seq((900001L, "a b c", "qq")) // lang with NO boundary row
+    val allDocs = docs.union(extra.toDF("doc_id", "text", "lang"))
+    val rate = when(col("bucket") === "head", hr)
+      .when(col("bucket") === "middle", mr).otherwise(tr)
+    val expect = allDocs.select(col("doc_id"), col("lang"))
+      .join(assigned.select(col("doc_id"), col("bucket")), Seq("doc_id"), "left")
+      .withColumn("bucket", coalesce(col("bucket"), lit("tail")))
+      .filter(Packing.mixKeep(col("doc_id"), rate))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(expect.nonEmpty)
+    // drive the stream over the same corpus + the unknown-lang doc
+    val in = tempDir("mix-in"); val out = tempDir("mix-out")
+    docs.write.mode("append").parquet(in.toString)
+    extra.toDF("doc_id", "text", "lang").write.mode("append").parquet(in.toString)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val q = Streaming.lmMixStream(
+      spark.readStream.schema(schema).parquet(in.toString),
+      "doc_id", "text", "lang", lmPath, bPath, hr, mr, tr,
+      out.toString, tempDir("mix-ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out.toString)
+    assert(got.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[String]("bucket"))).toSet == expect,
+      "stream kept set / buckets diverge from the batch composition")
+    // unscored docs ride with a NULL score and the tail bucket; if the
+    // unknown-lang doc was kept it must be tail too
+    val unscored = got.filter(col("score_fp").isNull)
+    assert(unscored.filter(col("bucket") =!= "tail").count() == 0L)
+    assert(got.filter(col("doc_id") === 900001L)
+      .collect().forall(_.getAs[String]("bucket") == "tail"))
+  }
+
+  test("boundary rotation mid-stream: re-computed tertile boundaries written between micro-batches re-bucket the next batch; a torn boundary artifact refuses loudly and emits nothing") {
+    import graft.ml.{BigramLm, TertileBounds}
+    val lmPath = tempDir("brot-lm").toString + "/lm"
+    val bPath = tempDir("brot-b").toString + "/b"
+    BigramLm.writeLm(spark, Seq(("a", "b", 1L)).toDF("w1", "w2", "cxy"), 2L, lmPath)
+    // bounds A: the doc's positive score lands strictly between b1 and
+    // b2 -> middle
+    TertileBounds.writeBounds(spark,
+      Seq(("en", 0.0, 1.0e12)).toDF("lang", "b1", "b2"), bPath)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val in = tempDir("brot-in"); val out = tempDir("brot-out")
+    def land(id: Long, text: String): Unit =
+      Seq((id, text, "en")).toDF("doc_id", "text", "lang")
+        .write.mode("append").parquet(in.toString)
+    land(1L, "a b")
+    land(2L, "solo") // unscored: tail under ANY bounds
+    val q = Streaming.lmMixStream(
+      spark.readStream.schema(schema).parquet(in.toString),
+      "doc_id", "text", "lang", lmPath, bPath, 1.0, 1.0, 1.0,
+      out.toString, tempDir("brot-ckpt").toString)
+    try {
+      q.processAllAvailable()
+      // rotation: the batch recomputed boundaries (say the corpus
+      // drifted down) — the SAME text must land in a different bucket
+      TertileBounds.writeBounds(spark,
+        Seq(("en", -2.0, -1.0)).toDF("lang", "b1", "b2"), bPath)
+      land(3L, "a b")
+      q.processAllAvailable()
+      val got = spark.read.parquet(out.toString)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[String]("bucket")).toMap
+      assert(got(1L) == "middle" && got(3L) == "head",
+        s"rotation must re-bucket identical text: $got")
+      assert(got(2L) == "tail", s"unscored doc must ride the tail: $got")
+      // torn boundary artifact: loud, and nothing emitted for the batch
+      val hp = new org.apache.hadoop.fs.Path(s"$bPath/_rows")
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val os = fs.create(hp, true)
+      try os.write("17".getBytes("UTF-8")) finally os.close()
+      land(4L, "a b")
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(spark.read.parquet(out.toString)
+        .filter(col("doc_id") === 4L).count() == 0L,
+        "a mix verdict landed from a micro-batch whose boundary load failed")
+    } finally q.stop()
+  }
+
   test("model rotation mid-stream: a RETRAINED perceptron written between micro-batches scores the next batch; stream == batch kernel; a torn model refuses loudly") {
     import graft.ml.PerceptronModel
     val modelPath = tempDir("clf-rot").toString + "/model"
