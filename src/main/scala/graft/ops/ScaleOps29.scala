@@ -106,4 +106,86 @@ object ScaleOps29 {
   /** Mirror: identical to q185's — the boundary-artifact round-trip
     * must be invisible to the result. */
   val q188Sql: String = ScaleOps27.q185Sql
+
+  // --- byte-targeted shard file routing (q189) ------------------------------
+
+  /** Shard count q189 routes into — q182's, so the two file-layout laws
+    * are directly comparable. */
+  val Q189Shards = 8L
+
+  /** Per-leaf payload byte target. Chosen so the sf corpora exercise
+    * F > 1 on some shards and F = 1 on others — the law must be seen
+    * choosing DIFFERENT file counts per shard. */
+  val Q189TargetBytes = 2000L
+
+  /** The power-of-two ceiling as ONE generated CASE expression both
+    * engines evaluate verbatim — F = pow2ceil(need) for need in
+    * [0, 2⁶²]. Integer end to end: no log2/pow float round-trip to
+    * disagree at a power boundary. */
+  private def pow2CaseSql(v: String): String =
+    (0 to 62).map(k => s"WHEN $v <= ${1L << k} THEN ${1L << k}")
+      .mkString("CASE ", " ", " END")
+
+  /** q189: BYTE-TARGETED shard file routing — the arithmetic law behind
+    * [[graft.pipeline.TrainingPipeline.writeShardedByBytes]] (r14
+    * verdict #5), as q182 is to the fixed-F writer. Per shard (the
+    * q169/q182 portable-hash assignment, untouched by any retarget):
+    * measured payload bytes = Σ octet_length(text), need =
+    * ⌈bytes / target⌉ in pure integers, F = the smallest power of two
+    * ≥ need — the quantization that makes the byte target MONOTONE
+    * (F' | F whenever the target rises, so leaves only ever MERGE;
+    * any non-power F would re-deal documents between leaves on every
+    * retarget). Then file_idx = (bucket div S) mod F — the next hash
+    * bits up, per-shard F. Output per (shard, file_idx): docs, payload
+    * bytes, and the shard's chosen F.
+    *
+    * Scale shape: one pure-map byte measure fused into the scan, one
+    * ≤S-group partial agg, the ≤S-row F table broadcast back, one
+    * ≤Σ F-group rollup. */
+  def q189ByteShardFiles(s: SparkSession, dir: String): DataFrame = {
+    val b = Relational.fanOut(Relational.t(s, dir, "documents"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        octet_length(col("text")).cast("long").as("nb"))
+      .withColumn("__bucket", Relational3.splitBucket(col("doc_id")))
+      .withColumn("shard", pmod(col("__bucket"), lit(Q189Shards)))
+    val fPer = b.groupBy(col("shard")).agg(sum(col("nb")).as("bytes"))
+      .withColumn("need",
+        expr(s"(bytes + ${Q189TargetBytes - 1}) div $Q189TargetBytes"))
+      .withColumn("n_files", expr(pow2CaseSql("need")).cast("long"))
+      .select(col("shard"), col("n_files"))
+    b.join(broadcast(fPer), Seq("shard"))
+      .withColumn("file_idx",
+        pmod(expr(s"__bucket div $Q189Shards"), col("n_files")))
+      .groupBy(col("shard"), col("file_idx"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("n_bytes"),
+        max(col("n_files")).as("n_files"))
+      .orderBy(col("shard"), col("file_idx"))
+  }
+
+  /** Mirror: the portable-hash restatement + strlen (DuckDB's byte
+    * length of a VARCHAR = Spark's octet_length) + the SAME generated
+    * power-of-two CASE. All operands non-negative, so `%`/`//` agree
+    * with pmod/div everywhere. */
+  val q189Sql: String =
+    raw"""WITH b AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CAST(strlen(text) AS BIGINT) AS nb,
+      |    (((((doc_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+      |      + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296
+      |      AS bucket
+      |  FROM documents
+      |), f AS (
+      |  SELECT shard, CAST(${pow2CaseSql("need")} AS BIGINT) AS n_files
+      |  FROM (
+      |    SELECT bucket % ${Q189Shards} AS shard,
+      |      (SUM(nb) + ${Q189TargetBytes - 1}) // ${Q189TargetBytes} AS need
+      |    FROM b GROUP BY 1)
+      |)
+      |SELECT b.bucket % ${Q189Shards} AS shard,
+      |  (b.bucket // ${Q189Shards}) % f.n_files AS file_idx,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(b.nb) AS BIGINT) AS n_bytes,
+      |  CAST(MAX(f.n_files) AS BIGINT) AS n_files
+      |FROM b JOIN f ON b.bucket % ${Q189Shards} = f.shard
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -574,6 +574,17 @@ object TrainingPipeline {
         .repartition(shards * filesPerShard, col("shard"), col("file"))
         .sortWithinPartitions(col("shard"), col("file"), col(idCol))
         .write.mode("overwrite").partitionBy("shard", "file").parquet(outDir)
+    landedStatsAndLedger(spark, outDir, tokenCol, shards, nIn, t0,
+      runId, ledger)
+  }
+
+  /** The shared certify-only-what-landed tail of [[writeSharded]] and
+    * [[writeShardedByBytes]]: read back the written output, roll up the
+    * per-shard balance stats, count the landed data files per shard,
+    * and ledger one row per shard. */
+  private def landedStatsAndLedger(spark: SparkSession, outDir: String,
+      tokenCol: String, shards: Int, nIn: Long, t0: Long,
+      runId: String, ledger: Boolean): Seq[ShardStat] = {
     // an all-empty write leaves no shard dirs to infer a schema from —
     // the readout is all-zeros by definition, not a read failure
     val landed: Map[Long, (Long, Long)] =
@@ -643,5 +654,98 @@ object TrainingPipeline {
       }
     }
     stats
+  }
+
+  /** Smallest power of two ≥ n (n ≥ 1) — the file-count quantizer that
+    * makes the byte target MONOTONE: for F' | F, `(b div S) mod F'` is
+    * a pure coarsening of `(b div S) mod F`, so raising the target can
+    * only MERGE whole leaf files, never move a document across leaves
+    * — and the shard bits are untouched either way. Any non-power
+    * choice would re-deal documents between leaves on every retarget. */
+  private[graft] def pow2Ceil(n: Long): Long =
+    if (n <= 1L) 1L else java.lang.Long.highestOneBit(n - 1L) << 1
+
+  /** [[writeSharded]] with the file split chosen from MEASURED bytes
+    * (r14 verdict #5 — the unshipped half of the r13 file contract):
+    * instead of one global `filesPerShard`, each shard gets
+    * F = pow2ceil(⌈measured_payload_bytes / targetBytes⌉) leaf files,
+    * so a skewed release keeps every leaf near the target while uniform
+    * shards don't over-split — the q148/q166 measure-before-plan
+    * discipline applied to the writer.
+    *
+    * The measure: `byteMeasure` summed per shard — by default
+    * `octet_length(to_json(struct(*)))`, a deterministic per-row
+    * PAYLOAD proxy (pre-compression; post-compression file bytes are
+    * codec-dependent and unknowable before writing, so the target
+    * governs measured payload per leaf, not parquet bytes — documented,
+    * and the caller can pass a cheaper column like
+    * `octet_length(col("text"))` when one column dominates). One
+    * partial-agg exchange over ≤shards groups, collected driver-side
+    * (shard-count-bounded, never corpus-bounded).
+    *
+    * Contracts carried over from [[writeSharded]], now per shard:
+    * shard assignment is untouched (retargeting NEVER moves a document
+    * across shards — shard stats, ledger rows, and a consumer's
+    * shard→worker map are target-invariant); file = the next portable
+    * hash bits up mod F_s; each leaf holds exactly one data file,
+    * byte-stable across reruns at the same target. Because F_s is a
+    * power of two, RAISING the target only merges whole leaf files
+    * (spec-asserted), so coarser re-releases are pure concatenations of
+    * finer ones. The two-level `shard=N/file=M` layout is used even at
+    * F = 1 — a release's directory shape must not flip when the corpus
+    * grows past one file per shard. Per-shard `n_files` (= F_s for
+    * non-empty shards) rides the ledger row exactly as in the fixed-F
+    * writer.
+    *
+    * Scale shape: one measure exchange (≤shards groups), one pure-map
+    * file assignment (the F map is a ≤shards-entry literal), ONE
+    * exchange on (shard, file), one task-local sort per leaf, the
+    * read-back partial agg. `maxFilesPerShard` (rounded down to a power
+    * of two) caps a runaway target misconfiguration. */
+  def writeShardedByBytes(spark: SparkSession, packed: DataFrame,
+      outDir: String, targetBytes: Long,
+      idCol: String = "doc_id", tokenCol: String = "n_tokens",
+      shards: Int = DefaultShards,
+      runId: String = java.util.UUID.randomUUID().toString,
+      ledger: Boolean = true, byteMeasure: Option[org.apache.spark.sql.Column] = None,
+      maxFilesPerShard: Long = 1L << 20): Seq[ShardStat] = {
+    require(shards >= 1, s"writeShardedByBytes: shards must be >= 1, got $shards")
+    require(targetBytes >= 1L,
+      s"writeShardedByBytes: targetBytes must be >= 1, got $targetBytes")
+    require(maxFilesPerShard >= 1L,
+      s"writeShardedByBytes: maxFilesPerShard must be >= 1, got $maxFilesPerShard")
+    require(packed.columns.contains(tokenCol),
+      s"writeShardedByBytes: no '$tokenCol' column in ${packed.columns.toSeq}")
+    val t0 = System.currentTimeMillis()
+    val nIn = packed.count()
+    val measure = byteMeasure.getOrElse(
+      octet_length(to_json(struct(packed.columns.map(col).toIndexedSeq: _*))))
+    val bucketed = packed
+      .withColumn("__bucket", Relational3.splitBucket(col(idCol)))
+      .withColumn("shard", pmod(col("__bucket"), lit(shards.toLong)))
+    val fCap = java.lang.Long.highestOneBit(maxFilesPerShard)
+    val fByShard: Map[Long, Long] = bucketed
+      .groupBy(col("shard")).agg(sum(measure.cast("long")).as("bytes"))
+      .collect()
+      .map { r =>
+        val b = if (r.isNullAt(1)) 0L else r.getLong(1)
+        val need = if (b <= 0L) 1L else (b + targetBytes - 1L) / targetBytes
+        r.getLong(0) -> math.min(pow2Ceil(need), fCap)
+      }.toMap
+    // the write runs even on an empty corpus so overwrite-mode clears
+    // any stale release at outDir, exactly like the fixed-F writer
+    val fExpr = fByShard.foldLeft(lit(1L)) { case (acc, (sh, f)) =>
+      when(col("shard") === sh, lit(f)).otherwise(acc)
+    }
+    val totalLeaves = math.min(math.max(fByShard.values.sum, 1L),
+      Int.MaxValue.toLong).toInt
+    bucketed
+      .withColumn("file", pmod(expr(s"__bucket div $shards"), fExpr))
+      .drop("__bucket")
+      .repartition(totalLeaves, col("shard"), col("file"))
+      .sortWithinPartitions(col("shard"), col("file"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard", "file").parquet(outDir)
+    landedStatsAndLedger(spark, outDir, tokenCol, shards, nIn, t0,
+      runId, ledger)
   }
 }

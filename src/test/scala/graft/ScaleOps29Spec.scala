@@ -145,4 +145,179 @@ class ScaleOps29Spec extends GraftSuite {
     assert(!new java.io.File(
       graft.ops.ScaleOps29.boundsPathFor(spark, dir.toString)).exists)
   }
+
+  // --- q189 + writeShardedByBytes (r14 verdict #5) --------------------------
+
+  private def splitBucketScalar(id: Long): Long = {
+    val a = 2654435761L
+    val id32 = java.lang.Math.floorMod(id, 4294967296L)
+    val hi = id32 >> 16
+    val lo = id32 % 65536L
+    java.lang.Math.floorMod((hi * a % 65536L) * 65536L + lo * a, 4294967296L)
+  }
+
+  private def pow2CeilScalar(n: Long): Long = {
+    var f = 1L
+    while (f < n) f <<= 1
+    f
+  }
+
+  /** The q189 law from the documented definition only: per (shard,
+    * file_idx) over (doc_id, utf8 byte count) rows. */
+  private def scalarQ189(rows: Seq[(Long, Long)], shards: Long,
+      target: Long): Seq[(Long, Long, Long, Long, Long)] = {
+    val byShard = rows.groupBy { case (id, _) => splitBucketScalar(id) % shards }
+    val f = byShard.view.mapValues { rs =>
+      val bytes = rs.map(_._2).sum
+      pow2CeilScalar(if (bytes <= 0) 1L else (bytes + target - 1) / target)
+    }.toMap
+    rows.groupBy { case (id, _) =>
+      val b = splitBucketScalar(id)
+      val sh = b % shards
+      (sh, (b / shards) % f(sh))
+    }.toSeq.map { case ((sh, fi), rs) =>
+      (sh, fi, rs.size.toLong, rs.map(_._2).sum, f(sh))
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  test("q189 scalar law: per-shard F = pow2ceil(ceil(bytes/target)) from measured text bytes, file = next hash bits mod F — re-derives at sf0.001 and on a skewed corpus where shards genuinely choose DIFFERENT file counts") {
+    import graft.ops.ScaleOps29
+    def run(dir: String) = ScaleOps29.q189ByteShardFiles(spark, dir)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("file_idx"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_bytes"),
+        r.getAs[Long]("n_files"))).toSeq
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).getBytes("UTF-8").length.toLong)).toSeq
+    assert(run(sf) == scalarQ189(real, ScaleOps29.Q189Shards,
+      ScaleOps29.Q189TargetBytes))
+    // skewed plant: one enormous doc per chosen shard, tiny elsewhere —
+    // the law must pick F > 1 there and F = 1 on the quiet shards
+    val dir = tempDir("q189-skew")
+    val plant = (1L to 64L).map { i =>
+      val txt = if (i <= 4L) "x " * 6000 else "y z"
+      (i, txt, "en")
+    }
+    writeLangDocs(dir, plant)
+    val got = run(dir.toString)
+    val scalar = scalarQ189(plant.map { case (id, txt, _) =>
+      (id, txt.getBytes("UTF-8").length.toLong) },
+      ScaleOps29.Q189Shards, ScaleOps29.Q189TargetBytes)
+    assert(got == scalar)
+    val fVals = got.map(r => (r._1, r._5)).distinct.map(_._2)
+    assert(fVals.contains(1L) && fVals.exists(_ > 1L),
+      s"the skew fixture must force BOTH F=1 and F>1 shards, got $fVals")
+  }
+
+  private def leafDataFiles(outDir: String): Map[(Long, Long), java.io.File] = {
+    val shardDirs = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("shard="))
+    shardDirs.flatMap { sd =>
+      val sh = sd.getName.stripPrefix("shard=").toLong
+      sd.listFiles().filter(f => f.isDirectory && f.getName.startsWith("file="))
+        .map { fd =>
+          val data = fd.listFiles().filter(x =>
+            x.isFile && !x.getName.startsWith("_") && !x.getName.startsWith("."))
+          assert(data.length == 1,
+            s"${sd.getName}/${fd.getName}: expected exactly ONE data file, " +
+              s"got ${data.map(_.getName).toSeq}")
+          (sh, fd.getName.stripPrefix("file=").toLong) -> data.head
+        }
+    }.toMap
+  }
+
+  private def md5f(f: java.io.File): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Files.readAllBytes(f.toPath))
+      .map("%02x".format(_)).mkString
+
+  test("writeShardedByBytes: per-shard F from measured bytes; raising the target only MERGES leaf files (never moves a doc across shards or re-deals within one); byte-stable reruns; shard stats target-invariant; ledger n_files matches disk") {
+    import graft.pipeline.TrainingPipeline
+    // pow2Ceil unit pins
+    assert(Seq(0L, 1L, 2L, 3L, 4L, 5L, 8L, 9L)
+      .map(TrainingPipeline.pow2Ceil) == Seq(1L, 1L, 2L, 4L, 4L, 8L, 8L, 16L))
+    // skewed corpus: a handful of fat docs concentrate bytes on their
+    // shards so F varies per shard at the chosen target
+    val packed = (1L to 160L).map { i =>
+      val txt = if (i % 11 == 0L) "fat " * 800 else s"doc $i"
+      (i, txt, 10L + i % 7)
+    }.toDF("doc_id", "text", "n_tokens")
+    val base = tempDir("wbytes").toString
+    val runId = "wbytes-run"
+    val target = 3000L
+    val measure = Some(octet_length(col("text")).cast("long"))
+    val s1 = TrainingPipeline.writeShardedByBytes(spark, packed, s"$base/a",
+      target, shards = 4, runId = runId, byteMeasure = measure)
+    val s2 = TrainingPipeline.writeShardedByBytes(spark, packed, s"$base/b",
+      target, shards = 4, ledger = false, byteMeasure = measure)
+    // target-invariance of shard-level stats: same as the fixed-F writer
+    val flat = TrainingPipeline.writeSharded(spark, packed, s"$base/flat",
+      shards = 4, filesPerShard = 1, ledger = false)
+    assert(s1 == flat && s1 == s2,
+      "byte-targeting must not move shard stats")
+    // per-shard F matches the scalar law from the measured text bytes
+    val docs = packed.collect().map(r =>
+      (r.getLong(0), r.getString(1).getBytes("UTF-8").length.toLong)).toSeq
+    val expF = docs.groupBy(d => splitBucketScalar(d._1) % 4).view
+      .mapValues(rs => pow2CeilScalar(
+        (rs.map(_._2).sum + target - 1) / target)).toMap
+    val f1 = leafDataFiles(s"$base/a")
+    (0L until 4L).foreach { sh =>
+      assert(f1.keySet.count(_._1 == sh) ==
+        f1.keys.filter(_._1 == sh).map(_._2).toSet.size)
+      // non-empty shards: every file index 0..F-1 is populated here
+      // (the fixture is dense enough) and none beyond F exists
+      assert(f1.keys.filter(_._1 == sh).map(_._2).max < expF(sh),
+        s"shard $sh: a leaf landed beyond its F=${expF(sh)}")
+    }
+    assert(expF.values.toSeq.distinct.size >= 2,
+      s"fixture must force distinct per-shard F, got $expF")
+    // byte-stable rerun per leaf
+    val f2 = leafDataFiles(s"$base/b")
+    assert(f1.keySet == f2.keySet && f1.nonEmpty)
+    f1.keySet.foreach { k => assert(md5f(f1(k)) == md5f(f2(k)),
+      s"leaf $k: two writes of the same frame must be byte-identical") }
+    // RAISING the target: F' | F, shards untouched, file' = file mod F'
+    val s4 = TrainingPipeline.writeShardedByBytes(spark, packed, s"$base/c",
+      target * 4, shards = 4, ledger = false, byteMeasure = measure)
+    assert(s4 == s1, "retargeting must not move shard stats")
+    val expF4 = docs.groupBy(d => splitBucketScalar(d._1) % 4).view
+      .mapValues(rs => pow2CeilScalar(
+        (rs.map(_._2).sum + target * 4 - 1) / (target * 4))).toMap
+    expF4.foreach { case (sh, fp) =>
+      assert(expF(sh) % fp == 0L, s"shard $sh: F'=$fp must divide F=${expF(sh)}") }
+    val fine = spark.read.parquet(s"$base/a")
+      .select(col("doc_id"), col("shard"), col("file")).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Number]("shard").longValue(),
+        r.getAs[Number]("file").longValue()))).toMap
+    val coarse = spark.read.parquet(s"$base/c")
+      .select(col("doc_id"), col("shard"), col("file")).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Number]("shard").longValue(),
+        r.getAs[Number]("file").longValue()))).toMap
+    assert(fine.keySet == coarse.keySet && fine.size == 160)
+    fine.foreach { case (id, (sh, fi)) =>
+      val (sh2, fi2) = coarse(id)
+      assert(sh2 == sh, s"doc $id moved across shards on retarget")
+      assert(fi2 == fi % expF4(sh),
+        s"doc $id: coarse leaf $fi2 != fine $fi mod F'=${expF4(sh)} — " +
+          "the merge-only contract broke")
+    }
+    // ledger: n_files per shard matches the on-disk leaf count
+    val led = graft.ledger.Ledger.jobStats(spark)
+      .filter(col("BatchJobID") === runId)
+      .select(col("SourceFile"), col("ErrorMessage"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(led.size == 4)
+    (0L until 4L).foreach { sh =>
+      val want = f1.keySet.count(_._1 == sh)
+      assert(led(s"pipeline:shard:$sh").contains(s"n_files=$want"),
+        s"shard $sh: ledger ${led(s"pipeline:shard:$sh")} vs on-disk $want files")
+    }
+    // the default (to_json) measure: runs, same shard stats, sane layout
+    val sDef = TrainingPipeline.writeShardedByBytes(spark, packed,
+      s"$base/d", target, shards = 4, ledger = false)
+    assert(sDef == s1 && leafDataFiles(s"$base/d").nonEmpty)
+  }
 }
