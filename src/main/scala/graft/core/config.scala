@@ -32,6 +32,18 @@ final case class EngineConfig(
     checkpointEnabled: Boolean,
     resumeIncompleteBatches: Boolean,
     maxResumeAgeHours: Int,
+    /** batch_processing.parallelism (beyond-reference, r14 verdict #8):
+      * how many TARGET TABLES the batch runner drives concurrently. The
+      * reference's per-file driver loop is sequential (:1517-1659); at
+      * 1 (the default) this engine is too. Above 1, pending files are
+      * grouped by their target table (a pure function of path + config,
+      * so the grouping is decidable up front) and groups run on a
+      * bounded pool — files of ONE table stay strictly sequential in
+      * listing order, so every single-table semantic (drop_recreate
+      * ordering, append order, retry/quarantine, per-file ledger rows)
+      * is byte-for-byte the sequential behavior; only independent
+      * tables overlap. */
+    batchParallelism: Int,
     // tables.<name>.*
     tables: Map[String, TableOverride],
     // upsert defaults (test_upsert_config.yaml:17)
@@ -64,6 +76,7 @@ object EngineConfig {
     checkpointEnabled = true,
     resumeIncompleteBatches = true,
     maxResumeAgeHours = 24,
+    batchParallelism = 1,
     tables = Map.empty,
     defaultPrimaryKeyColumns = Seq("id"),
     emailEnabled = false,
@@ -142,6 +155,7 @@ object EngineConfig {
       checkpointEnabled = bool(batch, "enable_checkpointing", default.checkpointEnabled),
       resumeIncompleteBatches = bool(batch, "resume_incomplete_batches", default.resumeIncompleteBatches),
       maxResumeAgeHours = int(batch, "max_resume_age_hours", default.maxResumeAgeHours),
+      batchParallelism = int(batch, "parallelism", default.batchParallelism),
       tables = tables,
       defaultPrimaryKeyColumns =
         upsert.get("primary_key_columns").map(strList).getOrElse(default.defaultPrimaryKeyColumns),

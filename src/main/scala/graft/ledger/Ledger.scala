@@ -48,26 +48,38 @@ object Ledger {
 
   // --- sinks (I11-I13) --------------------------------------------------
 
-  def writeJobStats(spark: SparkSession, stats: JobStats): Unit = {
-    import spark.implicits._
-    ensureTables(spark)
-    Seq(stats).toDS.toDF.withColumn("_version_ts", lit(System.nanoTime()))
-      .write.mode(SaveMode.Append).format("parquet").saveAsTable(JobStatsTable)
-  }
+  /** Serializes ledger appends across driver threads (the parallel
+    * batch runner, r15): the rows are single-digit-millisecond writes,
+    * but `ensureTables`' exists-then-create and two concurrent appends
+    * into ONE catalog table would race — the ledger is the one piece of
+    * state every parallel file job shares, so it takes the one lock.
+    * Data loads never hold it (the batch runner keeps same-target-table
+    * files sequential instead). */
+  private val writeLock = new Object
 
-  def writeErrors(spark: SparkSession, errors: DataFrame): Unit = {
-    ensureTables(spark)
-    val cols = spark.table(JobErrorTable).columns.map(col).toSeq
-    errors.select(cols: _*)
-      .write.mode(SaveMode.Append).format("parquet").saveAsTable(JobErrorTable)
-  }
+  def writeJobStats(spark: SparkSession, stats: JobStats): Unit =
+    writeLock.synchronized {
+      import spark.implicits._
+      ensureTables(spark)
+      Seq(stats).toDS.toDF.withColumn("_version_ts", lit(System.nanoTime()))
+        .write.mode(SaveMode.Append).format("parquet").saveAsTable(JobStatsTable)
+    }
 
-  def writeBatchStats(spark: SparkSession, b: BatchStats): Unit = {
-    import spark.implicits._
-    ensureTables(spark)
-    Seq(b).toDS.toDF.withColumn("_version_ts", lit(System.nanoTime()))
-      .write.mode(SaveMode.Append).format("parquet").saveAsTable(BatchStatsTable)
-  }
+  def writeErrors(spark: SparkSession, errors: DataFrame): Unit =
+    writeLock.synchronized {
+      ensureTables(spark)
+      val cols = spark.table(JobErrorTable).columns.map(col).toSeq
+      errors.select(cols: _*)
+        .write.mode(SaveMode.Append).format("parquet").saveAsTable(JobErrorTable)
+    }
+
+  def writeBatchStats(spark: SparkSession, b: BatchStats): Unit =
+    writeLock.synchronized {
+      import spark.implicits._
+      ensureTables(spark)
+      Seq(b).toDS.toDF.withColumn("_version_ts", lit(System.nanoTime()))
+        .write.mode(SaveMode.Append).format("parquet").saveAsTable(BatchStatsTable)
+    }
 
   // --- scans (A7) -------------------------------------------------------
 

@@ -141,6 +141,24 @@ object ScaleOps27 {
         col("n_oov").cast("long").as("n_oov"), col("score_fp"))
   }
 
+  /** Per-document grouped (cxy, cx, n) bigram-count multiset of the
+    * add-k scorer — the same two model joins as [[scoreDocsWithLm]]
+    * WITHOUT the fixed-point collapse, so a spec-side scalar reference
+    * can re-aggregate the probabilities in any domain (the perplexity
+    * ablation, LmAblationSpec, collects this; it is grouped so the
+    * collect is bounded by distinct (doc, cxy, cx) triples, not
+    * bigrams). `ctx` is the caller-built prefix-total rollup of
+    * `pairs`. */
+  private[graft] def heldBigramCounts(docs: DataFrame, idCol: String,
+      textCol: String, pairs: DataFrame, ctx: DataFrame): DataFrame =
+    bigramsOf(docs, idCol, textCol)
+      .join(pairs, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .withColumn("cxy", coalesce(col("cxy"), lit(0L)))
+      .withColumn("cx", coalesce(col("cx"), lit(0L)))
+      .groupBy(col("doc_id"), col("cxy"), col("cx"))
+      .agg(count(lit(1)).as("n"))
+
   private def emptyScores(s: SparkSession): DataFrame =
     s.range(0).select(col("id").as("doc_id"), lit("").as("lang"),
       col("id").as("n_bigrams"), col("id").as("n_oov"),

@@ -58,10 +58,8 @@ object BatchRunner {
 
     // J3: per-file retry loop — retries BOTH thrown errors and Failed
     // results; the file is only quarantined to error/ on the final attempt
-    var processed = priorProcessed
-    var failed = priorFailed
     val maxAttempts = math.max(1, config.maxRetries)
-    val jobs = pending.map { f =>
+    def processOne(f: String): ProcessFile.FileJob = {
       var attempt = 0
       var job: ProcessFile.FileJob = null
       var lastErr: Option[Throwable] = None
@@ -92,9 +90,47 @@ object BatchRunner {
             TransactionMode = config.transactionMode.name))
         }
       }
-      if (job.result.status == "Failed") failed += 1 else processed += 1
       job
     }
+
+    // batch_processing.parallelism (beyond-reference, r14 verdict #8):
+    // at 1 the driver loop is the reference's sequential walk; above 1,
+    // files are grouped by TARGET TABLE (the same pure path+config
+    // derivation ProcessFile.run uses, so the grouping cannot disagree
+    // with the job) and the groups run on a bounded pool. Within one
+    // table the files stay strictly sequential in listing order —
+    // drop_recreate/append ordering, retries, quarantine moves, and
+    // per-file ledger rows are exactly the sequential behavior; only
+    // INDEPENDENT tables overlap. Ledger appends are serialized inside
+    // Ledger itself (the one cross-thread shared sink). The ledger rows
+    // are per-file and idempotent, so resume semantics are unchanged:
+    // a crash mid-parallel-batch leaves Completed rows for whatever
+    // finished, and the next run processes the remainder.
+    def targetTableOf(f: String): String = {
+      val stem = graft.analyze.Ddl.tableName(f)
+      config.overridesFor(stem).overrideTableName.getOrElse(stem)
+    }
+    val jobByFile: Map[String, ProcessFile.FileJob] =
+      if (config.batchParallelism <= 1 || pending.size <= 1)
+        pending.map(f => f -> processOne(f)).toMap
+      else {
+        val groups = pending.groupBy(targetTableOf).values.toSeq
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(config.batchParallelism, groups.size)))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(groups.map(fs =>
+              scala.concurrent.Future(fs.map(f => f -> processOne(f))))),
+            scala.concurrent.duration.Duration.Inf).flatten.toMap
+        finally pool.shutdown()
+      }
+    // jobs surface in listing order regardless of completion order, so
+    // the outcome (and the rendered report) is parallelism-invariant
+    val jobs = pending.map(jobByFile)
+    val processed = priorProcessed + jobs.count(_.result.status != "Failed")
+    val failed = priorFailed + jobs.count(_.result.status == "Failed")
 
     // E3: roll-up + final status (reference :1601-1638)
     val status =

@@ -159,6 +159,61 @@ class EndToEndSpec extends GraftSuite {
     assert(b.getAs[Long]("FilesProcessed") == 2)
   }
 
+  test("parallel batch (batchParallelism > 1): independent tables overlap, per-table file order stays sequential, ledger/rollup/resume contracts unchanged, failures still count and quarantine") {
+    // three target tables x three files each (the reference's _NNN batch
+    // suffix folds them onto one table) — the many-small-files shape the
+    // bounded pool exists for — plus one poison file (header only: A6
+    // fails in append mode)
+    val dir = tempDir("e2e_par")
+    val tables = Seq("ptab1", "ptab2", "ptab3")
+    for (t <- tables; i <- 1 to 3)
+      writeFile(dir, s"${t}_00$i.csv",
+        s"k,v\n$t-$i-a,$i\n$t-$i-b,${i * 10}\n")
+    writeFile(dir, "pbad_001.csv", "k,v\n")
+    val pcfg = cfg.copy(tableMode = TableMode.fromName("append"),
+      batchParallelism = 4, maxRetries = 1)
+    val outcome = BatchRunner.run(spark, dir.toString, pcfg)
+    assert(outcome.status == "CompletedWithErrors")
+    assert(outcome.processed == 9 && outcome.failed == 1)
+    // every table accumulated ALL THREE of its files
+    tables.foreach { t =>
+      val got = spark.table(t).select(col("k")).collect()
+        .map(_.getString(0)).toSet
+      assert(got == (1 to 3).flatMap(i => Seq(s"$t-$i-a", s"$t-$i-b")).toSet,
+        s"$t: $got")
+    }
+    // jobs surface in LISTING order — the outcome and rendered report
+    // are parallelism-invariant
+    val pendingOrder = outcome.jobs.map(_.sourceFile)
+    assert(pendingOrder == pendingOrder.sorted && pendingOrder.size == 10)
+    // ledger: one Completed row per good file, the failure recorded
+    val led = Ledger.jobStats(spark)
+      .filter(col("BatchJobID") === outcome.batchJobId)
+    assert(led.filter(col("JobStatus") === "Completed").count() == 9)
+    assert(led.filter(col("JobStatus") === "Failed").count() >= 1)
+    // batch rollup row
+    val b = Ledger.currentBatches(spark)
+      .filter(col("BatchJobID") === outcome.batchJobId).head()
+    assert(b.getAs[String]("BatchStatus") == "CompletedWithErrors" &&
+      b.getAs[Long]("FilesProcessed") == 9)
+    // a rerun finds nothing pending (files archived/quarantined)
+    val outcome2 = BatchRunner.run(spark, dir.toString, pcfg)
+    assert(outcome2.totalFiles == 0 ||
+      outcome2.processed + outcome2.failed == outcome2.totalFiles)
+    // within-table SEQUENTIAL ordering under parallelism: drop_recreate
+    // twice on one table must leave the LAST file's rows, exactly as the
+    // sequential walk would
+    val dir2 = tempDir("e2e_par_seq")
+    writeFile(dir2, "ptab4_001.csv", "k,v\nfirst-a,1\nfirst-b,2\n")
+    writeFile(dir2, "ptab4_002.csv", "k,v\nsecond-a,3\n")
+    val o2 = BatchRunner.run(spark, dir2.toString,
+      cfg.copy(batchParallelism = 4))
+    assert(o2.status == "Completed" && o2.processed == 2)
+    assert(spark.table("ptab4").select(col("k")).collect()
+      .map(_.getString(0)).toSet == Set("second-a"),
+      "drop_recreate order within one table must stay sequential")
+  }
+
   test("batch report embeds per-file error details (J4 parity with the reference email)") {
     val dir = tempDir("e2e_report")
     writeFile(dir, "rep_good.csv", "id,v\n1,a\n2,b\n")

@@ -273,6 +273,7 @@ class ConfigSpec extends GraftSuite {
         |batch_processing:
         |  enable_checkpointing: true
         |  max_resume_age_hours: 12
+        |  parallelism: 4
         |tables:
         |  legacy:
         |    override_table_name: legacy_data
@@ -289,6 +290,7 @@ class ConfigSpec extends GraftSuite {
     assert(c.maxRowErrors == 10 && c.maxRetries == 3)
     assert(c.notNullColumns("customers") == Seq("id", "email"))
     assert(c.maxResumeAgeHours == 12)
+    assert(c.batchParallelism == 4)
     val o = c.overridesFor("legacy")
     assert(o.overrideTableName.contains("legacy_data"))
     assert(o.primaryKeyColumns == Seq("code", "region"))
