@@ -57,7 +57,7 @@ object ScaleOps27 {
 
   /** (doc_id, w1, w2) adjacent-bigram stream of `docs` (idCol, textCol)
     * — the q167/q175 extraction, shared verbatim. */
-  private def bigramsOf(docs: DataFrame, idCol: String,
+  private[ops] def bigramsOf(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
         graft.text.TextAnalysis.tokens(col(textCol)).as("ts"))

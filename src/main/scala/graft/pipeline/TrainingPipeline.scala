@@ -40,6 +40,21 @@ object TrainingPipeline {
     case object KneserNey extends LmSmoothing
   }
 
+  /** Per-document collapse of the bigram probabilities — see
+    * [[Config.lmScoreDomain]]. */
+  sealed trait LmScoreDomain
+  object LmScoreDomain {
+    /** Arithmetic mean of the probabilities (q183's `score_fp`) — the
+      * historical default. */
+    case object Arithmetic extends LmScoreDomain
+    /** Geometric mean via the exact fixed-point log₂ kernel (q190's
+      * `plx_fp`, negated so head = lowest perplexity) — how CCNet
+      * actually ranks. The pinned ablation (LmAblationSpec): the two
+      * domains agree to rho ≈ 0.95 but ~16% of documents change
+      * tertile, which is why this is a real choice, not a nicety. */
+    case object LogPerplexity extends LmScoreDomain
+  }
+
   final case class Config(
       curation: Curation.Params = Curation.Params.production,
       decontShingleK: Int = 3,
@@ -148,6 +163,17 @@ object TrainingPipeline {
         * back to it would mix under a different ranking than the one
         * asked for. Ignored unless [[lmTertileMix]] is set. */
       lmSmoothing: LmSmoothing = LmSmoothing.AddK,
+      /** Ranking domain for the `lm_mix` reference scorers (r15 — the
+        * material half of the ablation finding): Arithmetic (default —
+        * q183's mean of probabilities) or LogPerplexity (q190's exact
+        * fixed-point log₂ geometric mean, the CCNet ranking; scores
+        * ride negated so head = lowest perplexity through the same
+        * strict tertile rule). Valid only with [[LmSmoothing.AddK]] and
+        * a reference scorer: the KN kernel's per-term floors have no
+        * log-domain twin, and the MLE bootstrap has zero-probability
+        * bigrams log cannot represent — both fail LOUDLY rather than
+        * silently ranking in a different domain than asked. */
+      lmScoreDomain: LmScoreDomain = LmScoreDomain.Arithmetic,
       reliableCheckpoints: Boolean = false,
       /** Build the near-dup PAIR GRAPH once and share it between the
         * curation drop and the split's cluster formation, instead of
@@ -327,12 +353,22 @@ object TrainingPipeline {
         // stamp — no new metadata, one partial-agg count for the
         // in-run-trained model)
         var pairsCkpt: Option[DataFrame] = None
+        require(cfg.lmScoreDomain == LmScoreDomain.Arithmetic ||
+          cfg.lmSmoothing == LmSmoothing.AddK,
+          "lm_mix: LogPerplexity ranking is only defined for the AddK " +
+            "smoother (the KN kernel's per-term floors have no log-domain twin)")
         def scoreWith(pairs: DataFrame, v: Long, t: => Long): DataFrame =
-          (cfg.lmSmoothing match {
-            case LmSmoothing.AddK =>
+          ((cfg.lmSmoothing, cfg.lmScoreDomain) match {
+            case (LmSmoothing.AddK, LmScoreDomain.Arithmetic) =>
               graft.ops.ScaleOps27.scoreDocsWithLm(gated, idCol, textCol,
                 pairs, v)
-            case LmSmoothing.KneserNey =>
+            case (LmSmoothing.AddK, LmScoreDomain.LogPerplexity) =>
+              // negate so "head = highest score" = lowest perplexity
+              // rides the unchanged strict-boundary bucket rule
+              graft.ops.ScaleOps30.scoreDocsWithLmLog2(gated, idCol, textCol,
+                  pairs, v)
+                .withColumn("score_fp", -col("plx_fp"))
+            case (LmSmoothing.KneserNey, _) =>
               graft.ops.ScaleOps28.scoreDocsWithLmKn(gated, idCol, textCol,
                 pairs, v, t)
           }).select(col(idCol).cast("long").as("doc_id"), col("score_fp"))
@@ -360,6 +396,10 @@ object TrainingPipeline {
               "lm_mix: Kneser-Ney needs a reference model (set lmRefLang " +
                 "or lmArtifactPath) — the corpus-as-own-LM MLE bootstrap " +
                 "has no discount machinery")
+            require(cfg.lmScoreDomain == LmScoreDomain.Arithmetic,
+              "lm_mix: LogPerplexity ranking needs a smoothed reference " +
+                "model (set lmRefLang or lmArtifactPath) — the MLE " +
+                "bootstrap assigns zero probabilities log cannot represent")
             graft.ops.ScaleOps22.mleDocScoresOf(gated, idCol, textCol)
               .select(col("doc_id"), col("score_fp"))
         }

@@ -656,4 +656,23 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"q183's bottom-k must be a distributed TakeOrdered:\n$p")
   }
+
+  test("q190: the 20-round log2 chain is a PURE MAP — the same joins and exchanges as q183 (zero nested-loop, equi model joins, partial aggs, distributed top-k), with no exchange, join, or generator added by the chain itself") {
+    val p = plan(graft.ops.ScaleOps30.q190LogPerplexityScore(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q190 must carry no nested-loop join at all:\n$p")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q190's top-k must be a distributed TakeOrdered:\n$p")
+    // the chain must cost projections only: q190's plan has exactly the
+    // operator counts of q183's (same scans, joins, exchanges, aggs)
+    val q183 = plan(graft.ops.ScaleOps27.q183RefLmScore(spark, sf))
+    def count(s: String, op: String) = s.sliding(op.length).count(_ == op)
+    Seq("Exchange", "SortMergeJoin", "BroadcastHashJoin", "Generate")
+      .foreach { op =>
+        assert(count(p, op) == count(q183, op),
+          s"q190 added $op beyond q183's shape:\n$p")
+      }
+  }
 }
