@@ -37,11 +37,23 @@ import graft.core.StampedArtifact
   * class for all torn states. Single-writer contract. */
 object TertileBounds {
 
-  /** Persist a boundary table: `bounds` carries exactly (lang, b1, b2).
-    * Returns the stamped row count. */
-  def writeBounds(spark: SparkSession, bounds: DataFrame, path: String): Long = {
+  /** Persist a boundary table: `bounds` carries exactly (lang, b1, b2);
+    * `scorer` is the producer's RANKING-SEMANTICS identity (smoothing +
+    * domain + reference choice, e.g. "addk:ref=en:arith") — boundaries
+    * are only meaningful against scores from the SAME ranking, and a
+    * batch→stream hand-off where the consumer is configured differently
+    * must refuse loudly instead of silently bucketing one ranking's
+    * scores against another's cut points. The tag deliberately does NOT
+    * pin model CONTENT: a retrained model under the same semantics is
+    * the legitimate rotation case (boundaries lag the model until the
+    * next boundary batch — CCNet's own design). Returns the stamped row
+    * count. */
+  def writeBounds(spark: SparkSession, bounds: DataFrame, path: String,
+      scorer: String): Long = {
     require(bounds.columns.toSeq == Seq("lang", "b1", "b2"),
       s"writeBounds: expected (lang, b1, b2), got ${bounds.columns.toSeq}")
+    require(scorer.nonEmpty && !scorer.exists(_.isWhitespace),
+      s"writeBounds: scorer tag must be a non-empty token, got '$scorer'")
     val side = new org.apache.hadoop.fs.Path(s"$path/bounds.swap")
     bounds.write.mode("overwrite").parquet(side.toString)
     val landed = spark.read.parquet(side.toString)
@@ -51,10 +63,41 @@ object TertileBounds {
     val n = landed.getLong(0); val x = landed.getLong(1)
     require(n > 0, s"writeBounds: refusing to stamp an empty boundary table at $path")
     StampedArtifact.unstampAndSwap(spark, path, "bounds", side.toString,
-      Seq("_rows", "_xor"))
+      Seq("_rows", "_xor", "_scorer"))
+    StampedArtifact.writeMeta(spark, path, "_scorer", scorer)
     StampedArtifact.writeMeta(spark, path, "_xor", x.toString)
     StampedArtifact.writeMeta(spark, path, "_rows", n.toString)
     n
+  }
+
+  /** Stamped scorer identity; None if absent or torn. */
+  def boundsScorer(spark: SparkSession, path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_scorer")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](256)
+        val nn = in.read(buf)
+        if (nn <= 0) None else Some(new String(buf, 0, nn, "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  /** [[loadBounds]] plus the ranking-semantics check: the consumer
+    * states what scorer ITS scores come from, and a boundary table
+    * produced under any other ranking refuses loudly. */
+  def loadBoundsFor(spark: SparkSession, path: String,
+      expectedScorer: String): DataFrame = {
+    val df = loadBounds(spark, path)
+    val got = boundsScorer(spark, path)
+    require(got.contains(expectedScorer),
+      s"loadBounds: boundary table at $path was computed under scorer " +
+        s"'${got.getOrElse("<unstamped>")}' but the consumer scores with " +
+        s"'$expectedScorer' — bucketing one ranking's scores against " +
+        "another's cut points is silently wrong; recompute the boundaries")
+    df
   }
 
   /** Stamped boundary-row count; -1 if never stamped or torn garbage. */
@@ -78,6 +121,8 @@ object TertileBounds {
     val xorOpt = boundsXor(spark, path)
     require(xorOpt.isDefined,
       s"loadBounds: no _xor stamp at $path — torn write; rebuild")
+    require(boundsScorer(spark, path).isDefined,
+      s"loadBounds: no _scorer stamp at $path — torn write; rebuild")
     // count + signature + every structural invariant from ONE scan of
     // the ≤#langs-row table
     val sig = df.agg(count(lit(1)).as("n"),

@@ -35,6 +35,12 @@ object ScaleOps29 {
     s"${sys.props("java.io.tmpdir")}/graft_tertile_bounds/" +
       md5hex(dir + "|" + Relational.corpusSignature(s, dir, "documents"))
 
+  /** The ranking-semantics identity of q188's boundary producer: add-k
+    * smoothing, `lang='en'` reference slice, arithmetic-mean collapse —
+    * stamped into the artifact so a consumer configured for any OTHER
+    * ranking refuses at load ([[graft.ml.TertileBounds.loadBoundsFor]]). */
+  val Q188Scorer = "addk:ref=en:arith"
+
   /** Per-corpus memo of the expected boundary-table (rows, xor)
     * signature — deterministic in the corpus, so warm runs validate the
     * artifact by metadata and never re-run the scoring chain. */
@@ -85,20 +91,22 @@ object ScaleOps29 {
         ScaleOps25.assignTertiles(scored, routingBound(s, dir)))
     val path = boundsPathFor(s, dir)
     def rebuild(): Unit = {
-      val written = TertileBounds.writeBounds(s, boundsOf(s, dir), path)
+      val written = TertileBounds.writeBounds(s, boundsOf(s, dir), path,
+        Q188Scorer)
       require(written == n,
         s"q188: freshly written bounds at $path stamped $written rows, expected $n")
     }
     val valid = TertileBounds.boundsRows(s, path) == n &&
-      TertileBounds.boundsXor(s, path).contains(x)
+      TertileBounds.boundsXor(s, path).contains(x) &&
+      TertileBounds.boundsScorer(s, path).contains(Q188Scorer)
     if (!valid) rebuild()
     val loaded =
-      try TertileBounds.loadBounds(s, path)
+      try TertileBounds.loadBoundsFor(s, path, Q188Scorer)
       catch {
         case _: IllegalArgumentException |
             _: org.apache.spark.sql.AnalysisException =>
           rebuild()
-          TertileBounds.loadBounds(s, path)
+          TertileBounds.loadBoundsFor(s, path, Q188Scorer)
       }
     ScaleOps27.mixRollup(ScaleOps25.bucketWithBounds(scored, loaded))
   }

@@ -306,17 +306,27 @@ object Streaming {
     * (the keep decision is a pure function of (doc id, bucket), so a
     * replay under unchanged artifacts emits identical rows);
     * exactly-once sinks dedup on (batch_id, doc id) downstream. */
+  /** @param scorer the ranking-semantics tag the BOUNDARY ARTIFACT must
+    *        carry ([[graft.ml.TertileBounds.writeBounds]]'s `scorer`):
+    *        this stream scores with the add-k arithmetic kernel, so the
+    *        producer of `boundsPath` must have ranked the same way —
+    *        boundaries cut one ranking's score distribution, and
+    *        applying them to another ranking's scores is silently
+    *        wrong, which is exactly the class of error that must
+    *        refuse loudly at the artifact seam. */
   def lmMixStream(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, lmPath: String, boundsPath: String,
       headRate: Double, middleRate: Double, tailRate: Double,
-      outPath: String, ckptPath: String)
+      outPath: String, ckptPath: String,
+      scorer: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", ckptPath)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val (pairs, v) = graft.ml.BigramLm.loadLm(spark, lmPath)
-        val bounds = graft.ml.TertileBounds.loadBounds(spark, boundsPath)
+        val bounds = graft.ml.TertileBounds.loadBoundsFor(spark, boundsPath,
+          scorer)
         val b = batch.toDF()
         val scored = graft.ops.ScaleOps27.scoreDocsWithLm(b, idCol, textCol,
             pairs, v)

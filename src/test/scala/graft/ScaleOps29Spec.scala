@@ -25,7 +25,7 @@ class ScaleOps29Spec extends GraftSuite {
     val p = tempDir("tb-life").toString + "/b"
     val rows = Seq(("en", 1.25, 7.75), ("fr", -3.5, -3.5))
     val n = TertileBounds.writeBounds(spark,
-      rows.toDF("lang", "b1", "b2"), p)
+      rows.toDF("lang", "b1", "b2"), p, "addk:test:arith")
     assert(n == 2L && TertileBounds.boundsRows(spark, p) == 2L)
     val loaded = TertileBounds.loadBounds(spark, p)
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
@@ -36,7 +36,8 @@ class ScaleOps29Spec extends GraftSuite {
     // empty: refused at the persist site
     intercept[IllegalArgumentException] {
       TertileBounds.writeBounds(spark,
-        spark.emptyDataset[(String, Double, Double)].toDF("lang", "b1", "b2"), p)
+        spark.emptyDataset[(String, Double, Double)].toDF("lang", "b1", "b2"),
+        p, "addk:test:arith")
     }
     // same-row-count content swap: only the xor can see it
     Seq(("en", 9.0, 9.5), ("de", 0.0, 1.0)).toDF("lang", "b1", "b2")
@@ -46,11 +47,13 @@ class ScaleOps29Spec extends GraftSuite {
     }
     assert(e.getMessage.contains("content signature"))
     // missing _xor: same refusal class
-    TertileBounds.writeBounds(spark, rows.toDF("lang", "b1", "b2"), p)
+    TertileBounds.writeBounds(spark, rows.toDF("lang", "b1", "b2"), p,
+      "addk:test:arith")
     assert(fs(p).delete(new org.apache.hadoop.fs.Path(s"$p/_xor"), false))
     intercept[IllegalArgumentException] { TertileBounds.loadBounds(spark, p) }
     // garbage _rows stamp
-    TertileBounds.writeBounds(spark, rows.toDF("lang", "b1", "b2"), p)
+    TertileBounds.writeBounds(spark, rows.toDF("lang", "b1", "b2"), p,
+      "addk:test:arith")
     scribble(s"$p/_rows", "999")
     intercept[IllegalArgumentException] { TertileBounds.loadBounds(spark, p) }
   }
@@ -64,6 +67,7 @@ class ScaleOps29Spec extends GraftSuite {
       val sig = spark.read.parquet(s"$p/bounds")
         .agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(lang, b1, b2))"),
           lit(0L))).head()
+      scribble(s"$p/_scorer", "addk:test:arith")
       scribble(s"$p/_xor", sig.getLong(1).toString)
       scribble(s"$p/_rows", sig.getLong(0).toString)
     }
@@ -85,14 +89,41 @@ class ScaleOps29Spec extends GraftSuite {
   test("TertileBounds unstamp-before-swap: rewriting over a live artifact leaves fresh stamps, and a hand-forged pre-r15-style torn state (new data under old stamps, same row count) is refused") {
     import graft.ml.TertileBounds
     val p = tempDir("tb-order").toString + "/b"
-    TertileBounds.writeBounds(spark, Seq(("en", 1.0, 2.0)).toDF("lang", "b1", "b2"), p)
+    TertileBounds.writeBounds(spark,
+      Seq(("en", 1.0, 2.0)).toDF("lang", "b1", "b2"), p, "addk:a:arith")
     val x1 = TertileBounds.boundsXor(spark, p).get
-    TertileBounds.writeBounds(spark, Seq(("fr", 3.0, 4.0)).toDF("lang", "b1", "b2"), p)
+    assert(TertileBounds.boundsScorer(spark, p).contains("addk:a:arith"))
+    TertileBounds.writeBounds(spark,
+      Seq(("fr", 3.0, 4.0)).toDF("lang", "b1", "b2"), p, "addk:b:arith")
     val x2 = TertileBounds.boundsXor(spark, p).get
     assert(x1 != x2 && TertileBounds.boundsRows(spark, p) == 1L)
     assert(TertileBounds.loadBounds(spark, p).collect().head.getString(0) == "fr")
     scribble(s"$p/_xor", x1.toString)
     intercept[IllegalArgumentException] { TertileBounds.loadBounds(spark, p) }
+  }
+
+  test("TertileBounds scorer identity (r15): boundaries carry the ranking semantics that produced them, and a consumer configured for a different ranking refuses loudly at load") {
+    import graft.ml.TertileBounds
+    val p = tempDir("tb-scorer").toString + "/b"
+    TertileBounds.writeBounds(spark,
+      Seq(("en", 1.0, 2.0)).toDF("lang", "b1", "b2"), p, "addk:ref=en:arith")
+    // matching consumer: loads
+    assert(TertileBounds.loadBoundsFor(spark, p, "addk:ref=en:arith")
+      .count() == 1L)
+    // a LOG-domain consumer against arithmetic-ranked boundaries: the
+    // silently-wrong bucketing class, refused loudly
+    val e = intercept[IllegalArgumentException] {
+      TertileBounds.loadBoundsFor(spark, p, "addk:ref=en:log2")
+    }
+    assert(e.getMessage.contains("computed under scorer"))
+    // a missing _scorer stamp is a torn write (one exception class)
+    assert(fs(p).delete(new org.apache.hadoop.fs.Path(s"$p/_scorer"), false))
+    intercept[IllegalArgumentException] { TertileBounds.loadBounds(spark, p) }
+    // whitespace/empty tags refused at the persist site
+    intercept[IllegalArgumentException] {
+      TertileBounds.writeBounds(spark,
+        Seq(("en", 1.0, 2.0)).toDF("lang", "b1", "b2"), p, "two words")
+    }
   }
 
   // --- q188: the round-trip invariance law ---------------------------------

@@ -977,7 +977,8 @@ class StreamingSpec extends GraftSuite {
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("score_fp"))
     TertileBounds.writeBounds(spark,
-      ScaleOps25.tertileBounds(scoredWl, Long.MaxValue), bPath)
+      ScaleOps25.tertileBounds(scoredWl, Long.MaxValue), bPath,
+      "addk:ref=en:arith")
     // batch expectation: every doc gets a bucket (scored via the strict
     // boundary comparisons, unscored/unknown-lang coalesced to tail),
     // kept iff the portable-hash sampler keeps it at its bucket's rate
@@ -1004,7 +1005,7 @@ class StreamingSpec extends GraftSuite {
     val q = Streaming.lmMixStream(
       spark.readStream.schema(schema).parquet(in.toString),
       "doc_id", "text", "lang", lmPath, bPath, hr, mr, tr,
-      out.toString, tempDir("mix-ckpt").toString)
+      out.toString, tempDir("mix-ckpt").toString, "addk:ref=en:arith")
     try q.processAllAvailable() finally q.stop()
     val got = spark.read.parquet(out.toString)
     assert(got.collect().map(r => (r.getAs[Long]("doc_id"),
@@ -1026,7 +1027,8 @@ class StreamingSpec extends GraftSuite {
     // bounds A: the doc's positive score lands strictly between b1 and
     // b2 -> middle
     TertileBounds.writeBounds(spark,
-      Seq(("en", 0.0, 1.0e12)).toDF("lang", "b1", "b2"), bPath)
+      Seq(("en", 0.0, 1.0e12)).toDF("lang", "b1", "b2"), bPath,
+      "addk:ref=en:arith")
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType)))
@@ -1039,13 +1041,14 @@ class StreamingSpec extends GraftSuite {
     val q = Streaming.lmMixStream(
       spark.readStream.schema(schema).parquet(in.toString),
       "doc_id", "text", "lang", lmPath, bPath, 1.0, 1.0, 1.0,
-      out.toString, tempDir("brot-ckpt").toString)
+      out.toString, tempDir("brot-ckpt").toString, "addk:ref=en:arith")
     try {
       q.processAllAvailable()
       // rotation: the batch recomputed boundaries (say the corpus
       // drifted down) — the SAME text must land in a different bucket
       TertileBounds.writeBounds(spark,
-        Seq(("en", -2.0, -1.0)).toDF("lang", "b1", "b2"), bPath)
+        Seq(("en", -2.0, -1.0)).toDF("lang", "b1", "b2"), bPath,
+        "addk:ref=en:arith")
       land(3L, "a b")
       q.processAllAvailable()
       val got = spark.read.parquet(out.toString)
@@ -1066,6 +1069,40 @@ class StreamingSpec extends GraftSuite {
       assert(spark.read.parquet(out.toString)
         .filter(col("doc_id") === 4L).count() == 0L,
         "a mix verdict landed from a micro-batch whose boundary load failed")
+    } finally q.stop()
+  }
+
+  test("lmMixStream scorer-identity seam: boundaries ranked under a DIFFERENT scorer than the stream's refuse loudly and emit nothing — the silently-wrong cross-ranking bucketing class") {
+    import graft.ml.{BigramLm, TertileBounds}
+    val lmPath = tempDir("bscr-lm").toString + "/lm"
+    val bPath = tempDir("bscr-b").toString + "/b"
+    BigramLm.writeLm(spark, Seq(("a", "b", 1L)).toDF("w1", "w2", "cxy"), 2L, lmPath)
+    // boundaries ranked in the LOG domain; the stream scores arithmetic
+    TertileBounds.writeBounds(spark,
+      Seq(("en", 0.0, 1.0e12)).toDF("lang", "b1", "b2"), bPath,
+      "addk:ref=en:log2")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val in = tempDir("bscr-in"); val out = tempDir("bscr-out")
+    Seq((1L, "a b", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(in.toString)
+    val q = Streaming.lmMixStream(
+      spark.readStream.schema(schema).parquet(in.toString),
+      "doc_id", "text", "lang", lmPath, bPath, 1.0, 1.0, 1.0,
+      out.toString, tempDir("bscr-ckpt").toString, "addk:ref=en:arith")
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("computed under scorer") ||
+        Option(e.getCause).exists(_.getMessage.contains("computed under scorer")))
+      // nothing landed: no parquet data file under the sink dir
+      val landedFiles = Option(new java.io.File(out.toString).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(landedFiles.isEmpty,
+        s"a mix verdict landed despite the scorer mismatch: ${landedFiles.toSeq}")
     } finally q.stop()
   }
 
