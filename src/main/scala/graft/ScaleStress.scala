@@ -79,6 +79,8 @@ object ScaleStress {
       args.lift(2).map(_.toInt).getOrElse(100000))
     case Some("tert") => tert(args.lift(1).getOrElse("/tmp/stress_tert"),
       args.lift(2).map(_.toInt).getOrElse(4000000))
+    case Some("plx") => plx(args.lift(1).getOrElse("/tmp/stress_plx"),
+      args.lift(2).map(_.toInt).getOrElse(4000000))
     case Some("clf") => clf(args.lift(1).getOrElse("/tmp/stress_clf"),
       args.lift(2).map(_.toInt).getOrElse(200000))
     case _ => facts(args.headOption.getOrElse("/tmp/sfbig"))
@@ -366,6 +368,45 @@ object ScaleStress {
     val diff = e.unionByName(h).except(e.intersect(h)).count()
     println(f"TERT exact ${exSec}%.2fs rows=$exRows | " +
       f"histogram ${hiSec}%.2fs rows=$hiRows | sym_diff=$diff")
+    spark.stop()
+  }
+
+  /** Log-domain scoring cost at scale (q190 /
+    * [[graft.ops.ScaleOps30.scoreDocsWithLmLog2]]): the r15 claim —
+    * the 20-round integer log₂ chain is a PURE MAP over the joined
+    * bigram stream (plan-pinned to q183's exact operator shape), so
+    * its price at scale is a bounded constant factor over the add-k
+    * arithmetic scorer, not a new bottleneck. Synthetic corpus:
+    * nDocs × 24 tokens from a 5k vocabulary via modular mixing
+    * (deterministic, hash-spread bigram distribution), model trained
+    * on the even half, EVERYONE scored — nDocs·23 bigrams through two
+    * co-partitioned model joins, then either one fixed-point division
+    * (arith) or the 62-bit ratio + 20 squarings (log). Reports both
+    * times, the ratio, and cross-checks the scored-doc counts. */
+  def plx(base: String, nDocs: Int): Unit = {
+    import graft.ops.{ScaleOps27, ScaleOps30}
+    val spark = session()
+    val vocabN = 5000L
+    spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 24).map(j =>
+        concat(lit("w"), pmod(col("id") * lit(2654435761L) + lit(j * 7919L),
+          lit(vocabN)))): _*).as("text"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$base/docs.parquet")
+    val docs = spark.read.parquet(s"$base/docs.parquet")
+    val ref = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+    ScaleOps27.trainLmPairs(ref)
+      .write.mode("overwrite").parquet(s"$base/pairs.parquet")
+    val pairs = spark.read.parquet(s"$base/pairs.parquet")
+    val v = ScaleOps27.vocabSize(ref)
+    println(s"PLX n=$nDocs v=$v pair_types=${pairs.count()}")
+    val (aSec, aRows) = timed(spark, 3)(
+      ScaleOps27.scoreDocsWithLm(docs, "doc_id", "text", pairs, v).count())
+    val (lSec, lRows) = timed(spark, 3)(
+      ScaleOps30.scoreDocsWithLmLog2(docs, "doc_id", "text", pairs, v).count())
+    println(f"PLX arith ${aSec}%.2fs rows=$aRows | " +
+      f"log2 ${lSec}%.2fs rows=$lRows | ratio ${lSec / aSec}%.2f")
+    require(aRows == lRows, s"scored-doc counts diverged: $aRows vs $lRows")
     spark.stop()
   }
 
