@@ -351,4 +351,30 @@ class ScaleOps29Spec extends GraftSuite {
       s"$base/d", target, shards = 4, ledger = false)
     assert(sDef == s1 && leafDataFiles(s"$base/d").nonEmpty)
   }
+
+  test("writeShardedByBytes cap: maxFilesPerShard rounds DOWN to a power of two (keeping the merge-only divisibility law) and clamps a runaway target misconfiguration") {
+    import graft.pipeline.TrainingPipeline
+    // 20 fat docs per shard vs a 64-byte target: uncapped F would be
+    // 1024; cap 6 must act as 4 (the next power DOWN — a non-power cap
+    // would break F' | F coarsening against past/future releases)
+    val packed = (1L to 40L).map(i => (i, "fat " * 500, 5L))
+      .toDF("doc_id", "text", "n_tokens")
+    val base = tempDir("wbytes-cap").toString
+    val stats = TrainingPipeline.writeShardedByBytes(spark, packed,
+      s"$base/a", 64L, shards = 2, ledger = false,
+      byteMeasure = Some(octet_length(col("text")).cast("long")),
+      maxFilesPerShard = 6L)
+    assert(stats.map(_.nDocs).sum == 40L)
+    val leaves = leafDataFiles(s"$base/a")
+    assert(leaves.keys.map(_._2).max == 3L,
+      s"cap 6 must clamp to 4 leaves (indexes 0..3): ${leaves.keySet}")
+    // docs still land by the scalar law at the CLAMPED F
+    val landed = spark.read.parquet(s"$base/a")
+      .select(col("doc_id"), col("shard"), col("file")).collect()
+    landed.foreach { r =>
+      val b = splitBucketScalar(r.getLong(0))
+      assert(r.getAs[Number]("shard").longValue() == b % 2 &&
+        r.getAs[Number]("file").longValue() == (b / 2) % 4)
+    }
+  }
 }
