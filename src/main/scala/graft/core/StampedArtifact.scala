@@ -52,25 +52,44 @@ object StampedArtifact {
   /** Read stamp file `root/name` as a Long; None if absent or torn
     * garbage (both mean "no valid stamp"). */
   def readMetaLong(spark: SparkSession, root: String,
-      name: String): Option[Long] = {
+      name: String): Option[Long] =
+    readMetaString(spark, root, name, maxLen = 64).flatMap { s =>
+      try Some(s.toLong) catch { case _: NumberFormatException => None }
+    }
+
+  /** Read stamp file `root/name` as a trimmed UTF-8 string; None if
+    * absent or empty (both mean "no valid stamp"). ALL string-valued
+    * stamps read through this (r15 advice): `InputStream.read` may
+    * return fewer bytes than available on chunked filesystem streams,
+    * so a one-shot read can truncate a stamp and refuse a VALID
+    * artifact — every stamp read shares the one read-until-EOF loop. */
+  def readMetaString(spark: SparkSession, root: String, name: String,
+      maxLen: Int = 256): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$root/$name")
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](64)
-        var total = 0
-        var n = in.read(buf, total, buf.length - total)
-        while (n > 0 && total + n < buf.length) {
-          total += n
-          n = in.read(buf, total, buf.length - total)
-        }
-        if (n > 0) total += n
-        val s = new String(buf, 0, total, "UTF-8").trim
-        try Some(s.toLong) catch { case _: NumberFormatException => None }
-      } finally in.close()
+      try readAllString(in, maxLen) finally in.close()
     }
+  }
+
+  /** The read-until-EOF core of [[readMetaString]], stream-injectable
+    * so the chunked-read spec can drive it with a one-byte-at-a-time
+    * stream: fills up to `maxLen` bytes (a stamp longer than that is
+    * torn garbage by contract), trims, None on empty. */
+  private[graft] def readAllString(in: java.io.InputStream,
+      maxLen: Int): Option[String] = {
+    val buf = new Array[Byte](maxLen)
+    var total = 0
+    var n = in.read(buf, 0, buf.length)
+    while (n > 0) {
+      total += n
+      n = if (total >= buf.length) -1
+          else in.read(buf, total, buf.length - total)
+    }
+    val s = new String(buf, 0, total, "UTF-8").trim
+    if (s.isEmpty) None else Some(s)
   }
 
   /** Delete stamp file `root/name` if present — the UNSTAMP step. */

@@ -24,7 +24,15 @@ object Ledger {
   val JobErrorTable  = "etl_job_error"
   val BatchStatsTable = "etl_batch_job_statistics"
 
-  def ensureTables(spark: SparkSession): Unit = {
+  /** Idempotent create-if-missing for the three catalog tables. Holds
+    * [[writeLock]] itself (r15 advice): the exists-then-create pair
+    * races table creation if two threads run it concurrently, and
+    * while today's batch runner only scans outside the parallel
+    * window, that invariant was implicit — any future scan from
+    * inside a parallel file job would have raced. The lock is
+    * reentrant, so the write sinks (which already hold it) are
+    * unchanged. */
+  def ensureTables(spark: SparkSession): Unit = writeLock.synchronized {
     import spark.implicits._
     def ensure(name: String, empty: => DataFrame): Unit =
       if (!spark.catalog.tableExists(name)) {

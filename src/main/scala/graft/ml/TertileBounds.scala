@@ -70,20 +70,13 @@ object TertileBounds {
     n
   }
 
-  /** Stamped scorer identity; None if absent or torn. */
-  def boundsScorer(spark: SparkSession, path: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_scorer")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](256)
-        val nn = in.read(buf)
-        if (nn <= 0) None else Some(new String(buf, 0, nn, "UTF-8").trim)
-      } finally in.close()
-    }
-  }
+  /** Stamped scorer identity; None if absent or torn. Reads through
+    * the shared read-until-EOF loop ([[StampedArtifact.readMetaString]]
+    * — r15 advice: a one-shot `in.read(buf)` can return fewer bytes
+    * than available on chunked streams, truncating the tag into a
+    * spurious scorer-mismatch refusal of a VALID artifact). */
+  def boundsScorer(spark: SparkSession, path: String): Option[String] =
+    StampedArtifact.readMetaString(spark, path, "_scorer")
 
   /** [[loadBounds]] plus the ranking-semantics check: the consumer
     * states what scorer ITS scores come from, and a boundary table

@@ -347,14 +347,18 @@ object ScaleOps27 {
     * invisible to the result. */
   val q184Sql: String = q183Sql
 
-  /** Mirror: the shared scoring CTEs + the q179 quantile_cont/strict
-    * bucket chain + the q180 portable-hash keep restatement. */
-  val q185Sql: String = {
+  /** The CCNet-disposition SQL tail shared by q185/q188 and the
+    * log-ranking arms q191/q192 ([[ScaleOps31]]): expects a CTE
+    * `wl(doc_id, lang, sd, score_fp)` already in scope (sd = the score
+    * as DOUBLE — the boundary comparisons run in the domain Spark's
+    * `percentile` computes in) and appends the q179
+    * quantile_cont/strict bucket chain + the q180 portable-hash keep
+    * restatement + the per-(lang, bucket) rollup. One tail, every
+    * ranking — so a disposition arm can only differ from its siblings
+    * in the SCORE feeding it. */
+  private[ops] val mixTailSql: String = {
     def floorRate(r: Double): Long = (r * 4294967296.0).toLong
-    raw"""WITH $refScoreCtes, wl AS (
-      |  SELECT doc_id, lang, CAST(score_fp AS DOUBLE) AS sd, score_fp
-      |  FROM scored_all
-      |), bounds AS (
+    raw"""bounds AS (
       |  SELECT lang, quantile_cont(sd, 1.0/3.0) AS b1,
       |    quantile_cont(sd, 2.0/3.0) AS b2
       |  FROM wl GROUP BY lang
@@ -378,4 +382,11 @@ object ScaleOps27 {
       |  CAST(CAST(SUM(keep) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS kept_share_fp
       |FROM kept GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
   }
+
+  /** Mirror: the shared scoring CTEs + the shared disposition tail. */
+  val q185Sql: String =
+    raw"""WITH $refScoreCtes, wl AS (
+      |  SELECT doc_id, lang, CAST(score_fp AS DOUBLE) AS sd, score_fp
+      |  FROM scored_all
+      |), $mixTailSql""".stripMargin
 }

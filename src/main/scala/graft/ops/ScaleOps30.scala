@@ -56,8 +56,8 @@ object ScaleOps30 {
   /** Fractional bits of the fixed-point log₂. */
   val Q190FracBits = 20
 
-  private val PreShift = 62 // ratio scale: r = num·2^62 div den
-  private val MShift = 31   // mantissa scale: m ∈ [2^31, 2^32)
+  private[ops] val PreShift = 62 // ratio scale: r = num·2^62 div den
+  private[ops] val MShift = 31   // mantissa scale: m ∈ [2^31, 2^32)
 
   /** CASE-form 2^e for e ∈ [0, 62] — generated once, evaluated verbatim
     * by both engines (no float pow round-trip). */
@@ -65,7 +65,7 @@ object ScaleOps30 {
     (0 to 62).map(k => s"WHEN $v = $k THEN ${1L << k}")
       .mkString("CASE ", " ", " END")
 
-  private def fracSum: String =
+  private[ops] def fracSum: String =
     (1 to Q190FracBits).map(i => s"b$i * ${1L << (Q190FracBits - i)}")
       .mkString(" + ")
 
@@ -73,10 +73,53 @@ object ScaleOps30 {
     * model in the LOG domain — (idCol, n_bigrams, n_oov, plx_fp) per
     * ≥2-token document, plx_fp = mean −log₂ p at 2⁻²⁰ fixed point. The
     * probability arithmetic (num, den, k, V-literal) is byte-for-byte
-    * [[ScaleOps27.scoreDocsWithLm]]'s; only the collapse differs. */
+    * [[ScaleOps27.scoreDocsWithLm]]'s; only the collapse differs.
+    *
+    * Overflow bound, documented rather than guarded (r15 advice): the
+    * ratio numerator (cxy·10⁶ + k)·2⁶² rides DECIMAL(38,0), which
+    * overflows to NULL at cxy ≳ 2.2·10¹³ — there `GREATEST(NULL, 1)`
+    * silently floors the bigram to max perplexity while the DuckDB
+    * HUGEINT mirror stays exact. Unreachable in practice: one bigram
+    * repeated 22 trillion times in the training slice means ≳ 4·10¹⁴
+    * bytes of that single pair — beyond a 100 TB corpus even if it
+    * contained nothing else. A guard would cost a max(cxy) scan of the
+    * pair table per score call; if corpora ever approach the bound,
+    * assert it once at train time instead. */
   def scoreDocsWithLmLog2(docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, v: Long): DataFrame = {
     require(v >= 1, s"scoreDocsWithLmLog2: vocabulary size must be >= 1, got $v")
+    // DEGENERATE-INPUT GUARD (r16 — found by q192's empty-corner spec,
+    // latent since r15): when NO document yields a bigram, return the
+    // empty result without building the 20-round chain. Not an
+    // optimization — a correctness-of-termination fix: if the bigram
+    // stream materializes EMPTY at runtime, AQE's empty-relation
+    // propagation leaves the 20 projection levels sitting directly on
+    // an empty LocalRelation, and the planner's project-collapse
+    // (PhysicalOperation / CollapseProject.trimAliases) then INLINES
+    // them — each round references its predecessor twice, so the
+    // inlined tree is ~2²⁰ nodes and planning never returns (measured:
+    // >30 min pegging one core on a two-document corpus; thread dump
+    // pinned in the r16 notes — the r15 lateral-inlining blow-up
+    // re-entering through the planner's own collapse, which the
+    // one-level-per-round discipline cannot reach). The arithmetic and
+    // KN kernels are immune (single-projection collapses are linear).
+    // Guard cost: one early-exit take(1) — first-match-cheap on any
+    // corpus with a single multi-token document; and a stream
+    // micro-batch of only single-token docs (a perfectly legal
+    // production input) must refuse to hang its query.
+    // ≥2 NON-EMPTY tokens ⟺ the doc yields ≥1 bigram: `split`'s empty
+    // tokens occur only at the array's edges (interior \s+ runs always
+    // consume fully), so the non-empty tokens form one contiguous run
+    // and an adjacent all-non-empty pair exists iff that run has ≥2 —
+    // exactly bigramsOf's post-filter semantics
+    val anyScorable = docs
+      .filter(size(filter(graft.text.TextAnalysis.tokens(col(textCol)),
+        t => length(t) >= 1)) >= 2)
+      .take(1).nonEmpty
+    if (!anyScorable)
+      return docs.sparkSession.range(0).select(
+        col("id").as(idCol), col("id").as("n_bigrams"),
+        col("id").as("n_oov"), col("id").as("plx_fp"))
     val kFp = ScaleOps24.Q175KFp
     val ctx = pairs.groupBy(col("w1")).agg(sum(col("cxy")).as("cx"))
     var df = ScaleOps27.bigramsOf(docs, idCol, textCol)
@@ -135,12 +178,17 @@ object ScaleOps30 {
       .limit(Q190TopK)
   }
 
-  /** Mirror: q183's reference slice and probability operands, the same
-    * ratio/exponent/mantissa normalization, and the same 20 square-and-
-    * compare rounds — ONE CTE LEVEL PER ROUND (see the object doc: a
-    * lateral-alias form re-expands exponentially). Every operand
-    * non-negative, so `//` agrees with `div` everywhere. */
-  val q190Sql: String = {
+  /** The shared per-document log₂ CTE chain, ending in
+    * `plx(doc_id, lang, n_bigrams, n_oov, plx_fp)` — q183's reference
+    * slice and probability operands, the same ratio/exponent/mantissa
+    * normalization, and the same 20 square-and-compare rounds — ONE CTE
+    * LEVEL PER ROUND (see the object doc: a lateral-alias form
+    * re-expands exponentially). Every operand non-negative, so `//`
+    * agrees with `div` everywhere. Shared by q190 (the top-K readout)
+    * and q191/q192 (the full log-domain CCNet disposition,
+    * [[ScaleOps31]]) so the log-ranking arms pin identical scoring
+    * arithmetic. */
+  private[ops] val log2DocCtes: String = {
     val rounds = (1 to Q190FracBits).map { i =>
       val pm = s"m${i - 1}"
       s"""s${i}p AS (
@@ -152,7 +200,7 @@ object ScaleOps30 {
          |  FROM s${i}p
          |)""".stripMargin
     }.mkString(",\n")
-    raw"""WITH toks AS (
+    raw"""toks AS (
       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
       |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
       |  FROM documents
@@ -190,12 +238,19 @@ object ScaleOps30 {
       |    CAST((CAST(r AS HUGEINT) * ${1L << MShift}) // (${pow2CaseSql("CAST(length(bin(r)) - 1 AS BIGINT)")}) AS BIGINT) AS m0
       |  FROM rr
       |),
-      |$rounds
-      |SELECT doc_id, lang,
-      |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-      |  CAST(SUM(CASE WHEN cxy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-      |  CAST(SUM(($PreShift - e) * ${1L << Q190FracBits} - ($fracSum)) // COUNT(*) AS BIGINT) AS plx_fp
-      |FROM s$Q190FracBits GROUP BY doc_id, lang
-      |ORDER BY plx_fp DESC, doc_id LIMIT ${Q190TopK}""".stripMargin
+      |$rounds,
+      |plx AS (
+      |  SELECT doc_id, lang,
+      |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(CASE WHEN cxy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |    CAST(SUM(($PreShift - e) * ${1L << Q190FracBits} - ($fracSum)) // COUNT(*) AS BIGINT) AS plx_fp
+      |  FROM s$Q190FracBits GROUP BY doc_id, lang
+      |)""".stripMargin
   }
+
+  /** Mirror: the shared chain + the top-K readout. */
+  val q190Sql: String =
+    raw"""WITH $log2DocCtes
+      |SELECT doc_id, lang, n_bigrams, n_oov, plx_fp FROM plx
+      |ORDER BY plx_fp DESC, doc_id LIMIT ${Q190TopK}""".stripMargin
 }

@@ -15,6 +15,20 @@ import graft.report.Report
   * and processes the remainder. */
 object BatchRunner {
 
+  /** The parallel walk's containment guard (r15 advice): `run` already
+    * absorbs Exceptions into Failed jobs; anything ELSE a file job
+    * throws (Error classes a future would otherwise carry into
+    * `Await.result`) becomes that file's Failed stub, so one file's
+    * catastrophe never discards sibling groups' finished work from the
+    * batch rollup or strands the batch row InProgress. Pinned by its
+    * own spec because no file fixture can inject a non-Exception
+    * Throwable through the real load path. */
+  private[graft] def guarded(f: String,
+      run: String => ProcessFile.FileJob,
+      stub: (String, Option[Throwable]) => ProcessFile.FileJob)
+      : ProcessFile.FileJob =
+    try run(f) catch { case t: Throwable => stub(f, Some(t)) }
+
   final case class BatchOutcome(
       batchJobId: String,
       status: String,
@@ -74,23 +88,27 @@ object BatchRunner {
           case e: Exception => lastErr = Some(e)
         }
       }
-      if (job == null) {
-        // failed-stats stub (reference :1368-1384)
-        val r = LoadResult("Failed", -1, 0, 0, -1, lastErr.map(_.getMessage))
-        job = ProcessFile.FileJob("", f, "", r, "")
-        if (config.jobStatisticsEnabled) {
-          val ts = new java.sql.Timestamp(System.currentTimeMillis())
-          Ledger.writeJobStats(spark, JobStats(
-            JobRunID = java.util.UUID.randomUUID().toString,
-            JobStartTime = ts, JobEndTime = ts, JobDurationSeconds = 0,
-            JobStatus = "Failed", SourceFile = f, TargetTable = "",
-            RowsRead = -1, RowsInserted = 0, RowsUpdated = 0, RowsFailed = -1,
-            ErrorMessage = lastErr.map(_.getMessage), BatchJobID = Some(batchId),
-            TableMode = config.tableMode.name,
-            TransactionMode = config.transactionMode.name))
-        }
-      }
+      if (job == null) job = failedStub(f, lastErr)
       job
+    }
+
+    // failed-stats stub (reference :1368-1384) — shared by the retry
+    // loop's all-attempts-threw path and the parallel walk's
+    // unexpected-Throwable guard below
+    def failedStub(f: String, err: Option[Throwable]): ProcessFile.FileJob = {
+      val r = LoadResult("Failed", -1, 0, 0, -1, err.map(_.getMessage))
+      if (config.jobStatisticsEnabled) {
+        val ts = new java.sql.Timestamp(System.currentTimeMillis())
+        Ledger.writeJobStats(spark, JobStats(
+          JobRunID = java.util.UUID.randomUUID().toString,
+          JobStartTime = ts, JobEndTime = ts, JobDurationSeconds = 0,
+          JobStatus = "Failed", SourceFile = f, TargetTable = "",
+          RowsRead = -1, RowsInserted = 0, RowsUpdated = 0, RowsFailed = -1,
+          ErrorMessage = err.map(_.getMessage), BatchJobID = Some(batchId),
+          TableMode = config.tableMode.name,
+          TransactionMode = config.transactionMode.name))
+      }
+      ProcessFile.FileJob("", f, "", r, "")
     }
 
     // batch_processing.parallelism (beyond-reference, r14 verdict #8):
@@ -119,10 +137,19 @@ object BatchRunner {
           math.max(1, math.min(config.batchParallelism, groups.size)))
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutor(pool)
+        // every per-file call is wrapped so an UNEXPECTED Throwable
+        // (processOne's retry loop already absorbs Exceptions) surfaces
+        // as that file's Failed stub instead of rethrowing through
+        // Await.result — which would discard completed sibling groups'
+        // jobs from the E3 rollup and strand the batch row InProgress
+        // (r15 advice: the sequential walk's failure blast radius was
+        // one file; the parallel walk's must not include other tables'
+        // finished work)
         try
           scala.concurrent.Await.result(
             scala.concurrent.Future.sequence(groups.map(fs =>
-              scala.concurrent.Future(fs.map(f => f -> processOne(f))))),
+              scala.concurrent.Future(fs.map(f =>
+                f -> guarded(f, processOne, failedStub))))),
             scala.concurrent.duration.Duration.Inf).flatten.toMap
         finally pool.shutdown()
       }

@@ -44,9 +44,20 @@ object PipelineMain {
         .parquet(s"$outDir/packed")
       println(s"[pipeline] run ${r.runId}: packed corpus written to $outDir/packed")
       // writer stage: the training-release layout — hash-sharded files a
-      // loader streams, with the per-shard balance readout in the ledger
-      val stats = TrainingPipeline.writeSharded(spark, r.packed,
-        s"$outDir/shards", runId = r.runId)
+      // loader streams, with the per-shard balance readout in the ledger.
+      // With SPARK_GRAFT_TARGET_BYTES set, leaf files are byte-targeted
+      // per shard through the EXPLICIT text-column measure
+      // (releaseShardedByBytes — the release never pays the row-wide
+      // JSON measure proxy); otherwise the fixed one-file-per-shard
+      // layout.
+      val stats = sys.env.get("SPARK_GRAFT_TARGET_BYTES") match {
+        case Some(tb) =>
+          TrainingPipeline.releaseShardedByBytes(spark, r.packed,
+            s"$outDir/shards", tb.toLong, runId = r.runId)
+        case None =>
+          TrainingPipeline.writeSharded(spark, r.packed,
+            s"$outDir/shards", runId = r.runId)
+      }
       val worst = stats.maxBy(s => math.abs(s.skewPpm))
       println(s"[pipeline] ${stats.size} shards written to $outDir/shards " +
         s"(worst skew: shard ${worst.shard} at ${worst.skewPpm} ppm)")

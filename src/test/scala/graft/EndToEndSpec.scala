@@ -214,6 +214,24 @@ class EndToEndSpec extends GraftSuite {
       "drop_recreate order within one table must stay sequential")
   }
 
+  test("parallel walk containment guard (r15 advice): an unexpected non-Exception Throwable from one file job surfaces as ITS Failed stub — sibling work is never discarded through Await.result") {
+    import graft.orchestrate.{BatchRunner, ProcessFile}
+    import graft.core.LoadResult
+    def stub(f: String, err: Option[Throwable]): ProcessFile.FileJob =
+      ProcessFile.FileJob("", f,
+        "", LoadResult("Failed", -1, 0, 0, -1, err.map(_.getMessage)), "")
+    // the class processOne CANNOT absorb: an Error, not an Exception
+    val boom = BatchRunner.guarded("f1.csv",
+      _ => throw new AssertionError("engine invariant tripped"), stub)
+    assert(boom.result.status == "Failed" &&
+      boom.result.errorMessage.contains("engine invariant tripped") &&
+      boom.sourceFile == "f1.csv")
+    // a normal job passes through untouched
+    val ok = ProcessFile.FileJob("", "f2.csv", "t",
+      LoadResult("Completed", 2, 2, 0, 0, None), "")
+    assert(BatchRunner.guarded("f2.csv", _ => ok, stub) eq ok)
+  }
+
   test("batch report embeds per-file error details (J4 parity with the reference email)") {
     val dir = tempDir("e2e_report")
     writeFile(dir, "rep_good.csv", "id,v\n1,a\n2,b\n")

@@ -675,4 +675,19 @@ class PlanShapeSpec extends GraftSuite {
           s"q190 added $op beyond q183's shape:\n$p")
       }
   }
+
+  test("q191: the log-domain disposition carries EXACTLY q185's operator counts — the q190 chain plus the score negation cost projections only, and the boundary pass/rollup shape is byte-for-byte the arithmetic arm's") {
+    val p = plan(graft.ops.ScaleOps31.q191LogPlxTertileMix(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q191 must carry no nested-loop join at all:\n$p")
+    assert(p.contains("partial_"), p)
+    val q185 = plan(graft.ops.ScaleOps27.q185RefLmTertileMix(spark, sf))
+    def count(s: String, op: String) = s.sliding(op.length).count(_ == op)
+    Seq("Exchange", "SortMergeJoin", "BroadcastHashJoin", "Generate")
+      .foreach { op =>
+        assert(count(p, op) == count(q185, op),
+          s"q191 added $op beyond q185's shape:\n$p")
+      }
+  }
 }

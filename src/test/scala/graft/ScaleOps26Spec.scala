@@ -167,7 +167,9 @@ class ScaleOps26Spec extends GraftSuite {
       }
     }
     // randomized: language sizes 1..40, values drawn tie-heavy (0..9)
-    // and sparse (0..10^6), across two seeds
+    // and sparse (0..10^6), across two seeds — and every third language
+    // NEGATED (r16: the q191 log-ranking rides negated perplexities
+    // through this pass, so the bit-equality must hold below zero too)
     for (seed <- Seq(7, 20260815)) {
       val rnd = new scala.util.Random(seed)
       val rows = (0 until 14).flatMap { li =>
@@ -175,7 +177,8 @@ class ScaleOps26Spec extends GraftSuite {
         val n = 1 + rnd.nextInt(40)
         val wide = li % 2 == 1
         (0 until n).map { i =>
-          val v = if (wide) rnd.nextInt(1000001).toLong else rnd.nextInt(10).toLong
+          val mag = if (wide) rnd.nextInt(1000001).toLong else rnd.nextInt(10).toLong
+          val v = if (li % 3 == 2) -mag else mag
           (li.toLong * 1000 + i, lang, v)
         }
       }

@@ -352,6 +352,46 @@ class ScaleOps29Spec extends GraftSuite {
     assert(sDef == s1 && leafDataFiles(s"$base/d").nonEmpty)
   }
 
+  test("releaseShardedByBytes (r15 verdict #6): the pipeline release stage measures bytes on the TEXT column — identical shard stats to the row-wide JSON default (measure-invariance), byte-identical leaves to the explicit-measure writer, and a missing text column refuses loudly") {
+    import graft.pipeline.TrainingPipeline
+    val packed = (1L to 160L).map { i =>
+      val txt = if (i % 11 == 0L) "fat " * 800 else s"doc $i"
+      (i, txt, 10L + i % 7)
+    }.toDF("doc_id", "text", "n_tokens")
+    val base = tempDir("release").toString
+    val target = 3000L
+    val rel = TrainingPipeline.releaseShardedByBytes(spark, packed,
+      s"$base/rel", target, shards = 4, ledger = false)
+    // measure-invariance: shard assignment never sees the measure, so
+    // the per-shard balance stats equal the row-wide JSON default's —
+    // only the leaf split may differ (the default measures MORE bytes
+    // per row, so F per shard can only be >=)
+    val dflt = TrainingPipeline.writeShardedByBytes(spark, packed,
+      s"$base/dflt", target, shards = 4, ledger = false)
+    assert(rel == dflt, "stats must be measure-invariant")
+    // the release stage IS the explicit text measure: byte-identical
+    // leaves to writeShardedByBytes(byteMeasure = octet_length(text))
+    val exp = TrainingPipeline.writeShardedByBytes(spark, packed,
+      s"$base/exp", target, shards = 4, ledger = false,
+      byteMeasure = Some(octet_length(col("text"))))
+    assert(rel == exp)
+    val fRel = leafDataFiles(s"$base/rel"); val fExp = leafDataFiles(s"$base/exp")
+    assert(fRel.keySet == fExp.keySet && fRel.nonEmpty)
+    fRel.keySet.foreach { k => assert(md5f(fRel(k)) == md5f(fExp(k)),
+      s"leaf $k: release layout != explicit-text-measure layout") }
+    // and the text measure genuinely split LESS than the JSON default
+    // on this fixture (text bytes < full-row JSON bytes): at least one
+    // shard has fewer leaves
+    val fDflt = leafDataFiles(s"$base/dflt")
+    assert(fRel.size <= fDflt.size)
+    // no text column: loud refusal pointing at the explicit escape hatch
+    assert(intercept[IllegalArgumentException] {
+      TrainingPipeline.releaseShardedByBytes(spark,
+        packed.withColumnRenamed("text", "body"), s"$base/bad", target,
+        shards = 4, ledger = false)
+    }.getMessage.contains("byteMeasure"))
+  }
+
   test("writeShardedByBytes cap: maxFilesPerShard rounds DOWN to a power of two (keeping the merge-only divisibility law) and clamps a runaway target misconfiguration") {
     import graft.pipeline.TrainingPipeline
     // 20 fat docs per shard vs a 64-byte target: uncapped F would be

@@ -96,6 +96,23 @@ class ScaleOps30Spec extends GraftSuite {
     // v = 0: no model, empty on both engines
     writeLangDocs(dir, Seq((1L, "le chat", "fr")))
     assert(run(dir.toString).isEmpty)
+    // v >= 1 but ZERO scorable docs (every doc single-token): empty —
+    // and FAST. This is the r16 degenerate-input guard: without it the
+    // runtime-empty bigram stream lets AQE's empty propagation strand
+    // the 20-round chain on a LocalRelation, and the planner's
+    // project-collapse inlines it into a ~2^20-node tree (measured:
+    // planning pegged a core for >30 min on this exact two-doc corpus)
+    writeLangDocs(dir, Seq((1L, "hello", "en"), (2L, "le", "fr")))
+    assert(run(dir.toString).isEmpty)
+    // the guard is exact about split()'s edge-empty tokens: a doc whose
+    // tokens include a trailing empty ("a\t" — trim strips spaces only)
+    // has 2 array slots but yields NO bigram and must stay out of scope,
+    // while a genuine 2-token doc scores
+    val docs2 = Seq((1L, "a\t"), (2L, "a b")).toDF("doc_id", "text")
+    val pairs2 = Seq(("a", "b", 1L)).toDF("w1", "w2", "cxy")
+    val got2 = graft.ops.ScaleOps30.scoreDocsWithLmLog2(docs2, "doc_id",
+      "text", pairs2, 2L).select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(got2 == Seq(2L), s"edge-empty-token doc leaked into scope: $got2")
   }
 
   test("q190 approximation law: plx_fp is within 3·2⁻²⁰ of libm's geometric mean on every sf0.001 document, and the log-domain integer ranking IS the perplexity ranking (rho vs Math.log > 0.99999)") {
@@ -200,5 +217,33 @@ class ScaleOps30Spec extends GraftSuite {
       TrainingPipeline.curateToTraining(spark, docs, None,
         cfg = cfg.copy(lmRefLang = None), ledger = false)
     }.getMessage.contains("zero probabilities"))
+  }
+
+  test("lmScoreDomain DEFAULT decision (r15 verdict #4, pinned): the default ranking is Arithmetic — because the default scorer is the MLE bootstrap, where the log domain is undefined — and the all-defaults lm_mix configuration actually RUNS; flipping the default would break it") {
+    import graft.pipeline.{Curation, TrainingPipeline}
+    import graft.pipeline.TrainingPipeline.{LmScoreDomain, LmSmoothing}
+    // the decision itself, pinned where a default flip would trip it:
+    // anyone changing the default must come read the rationale at
+    // Config.lmScoreDomain and update this spec deliberately
+    val dcfg = TrainingPipeline.Config()
+    assert(dcfg.lmScoreDomain == LmScoreDomain.Arithmetic)
+    assert(dcfg.lmSmoothing == LmSmoothing.AddK)
+    assert(dcfg.lmRefLang.isEmpty && dcfg.lmArtifactPath.isEmpty,
+      "the default scorer is the MLE bootstrap — the premise of the " +
+        "Arithmetic default; if a reference scorer ever becomes the " +
+        "default, revisit the domain default too")
+    // composability law: lm_mix with ONLY the rates set (every other
+    // knob at its default) must run — the exact configuration a
+    // LogPerplexity default would make fail its own loud guard
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val params = Curation.Params(minQuality = 0.0, minTokens = 1,
+      keepLangs = Seq("en", "es", "de", "fr", "und"))
+    val r = TrainingPipeline.curateToTraining(spark, docs, None,
+      cfg = TrainingPipeline.Config(curation = params, ctxTokens = 256L,
+        lmTertileMix = Some((1.0, 0.5, 0.1))),
+      ledger = false)
+    assert(r.stages.exists(s => s.stage == "lm_mix" && s.rowsOut > 0))
+    r.free()
   }
 }

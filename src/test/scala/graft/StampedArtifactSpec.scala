@@ -30,6 +30,42 @@ class StampedArtifactSpec extends GraftSuite {
     StampedArtifact.deleteMeta(spark, root, "_rows") // absent: no-op
   }
 
+  test("readMetaString / readAllString: string stamps survive CHUNKED streams (one byte per read) — the r15 boundsScorer short-read class; maxLen truncation; empty/whitespace reads as None; all five artifacts' string reads share this loop") {
+    // the chunked-read simulation: a stream that returns ONE byte per
+    // read call, the behavior HDFS-like filesystems are allowed to show
+    class Trickle(bytes: Array[Byte]) extends java.io.InputStream {
+      private var i = 0
+      override def read(): Int =
+        if (i >= bytes.length) -1 else { val b = bytes(i); i += 1; b & 0xff }
+      override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+        if (i >= bytes.length) return -1
+        if (len == 0) return 0
+        buf(off) = bytes(i); i += 1; 1
+      }
+    }
+    val tag = "addk:ref=en:log2"
+    assert(StampedArtifact.readAllString(
+      new Trickle(tag.getBytes("UTF-8")), 256).contains(tag),
+      "a one-byte-per-read stream must still yield the FULL tag")
+    assert(StampedArtifact.readAllString(
+      new Trickle("  x  ".getBytes("UTF-8")), 256).contains("x"))
+    assert(StampedArtifact.readAllString(
+      new Trickle(Array.empty[Byte]), 256).isEmpty)
+    assert(StampedArtifact.readAllString(
+      new Trickle("   ".getBytes("UTF-8")), 256).isEmpty)
+    // a stamp longer than maxLen truncates (torn garbage by contract —
+    // real tags are short tokens); the loop must still terminate
+    assert(StampedArtifact.readAllString(
+      new Trickle(("y" * 300).getBytes("UTF-8")), 256).contains("y" * 256))
+    // the on-disk form: write through writeMeta, read through
+    // readMetaString — and TertileBounds.boundsScorer IS this read
+    val root = tempDir("sa-str").toString
+    assert(StampedArtifact.readMetaString(spark, root, "_scorer").isEmpty)
+    StampedArtifact.writeMeta(spark, root, "_scorer", tag)
+    assert(StampedArtifact.readMetaString(spark, root, "_scorer").contains(tag))
+    assert(graft.ml.TertileBounds.boundsScorer(spark, root).contains(tag))
+  }
+
   test("unstampAndSwap: clears the stamps in order, replaces the live table with the side copy, removes the side dir; with no stamps listed it is a pure swap") {
     val root = tempDir("sa-swap").toString
     Seq((1L, "old")).toDF("id", "s").write.parquet(s"$root/t")

@@ -1005,7 +1005,7 @@ class StreamingSpec extends GraftSuite {
     val q = Streaming.lmMixStream(
       spark.readStream.schema(schema).parquet(in.toString),
       "doc_id", "text", "lang", lmPath, bPath, hr, mr, tr,
-      out.toString, tempDir("mix-ckpt").toString, "addk:ref=en:arith")
+      out.toString, tempDir("mix-ckpt").toString, "ref=en")
     try q.processAllAvailable() finally q.stop()
     val got = spark.read.parquet(out.toString)
     assert(got.collect().map(r => (r.getAs[Long]("doc_id"),
@@ -1041,7 +1041,7 @@ class StreamingSpec extends GraftSuite {
     val q = Streaming.lmMixStream(
       spark.readStream.schema(schema).parquet(in.toString),
       "doc_id", "text", "lang", lmPath, bPath, 1.0, 1.0, 1.0,
-      out.toString, tempDir("brot-ckpt").toString, "addk:ref=en:arith")
+      out.toString, tempDir("brot-ckpt").toString, "ref=en")
     try {
       q.processAllAvailable()
       // rotation: the batch recomputed boundaries (say the corpus
@@ -1090,7 +1090,7 @@ class StreamingSpec extends GraftSuite {
     val q = Streaming.lmMixStream(
       spark.readStream.schema(schema).parquet(in.toString),
       "doc_id", "text", "lang", lmPath, bPath, 1.0, 1.0, 1.0,
-      out.toString, tempDir("bscr-ckpt").toString, "addk:ref=en:arith")
+      out.toString, tempDir("bscr-ckpt").toString, "ref=en")
     try {
       val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
         q.processAllAvailable()
@@ -1103,6 +1103,181 @@ class StreamingSpec extends GraftSuite {
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       assert(landedFiles.isEmpty,
         s"a mix verdict landed despite the scorer mismatch: ${landedFiles.toSeq}")
+    } finally q.stop()
+  }
+
+  test("lmMixStream kernel dispatch (r15 verdict #2): the stream runs the batch's smoothing/domain kernels — (add-k, log2) and (KN, arith) each match the composed batch disposition over the real corpus") {
+    import graft.ml.{BigramLm, TertileBounds}
+    import graft.ops.{ScaleOps25, ScaleOps27, ScaleOps28, ScaleOps30}
+    import graft.pipeline.Packing
+    import graft.pipeline.TrainingPipeline.{LmSmoothing, LmScoreDomain, scorerTag}
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"))
+    val ref = docs.filter(col("lang") === "en")
+    val pairs = ScaleOps27.trainLmPairs(ref)
+    val v = ScaleOps27.vocabSize(ref)
+    val t = pairs.count()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val (hr, mr, tr) = (1.0, 0.5, 0.1)
+
+    def drill(label: String, smoothing: graft.pipeline.TrainingPipeline.LmSmoothing,
+        domain: graft.pipeline.TrainingPipeline.LmScoreDomain,
+        batchScores: org.apache.spark.sql.DataFrame): Unit = {
+      val lmPath = tempDir(s"kd-$label-lm").toString + "/lm"
+      val bPath = tempDir(s"kd-$label-b").toString + "/b"
+      BigramLm.writeLm(spark, pairs, v, lmPath)
+      val wl = batchScores
+        .select(col("doc_id"), col("score_fp"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("score_fp"))
+      // boundaries under the DERIVED tag — exactly what a batch
+      // producer sharing scorerTag would stamp
+      TertileBounds.writeBounds(spark,
+        ScaleOps25.tertileBounds(wl, Long.MaxValue), bPath,
+        scorerTag(smoothing, "ref=en", domain))
+      val rate = when(col("bucket") === "head", hr)
+        .when(col("bucket") === "middle", mr).otherwise(tr)
+      val expect = docs.select(col("doc_id"), col("lang"))
+        .join(ScaleOps25.bucketWithBounds(wl,
+            TertileBounds.loadBounds(spark, bPath))
+          .select(col("doc_id"), col("bucket")), Seq("doc_id"), "left")
+        .withColumn("bucket", coalesce(col("bucket"), lit("tail")))
+        .filter(Packing.mixKeep(col("doc_id"), rate))
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(expect.nonEmpty, s"$label: empty batch expectation")
+      val in = tempDir(s"kd-$label-in"); val out = tempDir(s"kd-$label-out")
+      docs.write.mode("append").parquet(in.toString)
+      val q = Streaming.lmMixStream(
+        spark.readStream.schema(schema).parquet(in.toString),
+        "doc_id", "text", "lang", lmPath, bPath, hr, mr, tr,
+        out.toString, tempDir(s"kd-$label-ckpt").toString, "ref=en",
+        smoothing, domain)
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.read.parquet(out.toString)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[String]("bucket"))).toSet
+      assert(got == expect,
+        s"$label: stream kept set/buckets diverge from the batch composition")
+    }
+
+    drill("log2", LmSmoothing.AddK, LmScoreDomain.LogPerplexity,
+      ScaleOps30.scoreDocsWithLmLog2(docs, "doc_id", "text", pairs, v)
+        .withColumn("score_fp", -col("plx_fp")))
+    drill("kn", LmSmoothing.KneserNey, LmScoreDomain.Arithmetic,
+      ScaleOps28.scoreDocsWithLmKn(docs, "doc_id", "text", pairs, v, t))
+  }
+
+  test("lmMixStream derived scorer tag (r15 advice #1 closed): a kernel/bounds RANKING mismatch refuses with zero emissions no matter what refId the caller claims — and KN+log2 refuses at construction") {
+    import graft.ml.{BigramLm, TertileBounds}
+    import graft.pipeline.TrainingPipeline.{LmSmoothing, LmScoreDomain}
+    val lmPath = tempDir("dtag-lm").toString + "/lm"
+    val bPath = tempDir("dtag-b").toString + "/b"
+    BigramLm.writeLm(spark, Seq(("a", "b", 1L)).toDF("w1", "w2", "cxy"), 2L, lmPath)
+    // boundaries ranked ARITHMETIC; the stream will run the log2 kernel
+    TertileBounds.writeBounds(spark,
+      Seq(("en", 0.0, 1.0e12)).toDF("lang", "b1", "b2"), bPath,
+      "addk:ref=en:arith")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    // the vouch attempt: the caller hands the ARTIFACT'S OWN tag as
+    // refId — pre-r16 this sailed through; now the derived tag is
+    // "addk:<refId>:log2", which can never end ":arith", so the
+    // kernel's true ranking always wins the comparison
+    for (claimedRefId <- Seq("ref=en", "addk:ref=en:arith")) {
+      val in = tempDir(s"dtag-in-${claimedRefId.length}")
+      val out = tempDir(s"dtag-out-${claimedRefId.length}")
+      Seq((1L, "a b", "en")).toDF("doc_id", "text", "lang")
+        .write.mode("append").parquet(in.toString)
+      val q = Streaming.lmMixStream(
+        spark.readStream.schema(schema).parquet(in.toString),
+        "doc_id", "text", "lang", lmPath, bPath, 1.0, 1.0, 1.0,
+        out.toString, tempDir(s"dtag-ckpt-${claimedRefId.length}").toString,
+        claimedRefId, LmSmoothing.AddK, LmScoreDomain.LogPerplexity)
+      try {
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        assert(e.getMessage.contains("computed under scorer") ||
+          Option(e.getCause).exists(_.getMessage.contains("computed under scorer")))
+        val landed = Option(new java.io.File(out.toString).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        assert(landed.isEmpty,
+          s"refId '$claimedRefId' vouched a mix verdict past the ranking seam")
+      } finally q.stop()
+    }
+    // KN + log2: refused at stream CONSTRUCTION (the batch stage's rule)
+    assert(intercept[IllegalArgumentException] {
+      Streaming.lmMixStream(
+        spark.readStream.schema(schema).parquet(tempDir("dtag-in3").toString),
+        "doc_id", "text", "lang", lmPath, bPath, 1.0, 1.0, 1.0,
+        tempDir("dtag-out3").toString, tempDir("dtag-ckpt3").toString,
+        "ref=en", LmSmoothing.KneserNey, LmScoreDomain.LogPerplexity)
+    }.getMessage.contains("log-domain twin"))
+  }
+
+  test("KN through the streaming rotation (r15 verdict #7): a RETRAINED LM rotates T with the artifact's _rows stamp mid-stream — stream == the batch KN kernel under each model; torn-artifact refusal unchanged") {
+    import graft.ml.{BigramLm, TertileBounds}
+    import graft.pipeline.TrainingPipeline.{LmSmoothing, LmScoreDomain}
+    val lmPath = tempDir("knrot-lm").toString + "/lm"
+    val bPath = tempDir("knrot-b").toString + "/b"
+    // model A: ONE bigram type (T = 1 = the _rows stamp), vocab 2
+    val pairsA = Seq(("a", "b", 2L)).toDF("w1", "w2", "cxy")
+    BigramLm.writeLm(spark, pairsA, 2L, lmPath)
+    // wide-open bounds so every scored doc lands middle — the drill is
+    // about SCORES, the bucket just must be deterministic
+    TertileBounds.writeBounds(spark,
+      Seq(("en", -1.0e18, 1.0e18)).toDF("lang", "b1", "b2"), bPath,
+      "kn:ref=test:arith")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val in = tempDir("knrot-in"); val out = tempDir("knrot-out")
+    def land(id: Long): Unit =
+      Seq((id, "a b c", "en")).toDF("doc_id", "text", "lang")
+        .write.mode("append").parquet(in.toString)
+    land(1L)
+    val q = Streaming.lmMixStream(
+      spark.readStream.schema(schema).parquet(in.toString),
+      "doc_id", "text", "lang", lmPath, bPath, 1.0, 1.0, 1.0,
+      out.toString, tempDir("knrot-ckpt").toString, "ref=test",
+      LmSmoothing.KneserNey, LmScoreDomain.Arithmetic)
+    try {
+      q.processAllAvailable()
+      // rotation: the retrained model has a DIFFERENT T (2 types) — the
+      // artifact's _rows stamp carries it, no other metadata moved
+      val pairsB = Seq(("a", "b", 1L), ("b", "c", 3L)).toDF("w1", "w2", "cxy")
+      BigramLm.writeLm(spark, pairsB, 3L, lmPath)
+      land(2L)
+      q.processAllAvailable()
+      val got = spark.read.parquet(out.toString)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("score_fp")).toMap
+      val doc = Seq((9L, "a b c")).toDF("doc_id", "text")
+      def knScore(pairs: org.apache.spark.sql.DataFrame, v: Long, t: Long) =
+        graft.ops.ScaleOps28.scoreDocsWithLmKn(doc, "doc_id", "text",
+          pairs, v, t).collect().head.getAs[Long]("score_fp")
+      val sA = knScore(pairsA, 2L, 1L)
+      val sB = knScore(pairsB, 3L, 2L)
+      assert(sA != sB, "the rotation fixture must actually change the KN score")
+      assert(got(1L) == sA && got(2L) == sB,
+        s"stream KN scores $got must equal the batch kernel under each " +
+          s"model's (V, T): ($sA, $sB)")
+      // torn LM mid-stream: loud refusal, nothing emitted for the batch
+      val hp = new org.apache.hadoop.fs.Path(s"$lmPath/_rows")
+      val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val os = hfs.create(hp, true)
+      try os.write("17".getBytes("UTF-8")) finally os.close()
+      land(3L)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(spark.read.parquet(out.toString)
+        .filter(col("doc_id") === 3L).count() == 0L)
     } finally q.stop()
   }
 
