@@ -1220,6 +1220,47 @@ class StreamingSpec extends GraftSuite {
     }.getMessage.contains("log-domain twin"))
   }
 
+  test("lmMixStream log2 kernel survives a degenerate micro-batch (only single-token docs): the kernel's guard returns empty scores, every doc rides the tail rate, the stream keeps running — the exact production input whose runtime-empty bigram stream used to hang planning") {
+    import graft.ml.{BigramLm, TertileBounds}
+    import graft.pipeline.TrainingPipeline.{LmSmoothing, LmScoreDomain}
+    val lmPath = tempDir("dgen-lm").toString + "/lm"
+    val bPath = tempDir("dgen-b").toString + "/b"
+    BigramLm.writeLm(spark, Seq(("a", "b", 1L)).toDF("w1", "w2", "cxy"), 2L, lmPath)
+    TertileBounds.writeBounds(spark,
+      Seq(("en", -1.0e18, 1.0e18)).toDF("lang", "b1", "b2"), bPath,
+      "addk:ref=en:log2")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val in = tempDir("dgen-in"); val out = tempDir("dgen-out")
+    // micro-batch 1: ONLY single-token docs — zero bigrams at runtime
+    Seq((1L, "solo", "en"), (2L, "x", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(in.toString)
+    val q = Streaming.lmMixStream(
+      spark.readStream.schema(schema).parquet(in.toString),
+      "doc_id", "text", "lang", lmPath, bPath, 1.0, 1.0, 1.0,
+      out.toString, tempDir("dgen-ckpt").toString, "ref=en",
+      LmSmoothing.AddK, LmScoreDomain.LogPerplexity)
+    try {
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(out.toString)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[String]("bucket")).toMap
+      assert(b1 == Map(1L -> "tail", 2L -> "tail"),
+        s"unscorable docs must ride the tail, got $b1")
+      // micro-batch 2: a scorable doc — the stream is still alive and
+      // the kernel scores normally after the degenerate batch
+      Seq((3L, "a b", "en")).toDF("doc_id", "text", "lang")
+        .write.mode("append").parquet(in.toString)
+      q.processAllAvailable()
+      val b3 = spark.read.parquet(out.toString)
+        .filter(col("doc_id") === 3L).collect()
+      assert(b3.length == 1 && b3.head.getAs[String]("bucket") == "middle" &&
+        b3.head.getAs[Long]("score_fp") < 0L,
+        "the scorable doc must score (negated plx) and bucket after the degenerate batch")
+    } finally q.stop()
+  }
+
   test("KN through the streaming rotation (r15 verdict #7): a RETRAINED LM rotates T with the artifact's _rows stamp mid-stream — stream == the batch KN kernel under each model; torn-artifact refusal unchanged") {
     import graft.ml.{BigramLm, TertileBounds}
     import graft.pipeline.TrainingPipeline.{LmSmoothing, LmScoreDomain}
