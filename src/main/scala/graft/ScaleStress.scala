@@ -79,6 +79,8 @@ object ScaleStress {
       args.lift(2).map(_.toInt).getOrElse(100000))
     case Some("tert") => tert(args.lift(1).getOrElse("/tmp/stress_tert"),
       args.lift(2).map(_.toInt).getOrElse(4000000))
+    case Some("disp") => disp(args.lift(1).getOrElse("/tmp/stress_disp"),
+      args.lift(2).map(_.toInt).getOrElse(4000000))
     case Some("plx") => plx(args.lift(1).getOrElse("/tmp/stress_plx"),
       args.lift(2).map(_.toInt).getOrElse(4000000))
     case Some("clf") => clf(args.lift(1).getOrElse("/tmp/stress_clf"),
@@ -400,13 +402,132 @@ object ScaleStress {
     val pairs = spark.read.parquet(s"$base/pairs.parquet")
     val v = ScaleOps27.vocabSize(ref)
     println(s"PLX n=$nDocs v=$v pair_types=${pairs.count()}")
+    // r16 CORRECTION: the r15 form measured `.count()` over the scoring
+    // aggregate — and Catalyst PRUNES unreferenced aggregate
+    // expressions through a count, so the probability collapse (the
+    // very thing under test) never executed in EITHER arm and the
+    // "ratio ~1.0" was two identical pruned plans racing. The arms now
+    // force full evaluation by SUMMING the score column (prune-proof:
+    // the collapse feeds the result), which is also what any real
+    // consumer does. See the `disp` arm for the composed-disposition
+    // costs and ROUND16_NOTES.md for the corrected claim.
     val (aSec, aRows) = timed(spark, 3)(
-      ScaleOps27.scoreDocsWithLm(docs, "doc_id", "text", pairs, v).count())
+      ScaleOps27.scoreDocsWithLm(docs, "doc_id", "text", pairs, v)
+        .agg(count(lit(1)), sum(col("score_fp"))).head().getLong(0))
     val (lSec, lRows) = timed(spark, 3)(
-      ScaleOps30.scoreDocsWithLmLog2(docs, "doc_id", "text", pairs, v).count())
+      ScaleOps30.scoreDocsWithLmLog2(docs, "doc_id", "text", pairs, v)
+        .agg(count(lit(1)), sum(col("plx_fp"))).head().getLong(0))
     println(f"PLX arith ${aSec}%.2fs rows=$aRows | " +
       f"log2 ${lSec}%.2fs rows=$lRows | ratio ${lSec / aSec}%.2f")
     require(aRows == lRows, s"scored-doc counts diverged: $aRows vs $lRows")
+    spark.stop()
+  }
+
+  /** Full-DISPOSITION cost at scale under both rankings (q185 vs q191 —
+    * the r16 claim): the log-domain CCNet loop (log₂ score → routed
+    * per-language boundaries → strict buckets → portable-hash keeps)
+    * prices at the arithmetic loop plus the chain the `plx` arm already
+    * measured free — no new exchange (plan-pinned at sf0.1: q191
+    * carries exactly q185's operator counts), so the ranking choice is
+    * a SEMANTIC decision, not a scale trade-off. Corpus: the `plx`
+    * arm's synthetic bigram distribution with the `tert` arm's skewed
+    * language split (95% dominant + 8 minor, so the boundary pass
+    * routes and the per-language groups are non-trivial); model
+    * trained on the dominant slice, everyone scored. Also measures the
+    * ABLATION at stress scale: the fraction of documents whose tertile
+    * FLIPS between rankings (the pinned ~16% at sf, re-observed at
+    * nDocs), and cross-checks both dispositions cover identical
+    * scored-doc sets. */
+  def disp(base: String, nDocs: Int): Unit = {
+    import graft.ops.{ScaleOps25, ScaleOps27, ScaleOps30}
+    import graft.pipeline.Packing
+    val spark = session()
+    val vocabN = 5000L
+    // per-position multiplicative mixing (id·(A+j) mod V): adjacent
+    // tokens differ by id mod V, so bigram TYPES grow toward V² and the
+    // model joins are genuinely sort-merge-sized — the plx arm's
+    // additive form collapses to exactly V bigram types (successor a
+    // pure function of predecessor), which makes every model join a
+    // broadcast and every doc's score one of a handful of values
+    spark.range(nDocs).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(20)) === 19,
+        concat(lit("minor"), pmod(col("id"), lit(8))))
+        .otherwise(lit("dominant")).as("lang"),
+      concat_ws(" ", (0 until 24).map(j =>
+        concat(lit("w"), pmod(col("id") * lit(2654435761L + j),
+          lit(vocabN)))): _*).as("text"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$base/docs.parquet")
+    val docs = spark.read.parquet(s"$base/docs.parquet")
+    val ref = docs.filter(col("lang") === "dominant")
+    ScaleOps27.trainLmPairs(ref)
+      .write.mode("overwrite").parquet(s"$base/pairs.parquet")
+    val pairs = spark.read.parquet(s"$base/pairs.parquet")
+    val v = ScaleOps27.vocabSize(ref)
+    println(s"DISP n=$nDocs v=$v pair_types=${pairs.count()}")
+    val langs = docs.select(col("doc_id"), col("lang"))
+    def wlArith = ScaleOps27.scoreDocsWithLm(docs, "doc_id", "text", pairs, v)
+      .select(col("doc_id"), col("score_fp"))
+      .join(langs, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("score_fp"))
+    def wlLog = ScaleOps30.scoreDocsWithLmLog2(docs, "doc_id", "text", pairs, v)
+      .select(col("doc_id"), (-col("plx_fp")).as("score_fp"))
+      .join(langs, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("score_fp"))
+    val rate = when(col("bucket") === "head", ScaleOps25.Q180HeadRate)
+      .when(col("bucket") === "middle", ScaleOps25.Q180MiddleRate)
+      .otherwise(ScaleOps25.Q180TailRate)
+    // phase decomposition, one timing each: the scored frames are
+    // MATERIALIZED first (the scoring chain is the plx arm's already-
+    // measured quantity), so the boundary/bucket/keep timings isolate
+    // what the DISPOSITION adds per ranking — including the log
+    // ranking's bigger histogram (its value domain is 62·2²⁰ vs the
+    // arithmetic 10⁶ — the ScaleOps31 scale-shape constant)
+    def mat(wl: DataFrame, name: String): DataFrame = {
+      val t0 = System.nanoTime()
+      wl.write.mode("overwrite").parquet(s"$base/$name.parquet")
+      val out = spark.read.parquet(s"$base/$name.parquet")
+      println(f"DISP score[$name] ${(System.nanoTime() - t0) / 1e9}%.2fs " +
+        s"rows=${out.count()}")
+      out
+    }
+    val sa = mat(wlArith, "scored_arith")
+    val sl = mat(wlLog, "scored_log")
+    def histRows(wl: DataFrame): Long =
+      wl.groupBy(col("lang"), col("score_fp")).count().count()
+    println(s"DISP hist_rows arith=${histRows(sa)} log=${histRows(sl)}")
+    def phase(name: String)(body: => Long): Long = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"DISP $name ${(System.nanoTime() - t0) / 1e9}%.2fs n=$n")
+      n
+    }
+    // nDocs is a valid routing upper bound; at stress scale the
+    // dominant language rides the histogram arm, exactly like 100 TB
+    phase("bounds[arith]")(ScaleOps25.tertileBounds(sa, nDocs.toLong).count())
+    phase("bounds[log]")(ScaleOps25.tertileBounds(sl, nDocs.toLong).count())
+    val aKept = phase("disposition[arith]")(
+      ScaleOps25.assignTertiles(sa, nDocs.toLong)
+        .filter(Packing.mixKeep(col("doc_id"), rate)).count())
+    val lKept = phase("disposition[log]")(
+      ScaleOps25.assignTertiles(sl, nDocs.toLong)
+        .filter(Packing.mixKeep(col("doc_id"), rate)).count())
+    println(s"DISP kept arith=$aKept log=$lKept")
+    // materiality + coverage at stress scale: same scored set, measured
+    // tertile-flip share between the rankings
+    val ba = ScaleOps25.assignTertiles(sa, nDocs.toLong)
+      .select(col("doc_id"), col("bucket").as("ba"))
+    val bl = ScaleOps25.assignTertiles(sl, nDocs.toLong)
+      .select(col("doc_id"), col("bucket").as("bl"))
+    val j = ba.join(bl, Seq("doc_id"), "full")
+      .agg(count(lit(1)).as("n"),
+        sum((col("ba").isNull || col("bl").isNull).cast("long")).as("uncov"),
+        sum((col("ba") =!= col("bl")).cast("long")).as("flips"))
+      .head()
+    require(j.getLong(1) == 0L,
+      s"dispositions covered different doc sets: ${j.getLong(1)} unmatched")
+    println(f"DISP flips=${j.getLong(2)}/${j.getLong(0)} " +
+      f"(${100.0 * j.getLong(2) / j.getLong(0)}%.1f%% tertile flips between rankings)")
     spark.stop()
   }
 

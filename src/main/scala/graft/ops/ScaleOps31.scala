@@ -32,10 +32,26 @@ import org.apache.spark.sql.functions._
   * LogPerplexity`) that shipped in r15.
   *
   * Scale shape: q190's exactly (two co-partitioned model joins + the
-  * pure-map log₂ chain — measured free at 368M bigrams, `ScaleStress
-  * plx`) + q185's routed boundary pass and rollup; q192 adds one
+  * pure-map log₂ chain — zero extra exchanges, plan-pinned; the
+  * chain's CPU cost is ~2.5–4× the arithmetic collapse on the scoring
+  * stage in synthetic regimes and 1.3–1.8× observed end-to-end at
+  * sf0.1, measured honestly by the r16 `ScaleStress disp`/fixed-`plx`
+  * arms after the r15 "free" ratio was found to be a count()-pruned
+  * artifact — linear CPU, no new data movement) + q185's routed
+  * boundary pass and rollup (sub-second next to scoring at stress
+  * scale, same arm); q192 adds one
   * ≤#langs-row artifact write and a metadata-sized validated load. No
-  * new exchange class anywhere — the negation is a projection. */
+  * new exchange class anywhere — the negation is a projection. One
+  * constant to state honestly: the HISTOGRAM boundary arm's
+  * per-language row bound is the score VALUE DOMAIN, and the log
+  * ranking's domain is plx_fp ∈ [0, 62·2²⁰] — ≈ 6.5·10⁷ distinct
+  * values, 65× the arithmetic ranking's 10⁶+1. Still a CONSTANT
+  * independent of corpus size (the r13 scale argument survives: the
+  * boundary exchange carries min(langRows, 6.5e7) histogram rows per
+  * language, never the corpus), but the per-language window's
+  * single-partition sort pays that bigger constant at full saturation —
+  * the `ScaleStress disp` arm measures the composed cost of both
+  * rankings' dispositions at stress scale. */
 object ScaleOps31 {
 
   private def md5hex(s: String): String =
