@@ -76,18 +76,23 @@ object StampedArtifact {
 
   /** The read-until-EOF core of [[readMetaString]], stream-injectable
     * so the chunked-read spec can drive it with a one-byte-at-a-time
-    * stream: fills up to `maxLen` bytes (a stamp longer than that is
-    * torn garbage by contract), trims, None on empty. */
+    * stream: fills up to `maxLen` bytes, trims, None on empty. A stamp
+    * LONGER than `maxLen` is torn garbage by contract and reads as
+    * None (r16 advice: silently returning the prefix would let a
+    * corrupted file whose first `maxLen` bytes happen to form a valid
+    * value validate spuriously) — detected by one extra read after the
+    * buffer fills. */
   private[graft] def readAllString(in: java.io.InputStream,
       maxLen: Int): Option[String] = {
     val buf = new Array[Byte](maxLen)
     var total = 0
     var n = in.read(buf, 0, buf.length)
-    while (n > 0) {
+    while (n > 0 && total < buf.length) {
       total += n
-      n = if (total >= buf.length) -1
+      n = if (total >= buf.length) 0
           else in.read(buf, total, buf.length - total)
     }
+    if (total >= buf.length && in.read() != -1) return None
     val s = new String(buf, 0, total, "UTF-8").trim
     if (s.isEmpty) None else Some(s)
   }

@@ -84,7 +84,18 @@ object ScaleOps30 {
     * bytes of that single pair — beyond a 100 TB corpus even if it
     * contained nothing else. A guard would cost a max(cxy) scan of the
     * pair table per score call; if corpora ever approach the bound,
-    * assert it once at train time instead. */
+    * assert it once at train time instead.
+    *
+    * CALLER RESTRICTION (r16 advice): unlike the lazy arithmetic/KN
+    * kernels, this one runs an EAGER `take(1)` action on `docs` (the
+    * degenerate-input guard below) — so it must NOT be handed a
+    * streaming DataFrame directly (actions on unresolved streaming
+    * plans throw at analysis time), and every call pays one extra
+    * early-exit source scan. Both are fine for the current call sites
+    * (batch frames, and [[graft.streaming.Streaming.lmMixStream]]'s
+    * foreachBatch hands in the already-materialized micro-batch); a
+    * future `readStream`-direct caller must score through foreachBatch
+    * like the stream does. */
   def scoreDocsWithLmLog2(docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, v: Long): DataFrame = {
     require(v >= 1, s"scoreDocsWithLmLog2: vocabulary size must be >= 1, got $v")

@@ -22,12 +22,26 @@ object BatchRunner {
     * catastrophe never discards sibling groups' finished work from the
     * batch rollup or strands the batch row InProgress. Pinned by its
     * own spec because no file fixture can inject a non-Exception
-    * Throwable through the real load path. */
+    * Throwable through the real load path.
+    *
+    * Two Throwable classes are NOT contained (r16 advice): a
+    * VirtualMachineError (OutOfMemoryError etc.) is rethrown — stubbing
+    * it would run the ledger write on an already-dying JVM and let the
+    * batch keep going in a corrupted process; an InterruptedException
+    * still stubs (the file genuinely did not complete) but RESTORES the
+    * thread's interrupt status first, so the cancellation the interrupt
+    * carries is never silently swallowed — the next blocking call on
+    * this worker sees it. */
   private[graft] def guarded(f: String,
       run: String => ProcessFile.FileJob,
       stub: (String, Option[Throwable]) => ProcessFile.FileJob)
       : ProcessFile.FileJob =
-    try run(f) catch { case t: Throwable => stub(f, Some(t)) }
+    try run(f) catch {
+      case e: VirtualMachineError => throw e
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt(); stub(f, Some(e))
+      case t: Throwable => stub(f, Some(t))
+    }
 
   final case class BatchOutcome(
       batchJobId: String,

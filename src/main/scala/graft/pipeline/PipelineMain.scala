@@ -52,8 +52,19 @@ object PipelineMain {
       // layout.
       val stats = sys.env.get("SPARK_GRAFT_TARGET_BYTES") match {
         case Some(tb) =>
+          // validate the env var HERE with its name in the error (r16
+          // advice): a bare toLong would crash the pipeline with an
+          // uncontextualized NumberFormatException, and a non-positive
+          // value would feed targetBytes <= 0 into the shard writer
+          val target = try tb.trim.toLong catch {
+            case _: NumberFormatException => sys.error(
+              s"SPARK_GRAFT_TARGET_BYTES must be a positive long " +
+                s"(bytes per shard leaf file), got '$tb'")
+          }
+          require(target > 0,
+            s"SPARK_GRAFT_TARGET_BYTES must be positive, got $target")
           TrainingPipeline.releaseShardedByBytes(spark, r.packed,
-            s"$outDir/shards", tb.toLong, runId = r.runId)
+            s"$outDir/shards", target, runId = r.runId)
         case None =>
           TrainingPipeline.writeSharded(spark, r.packed,
             s"$outDir/shards", runId = r.runId)

@@ -230,6 +230,18 @@ class EndToEndSpec extends GraftSuite {
     val ok = ProcessFile.FileJob("", "f2.csv", "t",
       LoadResult("Completed", 2, 2, 0, 0, None), "")
     assert(BatchRunner.guarded("f2.csv", _ => ok, stub) eq ok)
+    // NOT contained (r16 advice): a VirtualMachineError is rethrown —
+    // stubbing it would write ledger rows on an already-dying JVM
+    assertThrows[OutOfMemoryError] {
+      BatchRunner.guarded("f3.csv", _ => throw new OutOfMemoryError("boom"), stub)
+    }
+    // an InterruptedException stubs (the file did not complete) but the
+    // thread's interrupt status is RESTORED, never silently swallowed
+    val intr = BatchRunner.guarded("f4.csv",
+      _ => throw new InterruptedException("cancelled"), stub)
+    assert(intr.result.status == "Failed")
+    assert(Thread.interrupted(), // reads AND clears, leaving the spec thread clean
+      "guarded must restore the interrupt status it caught")
   }
 
   test("batch report embeds per-file error details (J4 parity with the reference email)") {

@@ -53,10 +53,16 @@ class StampedArtifactSpec extends GraftSuite {
       new Trickle(Array.empty[Byte]), 256).isEmpty)
     assert(StampedArtifact.readAllString(
       new Trickle("   ".getBytes("UTF-8")), 256).isEmpty)
-    // a stamp longer than maxLen truncates (torn garbage by contract —
-    // real tags are short tokens); the loop must still terminate
+    // a stamp LONGER than maxLen is torn garbage by contract and must
+    // read as None, not as a silently-truncated prefix (r16 advice: a
+    // corrupted file whose first maxLen bytes form a valid value would
+    // otherwise validate spuriously); the loop must still terminate
     assert(StampedArtifact.readAllString(
-      new Trickle(("y" * 300).getBytes("UTF-8")), 256).contains("y" * 256))
+      new Trickle(("y" * 300).getBytes("UTF-8")), 256).isEmpty)
+    // exactly maxLen bytes is NOT torn — the boundary sits strictly
+    // above the buffer, detected by one extra read returning EOF
+    assert(StampedArtifact.readAllString(
+      new Trickle(("y" * 256).getBytes("UTF-8")), 256).contains("y" * 256))
     // the on-disk form: write through writeMeta, read through
     // readMetaString — and TertileBounds.boundsScorer IS this read
     val root = tempDir("sa-str").toString
