@@ -49,7 +49,21 @@ object TertileBounds {
     * next boundary batch — CCNet's own design). Returns the stamped row
     * count. */
   def writeBounds(spark: SparkSession, bounds: DataFrame, path: String,
-      scorer: String): Long = {
+      scorer: String): Long =
+    sideWriteAndStamp(spark, bounds, path, scorer, allowEmpty = false)
+
+  /** [[writeBounds]] that tolerates an EMPTY bounds table — the caller's
+    * no-scorable-documents corner: nothing lands, nothing is stamped,
+    * the artifact root is removed (a bare root directory must not look
+    * like a half-written artifact), and 0 is returned. One chain run
+    * either way: emptiness is discovered from the LANDED side copy, not
+    * a separate pre-count of the (expensive) boundary computation. */
+  def writeBoundsIfAny(spark: SparkSession, bounds: DataFrame, path: String,
+      scorer: String): Long =
+    sideWriteAndStamp(spark, bounds, path, scorer, allowEmpty = true)
+
+  private def sideWriteAndStamp(spark: SparkSession, bounds: DataFrame,
+      path: String, scorer: String, allowEmpty: Boolean): Long = {
     require(bounds.columns.toSeq == Seq("lang", "b1", "b2"),
       s"writeBounds: expected (lang, b1, b2), got ${bounds.columns.toSeq}")
     require(scorer.nonEmpty && !scorer.exists(_.isWhitespace),
@@ -61,6 +75,12 @@ object TertileBounds {
         coalesce(expr("bit_xor(xxhash64(lang, b1, b2))"), lit(0L)).as("x"))
       .head()
     val n = landed.getLong(0); val x = landed.getLong(1)
+    if (n == 0 && allowEmpty) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root, true)
+      return 0L
+    }
     require(n > 0, s"writeBounds: refusing to stamp an empty boundary table at $path")
     StampedArtifact.unstampAndSwap(spark, path, "bounds", side.toString,
       Seq("_rows", "_xor", "_scorer"))
@@ -139,5 +159,76 @@ object TertileBounds {
       s"loadBounds: ${sig.getLong(3)} structurally invalid rows at $path " +
         "(null/NaN boundary or b1 > b2) — rebuild")
     df
+  }
+
+  /** Per-path memo of the audit mode's expected (rows, xor) signature —
+    * the path is already corpus-signature + ranking keyed, so one audit
+    * derivation per artifact per JVM suffices. */
+  private val auditSigMemo =
+    scala.collection.concurrent.TrieMap[String, (Long, Long)]()
+
+  private[graft] def clearAuditMemo(): Unit = auditSigMemo.clear()
+
+  /** The full boundary-artifact acquisition lifecycle, shared by every
+    * producer/consumer pair (q188, q192, the pipeline's `lm_bounds`
+    * stage): return the VALIDATED boundary table at `path`, building or
+    * self-healing it from `compute` when needed; None when the corpus
+    * has no scorable documents (nothing to persist — the caller routes
+    * to its in-memory empty composition).
+    *
+    * HOT PATH (r16 verdict #1 — this is the design change that makes a
+    * warm artifact cost METADATA ONLY on a cold JVM): a stamped artifact
+    * is trusted on the strength of (a) its PATH — callers key it by the
+    * corpus content signature plus the ranking salt, so an artifact at
+    * this path cannot be stale for this corpus — and (b) its
+    * SELF-VALIDATING stamps: [[loadBounds]] re-derives the content
+    * signature of what is actually on disk and compares it to `_xor`,
+    * so every torn write, partial copy, or content tamper that does not
+    * also forge consistent stamps still self-heals here. What the hot
+    * path deliberately does NOT do is re-run the full score→boundaries
+    * chain to re-derive the EXPECTED signature per fresh JVM — that
+    * recompute defended only against an internally-consistent-but-wrong
+    * producer (forged content AND forged matching stamps), and at 100 TB
+    * it priced one redundant full corpus pass into every session's
+    * first artifact touch (measured: q192 floored at ~2× q191 cold).
+    *
+    * AUDIT MODE (`spark.conf graft.artifact.audit=true`): the full
+    * expected-signature recompute, for exactly that forged-producer
+    * case — re-derives (rows, xor) from `compute` (memoized per path
+    * per JVM), compares to the stamps, and rebuilds on mismatch.
+    * Ref behavior class: checkpoint reuse without re-validation scans
+    * (`file-to-sql-loader.py:231-251`), with the audit as the explicit
+    * deep-check escape hatch. */
+  def acquire(spark: SparkSession, path: String, scorer: String,
+      compute: () => DataFrame): Option[DataFrame] = {
+    def freshLoad(): Option[DataFrame] =
+      if (writeBoundsIfAny(spark, compute(), path, scorer) == 0L) None
+      else Some(loadBoundsFor(spark, path, scorer))
+    val stamped = boundsRows(spark, path) > 0 &&
+      boundsXor(spark, path).isDefined &&
+      boundsScorer(spark, path).contains(scorer)
+    if (!stamped) return freshLoad()
+    val hot =
+      try Some(loadBoundsFor(spark, path, scorer))
+      catch {
+        case _: IllegalArgumentException |
+            _: org.apache.spark.sql.AnalysisException => None
+      }
+    hot match {
+      case None => freshLoad() // torn or inconsistently tampered: self-heal
+      case some if !spark.conf.get("graft.artifact.audit", "false").toBoolean =>
+        some
+      case some =>
+        val (n, x) = auditSigMemo.getOrElseUpdate(path, {
+          val r = compute()
+            .agg(count(lit(1)).as("n"),
+              coalesce(expr("bit_xor(xxhash64(lang, b1, b2))"), lit(0L)).as("x"))
+            .head()
+          (r.getLong(0), r.getLong(1))
+        })
+        if (boundsRows(spark, path) == n && boundsXor(spark, path).contains(x))
+          some
+        else freshLoad() // internally consistent but WRONG: audit caught it
+    }
   }
 }

@@ -63,6 +63,31 @@ object ScaleOps21 {
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val history = docs.filter(col("doc_id") % 2 === 0)
     val batch = docs.filter(col("doc_id") % 2 === 1)
+    // HOT PATH (r16 verdict #1, the TertileBounds.acquire policy): a
+    // stamped artifact at the corpus-signature-keyed path is trusted on
+    // path-keying + the load's OWN on-disk validation (verifyContent —
+    // one pass over the compact 8-byte index re-derives the xor), never
+    // by re-scanning the raw history per fresh JVM. The history rescan
+    // — the only defense against a forged consistent producer — runs
+    // under graft.artifact.audit=true through the memoized signature
+    // below.
+    if (!s.conf.get("graft.artifact.audit", "false").toBoolean &&
+        FingerprintIndex.indexRows(s, indexPathFor(s, dir)) > 0 &&
+        FingerprintIndex.indexXor(s, indexPathFor(s, dir)).isDefined) {
+      val hot =
+        try Some(FingerprintIndex.loadIndex(s, indexPathFor(s, dir),
+          verifyContent = true))
+        catch {
+          case _: IllegalArgumentException |
+              _: org.apache.spark.sql.AnalysisException => None
+        }
+      hot match {
+        case Some(index) =>
+          return FingerprintIndex.probe(batch, "doc_id", "text", index)
+            .orderBy(col("doc_id"))
+        case None => () // torn/inconsistent: heal through the build path
+      }
+    }
     val (n, x) = sigMemo.getOrElseUpdate(
       (dir, Relational.corpusSignature(s, dir, "documents")), {
         val r = FingerprintIndex.buildIndex(history, "doc_id", "text")

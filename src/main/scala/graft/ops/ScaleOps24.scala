@@ -43,18 +43,21 @@ object ScaleOps24 {
     * the arm itself asserts the appended artifact's (rows, xor) equals
     * the rebuild signature before probing — loud before it is wrong).
     *
-    * Idempotent persist with SELF-HEAL (q164's shape): the artifact is
-    * trusted only when its stamps match the memoized union signature;
+    * Idempotent persist with SELF-HEAL (q164's shape): a stamped
+    * artifact is trusted on path-keying + the load's on-disk content
+    * validation (r16 verdict #1 — no history rescan per fresh JVM;
+    * `graft.artifact.audit=true` restores the full revalidation);
     * never-stamped, torn (a writer that died mid-append leaves stamp ≠
-    * on-disk count), or tampered artifacts are rebuilt + re-appended in
-    * place and the query converges.
+    * on-disk count), or inconsistently tampered artifacts are rebuilt +
+    * re-appended in place and the query converges.
     *
     * Scale shape: cold runs pay one epoch-1 build (distinct partial
-    * agg) + one batch-sized anti-join append; warm runs validate by
-    * metadata + memo and go straight to the probe — shingle hashes are
-    * a pure map, LEFT SEMI on the 8-byte hash, per-doc rollup. The
-    * append path is the 100 TB loop's shape: state advances ∝ batch,
-    * never ∝ history (`ScaleStress apnd` measures it). */
+    * agg) + one batch-sized anti-join append; warm runs validate the
+    * artifact's own stamps against its on-disk content and go straight
+    * to the probe — shingle hashes are a pure map, LEFT SEMI on the
+    * 8-byte hash, per-doc rollup. The append path is the 100 TB loop's
+    * shape: state advances ∝ batch, never ∝ history (`ScaleStress apnd`
+    * measures it). */
   def q174AppendedIndexDedup(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.FingerprintIndex
     val docs = Relational.fanOut(t(s, dir, "documents"))
@@ -63,6 +66,33 @@ object ScaleOps24 {
     val e1 = docs.filter(col("doc_id") % 3 === 1)
     val batch = docs.filter(col("doc_id") % 3 === 2)
     val history = docs.filter(col("doc_id") % 3 =!= 2)
+    // HOT PATH (r16 verdict #1, the TertileBounds.acquire policy): a
+    // stamped artifact at the corpus-signature-keyed path is trusted on
+    // path-keying + the load's own on-disk content validation — no
+    // history rescan per fresh JVM. The append≡rebuild law below is
+    // UNCHANGED where it matters: it fires whenever the artifact is
+    // BUILT (cold build or self-heal), checking the appended stamps
+    // against a signature derived independently of the append path; the
+    // hot path only skips re-deriving that signature for an artifact a
+    // prior build already proved. graft.artifact.audit=true restores
+    // the per-session revalidation.
+    if (!s.conf.get("graft.artifact.audit", "false").toBoolean &&
+        FingerprintIndex.indexRows(s, indexPathFor(s, dir)) > 0 &&
+        FingerprintIndex.indexXor(s, indexPathFor(s, dir)).isDefined) {
+      val hot =
+        try Some(FingerprintIndex.loadIndex(s, indexPathFor(s, dir),
+          verifyContent = true))
+        catch {
+          case _: IllegalArgumentException |
+              _: org.apache.spark.sql.AnalysisException => None
+        }
+      hot match {
+        case Some(index) =>
+          return FingerprintIndex.probe(batch, "doc_id", "text", index)
+            .orderBy(col("doc_id"))
+        case None => () // torn/inconsistent: heal through the build path
+      }
+    }
     // DELIBERATE cold double-pass (r13 verdict nit, kept): this union
     // signature scan walks the full history, and a cold rebuild() below
     // walks it again (epoch-1 build + epoch-2 append). The second pass is

@@ -215,8 +215,20 @@ object ScaleOps25 {
     * retraining per consumer. */
   def q178PerceptronArtifact(s: SparkSession, dir: String): DataFrame = {
     import graft.ml.PerceptronModel
-    val w = trainedWeights(s, dir)
     val path = PerceptronModel.modelPathFor(s, dir)
+    // HOT PATH (r16 verdict #1, the TertileBounds.acquire policy): a
+    // stamped, structurally valid model at the corpus-signature-keyed
+    // path scores WITHOUT retraining across JVMs; the retrain-and-
+    // compare (the forged-producer defense) runs under
+    // graft.artifact.audit=true.
+    if (!s.conf.get("graft.artifact.audit", "false").toBoolean &&
+        PerceptronModel.modelRows(s, path) > 0) {
+      scala.util.Try(PerceptronModel.loadModel(s, path)).toOption match {
+        case Some(loaded) => return applyModel(s, dir, loaded)
+        case None => () // torn: heal through the train path
+      }
+    }
+    val w = trainedWeights(s, dir)
     val existing =
       if (PerceptronModel.modelRows(s, path) == w.length)
         scala.util.Try(PerceptronModel.loadModel(s, path)).toOption

@@ -231,9 +231,40 @@ object ScaleOps27 {
     * rewritten in place and the query converges. A load that fails
     * anyway (stamps match the signature but the data files diverged, or
     * a mid-swap death left stamps without data) self-heals through the
-    * same rebuild — the q174/q164 catch, both exception classes. */
+    * same rebuild — the q174/q164 catch, both exception classes.
+    *
+    * HOT PATH (r16 verdict #1, same policy as
+    * [[graft.ml.TertileBounds.acquire]]): a stamped artifact at the
+    * corpus-signature-keyed path is loaded on the strength of
+    * path-keying + `loadLm`'s own on-disk validation (stamp == rows,
+    * `_xor` == the re-derived content signature — torn writes and
+    * content tampers still self-heal), WITHOUT re-deriving the expected
+    * reference signature per fresh JVM. The full recompute — the only
+    * defense against a forged internally-consistent producer — runs
+    * under `graft.artifact.audit=true`. At 100 TB the difference is one
+    * redundant reference-slice train per session. */
   def q184LmArtifactScore(s: SparkSession, dir: String): DataFrame = {
     import graft.ml.BigramLm
+    val audit = s.conf.get("graft.artifact.audit", "false").toBoolean
+    if (!audit) {
+      val path = lmPathFor(s, dir)
+      if (BigramLm.lmRows(s, path) > 0 && BigramLm.lmXor(s, path).isDefined &&
+          BigramLm.lmV(s, path).isDefined) {
+        val hot =
+          try Some(BigramLm.loadLm(s, path))
+          catch {
+            case _: IllegalArgumentException |
+                _: org.apache.spark.sql.AnalysisException => None
+          }
+        hot match {
+          case Some((pairs, vLoaded)) =>
+            return fullScores(s, dir, pairs, vLoaded)
+              .orderBy(col("score_fp"), col("doc_id"))
+              .limit(Q183BottomK)
+          case None => () // torn or inconsistently tampered: rebuild below
+        }
+      }
+    }
     val (v, n, x) = refSig(s, dir)
     if (v == 0L)
       // no reference tokens at all: there is no model — both engines

@@ -38,14 +38,13 @@ object ScaleOps29 {
   /** The ranking-semantics identity of q188's boundary producer: add-k
     * smoothing, `lang='en'` reference slice, arithmetic-mean collapse —
     * stamped into the artifact so a consumer configured for any OTHER
-    * ranking refuses at load ([[graft.ml.TertileBounds.loadBoundsFor]]). */
-  val Q188Scorer = "addk:ref=en:arith"
-
-  /** Per-corpus memo of the expected boundary-table (rows, xor)
-    * signature — deterministic in the corpus, so warm runs validate the
-    * artifact by metadata and never re-run the scoring chain. */
-  private val sigMemo =
-    scala.collection.concurrent.TrieMap[(String, String), (Long, Long)]()
+    * ranking refuses at load ([[graft.ml.TertileBounds.loadBoundsFor]]).
+    * DERIVED through the one shared tag derivation (r16 verdict #4 —
+    * no producer-side hand-built literal left to drift from the
+    * consumer side's). */
+  val Q188Scorer: String = graft.pipeline.TrainingPipeline.scorerTag(
+    graft.pipeline.TrainingPipeline.LmSmoothing.AddK, "ref=en",
+    graft.pipeline.TrainingPipeline.LmScoreDomain.Arithmetic)
 
   private def scoredOf(s: SparkSession, dir: String): DataFrame =
     ScaleOps27.refFullScores(s, dir)
@@ -59,56 +58,28 @@ object ScaleOps29 {
   private def boundsOf(s: SparkSession, dir: String): DataFrame =
     ScaleOps25.tertileBounds(scoredOf(s, dir), routingBound(s, dir))
 
-  private def boundsSig(s: SparkSession, dir: String): (Long, Long) =
-    sigMemo.getOrElseUpdate(
-      (dir, Relational.corpusSignature(s, dir, "documents")), {
-        val r = boundsOf(s, dir)
-          .agg(count(lit(1)).as("n"),
-            coalesce(expr("bit_xor(xxhash64(lang, b1, b2))"), lit(0L)).as("x"))
-          .head()
-        (r.getLong(0), r.getLong(1))
-      })
-
   /** q188: q185 THROUGH the persisted boundary artifact — the q184
-    * lifecycle pattern applied to artifact #5. Idempotent persist with
-    * SELF-HEAL: the artifact is trusted only when its (rows, xor)
-    * stamps match the memoized expected signature; never-stamped, torn,
-    * or tampered artifacts are rewritten in place and the query
-    * converges. A load that fails anyway self-heals through the same
-    * rebuild (both exception classes). A corpus with NO scorable
-    * documents has no boundary table to persist (writeBounds rightly
-    * refuses an empty one) — both engines yield an empty rollup, so the
-    * arm skips persistence and runs the in-memory composition, exactly
-    * q184's no-bigram discipline. */
+    * lifecycle pattern applied to artifact #5, acquired through the one
+    * shared lifecycle ([[graft.ml.TertileBounds.acquire]], r16 verdict
+    * #1): a stamped artifact at the corpus-signature-keyed path is
+    * trusted on path-keying + its self-validating stamps (the content
+    * xor is re-derived from disk on load, so torn writes and content
+    * tampers still self-heal), WITHOUT re-running the scoring chain per
+    * fresh JVM — the full expected-signature recompute lives behind
+    * `graft.artifact.audit=true`. A corpus with NO scorable documents has
+    * no boundary table to persist — both engines yield an empty rollup,
+    * so the arm runs the in-memory composition, exactly q184's
+    * no-bigram discipline. */
   def q188BoundsArtifactMix(s: SparkSession, dir: String): DataFrame = {
-    import graft.ml.TertileBounds
-    val (n, x) = boundsSig(s, dir)
     val scored = scoredOf(s, dir)
-    if (n == 0L)
-      // no scored languages at all: nothing to persist, and the rollup
-      // is empty on both engines (q185's empty-corpus shape)
-      return ScaleOps27.mixRollup(
-        ScaleOps25.assignTertiles(scored, routingBound(s, dir)))
-    val path = boundsPathFor(s, dir)
-    def rebuild(): Unit = {
-      val written = TertileBounds.writeBounds(s, boundsOf(s, dir), path,
-        Q188Scorer)
-      require(written == n,
-        s"q188: freshly written bounds at $path stamped $written rows, expected $n")
+    graft.ml.TertileBounds.acquire(s, boundsPathFor(s, dir), Q188Scorer,
+        () => boundsOf(s, dir)) match {
+      case Some(loaded) =>
+        ScaleOps27.mixRollup(ScaleOps25.bucketWithBounds(scored, loaded))
+      case None =>
+        ScaleOps27.mixRollup(
+          ScaleOps25.assignTertiles(scored, routingBound(s, dir)))
     }
-    val valid = TertileBounds.boundsRows(s, path) == n &&
-      TertileBounds.boundsXor(s, path).contains(x) &&
-      TertileBounds.boundsScorer(s, path).contains(Q188Scorer)
-    if (!valid) rebuild()
-    val loaded =
-      try TertileBounds.loadBoundsFor(s, path, Q188Scorer)
-      catch {
-        case _: IllegalArgumentException |
-            _: org.apache.spark.sql.AnalysisException =>
-          rebuild()
-          TertileBounds.loadBoundsFor(s, path, Q188Scorer)
-      }
-    ScaleOps27.mixRollup(ScaleOps25.bucketWithBounds(scored, loaded))
   }
 
   /** Mirror: identical to q185's — the boundary-artifact round-trip

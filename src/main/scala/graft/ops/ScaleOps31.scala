@@ -61,8 +61,11 @@ object ScaleOps31 {
   /** The ranking-semantics identity of q192's boundary producer: add-k
     * smoothing, `lang='en'` reference slice, log₂-perplexity collapse
     * (negated). A consumer scoring arithmetic refuses these boundaries
-    * at load — and vice versa — which is the whole point of the tag. */
-  val Q192Scorer = "addk:ref=en:log2"
+    * at load — and vice versa — which is the whole point of the tag.
+    * DERIVED through the one shared tag derivation (r16 verdict #4). */
+  val Q192Scorer: String = graft.pipeline.TrainingPipeline.scorerTag(
+    graft.pipeline.TrainingPipeline.LmSmoothing.AddK, "ref=en",
+    graft.pipeline.TrainingPipeline.LmScoreDomain.LogPerplexity)
 
   /** Artifact location for the q192 boundary table — keyed by dir, the
     * part-file signature AND the ranking (the "|log2" salt): q188's
@@ -71,11 +74,6 @@ object ScaleOps31 {
   private[graft] def boundsPathFor(s: SparkSession, dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_tertile_bounds/" +
       md5hex(dir + "|log2|" + Relational.corpusSignature(s, dir, "documents"))
-
-  /** Per-corpus memo of the expected log-ranking boundary-table
-    * (rows, xor) signature — the q188 idempotent-persist discipline. */
-  private val sigMemo =
-    scala.collection.concurrent.TrieMap[(String, String), (Long, Long)]()
 
   /** Full-corpus LOG-RANKING scores — (doc_id, lang, score_fp) with
     * score_fp = −plx_fp, so the strict tertile rule's "head = highest
@@ -104,16 +102,6 @@ object ScaleOps31 {
   private def boundsOf(s: SparkSession, dir: String): DataFrame =
     ScaleOps25.tertileBounds(logScoredOf(s, dir), routingBound(s, dir))
 
-  private def boundsSig(s: SparkSession, dir: String): (Long, Long) =
-    sigMemo.getOrElseUpdate(
-      (dir, Relational.corpusSignature(s, dir, "documents")), {
-        val r = boundsOf(s, dir)
-          .agg(count(lit(1)).as("n"),
-            coalesce(expr("bit_xor(xxhash64(lang, b1, b2))"), lit(0L)).as("x"))
-          .head()
-        (r.getLong(0), r.getLong(1))
-      })
-
   /** q191: the CCNet disposition under the PERPLEXITY ranking — q185
     * with q190's scorer. Same boundary routing, same strict bucket
     * rule, same keep rates, same rollup; only the score differs — so
@@ -124,39 +112,25 @@ object ScaleOps31 {
       ScaleOps25.assignTertiles(logScoredOf(s, dir), routingBound(s, dir)))
 
   /** q192: q191 THROUGH the persisted boundary artifact — the q188
-    * lifecycle (idempotent signature-keyed persist, SELF-HEAL on torn/
-    * tampered artifacts, loud refusal of the wrong RANKING via the
-    * `_scorer` stamp) applied to the log ranking. A corpus with no
-    * scorable documents skips persistence (writeBounds rightly refuses
-    * an empty table) and runs the in-memory composition — the q184/
-    * q188 empty-corner discipline. */
+    * lifecycle applied to the log ranking, acquired through the one
+    * shared lifecycle ([[graft.ml.TertileBounds.acquire]], r16 verdict
+    * #1): path-keying + self-validating stamps on the hot path (torn
+    * writes and content tampers still self-heal via the on-disk xor
+    * re-derivation), the full expected-signature recompute behind
+    * `graft.artifact.audit=true` — so a warm artifact on a cold JVM costs
+    * a metadata-sized load, not a second full scoring chain. A corpus
+    * with no scorable documents persists nothing and runs the in-memory
+    * composition — the q184/q188 empty-corner discipline. */
   def q192LogBoundsArtifactMix(s: SparkSession, dir: String): DataFrame = {
-    import graft.ml.TertileBounds
-    val (n, x) = boundsSig(s, dir)
     val scored = logScoredOf(s, dir)
-    if (n == 0L)
-      return ScaleOps27.mixRollup(
-        ScaleOps25.assignTertiles(scored, routingBound(s, dir)))
-    val path = boundsPathFor(s, dir)
-    def rebuild(): Unit = {
-      val written = TertileBounds.writeBounds(s, boundsOf(s, dir), path,
-        Q192Scorer)
-      require(written == n,
-        s"q192: freshly written bounds at $path stamped $written rows, expected $n")
+    graft.ml.TertileBounds.acquire(s, boundsPathFor(s, dir), Q192Scorer,
+        () => boundsOf(s, dir)) match {
+      case Some(loaded) =>
+        ScaleOps27.mixRollup(ScaleOps25.bucketWithBounds(scored, loaded))
+      case None =>
+        ScaleOps27.mixRollup(
+          ScaleOps25.assignTertiles(scored, routingBound(s, dir)))
     }
-    val valid = TertileBounds.boundsRows(s, path) == n &&
-      TertileBounds.boundsXor(s, path).contains(x) &&
-      TertileBounds.boundsScorer(s, path).contains(Q192Scorer)
-    if (!valid) rebuild()
-    val loaded =
-      try TertileBounds.loadBoundsFor(s, path, Q192Scorer)
-      catch {
-        case _: IllegalArgumentException |
-            _: org.apache.spark.sql.AnalysisException =>
-          rebuild()
-          TertileBounds.loadBoundsFor(s, path, Q192Scorer)
-      }
-    ScaleOps27.mixRollup(ScaleOps25.bucketWithBounds(scored, loaded))
   }
 
   /** Mirror: q190's per-document chain (ending in `plx`) feeding

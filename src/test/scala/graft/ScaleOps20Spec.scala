@@ -109,15 +109,28 @@ class ScaleOps20Spec extends GraftSuite {
     val expected = graft.ops.ScaleOps17.q151BpeEncode(spark, sf).collect().toSeq
     val realMerges = graft.ops.ScaleOps17.bpeTrain(spark, sf)
     // (a) same-SIZE different-CONTENT artifact at the real path — the
-    // stamp matches, so pre-r12 code trusted it, require'd, and then
-    // failed on every later run until /tmp was hand-cleaned
+    // stamp matches and the vocab is structurally valid, so since r17
+    // the HOT path trusts it by design (path-keying + self-validating
+    // stamps — the metadata-only trade: "train once, ship the artifact,
+    // encode anywhere" across JVMs); graft.artifact.audit=true retrains,
+    // compares, and rewrites in place — the pre-r12 fail-forever state
+    // can still never recur
     val impostor = (1 to realMerges.size)
       .map(r => (r, s"z$r", "q", 1L): graft.text.Bpe.Merge)
     graft.text.Bpe.writeVocab(spark, impostor, path)
     assert(graft.ops.ScaleOps20.q161BpeArtifactEncode(spark, sf)
+      .collect().toSeq != expected,
+      "hot path retrained — it must trust a stamped structurally-valid " +
+        "vocab and cost metadata only")
+    spark.conf.set("graft.artifact.audit", "true")
+    try assert(graft.ops.ScaleOps20.q161BpeArtifactEncode(spark, sf)
       .collect().toSeq == expected)
+    finally spark.conf.unset("graft.artifact.audit")
     assert(graft.text.Bpe.loadVocab(spark, path) == realMerges,
       "q161 must have rewritten the impostor artifact in place")
+    // and the healed artifact passes the hot path again
+    assert(graft.ops.ScaleOps20.q161BpeArtifactEncode(spark, sf)
+      .collect().toSeq == expected)
     // (b) torn/garbage stamp at the real path — vocabRows -1 routes to
     // the rewrite branch instead of exploding inside the idempotence check
     writeStamp(path, "garbage")

@@ -105,15 +105,26 @@ class ScaleOps21Spec extends GraftSuite {
     assert(FingerprintIndex.indexRows(spark, path) > 0L, "stamp must be restored")
 
     // 2. same-size-different-content: a validly-stamped index whose SET
-    //    differs (every hash +1) — row-count alone cannot tell them apart
-    //    (the r11 q161 advice); the xor signature must, and the query
-    //    must rewrite and still return the true rows
+    //    differs (every hash +1) — row-count alone cannot tell them
+    //    apart; the artifact is internally CONSISTENT (writeIndex
+    //    restamped it), so since r17 the HOT path trusts it by design
+    //    (the metadata-only trade); graft.artifact.audit=true re-derives
+    //    the history signature, catches it, rewrites in place
     val real = FingerprintIndex.loadIndex(spark, path)
       .select((col("h") + lit(1L)).as("h"))
     val tmp = tempDir("q164-mut")
     real.write.parquet(s"$tmp/stage") // materialize BEFORE overwriting source
     FingerprintIndex.writeIndex(spark,
       spark.read.parquet(s"$tmp/stage"), path)
+    assert(graft.ops.ScaleOps21.q164IndexedIncrDedup(spark, dir.toString)
+      .collect().map(_.toSeq).toSeq != expect,
+      "hot path re-scanned the history — it must trust a stamped " +
+        "self-consistent artifact and cost metadata only")
+    spark.conf.set("graft.artifact.audit", "true")
+    try assert(graft.ops.ScaleOps21.q164IndexedIncrDedup(spark, dir.toString)
+      .collect().map(_.toSeq).toSeq == expect)
+    finally spark.conf.unset("graft.artifact.audit")
+    // and the healed artifact passes the hot path again
     assert(graft.ops.ScaleOps21.q164IndexedIncrDedup(spark, dir.toString)
       .collect().map(_.toSeq).toSeq == expect)
   }

@@ -237,14 +237,27 @@ class ScaleOps25Spec extends GraftSuite {
     assert(PerceptronModel.modelRows(spark, path) == 65L)
     // same-size-different-weights (a semantics change under one corpus
     // signature): stamp validates, loadModel validates, only the CONTENT
-    // compare catches it — q178 must rewrite, not trust
+    // compare catches it. Since r17 the HOT path trusts such an artifact
+    // by design (path-keying + self-validating stamps — the documented
+    // metadata-only trade); graft.artifact.audit=true retrains,
+    // compares, and rewrites in place.
     val tampered = PerceptronModel.loadModel(spark, path).clone()
-    tampered(0) += 1000000L
+    // shift EVERY weight so whatever features fire, the scores move
+    tampered.indices.foreach(i => tampered(i) += 1000000L)
     PerceptronModel.writeModel(spark, tampered, path)
     assert(graft.ops.ScaleOps25.q178PerceptronArtifact(spark, dir.toString)
+      .collect().map(_.toSeq).toSeq != expect,
+      "hot path retrained — it must trust a stamped self-consistent " +
+        "artifact and cost metadata only")
+    spark.conf.set("graft.artifact.audit", "true")
+    try assert(graft.ops.ScaleOps25.q178PerceptronArtifact(spark, dir.toString)
       .collect().map(_.toSeq).toSeq == expect)
+    finally spark.conf.unset("graft.artifact.audit")
     assert(PerceptronModel.loadModel(spark, path)(0) == tampered(0) - 1000000L,
       "the tampered artifact must have been rewritten with the trained weights")
+    // and the healed artifact passes the hot path again
+    assert(graft.ops.ScaleOps25.q178PerceptronArtifact(spark, dir.toString)
+      .collect().map(_.toSeq).toSeq == expect)
     // a stamp that PARSES but disagrees is the loud path
     writeStamp("7")
     intercept[IllegalArgumentException] {

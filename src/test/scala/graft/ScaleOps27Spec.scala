@@ -147,6 +147,51 @@ class ScaleOps27Spec extends GraftSuite {
     assert(!new java.io.File(s"$path/pairs.swap").exists)
   }
 
+  test("q184 hot path is METADATA-ONLY (r16 verdict #1): a stamped self-consistent LM artifact is loaded without re-deriving the reference signature — an internally-consistent forged model is trusted (the documented trade) until graft.artifact.audit=true catches it and self-heals") {
+    val dir = tempDir("q184-hot")
+    writeDocs(dir, Seq(
+      (0L, "w1 w2 w3 w4 w2 w3", "en"),
+      (2L, "w2 w3 w5", "en"),
+      (1L, "w1 w2 w9", "fr"),
+      (3L, "x1 x2", "de")))
+    val honest = graft.ops.ScaleOps27.q184LmArtifactScore(spark, dir.toString)
+      .collect().map(_.toSeq).toSeq
+    assert(honest.nonEmpty)
+    val path = graft.ops.ScaleOps27.lmPathFor(spark, dir.toString)
+    // forge an internally-CONSISTENT wrong model: scale every count and
+    // restamp (rows, xor) to match the forged pairs (keep _v)
+    spark.read.parquet(s"$path/pairs")
+      .withColumn("cxy", col("cxy") * 100L)
+      .write.mode("overwrite").parquet(s"$path/pairs.tmp")
+    spark.read.parquet(s"$path/pairs.tmp")
+      .write.mode("overwrite").parquet(s"$path/pairs")
+    val sig = spark.read.parquet(s"$path/pairs")
+      .agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(w1, w2, cxy))"),
+        lit(0L))).head()
+    def scribble(p: String, v: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val os = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(hp, true)
+      try os.write(v.getBytes("UTF-8")) finally os.close()
+    }
+    scribble(s"$path/_rows", sig.getLong(0).toString)
+    scribble(s"$path/_xor", sig.getLong(1).toString)
+    // hot path trusts the forgery — inflated counts shift the scores; if
+    // the result still matched, the hot path re-ran the reference train
+    val hot = graft.ops.ScaleOps27.q184LmArtifactScore(spark, dir.toString)
+      .collect().map(_.toSeq).toSeq
+    assert(hot != honest,
+      "hot path rebuilt from the reference signature — it must be metadata-only")
+    // audit mode re-derives the expected signature, catches, self-heals
+    spark.conf.set("graft.artifact.audit", "true")
+    try assert(graft.ops.ScaleOps27.q184LmArtifactScore(spark, dir.toString)
+      .collect().map(_.toSeq).toSeq == honest)
+    finally spark.conf.unset("graft.artifact.audit")
+    // the healed artifact passes the hot path again
+    assert(graft.ops.ScaleOps27.q184LmArtifactScore(spark, dir.toString)
+      .collect().map(_.toSeq).toSeq == honest)
+  }
+
   test("q184/BigramLm hygiene: writeLm refuses an empty model and v < 1; loadLm refuses a missing _v; a rewritten corpus gets a NEW artifact path") {
     import graft.ml.BigramLm
     val p = tempDir("lm-hyg").toString + "/m"

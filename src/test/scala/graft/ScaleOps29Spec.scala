@@ -168,6 +168,52 @@ class ScaleOps29Spec extends GraftSuite {
     assert(p185.nonEmpty && p188 == p185)
   }
 
+  test("scorer tags are DERIVED via TrainingPipeline.scorerTag (r16 verdict #4 — zero hand-built producer literals), and the tag FORMAT is pinned so artifacts stamped by earlier builds keep loading") {
+    import graft.pipeline.TrainingPipeline.{LmSmoothing, LmScoreDomain, scorerTag}
+    assert(graft.ops.ScaleOps29.Q188Scorer ==
+      scorerTag(LmSmoothing.AddK, "ref=en", LmScoreDomain.Arithmetic))
+    assert(graft.ops.ScaleOps31.Q192Scorer ==
+      scorerTag(LmSmoothing.AddK, "ref=en", LmScoreDomain.LogPerplexity))
+    // on-disk format stability — these strings are stamped in artifacts
+    assert(graft.ops.ScaleOps29.Q188Scorer == "addk:ref=en:arith")
+    assert(graft.ops.ScaleOps31.Q192Scorer == "addk:ref=en:log2")
+  }
+
+  test("acquire hot path is METADATA-ONLY (r16 verdict #1): an internally-consistent forged artifact is trusted without re-running the scoring chain — the documented trade — and graft.artifact.audit=true re-derives the expected signature, catches the forgery, and self-heals") {
+    val q185 = rollup(graft.ops.ScaleOps27.q185RefLmTertileMix(spark, sf))
+    assert(rollup(graft.ops.ScaleOps29.q188BoundsArtifactMix(spark, sf)) == q185)
+    val path = graft.ops.ScaleOps29.boundsPathFor(spark, sf)
+    // forge: shift every boundary far below the score domain AND restamp
+    // (rows, xor) consistently with the forged content — the one state
+    // the on-disk self-validation cannot distinguish from a real write
+    spark.read.parquet(s"$path/bounds")
+      .withColumn("b1", col("b1") - lit(1.0e9))
+      .withColumn("b2", col("b2") - lit(1.0e8))
+      .write.mode("overwrite").parquet(s"$path/bounds.tmp")
+    spark.read.parquet(s"$path/bounds.tmp")
+      .write.mode("overwrite").parquet(s"$path/bounds")
+    val sig = spark.read.parquet(s"$path/bounds")
+      .agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(lang, b1, b2))"),
+        lit(0L))).head()
+    scribble(s"$path/_rows", sig.getLong(0).toString)
+    scribble(s"$path/_xor", sig.getLong(1).toString)
+    // hot path trusts it: everything scores above the forged b2, so the
+    // rollup must SHIFT — if it still equals q185 the hot path re-ran
+    // the chain and rebuilt, i.e. it is not metadata-only
+    val hot = rollup(graft.ops.ScaleOps29.q188BoundsArtifactMix(spark, sf))
+    assert(hot != q185,
+      "hot path rebuilt from the scoring chain — it must trust " +
+        "path-keying + self-validating stamps and cost metadata only")
+    // audit mode: the full expected-signature recompute catches the
+    // forgery and self-heals in place
+    spark.conf.set("graft.artifact.audit", "true")
+    try assert(
+      rollup(graft.ops.ScaleOps29.q188BoundsArtifactMix(spark, sf)) == q185)
+    finally spark.conf.unset("graft.artifact.audit")
+    // the healed artifact passes the hot path again
+    assert(rollup(graft.ops.ScaleOps29.q188BoundsArtifactMix(spark, sf)) == q185)
+  }
+
   test("q188 empty corner: a corpus with no scorable documents persists NO artifact and yields the empty rollup on both arms") {
     val dir = tempDir("q188-empty")
     // only single-token docs: nothing scores, no languages to bound
