@@ -219,6 +219,33 @@ object TrainingPipeline {
         * oracle-checked end-to-end as q191/q192, and the E2E default-
         * behavior spec pins that the default ranking is Arithmetic. */
       lmScoreDomain: LmScoreDomain = LmScoreDomain.Arithmetic,
+      /** Persist the `lm_mix` stage's per-language tertile boundaries
+        * as the stamped boundary artifact at this path
+        * ([[graft.ml.TertileBounds.writeBounds]]) — the PRODUCER half
+        * of the batch→stream hand-off (r16 verdict #4): a
+        * [[graft.streaming.Streaming.lmMixStream]] configured with the
+        * same (smoothing, domain, refId) consumes these boundaries
+        * directly, so the whole q188/q192 lifecycle is drivable from
+        * config alone. The `_scorer` tag is DERIVED via [[scorerTag]]
+        * from the stage's own kernel choice plus [[lmBoundsRefId]] —
+        * no caller literal to drift. The stage then BUCKETS WITH THE
+        * LOADED artifact (validated round-trip), so the persisted table
+        * provably is the one the batch mixed with. Requires a reference
+        * scorer ([[lmRefLang]] or [[lmArtifactPath]]): the MLE
+        * bootstrap's corpus-as-own-LM boundaries are meaningless to
+        * ship. Skipped (nothing persisted, loud in the ledger via a
+        * 0-row `lm_bounds` stage) when the corpus has no scorable
+        * documents. Ignored unless [[lmTertileMix]] is set. */
+      lmBoundsArtifactPath: Option[String] = None,
+      /** Model-identity component of the persisted boundaries' scorer
+        * tag — the ONE caller-stated piece ([[scorerTag]]'s refId;
+        * content is deliberately unpinned: retrained-model rotation
+        * under the same semantics is CCNet's own design). Defaults to
+        * "ref=<lmRefLang>" when [[lmRefLang]] is set; REQUIRED with
+        * [[lmArtifactPath]] (the pipeline cannot invent a portable
+        * identity for an arbitrary artifact path — the stream consumer
+        * on another machine must be able to state the same refId). */
+      lmBoundsRefId: Option[String] = None,
       reliableCheckpoints: Boolean = false,
       /** Build the near-dup PAIR GRAPH once and share it between the
         * curation drop and the split's cluster formation, instead of
@@ -454,9 +481,42 @@ object TrainingPipeline {
           .select(col("doc_id"), col("lang"), col("score_fp"))
         // routing bound: per-language doc count of the (checkpointed)
         // gated corpus — a cheap upper bound on scored docs per language
-        val assigned = graft.ops.ScaleOps25.assignTertiles(wl,
-          Packing.largestGroupRows(
-            gated.select(col("lang_pred").as("lang")), "lang"))
+        val routingBound = Packing.largestGroupRows(
+          gated.select(col("lang_pred").as("lang")), "lang")
+        // lm_bounds (cfg.lmBoundsArtifactPath): persist the stage's
+        // per-language boundaries as the stamped artifact and bucket
+        // with the LOADED table — the producer half of the
+        // batch→stream hand-off, with the round-trip exercised in the
+        // same run that ships it (its invisibility is the q188/q192
+        // oracle pin). Tag derived, never caller-literal.
+        val assigned = cfg.lmBoundsArtifactPath match {
+          case None =>
+            graft.ops.ScaleOps25.assignTertiles(wl, routingBound)
+          case Some(bpath) =>
+            require(cfg.lmRefLang.isDefined || cfg.lmArtifactPath.isDefined,
+              "lm_bounds: persisting boundaries needs a reference scorer " +
+                "(lmRefLang or lmArtifactPath) — the MLE bootstrap's " +
+                "corpus-as-own-LM boundaries are meaningless to ship")
+            val refId = cfg.lmBoundsRefId
+              .orElse(cfg.lmRefLang.map("ref=" + _))
+            require(refId.isDefined,
+              "lm_bounds: state lmBoundsRefId — the pipeline cannot " +
+                "invent a portable model identity for an artifact-scored " +
+                "stage")
+            val tag = scorerTag(cfg.lmSmoothing, refId.get, cfg.lmScoreDomain)
+            val tb0 = System.currentTimeMillis()
+            graft.ml.TertileBounds.writeBoundsIfAny(spark,
+                graft.ops.ScaleOps25.tertileBounds(wl, routingBound),
+                bpath, tag) match {
+              case 0L => // no scorable docs: nothing shipped, loud 0-row stage
+                record("lm_bounds", 0L, 0L, tb0)
+                graft.ops.ScaleOps25.assignTertiles(wl, routingBound)
+              case nB =>
+                record("lm_bounds", nB, nB, tb0)
+                graft.ops.ScaleOps25.bucketWithBounds(wl,
+                  graft.ml.TertileBounds.loadBoundsFor(spark, bpath, tag))
+            }
+        }
         val g = ckpt(gated
           .join(assigned.select(col("doc_id").as("__mid"),
             col("bucket").as("__mbkt")),

@@ -1261,6 +1261,113 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("config-drivable batch→stream hand-off (r16 verdict #4): the pipeline's lm_bounds stage PRODUCES the boundary artifact under the derived tag, buckets with the loaded table invisibly, and a stream configured from the same (smoothing, domain, refId) consumes it — keep decisions equal end to end; misconfigurations refuse loudly") {
+    import graft.ml.{BigramLm, TertileBounds}
+    import graft.ops.ScaleOps27
+    import graft.pipeline.{Curation, TrainingPipeline}
+    import graft.pipeline.TrainingPipeline.{LmSmoothing, LmScoreDomain, scorerTag}
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val params = Curation.Params(minQuality = 0.0, minTokens = 1,
+      keepLangs = Seq("en", "es", "de", "fr", "und"))
+    // the shared LM artifact: trained on the curated en slice — the
+    // identity BOTH sides state as refId
+    val curated = Curation.curate(docs, "doc_id", "text", params)
+    val ref = curated.filter(col("lang_pred") === "en")
+    val lmPath = tempDir("hoff-lm").toString + "/lm"
+    val bPath = tempDir("hoff-b").toString + "/b"
+    BigramLm.writeLm(spark, ScaleOps27.trainLmPairs(ref),
+      ScaleOps27.vocabSize(ref), lmPath)
+    val cfg = TrainingPipeline.Config(curation = params, ctxTokens = 256L,
+      lmTertileMix = Some((1.0, 0.5, 0.1)),
+      lmArtifactPath = Some(lmPath),
+      lmBoundsArtifactPath = Some(bPath),
+      lmBoundsRefId = Some("lm=ref0"),
+      lmScoreDomain = LmScoreDomain.LogPerplexity)
+    val r = TrainingPipeline.curateToTraining(spark, docs, None,
+      cfg = cfg, ledger = false)
+    val keptIds = r.packed.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    r.free()
+    // the producer stage ran, loudly, with the boundary-table row count
+    val lb = r.stages.find(_.stage == "lm_bounds")
+    assert(lb.exists(s => s.rowsOut > 0 && s.rowsIn == s.rowsOut),
+      s"lm_bounds stage missing or empty: ${r.stages}")
+    // the artifact carries the DERIVED tag — config, not caller literal
+    val tag = scorerTag(LmSmoothing.AddK, "lm=ref0", LmScoreDomain.LogPerplexity)
+    assert(tag == "addk:lm=ref0:log2")
+    assert(TertileBounds.boundsScorer(spark, bPath).contains(tag))
+    assert(TertileBounds.boundsRows(spark, bPath) == lb.get.rowsOut)
+    // producing + bucketing-with-the-loaded-artifact is INVISIBLE: the
+    // same config without the producer gates the identical set
+    val rPlain = TrainingPipeline.curateToTraining(spark, docs, None,
+      cfg = cfg.copy(lmBoundsArtifactPath = None, lmBoundsRefId = None),
+      ledger = false)
+    val plainIds = rPlain.packed.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    rPlain.free()
+    assert(keptIds == plainIds,
+      "the lm_bounds round-trip moved documents between buckets")
+    // the STREAM consumer, configured from the same pieces, re-decides
+    // the batch's keeps over the same corpus — the hand-off is config
+    // alone: (AddK, LogPerplexity, "lm=ref0") + the two artifact paths
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val in = tempDir("hoff-in"); val out = tempDir("hoff-out")
+    curated.select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("lang_pred").as("lang"))
+      .write.mode("append").parquet(in.toString)
+    val q = Streaming.lmMixStream(
+      spark.readStream.schema(schema).parquet(in.toString),
+      "doc_id", "text", "lang", lmPath, bPath, 1.0, 0.5, 0.1,
+      out.toString, tempDir("hoff-ckpt").toString, "lm=ref0",
+      LmSmoothing.AddK, LmScoreDomain.LogPerplexity)
+    try q.processAllAvailable() finally q.stop()
+    val streamKept = spark.read.parquet(out.toString)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(streamKept == keptIds,
+      s"stream kept ${streamKept.size} docs, batch kept ${keptIds.size} — " +
+        "the config-driven hand-off diverged")
+    // a stream stating a different RANKING refuses the shipped artifact
+    val in2 = tempDir("hoff-in2")
+    Seq((1L, "a b", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(in2.toString)
+    val qBad = Streaming.lmMixStream(
+      spark.readStream.schema(schema).parquet(in2.toString),
+      "doc_id", "text", "lang", lmPath, bPath, 1.0, 0.5, 0.1,
+      tempDir("hoff-out2").toString, tempDir("hoff-ckpt2").toString,
+      "lm=ref0", LmSmoothing.AddK, LmScoreDomain.Arithmetic)
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qBad.processAllAvailable()
+      }
+      assert(e.getMessage.contains("computed under scorer") ||
+        Option(e.getCause).exists(_.getMessage.contains("computed under scorer")))
+    } finally qBad.stop()
+    // misconfigured producers refuse loudly at the stage
+    assert(intercept[IllegalArgumentException] {
+      TrainingPipeline.curateToTraining(spark, docs, None,
+        cfg = cfg.copy(lmBoundsRefId = None), ledger = false)
+    }.getMessage.contains("lmBoundsRefId"))
+    assert(intercept[IllegalArgumentException] {
+      TrainingPipeline.curateToTraining(spark, docs, None,
+        cfg = cfg.copy(lmArtifactPath = None, lmBoundsRefId = None,
+          lmScoreDomain = LmScoreDomain.Arithmetic), ledger = false)
+    }.getMessage.contains("reference scorer"))
+    // default refId derivation: lmRefLang = en stamps "addk:ref=en:arith"
+    val bPath2 = tempDir("hoff-b2").toString + "/b"
+    val r2 = TrainingPipeline.curateToTraining(spark, docs, None,
+      cfg = TrainingPipeline.Config(curation = params, ctxTokens = 256L,
+        lmTertileMix = Some((1.0, 0.5, 0.1)), lmRefLang = Some("en"),
+        lmBoundsArtifactPath = Some(bPath2)),
+      ledger = false)
+    r2.free()
+    assert(TertileBounds.boundsScorer(spark, bPath2)
+      .contains("addk:ref=en:arith"))
+  }
+
   test("KN through the streaming rotation (r15 verdict #7): a RETRAINED LM rotates T with the artifact's _rows stamp mid-stream — stream == the batch KN kernel under each model; torn-artifact refusal unchanged") {
     import graft.ml.{BigramLm, TertileBounds}
     import graft.pipeline.TrainingPipeline.{LmSmoothing, LmScoreDomain}
