@@ -443,18 +443,26 @@ object ScaleStress {
     import graft.pipeline.Packing
     val spark = session()
     val vocabN = 5000L
-    // per-position multiplicative mixing (id·(A+j) mod V): adjacent
-    // tokens differ by id mod V, so bigram TYPES grow toward V² and the
-    // model joins are genuinely sort-merge-sized — the plx arm's
-    // additive form collapses to exactly V bigram types (successor a
-    // pure function of predecessor), which makes every model join a
-    // broadcast and every doc's score one of a handful of values
+    // per-position multiplicative mixing (id·(A+j) mod V) PLUS per-doc
+    // pseudo-random token noise, xxhash64(id, j)-seeded (r16 verdict
+    // #5): the multiplicative form alone grows bigram TYPES toward V²
+    // (the model joins are genuinely sort-merge-sized), but every doc's
+    // 24 bigrams share one algebraic (cxy, cx) profile, so the SCORE
+    // distribution collapsed to ~47 distinct (lang, score) pairs at 1M
+    // docs and the stress-scale flip share read 0 — materiality was
+    // only pinned at sf scale. The hash term is deterministic in
+    // (doc_id, position) — no Math.random, reruns bit-stable — and
+    // makes each doc's bigram profile its own draw, so scores are dense
+    // and the ranking ablation is OBSERVABLE at stress scale.
     spark.range(nDocs).select(col("id").as("doc_id"),
       when(pmod(col("id"), lit(20)) === 19,
         concat(lit("minor"), pmod(col("id"), lit(8))))
         .otherwise(lit("dominant")).as("lang"),
       concat_ws(" ", (0 until 24).map(j =>
-        concat(lit("w"), pmod(col("id") * lit(2654435761L + j),
+        // reduce the (full-range signed) hash mod V BEFORE adding so
+        // the sum never leaves long range under ANSI arithmetic
+        concat(lit("w"), pmod(col("id") * lit(2654435761L + j)
+          + pmod(xxhash64(col("id"), lit(j)), lit(vocabN)),
           lit(vocabN)))): _*).as("text"))
       .repartition(16)
       .write.mode("overwrite").parquet(s"$base/docs.parquet")
