@@ -8,7 +8,20 @@ import org.apache.spark.sql.SparkSession
   * interpreted-HOF warmup would otherwise land entirely on whichever heavy
   * query runs first — measured ~10s of one-time cost), then each query is
   * timed at the target SF with the SQL cache cleared so per-query numbers
-  * don't hide cross-query cache reuse. */
+  * don't hide cross-query cache reuse.
+  *
+  * Artifact-cache pinning (r16 verdict #2): the stamped artifacts live
+  * under `java.io.tmpdir/graft_*` keyed by corpus signature and persist
+  * ACROSS JVMs, so [[SparkEntry.artifactQueries]] used to read bimodal
+  * across runs — a clean-tmpdir run paid the rebuild (seconds), a warm
+  * one a metadata load (ms), and window medians mixed the two states.
+  * The pinned protocol (default): CLEAR the `graft_*` roots, run each
+  * artifact arm once at the target SF labeled `"metric":"query_cold"`
+  * (the rebuild cost, from a clean root), then run the timed suite —
+  * which now measures the WARM mode for every run alike. Both modes
+  * land in the output, separately labeled. SPARK_GRAFT_BENCH_ARTIFACTS
+  * =asis restores the legacy run-against-whatever-the-host-had
+  * behavior. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,6 +35,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val artifactMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_ARTIFACTS", "warm")
+    if (artifactMode != "asis") {
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+        f.delete(); ()
+      }
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      Seq("graft_bpe_vocab", "graft_perceptron", "graft_fp_index",
+          "graft_fp_apnd", "graft_bigram_lm", "graft_tertile_bounds")
+        .foreach(d => deleteRec(new java.io.File(tmp, d)))
+    }
 
     // SPARK_GRAFT_BENCH_ORDER=reverse runs the suite back-to-front: used
     // for clean re-measurement (run-order/JIT drift shows up as a
@@ -55,6 +80,28 @@ object Bench {
     def errMsg(e: Throwable): String = {
       val m = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
       m.take(160).map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)
+    }
+    // COLD pass (r16 verdict #2): each artifact arm once at the target
+    // SF against the just-cleared roots — the rebuild cost, labeled
+    // "query_cold" so window parsers never mix it into the warm
+    // medians. Side effect is the point: the artifacts (and their
+    // in-JVM memos) are warm when the timed loop reaches them.
+    if (artifactMode != "asis") {
+      SparkEntry.artifactQueries.toSeq.sorted.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          val t0 = System.nanoTime()
+          val outcome = try { fn(spark, sfDir).count(); None }
+                        catch { case e: Throwable => Some(e) }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          outcome match {
+            case None => println(
+              s"""{"metric":"query_cold","name":"$name","value":${fmt(dt)},"unit":"sec"}""")
+            case Some(e) => println(
+              s"""{"metric":"query_cold","name":"$name","value":-1,"unit":"sec","err":"${errMsg(e)}"}""")
+          }
+        }
+      }
     }
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
