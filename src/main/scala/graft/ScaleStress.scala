@@ -383,8 +383,12 @@ object ScaleStress {
     * (deterministic, hash-spread bigram distribution), model trained
     * on the even half, EVERYONE scored — nDocs·23 bigrams through two
     * co-partitioned model joins, then either one fixed-point division
-    * (arith) or the 62-bit ratio + 20 squarings (log). Reports both
-    * times, the ratio, and cross-checks the scored-doc counts. */
+    * (arith) or the 62-bit ratio + 20 squarings (log; since r17 the
+    * squarings are one codegen'd long loop,
+    * [[graft.functions.NegLog2Fp]], so expect ≈ parity — the shared
+    * DECIMAL ratio dominates both arms). Order note: arith runs first
+    * and pays JIT/page-cache warmup; the honest warm-vs-warm
+    * comparison is rep 2+ (median-of-3 mostly absorbs it). */
   def plx(base: String, nDocs: Int): Unit = {
     import graft.ops.{ScaleOps27, ScaleOps30}
     val spark = session()

@@ -39,11 +39,14 @@ import Relational.t
   * lateral column aliases / collapsed projections — each round
   * references its predecessor twice, so inlining re-expands the
   * expression tree exponentially (measured: DuckDB hangs at F=8
-  * laterally; one projection LEVEL per round is 0.03 s at F=20).
-  * Spark gets one `withColumn` level per round (CollapseProject keeps
-  * multiply-referenced non-cheap aliases un-inlined); the mirror gets
-  * one generated CTE per round. All integer CASE/multiply/div —
-  * whole-stage-codegen'd, no UDF.
+  * laterally; one generated CTE per round is 0.03 s at F=20). The
+  * MIRROR therefore keeps one CTE level per round. The Spark side
+  * (r17) runs the whole chain inside ONE custom Catalyst expression,
+  * [[graft.functions.NegLog2Fp]] — a codegen'd plain-long loop
+  * (m < 2³² ⇒ m² is exact in the unsigned low 64 bits, so no
+  * DECIMAL(38,0) rides the hot path and there is no alias tower for
+  * the planner to inline; the r16 planner-blow-up hazard is gone
+  * structurally, values bit-identical by the Spec's BigInt sweep).
   *
   * Scale shape: q183's exactly — the same two co-partitioned model
   * joins, then the log₂ chain as a PURE MAP over the joined stream
@@ -53,11 +56,13 @@ object ScaleOps30 {
   /** How many highest-perplexity documents q190 surfaces. */
   val Q190TopK = 15
 
-  /** Fractional bits of the fixed-point log₂. */
-  val Q190FracBits = 20
+  /** Fractional bits of the fixed-point log₂ (canonical constant lives
+    * with the kernel expression, [[graft.functions.NegLog2Fp]]). */
+  val Q190FracBits: Int = graft.functions.NegLog2Fp.FracBits
 
-  private[ops] val PreShift = 62 // ratio scale: r = num·2^62 div den
-  private[ops] val MShift = 31   // mantissa scale: m ∈ [2^31, 2^32)
+  // ratio scale: r = num·2^62 div den / mantissa scale: m ∈ [2^31, 2^32)
+  private[ops] val PreShift: Int = graft.functions.NegLog2Fp.PreShift
+  private[ops] val MShift: Int = graft.functions.NegLog2Fp.MShift
 
   /** CASE-form 2^e for e ∈ [0, 62] — generated once, evaluated verbatim
     * by both engines (no float pow round-trip). */
@@ -86,54 +91,25 @@ object ScaleOps30 {
     * pair table per score call; if corpora ever approach the bound,
     * assert it once at train time instead.
     *
-    * CALLER RESTRICTION (r16 advice): unlike the lazy arithmetic/KN
-    * kernels, this one runs an EAGER `take(1)` action on `docs` (the
-    * degenerate-input guard below) — so it must NOT be handed a
-    * streaming DataFrame directly (actions on unresolved streaming
-    * plans throw at analysis time), and every call pays one extra
-    * early-exit source scan. Both are fine for the current call sites
-    * (batch frames, and [[graft.streaming.Streaming.lmMixStream]]'s
-    * foreachBatch hands in the already-materialized micro-batch); a
-    * future `readStream`-direct caller must score through foreachBatch
-    * like the stream does. */
+    * Lazy like the arithmetic/KN kernels (r17): the r16 eager `take(1)`
+    * degenerate-input guard is GONE — it existed because a runtime-empty
+    * bigram stream let AQE's empty propagation strand the 20
+    * multiply-referencing projection levels on a LocalRelation where the
+    * physical project-collapse inlined them into a ~2²⁰-node tree
+    * (planning >30 min). The chain now lives inside the single
+    * [[graft.functions.NegLog2Fp]] expression, so there is nothing to
+    * inline: an all-single-token micro-batch plans linearly and returns
+    * empty (drilled in ScaleOps30Spec and DegenerateInputSpec). That
+    * also lifts the r16 caller restriction — no per-call extra source
+    * scan, and the kernel no longer throws if handed an unmaterialized
+    * streaming frame (call sites still score through foreachBatch for
+    * semantics, not for survival). */
   def scoreDocsWithLmLog2(docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, v: Long): DataFrame = {
     require(v >= 1, s"scoreDocsWithLmLog2: vocabulary size must be >= 1, got $v")
-    // DEGENERATE-INPUT GUARD (r16 — found by q192's empty-corner spec,
-    // latent since r15): when NO document yields a bigram, return the
-    // empty result without building the 20-round chain. Not an
-    // optimization — a correctness-of-termination fix: if the bigram
-    // stream materializes EMPTY at runtime, AQE's empty-relation
-    // propagation leaves the 20 projection levels sitting directly on
-    // an empty LocalRelation, and the planner's project-collapse
-    // (PhysicalOperation / CollapseProject.trimAliases) then INLINES
-    // them — each round references its predecessor twice, so the
-    // inlined tree is ~2²⁰ nodes and planning never returns (measured:
-    // >30 min pegging one core on a two-document corpus; thread dump
-    // pinned in the r16 notes — the r15 lateral-inlining blow-up
-    // re-entering through the planner's own collapse, which the
-    // one-level-per-round discipline cannot reach). The arithmetic and
-    // KN kernels are immune (single-projection collapses are linear).
-    // Guard cost: one early-exit take(1) — first-match-cheap on any
-    // corpus with a single multi-token document; and a stream
-    // micro-batch of only single-token docs (a perfectly legal
-    // production input) must refuse to hang its query.
-    // ≥2 NON-EMPTY tokens ⟺ the doc yields ≥1 bigram: `split`'s empty
-    // tokens occur only at the array's edges (interior \s+ runs always
-    // consume fully), so the non-empty tokens form one contiguous run
-    // and an adjacent all-non-empty pair exists iff that run has ≥2 —
-    // exactly bigramsOf's post-filter semantics
-    val anyScorable = docs
-      .filter(size(filter(graft.text.TextAnalysis.tokens(col(textCol)),
-        t => length(t) >= 1)) >= 2)
-      .take(1).nonEmpty
-    if (!anyScorable)
-      return docs.sparkSession.range(0).select(
-        col("id").as(idCol), col("id").as("n_bigrams"),
-        col("id").as("n_oov"), col("id").as("plx_fp"))
     val kFp = ScaleOps24.Q175KFp
     val ctx = pairs.groupBy(col("w1")).agg(sum(col("cxy")).as("cx"))
-    var df = ScaleOps27.bigramsOf(docs, idCol, textCol)
+    ScaleOps27.bigramsOf(docs, idCol, textCol)
       .join(pairs, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
       .withColumn("cxy", coalesce(col("cxy"), lit(0L)))
@@ -142,20 +118,8 @@ object ScaleOps30 {
         s"GREATEST(CAST(((CAST(cxy AS DECIMAL(38,0)) * 1000000 + $kFp) * ${1L << PreShift}) " +
           s"div (CAST(cx AS DECIMAL(38,0)) * 1000000 + CAST($kFp AS DECIMAL(38,0)) * $v) " +
           s"AS BIGINT), CAST(1 AS BIGINT))"))
-      .withColumn("e", (length(bin(col("r"))) - 1).cast("long"))
-      .withColumn("m0", expr(
-        s"CAST((CAST(r AS DECIMAL(38,0)) * ${1L << MShift}) div (${pow2CaseSql("e")}) AS BIGINT)"))
-    for (i <- 1 to Q190FracBits) {
-      df = df
-        .withColumn(s"mm$i", expr(
-          s"CAST((CAST(m${i - 1} AS DECIMAL(38,0)) * m${i - 1}) div ${1L << MShift} AS BIGINT)"))
-        .withColumn(s"b$i",
-          expr(s"CASE WHEN mm$i >= ${1L << 32} THEN 1 ELSE 0 END").cast("long"))
-        .withColumn(s"m$i",
-          expr(s"CASE WHEN mm$i >= ${1L << 32} THEN mm$i div 2 ELSE mm$i END"))
-    }
-    df.withColumn("lneg", expr(
-        s"($PreShift - e) * ${1L << Q190FracBits} - ($fracSum)"))
+      .withColumn("lneg",
+        graft.functions.NegLog2Fp.neg_log2_fp(col("r")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum((col("cxy") === 0L).cast("long")).as("n_oov"),

@@ -32,12 +32,16 @@ import org.apache.spark.sql.functions._
   * LogPerplexity`) that shipped in r15.
   *
   * Scale shape: q190's exactly (two co-partitioned model joins + the
-  * pure-map log₂ chain — zero extra exchanges, plan-pinned; the
-  * chain's CPU cost is ~2.5–4× the arithmetic collapse on the scoring
-  * stage in synthetic regimes and 1.3–1.8× observed end-to-end at
-  * sf0.1, measured honestly by the r16 `ScaleStress disp`/fixed-`plx`
-  * arms after the r15 "free" ratio was found to be a count()-pruned
-  * artifact — linear CPU, no new data movement) + q185's routed
+  * pure-map log₂ chain — zero extra exchanges, plan-pinned; since the
+  * chain collapsed into the single codegen'd
+  * [[graft.functions.NegLog2Fp]] long loop in r17, its scoring-stage
+  * cost is ≈ PARITY with the arithmetic collapse — warm-vs-warm ~0.9×
+  * on the densified 14.5M-pair-type stress corpus, both kernels now
+  * dominated by the shared DECIMAL ratio step; the r16 era's 2.5–4.4×
+  * band was the 20-round DECIMAL(38,0) projection tower, measured
+  * honestly by the `ScaleStress disp`/fixed-`plx` arms after the r15
+  * "free" ratio was found to be a count()-pruned artifact — linear
+  * CPU, no new data movement) + q185's routed
   * boundary pass and rollup (sub-second next to scoring at stress
   * scale, same arm); q192 adds one
   * ≤#langs-row artifact write and a metadata-sized validated load. No

@@ -208,12 +208,14 @@ object TrainingPipeline {
         * guard. A default must compose with the other defaults.
         * LogPerplexity also covers only one of the three smoothing/
         * scorer families; Arithmetic is total. The CCNet-fidelity
-        * recommendation stands at a bounded, linear cost — the log₂
-        * chain adds CPU only, zero extra exchanges (plan-pinned):
-        * ~2.5–4× the arithmetic collapse on the scoring stage in
-        * synthetic regimes, 1.3–1.8× end-to-end at sf0.1 (r16
-        * `ScaleStress disp`; the r15 "free at scale" ratio was a
-        * count()-pruned measurement artifact, corrected this round). A
+        * recommendation stands at essentially zero cost since r17 —
+        * the log₂ chain is one codegen'd long loop
+        * ([[graft.functions.NegLog2Fp]]), zero extra exchanges
+        * (plan-pinned), scoring-stage cost ≈ parity with the
+        * arithmetic collapse (warm ~0.9× on the densified stress
+        * corpus; the r16 era's 2.5–4.4× band was the DECIMAL(38,0)
+        * projection tower, and the r15 "free at scale" ratio before it
+        * was a count()-pruned measurement artifact). A
         * user configuring a REFERENCE scorer for CCNet semantics
         * should set LogPerplexity explicitly — that pairing is
         * oracle-checked end-to-end as q191/q192, and the E2E default-

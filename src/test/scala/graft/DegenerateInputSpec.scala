@@ -16,7 +16,9 @@ import scala.concurrent.ExecutionContext.Implicits.global
   * kernel (connected components, PageRank, k-means, BFS both routes,
   * CUSUM's window chain, the BPE train rounds and its compiled
   * merge-replace chain, the WHT band explode, and the log₂ disposition
-  * that already carries its guard) runs on
+  * — whose r16 hang this suite exists to generalize, fixed at the root
+  * in r17 by collapsing the chain into the single
+  * [[graft.functions.NegLog2Fp]] expression) runs on
   *
   *   - an ALL-EMPTY corpus (every table present with its real schema,
   *     zero rows — the AQE empty-propagation shape), and
@@ -26,9 +28,10 @@ import scala.concurrent.ExecutionContext.Implicits.global
   * each under a hard wall-clock bound that separates "planned and ran"
   * from "planning never returns" (the measured blow-up was >30 min;
   * the bound is 180 s on inputs that plan in milliseconds). A kernel
-  * that trips here gets the q190-style early-exit guard
-  * ([[graft.ops.ScaleOps30.scoreDocsWithLmLog2]]) at the kernel, not a
-  * spec-side workaround. */
+  * that trips here gets a kernel-level fix (the r16 interim was a
+  * q190-style early-exit guard; the r17 durable form is removing the
+  * multiply-referenced alias tower itself, as
+  * [[graft.functions.NegLog2Fp]] did), not a spec-side workaround. */
 class DegenerateInputSpec extends GraftSuite {
 
   private val src = "/root/testdata/sf0.001"
@@ -62,8 +65,9 @@ class DegenerateInputSpec extends GraftSuite {
     catch {
       case _: TimeoutException =>
         fail(s"$label did not return within 180s on a degenerate input — " +
-          "the q192 planner-blow-up class; add the q190-style early-exit " +
-          "guard at the kernel")
+          "the q192 planner-blow-up class; fix at the kernel (collapse " +
+          "the multiply-referenced alias tower into one expression, as " +
+          "NegLog2Fp did, or early-exit before building it)")
     }
 
   /** Each kernel's DEFINED empty-input behavior — the drill pins it so
@@ -101,7 +105,7 @@ class DegenerateInputSpec extends GraftSuite {
       graft.ops.ScaleOps17.q151BpeEncode _, RefusesLoudly("exhausted")),
     ("q160_wht_bands (banded transform)",
       graft.ops.ScaleOps19.q160WhtBands _, ReturnsEmpty),
-    ("q191_log_plx_mix (the guarded log2 chain end-to-end)",
+    ("q191_log_plx_mix (the single-expression log2 chain end-to-end)",
       graft.ops.ScaleOps31.q191LogPlxTertileMix _, ReturnsEmpty))
 
   test("every iterative/chained kernel terminates on an ALL-EMPTY corpus (runtime-empty relations under AQE empty-propagation) and returns its defined empty-input result") {

@@ -97,14 +97,15 @@ class ScaleOps30Spec extends GraftSuite {
     writeLangDocs(dir, Seq((1L, "le chat", "fr")))
     assert(run(dir.toString).isEmpty)
     // v >= 1 but ZERO scorable docs (every doc single-token): empty —
-    // and FAST. This is the r16 degenerate-input guard: without it the
-    // runtime-empty bigram stream lets AQE's empty propagation strand
-    // the 20-round chain on a LocalRelation, and the planner's
-    // project-collapse inlines it into a ~2^20-node tree (measured:
-    // planning pegged a core for >30 min on this exact two-doc corpus)
+    // and FAST. This exact two-doc corpus hung the r15 build's planner
+    // for >30 min (AQE empty propagation + project-collapse inlining
+    // the 20-round alias tower into a ~2^20-node tree); the r16 interim
+    // was an eager take(1) guard, and since r17 the chain lives inside
+    // the single NegLog2Fp expression, so the kernel is lazy again and
+    // this corner must plan linearly with no guard at all
     writeLangDocs(dir, Seq((1L, "hello", "en"), (2L, "le", "fr")))
     assert(run(dir.toString).isEmpty)
-    // the guard is exact about split()'s edge-empty tokens: a doc whose
+    // scope is exact about split()'s edge-empty tokens: a doc whose
     // tokens include a trailing empty ("a\t" — trim strips spaces only)
     // has 2 array slots but yields NO bigram and must stay out of scope,
     // while a genuine 2-token doc scores
