@@ -159,7 +159,11 @@ object GraftExtensions {
     (FunctionIdentifier("damerau_levenshtein"),
       info("damerau_levenshtein",
         "damerau_levenshtein(a, b) - unrestricted Damerau-Levenshtein edit distance over code points"),
-      (exprs: Seq[Expression]) => DamerauLevenshtein(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => DamerauLevenshtein(exprs(0), exprs(1))),
+    (FunctionIdentifier("neg_log2_fp"),
+      info("neg_log2_fp",
+        "neg_log2_fp(r) - exact -log2(r/2^62) at 2^-20 fixed point (integer square-and-compare, no libm; the LM perplexity kernel)"),
+      (exprs: Seq[Expression]) => NegLog2Fp(exprs.head)))
 
   /** Install into an already-built session (extensions only run at session
     * construction). */

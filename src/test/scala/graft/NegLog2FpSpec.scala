@@ -68,7 +68,7 @@ class NegLog2FpSpec extends GraftSuite {
       graft.functions.NegLog2Fp.compute(1L))
   }
 
-  test("NULL propagates, the SQL registration evaluates, and the expression stays inside whole-stage codegen") {
+  test("NULL propagates, the SQL registration evaluates (both the object register and the GraftExtensions surface), and the expression stays inside whole-stage codegen") {
     graft.functions.NegLog2Fp.register(spark)
     val out = Seq[(Long, java.lang.Long)]((1L, 1L << 62), (2L, null))
       .toDF("id", "r")
@@ -76,6 +76,10 @@ class NegLog2FpSpec extends GraftSuite {
       .orderBy("id").collect()
     assert(out(0).getLong(1) == 0L)
     assert(out(1).isNullAt(1), "NULL input must yield NULL")
+    // the engine's one SQL surface carries it too
+    graft.functions.GraftExtensions.registerAll(spark)
+    assert(spark.sql(s"SELECT neg_log2_fp(${1L << 59}L) AS l")
+      .head().getLong(0) == 3L * (1L << 20))
     // codegen containment: the projection must sit inside a
     // whole-stage span (starred operator — no fallback to an
     // interpreted/un-starred Project; the PlanShapeSpec idiom)
