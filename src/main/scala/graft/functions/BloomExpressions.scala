@@ -32,7 +32,29 @@ case class BloomMightContain(child: Expression, filter: BloomFilter)
     copy(child = c)
 }
 
+/** Long-key twin of [[BloomMightContain]]: probes a LongType column with
+  * mightContainLong — matching the putLong path `df.stat.bloomFilter` uses
+  * for long columns (both hash the raw long with spark-sketch's fixed-seed
+  * Murmur3), so build and probe agree across JVMs and runs. Same codegen
+  * shape: filter rides the task closure as a reference object, the probe
+  * is one primitive call inside whole-stage codegen. */
+case class BloomMightContainLong(child: Expression, filter: BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_long"
+  override def nullSafeEval(v: Any): Any =
+    filter.mightContainLong(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", filter, classOf[BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.mightContainLong($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomMightContainLong =
+    copy(child = c)
+}
+
 object BloomFunctions {
   def mightContain(c: Column, bf: BloomFilter): Column =
     GraftSqlBridge.column(BloomMightContain(GraftSqlBridge.expression(c), bf))
+  def mightContainLong(c: Column, bf: BloomFilter): Column =
+    GraftSqlBridge.column(BloomMightContainLong(GraftSqlBridge.expression(c), bf))
 }

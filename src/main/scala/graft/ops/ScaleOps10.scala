@@ -47,6 +47,12 @@ object ScaleOps10 {
   def q123Concurrency(s: SparkSession, dir: String): DataFrame = {
     val sessions = graft.streaming.Streaming.sessionizeBatch(
       Relational.events(s, dir), "user_id", "ts", gapMs = 30 * 60 * 1000L)
+      .persist()
+    // eager: sessions is read by both union sides of the boundary stream
+    // AND by both of its consumers (the hour offsets aggregate and the
+    // windowed sweep) — up to four re-runs of the sessionize window
+    // chain against a lazy plan; one count pins a single compute
+    sessions.count()
     val deltas = sessions
       .select(col("user_id"), col("session_seq"),
         col("session_start").as("ts"), lit(1).as("delta"))
@@ -134,6 +140,12 @@ object ScaleOps10 {
     val baskets = Relational.fanOut(t(s, dir, "lineitem"))
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+      .persist()
+    // eager: baskets fans into four consumers (both pair-join sides, the
+    // item counts, the basket total) — the before-plan carried four
+    // lineitem scans each re-deriving the distinct; one count pins a
+    // single compute and the consumers scan the cache
+    baskets.count()
     val itemCnt = baskets.groupBy(col("pk")).agg(count(lit(1)).as("c"))
     val nOrders = baskets.select(countDistinct(col("ok")).as("n"))
     val a = baskets.select(col("ok"), col("pk").as("p1"))
@@ -414,7 +426,18 @@ object ScaleOps10 {
                  else edges0.repartition(col("src"))).persist()
     val seed = baskets.agg(min(col("pk")).as("node"))
       .select(col("node"), lit(0).as("hop"))
-    var visited = seed
+    // Each round's increment is MATERIALIZED (localCheckpoint — the
+    // clusterPairs discipline) before the next round references it: the
+    // lazy form re-executed the whole union lineage inside every round's
+    // frontier/visited broadcast — one plan carried 68 parquet scans / 61
+    // broadcast exchanges, and a profiled run paid ~14 REAL full-lineitem
+    // scans (ReuseExchange dedups identical subplans, but each round's
+    // visited differs). Checkpointed, the corpus is scanned once for the
+    // edge build and once for the seed; every round is a node-sized job
+    // against the cached edges. Visited sets are node-sized, so the
+    // retained blocks are small and freed by the ContextCleaner with the
+    // returned plan.
+    var visited = seed.localCheckpoint()
     for (h <- 1 to 3) {
       val frontier0 = visited.filter(col("hop") === h - 1).select(col("node"))
       val frontier = if (broadcastFrontier) broadcast(frontier0) else frontier0
@@ -425,6 +448,7 @@ object ScaleOps10 {
       val fresh = reached
         .join(vis, Seq("node"), "left_anti")
         .withColumn("hop", lit(h))
+        .localCheckpoint()
       visited = visited.unionByName(fresh)
     }
     visited.groupBy(col("hop")).agg(count(lit(1)).as("n_parts"))

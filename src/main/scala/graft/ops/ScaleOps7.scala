@@ -51,6 +51,10 @@ object ScaleOps7 {
       .select((col("l_suppkey") * 2).as("s"), (col("o_custkey") * 2 + 1).as("c"))
       .distinct()
       .persist()
+    // eager: both union sides below read pairs from within ONE stage (two
+    // tasks per cached partition), racing to compute the unmaterialized
+    // cache; one count pins a single compute
+    pairs.count()
     val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
       .unionByName(pairs.select(col("c").as("src"), col("s").as("dst")))
     val wSrc = Window.partitionBy(col("src"))

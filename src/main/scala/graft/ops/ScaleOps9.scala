@@ -57,14 +57,22 @@ object ScaleOps9 {
       .select(col("vec_id"), col("embedding"))
     val seeds = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("seed_id"), col("embedding").as("seed"))
-    val wPoint = Window.partitionBy(col("vec_id"))
+    // assignment = argmin over (d2, centroid id) — MIN of the ordered
+    // struct per point, not a row_number window: min() partial-aggregates
+    // map-side (the 8 candidate rows of a point collapse before the
+    // exchange, so the shuffle carries ~1/8 the rows and no sort),
+    // while the window shuffled and sorted the full corpus×k cross
+    // product. Struct comparison is the same lexicographic (d2, id)
+    // order the window's ORDER BY used, and (d2, id) is unique per
+    // point (ids are distinct), so the selected centroid is identical.
     val a1 = emb.crossJoin(broadcast(seeds))
       .withColumn("d2",
         (V.normSq(col("embedding")) - lit(2.0) * V.dot(col("embedding"), col("seed")))
           + V.normSq(col("seed")))
-      .withColumn("rn", row_number().over(wPoint.orderBy(col("d2"), col("seed_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("seed_id").as("c1"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("seed_id"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("m.seed_id").as("c1"))
     // fixed-point re-estimation: floor(x·2^20) codes, exact int64 sums
     val centDims = a1
       .select(col("c1"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -82,13 +90,15 @@ object ScaleOps9 {
         transform(array_sort(collect_list(struct(col("dim"), col("cd")))),
           e => e("cd")).as("cvec"),
         sum(floor(col("cd") * lit(1048576.0)).cast("long")).as("sig"))
+    // same min-struct argmin as pass 1; (d2, c1) unique per point, sig
+    // is functionally dependent on c1 and rides in the struct tail
     val a2 = emb.crossJoin(broadcast(cvecs))
       .withColumn("d2",
         (V.normSq(col("embedding")) - lit(2.0) * V.dotFD(col("embedding"), col("cvec")))
           + V.normSqD(col("cvec")))
-      .withColumn("rn", row_number().over(wPoint.orderBy(col("d2"), col("c1"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c1").as("cluster_id"), col("sig"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("c1"), col("sig"))).as("m"))
+      .select(col("vec_id"), col("m.c1").as("cluster_id"), col("m.sig").as("sig"))
     a2.groupBy(col("cluster_id"), col("sig"))
       .agg(
         count(lit(1)).as("n_members"),
@@ -190,13 +200,39 @@ object ScaleOps9 {
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("dst"))
       .persist()
+    // eager: dir0 fans into three concurrent consumers (both wedge-join
+    // sides + the closing union) whose stages race to compute a
+    // not-yet-materialized cache — profiled as 3x duplicated
+    // orientation-join stages; one count pins a single compute (and the
+    // edge count m sizes the Bloom filter below)
+    val m = dir0.count()
     // wedges from out-edges (b ranked before c via (deg, id): enforced by
     // requiring the closing edge b→c to EXIST in the oriented set)
-    val wedges = dir0.as("e1").join(dir0.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
     val closing = dir0.select(col("src").as("b"), col("dst").as("c"))
       .unionByName(dir0.select(col("dst").as("b"), col("src").as("c")))
+    // Bloom pre-filter (guide §3.2): wedges vastly outnumber triangles
+    // (profiled at sf0.1: the wedge exchange wrote 107 MB to produce a
+    // 3 MB closed set), so probe each wedge's (b,c) against a Bloom
+    // filter over the closing-edge keys BEFORE the exchange. xxhash64
+    // keys both sides identically; false positives only ride the shuffle
+    // into the exact join, false negatives cannot exist — the result is
+    // bit-identical with or without the filter. Scale-adaptive: above
+    // `graft.triangles.bloomMaxEdges` (default 64M edges ≈ 150 MB of
+    // filter at 3% fpp — past what every task should hold) the filter is
+    // skipped and the plain join stands.
+    val bloomMaxEdges = s.conf.getOption("graft.triangles.bloomMaxEdges")
+      .map(_.toLong).getOrElse(64000000L)
+    val wedges0 = dir0.as("e1").join(dir0.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val wedges =
+      if (m > bloomMaxEdges) wedges0
+      else {
+        val bf = closing.select(xxhash64(col("b"), col("c")).as("k"))
+          .stat.bloomFilter("k", math.max(2 * m, 1000L), 0.03)
+        wedges0.filter(graft.functions.BloomFunctions.mightContainLong(
+          xxhash64(col("b"), col("c")), bf))
+      }
     val tris = wedges.join(closing, Seq("b", "c"))
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
