@@ -57,6 +57,15 @@ object Dedup {
       q.add(cached)
       q
     })
+    // EAGER materialization: every builder fans this cached plan into 3-4
+    // consumer branches, and AQE submits independent subtree stages
+    // CONCURRENTLY — racing stages each compute a not-yet-materialized
+    // cache partition themselves (profiled on q60: four full
+    // shingle-kernel passes over the corpus in one run, the 4x duplicated
+    // in=2.1M/shW=2.6M stage signature). One count() here pins a single
+    // compute (the cache stores full-width batches, so the count
+    // materializes every column); the consumers then scan cached batches.
+    cached.count()
     cached
   }
 
@@ -421,29 +430,45 @@ object Dedup {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      // one hop: min over self + neighbors
+      // one hop: min over self + neighbors. The node's own previous label
+      // rides along as __old (labels has exactly one row per node; max
+      // ignores the neighbor rows' nulls), so the fixpoint test below is
+      // a cheap scan of this round's checkpoint instead of the former
+      // per-round join-and-count job against the superseded labels.
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src").as("node"), col("cluster_id"))
-      val hop = ckpt(labels.unionByName(viaNeighbors)
-        .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id")))
-      // path halving (pointer doubling): relabel through the mapping
-      // itself — label(v) := label(label(v)). Every label value is an
-      // edge node (labels are mins over initial own-ids), so the inner
-      // self-join is total. Effective propagation distance doubles per
-      // round → O(log diameter) rounds instead of O(diameter), which is
-      // what bounds the driver-side round count on long chains.
-      val next = ckpt(hop
-        .join(hop.select(col("node").as("cluster_id"), col("cluster_id").as("__root")),
-          "cluster_id")
-        .select(col("node"), col("__root").as("cluster_id")))
-      // changed is counted BEFORE freeing the superseded round (it reads
-      // both next and the old labels)
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "node")
-        .filter(col("cluster_id") =!= col("old")).count()
-      free(hop)
-      free(labels)
-      labels = next
+        .select(col("src").as("node"), col("cluster_id"),
+          lit(null).cast("long").as("__old"))
+      val hop = ckpt(labels
+        .select(col("node"), col("cluster_id"), col("cluster_id").as("__old"))
+        .unionByName(viaNeighbors)
+        .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"),
+          max(col("__old")).as("__old")))
+      // Stopping on hop == labels is equivalent to the previous
+      // next == labels test: path halving only relabels THROUGH hop
+      // itself, so hop(v) < labels(v) for any v forces
+      // next(v) <= hop(v) < labels(v), and hop == labels gives
+      // next == hop. Same iteration count, same final labels — minus one
+      // shuffle join per round and the final round's halving join.
+      changed = hop.filter(col("cluster_id") =!= col("__old")).count()
+      if (changed == 0) {
+        free(hop)
+      } else {
+        // path halving (pointer doubling): relabel through the mapping
+        // itself — label(v) := label(label(v)). Every label value is an
+        // edge node (labels are mins over initial own-ids), so the inner
+        // self-join is total. Effective propagation distance doubles per
+        // round → O(log diameter) rounds instead of O(diameter), which is
+        // what bounds the driver-side round count on long chains.
+        val hopL = hop.select(col("node"), col("cluster_id"))
+        val next = ckpt(hopL
+          .join(hopL.select(col("node").as("cluster_id"),
+            col("cluster_id").as("__root")), "cluster_id")
+          .select(col("node"), col("__root").as("cluster_id")))
+        free(hop)
+        free(labels)
+        labels = next
+      }
       iter += 1
     }
     if (changed > 0)
@@ -519,7 +544,11 @@ object Dedup {
       .join(test.select(md5(col(textCol)).as("__h")).distinct(), "__h")
       .select(col("doc")).distinct()
       .withColumn("reason", lit("exact"))
-    val trSh = shingleTable(train, idCol, textCol, k)
+    // trSh feeds both the overlap join and the sizes agg — cached (and
+    // eagerly pinned by cacheTracked) so the shingle kernel runs once,
+    // not once per consumer branch; freed via freeCandidateCaches like
+    // the other builders' intermediates
+    val trSh = cacheTracked(shingleTable(train, idCol, textCol, k))
     val teSh = shingleTable(test, idCol, textCol, k)
       .withColumnRenamed("doc", "tdoc")
     val sizes = trSh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))

@@ -219,12 +219,22 @@ object ScaleOps16 {
     * Both branches are row-identical (proven differentially in the
     * spec and by `ScaleStress snmskew`); the DuckDB mirror expresses
     * the windowed form. */
+  /** Per-corpus memo of the largest block size — the q127 nodeCountMemo
+    * pattern: the routing measurement is a full-corpus aggregate, and an
+    * IMMUTABLE corpus was paying it on every invocation; keyed on the
+    * part-file signature so a rewritten corpus re-measures and the
+    * branch choice is stable within a corpus lifetime. */
+  private val blockSizeMemo =
+    scala.collection.concurrent.TrieMap[(String, String), Long]()
+
   def q148SnmDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = keyedDocs(s, dir)
     val maxBlockRows = s.conf.getOption("graft.snm.maxBlockRows")
       .map(_.toLong).getOrElse(1000000L)
-    val largest = docs.groupBy(col("block")).count()
-      .agg(max(col("count"))).head().getLong(0)
+    val largest = blockSizeMemo.getOrElseUpdate(
+      (dir, Relational.corpusSignature(s, dir, "documents")),
+      docs.groupBy(col("block")).count()
+        .agg(max(col("count"))).head().getLong(0))
     if (largest <= maxBlockRows) q148SnmDedupWindowed(s, dir)
     else q148SnmDedupRankJoin(s, dir)
   }

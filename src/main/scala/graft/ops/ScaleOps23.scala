@@ -172,6 +172,12 @@ object ScaleOps23 {
         explode(column(graft.functions.SlidingShingleHashes(
           expression(graft.text.TextAnalysis.tokens(col("text"))), 8))).as("h"))
       .distinct()
+      .persist()
+    // eager: pairs fans into three consumers (per-source sizes + both
+    // self-join sides) whose concurrent stages would each re-run the
+    // shingle kernel against a not-yet-materialized cache; one count
+    // pins a single compute
+    pairs.count()
     val perSrc = pairs.groupBy(col("source")).agg(count(lit(1)).as("n_types"))
     val shared = pairs.as("a")
       .join(pairs.as("b"), col("a.h") === col("b.h")
