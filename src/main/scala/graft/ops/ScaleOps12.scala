@@ -41,18 +41,24 @@ object ScaleOps12 {
     * the pair agg map-side combines. No all-pairs stage exists. */
   def q133SparseSim(s: SparkSession, dir: String): DataFrame = {
     val docs = Relational.fanOut(t(s, dir, "documents"))
-    val toks = docs.select(col("doc_id"),
-      posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "tok")))
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = toks
-      .withColumn("t1", lead(col("tok"), 1).over(wDoc))
-      .withColumn("t2", lead(col("tok"), 2).over(wDoc))
-      .withColumn("t3", lead(col("tok"), 3).over(wDoc))
-      .withColumn("t4", lead(col("tok"), 4).over(wDoc))
-      .filter(col("t4").isNotNull)
-      .select(col("doc_id"),
-        concat_ws("_", col("tok"), col("t1"), col("t2"), col("t3"), col("t4"))
-          .as("term"))
+    // 5-grams assembled per document from the materialized token ARRAY
+    // (the ScaleOps28.bigramsOf idiom) — a pure map over the scan. The
+    // former posexplode + doc-partitioned window with a lead() chain
+    // shuffled and sorted EVERY token, and the window compute re-ran in
+    // each consumer branch on top of the reused exchange (8 Window nodes
+    // in the r18 before-plan). Same term multiset per document: window
+    // rows with t4 non-null are exactly positions 1..n-4, which is
+    // exactly the sequence below; docs under 5 tokens emit nothing on
+    // both forms, so the posting table (and the oracle row set) is
+    // bit-identical.
+    val grams = docs
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ts"))
+      .filter(size(col("ts")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 4), " +
+          "i -> concat_ws('_', element_at(ts, i), element_at(ts, i + 1), " +
+          "element_at(ts, i + 2), element_at(ts, i + 3), element_at(ts, i + 4)))"))
+        .as("term"))
     val postings = grams.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))

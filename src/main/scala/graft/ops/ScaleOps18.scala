@@ -31,21 +31,32 @@ object ScaleOps18 {
     * aggregate, one 25-row TakeOrdered. */
   def q152SkipGrams(s: SparkSession, dir: String): DataFrame = {
     val docs = Relational.fanOut(t(s, dir, "documents"))
-    val toks = docs.select(col("doc_id"),
-      posexplode(graft.text.TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
-      .filter(length(col("tok")) >= 1)
-    val centers = toks
-      .withColumn("k", explode(array((-3 to 3).filter(_ != 0).map(lit): _*)))
-      .select(col("doc_id"), (col("pos") + col("k")).as("cpos"),
-        col("tok").as("center"))
-    val contexts = toks.select(col("doc_id"), col("pos").as("cpos"),
-      col("tok").as("context"))
+    // Pairs assembled per document from the token ARRAY — a pure map
+    // over the scan. The former shape posexploded every token, 6-way
+    // exploded probe rows, and equi-joined them back on (doc_id, pos):
+    // ~7x the token volume crossed TWO exchanges just to look up an
+    // array neighbor each row already knew. Same pair multiset: probe
+    // rows paired (center at pos, context at pos+k) for k ∈ ±1..3 with
+    // both tokens non-empty and in bounds — exactly the lambda below
+    // over the ORIGINAL (gap-preserving, un-reindexed) positions.
+    val pairs = docs
+      .select(col("doc_id"), graft.text.TextAnalysis.tokens(col("text")).as("ts"))
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(ts)), i -> " +
+          "filter(transform(array(-3, -2, -1, 1, 2, 3), k -> " +
+          "CASE WHEN i + k >= 1 AND i + k <= size(ts) " +
+          "AND length(element_at(ts, i)) >= 1 " +
+          "AND length(element_at(ts, i + k)) >= 1 " +
+          "THEN named_struct('center', element_at(ts, i), " +
+          "'context', element_at(ts, i + k)) END), " +
+          "p -> p IS NOT NULL)))")).as("pr"))
+      .select(col("pr.center").as("center"), col("pr.context").as("context"))
     // top-k via orderBy+limit = TakeOrderedAndProject, a DISTRIBUTED
     // top-25 — the pair table is co-occurrence-matrix-sized (unlike
     // q120's ≤|charset|² table), so a global rank window over it would
     // be a single-task sort at 100 TB; the rank window runs on the 25
     // survivors only
-    val top = centers.join(contexts, Seq("doc_id", "cpos"))
+    val top = pairs
       .groupBy(col("center"), col("context"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("center"), col("context"))

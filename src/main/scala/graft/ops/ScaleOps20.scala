@@ -215,17 +215,27 @@ object ScaleOps20 {
         Relational3.splitBucket(col("did") * lit(100003L) + col("pos")))
       .filter(expr("CAST(bucket AS DECIMAL(38,0)) * bucket * " +
         s"$Q163TDen * c < CAST(18446744073709551616 AS DECIMAL(38,0)) * tt"))
-    val wDoc = Window.partitionBy(col("did")).orderBy(col("pos"))
-    val seq0 = kept
-      .withColumn("npos", row_number().over(wDoc))
-      .select(col("did"), col("npos"), col("tok"))
-    val centers = seq0
-      .withColumn("k", explode(array((-3 to 3).filter(_ != 0).map(lit): _*)))
-      .select(col("did"), (col("npos") + col("k")).as("cpos"),
-        col("tok").as("center"))
-    val contexts = seq0.select(col("did"), col("npos").as("cpos"),
-      col("tok").as("context"))
-    val top = centers.join(contexts, Seq("did", "cpos"))
+    // Survivors collapse to one ordered array per document (ONE doc-keyed
+    // exchange — the same exchange the former row_number window paid),
+    // and the ±3 pairs are then a pure map over array adjacency: array
+    // index IS the re-index, so the window AND the (did, cpos) probe
+    // join (which shuffled ~7x the surviving token volume) both
+    // disappear. sort_array over (pos, tok) structs orders by the unique
+    // pos, making the collect_list order deterministic; pair multiset
+    // identical to the probe-join form.
+    val seqArr = kept
+      .groupBy(col("did"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("sq"))
+      .select(expr("transform(sq, x -> x.tok)").as("ts"))
+    val top = seqArr
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(ts)), i -> " +
+          "filter(transform(array(-3, -2, -1, 1, 2, 3), k -> " +
+          "CASE WHEN i + k >= 1 AND i + k <= size(ts) " +
+          "THEN named_struct('center', element_at(ts, i), " +
+          "'context', element_at(ts, i + k)) END), " +
+          "p -> p IS NOT NULL)))")).as("pr"))
+      .select(col("pr.center").as("center"), col("pr.context").as("context"))
       .groupBy(col("center"), col("context"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("center"), col("context"))
