@@ -67,6 +67,13 @@ object ScaleOps22 {
         .as("b"))
       .filter(length(col("b.w1")) >= 1 && length(col("b.w2")) >= 1)
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // materialized once (localCheckpoint): the count subtree and the
+      // scored stream are SEPARATE consumers — the count rides its own
+      // (w1,w2) exchange while the stream side joins the broadcast
+      // scored table with no exchange at all, so nothing is shared and
+      // the tokenize+explode kernel ran twice per query. ContextCleaner
+      // frees the blocks with the returned plan.
+      .localCheckpoint()
     val biCnt = docBi.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cxy"))
     val ctx = biCnt.groupBy(col("w1")).agg(sum(col("cxy")).as("cx"))

@@ -377,8 +377,17 @@ object ScaleOps25 {
     * boundaries (differential spec), so routing is invisible to every
     * bucket. The measurement is an upper bound; callers may pass any
     * bound they already know (the q166 measured-routing contract). */
-  def assignTertiles(scored: DataFrame, largestLangRows: Long): DataFrame =
-    bucketWithBounds(scored, tertileBounds(scored, largestLangRows))
+  def assignTertiles(scored: DataFrame, largestLangRows: Long): DataFrame = {
+    // materialized once (localCheckpoint): the boundary aggregate and
+    // the bucket join-back are separate consumers of `scored`, and each
+    // re-ran the caller's whole scoring chain (tokenize, explode, score
+    // join, per-doc rollup) against the lazy plan — measured as the
+    // doubled scoring-stage signature in every tertile-mix profile.
+    // Batch-only by contract (boundary COMPUTATION is a batch pass; the
+    // streaming applier routes through bucketWithBounds directly).
+    val sc = scored.localCheckpoint()
+    bucketWithBounds(sc, tertileBounds(sc, largestLangRows))
+  }
 
   /** The boundary TABLE of [[assignTertiles]] on its own — (lang, b1,
     * b2) doubles, routed between the exact and histogram arms exactly
