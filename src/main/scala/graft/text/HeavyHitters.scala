@@ -52,6 +52,22 @@ object HeavyHitters {
         (s, t) => { s.add(t); s },
         (a, b) => a.mergeInPlace(b))
 
+  /** The SAME sketch built from a (token, n) count table instead of the
+    * raw occurrence stream: CMS counting is additive, so add(token, n)
+    * lands the identical counters as n single adds — bit-identical
+    * estimates (spec-pinned against [[tokenSketch]]). Lets a caller that
+    * already aggregated counts (q74's exact arm) skip a second full
+    * corpus tokenize + row conversion; the vocabulary-sized input also
+    * makes the treeAggregate itself far smaller. */
+  def tokenSketchFromCounts(counts: DataFrame,
+      eps: Double = 0.0001, confidence: Double = 0.999,
+      seed: Int = 42): CountMinSketch =
+    counts.select(col("token"), col("n"))
+      .as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .rdd.treeAggregate(CountMinSketch.create(eps, confidence, seed))(
+        (s, tc) => { s.add(tc._1, tc._2); s },
+        (a, b) => a.mergeInPlace(b))
+
   /** q74 surface: exact top-k with per-token sketch verification booleans.
     * The k sketch probes are a driver-side O(k) step (the q35 centroid
     * budget); the allowed overestimate is 5·eps·N tokens plus a +10
@@ -83,7 +99,11 @@ object HeavyHitters {
             "cms_no_underestimate", "cms_within_eps")
       } else {
         val totalN = totalRow.getLong(0)
-        val cms = tokenSketch(docs, textCol, eps, confidence)
+        // the sketch reads the CACHED count table, not the corpus — the
+        // third full tokenize pass (and its row-conversion) is gone;
+        // counters are bit-identical (CMS addition is commutative and
+        // add(token, n) == n adds)
+        val cms = tokenSketchFromCounts(counts, eps, confidence)
         val bound = math.max(10.0, 5.0 * eps * totalN)
         val rows = top.collect().map { r =>
           val token = r.getAs[String]("token")

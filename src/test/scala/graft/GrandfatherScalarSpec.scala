@@ -95,6 +95,16 @@ class GrandfatherScalarSpec extends GraftSuite {
       assert(est <= n + math.max(10.0, 5.0 * 0.0001 * 11).toLong,
         s"CMS overestimate out of band for $tok: $est vs $n")
     }
+    // the count-table-built sketch (the r18 q74 fast path) must land
+    // BIT-IDENTICAL estimates to the occurrence-stream sketch: CMS
+    // counting is commutative addition, add(token, n) == n adds
+    val counts = docs.sparkSession.createDataFrame(exact.toSeq)
+      .toDF("token", "n")
+    val cms2 = graft.text.HeavyHitters.tokenSketchFromCounts(counts)
+    (exact.keys ++ Seq("absent")).foreach { tok =>
+      assert(cms2.estimateCount(tok) == cms.estimateCount(tok),
+        s"count-built CMS diverged on $tok")
+    }
   }
 
   // --- q75: canonical-representative selection --------------------------------

@@ -450,11 +450,13 @@ class PlanShapeSpec extends GraftSuite {
     assert(!pk.contains("Join") && !pk.contains("CartesianProduct"), pk)
   }
 
-  test("q152: the skip-gram window rides an equi hash join on (doc, pos) with partial pair aggregation — never a range NLJ") {
+  test("q152: skip-gram pairs come straight off the token array — NO join, no range NLJ, partial pair aggregation") {
     val p = plan(graft.ops.ScaleOps18.q152SkipGrams(spark, sf))
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
-    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
-      || p.contains("ShuffledHashJoin"), p)
+    // r18: the probe-row equi-join on (doc, pos) is gone — pairs are a
+    // pure map over array adjacency, so no join of ANY kind remains in
+    // the pair path (the only acceptable join-free plan is also the
+    // cheapest one: explode → partial agg → exchange → final agg)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
     assert(p.contains("partial_"), p)
     // the top-25 is a DISTRIBUTED TakeOrdered over the pair table — a
     // global rank window here would be a single-task sort at 100 TB
