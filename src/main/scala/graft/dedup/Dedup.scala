@@ -38,6 +38,18 @@ object Dedup {
   private[graft] def trackedCacheSessions: Int = candidateCaches.size()
 
   private def cacheTracked(df: DataFrame): DataFrame = {
+    // graft.cache.shared gates the cache, DEFAULT FALSE since r18: the
+    // self-join's two sides already share ONE exchange via ReuseExchange,
+    // so the cache only deduplicates the sizes/blacklist branches' extra
+    // kernel passes — parallel work — while costing a serialized cache
+    // population plus re-reads. The one-JVM interleaved A/B
+    // (graft.AbEager conf=graft.cache.shared, 7 reps, sf0.1) measured
+    // uncached faster on every builder: q19 1.34 vs 1.71 s, q60 3.58 vs
+    // 5.91 s, q22 0.79 vs 0.95 s, q21 0.50 vs 0.55 s, q58 a wash. The
+    // knob remains for memory-rich saturated clusters where duplicate
+    // kernel passes cost real capacity.
+    if (!df.sparkSession.conf.getOption("graft.cache.shared")
+        .exists(_.toBoolean)) return df
     val cached = df.cache()
     // The add runs inside compute() so it is atomic with freeCandidateCaches'
     // removal of a drained entry (ConcurrentHashMap serializes remapping
@@ -57,15 +69,12 @@ object Dedup {
       q.add(cached)
       q
     })
-    // EAGER materialization: every builder fans this cached plan into 3-4
-    // consumer branches, and AQE submits independent subtree stages
-    // CONCURRENTLY — racing stages each compute a not-yet-materialized
-    // cache partition themselves (profiled on q60: four full
-    // shingle-kernel passes over the corpus in one run, the 4x duplicated
-    // in=2.1M/shW=2.6M stage signature). One count() here pins a single
-    // compute (the cache stores full-width batches, so the count
-    // materializes every column); the consumers then scan cached batches.
-    cached.count()
+    // optional eager materialization (graft.cache.eager, default lazy —
+    // see Relational.eagerPin for the measured A/B): racing consumer
+    // stages CAN duplicate the kernel pass against a lazy cache
+    // (profiled on q60: 4x), but that waste is parallel, and the serial
+    // pinning pass measured slower at both 32 and 8 cores
+    graft.ops.Relational.eagerPin(cached)
     cached
   }
 

@@ -45,14 +45,13 @@ object ScaleOps10 {
     * offset equals the global prefix exactly — the mirror computes the
     * naive global form and the integers agree. */
   def q123Concurrency(s: SparkSession, dir: String): DataFrame = {
+    // sessions deliberately NOT cached: the r18 one-JVM interleaved A/B
+    // (graft.AbEager, 7 reps) measured the cached form 2.62 s vs 1.50 s
+    // uncached — the branch re-runs of the sessionize chain are parallel
+    // and share the user-keyed exchange via ReuseExchange, while the
+    // cache serializes its population and re-reads
     val sessions = graft.streaming.Streaming.sessionizeBatch(
       Relational.events(s, dir), "user_id", "ts", gapMs = 30 * 60 * 1000L)
-      .persist()
-    // eager: sessions is read by both union sides of the boundary stream
-    // AND by both of its consumers (the hour offsets aggregate and the
-    // windowed sweep) — up to four re-runs of the sessionize window
-    // chain against a lazy plan; one count pins a single compute
-    sessions.count()
     val deltas = sessions
       .select(col("user_id"), col("session_seq"),
         col("session_start").as("ts"), lit(1).as("delta"))
@@ -137,15 +136,13 @@ object ScaleOps10 {
     * big exchanges are the orderkey shuffle and the (p1,p2) partial-agg
     * groupBy — both map-side combined. */
   def q124BasketLift(s: SparkSession, dir: String): DataFrame = {
+    // baskets deliberately NOT cached (the q127 edges discipline): its
+    // four consumers share the distinct's exchange via ReuseExchange and
+    // one pair-join side rides a broadcast built off its own scan; the
+    // r18 one-JVM A/B measured the cached form 3.65 s vs 3.29 s uncached
     val baskets = Relational.fanOut(t(s, dir, "lineitem"))
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-      .persist()
-    // eager: baskets fans into four consumers (both pair-join sides, the
-    // item counts, the basket total) — the before-plan carried four
-    // lineitem scans each re-deriving the distinct; one count pins a
-    // single compute and the consumers scan the cache
-    baskets.count()
     val itemCnt = baskets.groupBy(col("pk")).agg(count(lit(1)).as("c"))
     val nOrders = baskets.select(countDistinct(col("ok")).as("n"))
     val a = baskets.select(col("ok"), col("pk").as("p1"))

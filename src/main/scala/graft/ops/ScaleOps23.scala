@@ -173,11 +173,13 @@ object ScaleOps23 {
           expression(graft.text.TextAnalysis.tokens(col("text"))), 8))).as("h"))
       .distinct()
       .persist()
-    // eager: pairs fans into three consumers (per-source sizes + both
-    // self-join sides) whose concurrent stages would each re-run the
-    // shingle kernel against a not-yet-materialized cache; one count
-    // pins a single compute
-    pairs.count()
+    // cached for its three consumers (per-source sizes + both self-join
+    // sides): unlike the shingle-builder caches this one measured FASTER
+    // cached in the r18 one-JVM A/B (2.26 s vs 2.72 s uncached, 7
+    // interleaved reps) — the 8-token sliding window is the heaviest
+    // kernel on the surface, so deduplicating its extra pass beats the
+    // cache overhead here; population stays lazy (eagerPin default off)
+    Relational.eagerPin(pairs)
     val perSrc = pairs.groupBy(col("source")).agg(count(lit(1)).as("n_types"))
     val shared = pairs.as("a")
       .join(pairs.as("b"), col("a.h") === col("b.h")

@@ -87,10 +87,10 @@ object ScaleOps25 {
     import s.implicits._
     val w = Array.fill(Q176Buckets + 1)(0L)
     val cached = feats.repartition(col("doc_id")).persist()
-    // eager: the first epoch's job reads cached from TWO branches (the
-    // margin join and the misclassified re-join), which would race to
-    // compute the unmaterialized cache; one count pins a single compute
-    cached.count()
+    // the first epoch's job reads cached from TWO branches (margin join
+    // + misclassified re-join); pinning is the measured-lazy eagerPin
+    // routing
+    Relational.eagerPin(cached)
     try {
       for (_ <- 1 to Q176Epochs) {
         val wDf = w.zipWithIndex

@@ -44,17 +44,17 @@ object ScaleOps7 {
     * would be bucketed by src, making even the round joins
     * exchange-free on cold storage. */
   def q96Pagerank(s: SparkSession, dir: String): DataFrame = {
+    // pairs deliberately NOT persisted since r18: the union sides share
+    // the distinct's exchange via ReuseExchange, and the one-JVM
+    // interleaved A/B (graft.AbEager, 7 reps) measured the r9-r17
+    // persisted form 4.33 s vs 3.30 s without it — cache population
+    // serialized what the exchange reuse already deduplicates
     val pairs = Relational.fanOut(t(s, dir, "lineitem"))
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("l_suppkey") * 2).as("s"), (col("o_custkey") * 2 + 1).as("c"))
       .distinct()
-      .persist()
-    // eager: both union sides below read pairs from within ONE stage (two
-    // tasks per cached partition), racing to compute the unmaterialized
-    // cache; one count pins a single compute
-    pairs.count()
     val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
       .unionByName(pairs.select(col("c").as("src"), col("s").as("dst")))
     val wSrc = Window.partitionBy(col("src"))

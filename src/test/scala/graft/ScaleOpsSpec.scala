@@ -290,10 +290,16 @@ class DedupSpec extends GraftSuite {
     spark.catalog.clearCache()
     Dedup.freeCandidateCaches(spark, blocking = true)
     val before = spark.sparkContext.getPersistentRDDs.size
-    Dedup.nearDupPairs(docs, "doc_id", "text", k = 3, threshold = 0.5).count()
-    Dedup.containmentPairs(docs, "doc_id", "text", k = 3, threshold = 0.9).count()
-    Dedup.minhashLshPairs(docs, "doc_id", "text", k = 3).count()
-    Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3, maxBucket = 100).count()
+    // the builder cache is opt-in since r18 (graft.cache.shared, default
+    // off — the uncached plan measured faster); this test drills the
+    // cache LIFECYCLE, so it opts in
+    spark.conf.set("graft.cache.shared", "true")
+    try {
+      Dedup.nearDupPairs(docs, "doc_id", "text", k = 3, threshold = 0.5).count()
+      Dedup.containmentPairs(docs, "doc_id", "text", k = 3, threshold = 0.9).count()
+      Dedup.minhashLshPairs(docs, "doc_id", "text", k = 3).count()
+      Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3, maxBucket = 100).count()
+    } finally spark.conf.unset("graft.cache.shared")
     val during = spark.sparkContext.getPersistentRDDs.size
     assert(during > before,
       s"expected the builders' intermediates to be persisted ($before -> $during)")
